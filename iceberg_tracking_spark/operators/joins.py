@@ -1,0 +1,136 @@
+"""Join operator library (SURVEY §2.3).
+
+The centerpiece is the grid spatial radius join — the distributed
+re-expression of the reference's in-memory grid index
+(reference tracking.py:442-554): bucket both sides on grid cells,
+explode the probe side to its neighbor cells, equi-join on cell, then
+apply the exact distance predicate. Catalyst executes it as a plain
+shuffled (or broadcast) hash join on the cell key; AQE handles skewed
+cells (dense frames). Neighbor-explode amplification is bounded at
+(2·⌈r/cell⌉+1)^d rows on the probe side only.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grid_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_x: str,
+    left_y: str,
+    right_x: str,
+    right_y: str,
+    radius: float,
+    cell_size: float | None = None,
+    extra_on=None,
+) -> DataFrame:
+    """All (left, right) pairs with Euclidean center distance ≤ radius.
+
+    2-D analog of reference SpatialIndex.query_radius
+    (tracking.py:509-554): candidate cells = ±⌈r/cell⌉ around the probe
+    cell, then the exact distance filter. `extra_on` adds equi-join
+    conjuncts (e.g. same frame). Output keeps all columns of both
+    inputs plus `dist`.
+    """
+    cell = float(cell_size if cell_size is not None else max(radius, 1e-9))
+    reach = int(math.ceil(radius / cell))
+    offsets = F.array(*[F.lit(o) for o in range(-reach, reach + 1)])
+
+    l = left.withColumn("_lcx", F.floor(F.col(left_x) / cell).cast("long")).withColumn(
+        "_lcy", F.floor(F.col(left_y) / cell).cast("long")
+    )
+    # Explode only the probe (left) side to neighbor cells.
+    l = (
+        l.withColumn("_ox", F.explode(offsets))
+        .withColumn("_oy", F.explode(offsets))
+        .withColumn("_cx", F.col("_lcx") + F.col("_ox"))
+        .withColumn("_cy", F.col("_lcy") + F.col("_oy"))
+        .drop("_lcx", "_lcy", "_ox", "_oy")
+    )
+    r = right.withColumn("_cx", F.floor(F.col(right_x) / cell).cast("long")).withColumn(
+        "_cy", F.floor(F.col(right_y) / cell).cast("long")
+    )
+    on = [l["_cx"] == r["_cx"], l["_cy"] == r["_cy"]]
+    if extra_on:
+        for lc, rc in extra_on:
+            on.append(l[lc] == r[rc])
+    dist = F.sqrt(
+        (l[left_x] - r[right_x]) ** 2 + (l[left_y] - r[right_y]) ** 2
+    )
+    joined = (
+        l.join(r, on, "inner")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= F.lit(float(radius)))
+        .drop(l["_cx"]).drop(l["_cy"]).drop(r["_cx"]).drop(r["_cy"])
+    )
+    return joined
+
+
+def grid_radius_join_1d(
+    df: DataFrame,
+    value_col: str,
+    radius: float,
+    cell_size: float | None = None,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """1-D self radius join: unordered pairs with |a − b| ≤ radius.
+
+    Same bucket-and-neighbor strategy on a single axis; `id_col` breaks
+    symmetry (a.id < b.id) so each pair appears once.
+    """
+    cell = float(cell_size if cell_size is not None else max(radius, 1e-9))
+    reach = int(math.ceil(radius / cell))
+    offsets = F.array(*[F.lit(o) for o in range(-reach, reach + 1)])
+
+    a = df.select(
+        F.col(id_col).alias("a_id"),
+        F.col(value_col).alias("a_value"),
+        F.explode(
+            F.transform(offsets, lambda o: F.floor(F.col(value_col) / cell).cast("long") + o)
+        ).alias("_cell"),
+    )
+    b = df.select(
+        F.col(id_col).alias("b_id"),
+        F.col(value_col).alias("b_value"),
+        F.floor(F.col(value_col) / cell).cast("long").alias("_cell"),
+    )
+    return (
+        a.join(b, "_cell", "inner")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_value") - F.col("b_value")) <= F.lit(float(radius)))
+        )
+        .drop("_cell")
+    )
+
+
+def consecutive_frame_join(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    attr_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of join on the frame/time axis via `lead()` per key.
+
+    Re-expresses the reference's consecutive-frame positive-pair
+    extraction (helpers.py:481-530): for each key, pair each row with
+    the same key's next row in `order_col` order. One window shuffle,
+    no self-join.
+    """
+    attr_cols = attr_cols or [
+        c for c in df.columns if c not in key_cols and c != order_col
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    out = df.select(
+        *key_cols,
+        F.col(order_col).alias("cur_" + order_col),
+        *[F.col(c).alias("cur_" + c) for c in attr_cols],
+        F.lead(order_col).over(w).alias("next_" + order_col),
+        *[F.lead(c).over(w).alias("next_" + c) for c in attr_cols],
+    )
+    return out.filter(F.col("next_" + order_col).isNotNull())

@@ -1,0 +1,81 @@
+"""Window/ranking operator library (SURVEY §2.5).
+
+Top-k per group, mutual-best bipartite matching, gaps-and-islands —
+pure window-function compositions, no state, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int = 1
+) -> DataFrame:
+    """row_number() ≤ k per group. `order_cols` must define a total
+    order (include a tie-break key) for deterministic results."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def mutual_argmax(
+    pairs: DataFrame,
+    left_key: str,
+    right_key: str,
+    score_col: str,
+    tie_breaks: list[Column] | None = None,
+) -> DataFrame:
+    """Keep (left, right) pairs where each side is the other's best.
+
+    The reference's bidirectional matching phase (tracking.py:977-1035):
+    rank candidates per track and per detection by score desc; a pair
+    survives iff it is rank-1 in BOTH windows. Two window shuffles +
+    one filter — no Python.
+    """
+    ties = tie_breaks or [F.col(left_key), F.col(right_key)]
+    w_left = Window.partitionBy(left_key).orderBy(F.col(score_col).desc(), *ties)
+    w_right = Window.partitionBy(right_key).orderBy(F.col(score_col).desc(), *ties)
+    return (
+        pairs.withColumn("_rl", F.row_number().over(w_left))
+        .withColumn("_rr", F.row_number().over(w_right))
+        .filter((F.col("_rl") == 1) & (F.col("_rr") == 1))
+        .drop("_rl", "_rr")
+    )
+
+
+def islands_longest_streak(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    island_col: str,
+) -> DataFrame:
+    """Longest contiguous run of a constant `island_col` value per key.
+
+    Classic gaps-and-islands via the two-row_number difference trick —
+    re-expresses the reference's longest-contiguous-segment computation
+    for IDTP/IDF1 (eval.py:355-418). Returns one row per key:
+    `longest_streak` + the `island_col` value achieving it
+    (ties → lexicographically smallest value, deterministic).
+    """
+    w_all = Window.partitionBy(*key_cols).orderBy(order_col)
+    w_val = Window.partitionBy(*key_cols, island_col).orderBy(order_col)
+    runs = (
+        df.withColumn(
+            "_grp", F.row_number().over(w_all) - F.row_number().over(w_val)
+        )
+        .groupBy(*key_cols, island_col, "_grp")
+        .agg(F.count(F.lit(1)).alias("streak"))
+    )
+    w_rank = Window.partitionBy(*key_cols).orderBy(
+        F.col("streak").desc(), F.col(island_col).asc()
+    )
+    return (
+        runs.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") == 1)
+        .select(*key_cols, F.col(island_col), F.col("streak").alias("longest_streak"))
+    )

@@ -1,0 +1,5 @@
+from .registry import QUERIES, QueryDef, query, get_queries, get_oracles  # noqa: F401
+from . import queries_core  # noqa: F401  (registers)
+from . import queries_advanced  # noqa: F401
+from . import queries_llm  # noqa: F401
+from . import queries_mot  # noqa: F401

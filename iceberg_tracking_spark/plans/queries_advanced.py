@@ -1,0 +1,371 @@
+"""Advanced relational queries: windows, theta-joins, spatial joins,
+sessionization (SURVEY §2.3 J1-J3, §2.5 W3-W8, §2.9 analogs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.joins import consecutive_frame_join, grid_radius_join_1d
+from ..operators.windows import islands_longest_streak, mutual_argmax, top_k_per_group
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str):
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q_theta_argmax",
+    oracle="""
+    SELECT o_orderkey, l_linenumber, round(net, 4) AS best_net FROM (
+        SELECT o.o_orderkey, l.l_linenumber,
+               l.l_extendedprice * (1 - l.l_discount) AS net,
+               row_number() OVER (
+                   PARTITION BY o.o_orderkey
+                   ORDER BY l.l_extendedprice * (1 - l.l_discount) DESC, l.l_linenumber
+               ) AS rn
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ) WHERE rn = 1
+    """,
+)
+def q_theta_argmax(spark, sf_dir):
+    """J2: join + per-left argmax on a computed expression — the greedy
+    IoU matching shape (reference eval.py:221-254): rank candidates per
+    key by score desc with a deterministic tie-break, keep rank 1."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem")
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net")
+    pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey", "l_linenumber", net
+    )
+    best = top_k_per_group(
+        pairs, ["o_orderkey"], [F.col("net").desc(), F.col("l_linenumber").asc()], k=1
+    )
+    return best.select(
+        "o_orderkey", "l_linenumber", F.round("net", 4).alias("best_net")
+    )
+
+
+@query(
+    "q_dedup_rank",
+    oracle="""
+    SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY value DESC, ts, event_id
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_rank(spark, sf_dir):
+    """W3 (core): rank-dedup — keep the best row per key, the
+    window-dedup heart of NMS (reference detection.py:1223-1261)."""
+    ev = _t(spark, sf_dir, "events")
+    return top_k_per_group(
+        ev.select("user_id", "event_id", "value", "ts"),
+        ["user_id"],
+        [F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc()],
+        k=1,
+    ).select("user_id", "event_id", "value")
+
+
+@query(
+    "q_lag_change",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN prev_type IS NOT NULL AND prev_type <> event_type
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+           CAST(sum(CASE WHEN prev_ts IS NOT NULL
+                         AND epoch_ms(ts) - epoch_ms(prev_ts) > 3600000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+    FROM (
+        SELECT user_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ) GROUP BY user_id
+    """,
+)
+def q_lag_change(spark, sf_dir):
+    """W8: lag-based change detection — ID-switch + fragmentation
+    counters (reference eval.py:291-316)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_lags = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    return with_lags.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("prev_type").isNotNull()
+                & (F.col("prev_type") != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        ).alias("n_changes"),
+        F.sum(
+            F.when(
+                F.col("prev_ts").isNotNull()
+                & (
+                    F.unix_millis("ts") - F.unix_millis("prev_ts") > 3600000
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_gaps"),
+    )
+
+
+@query(
+    "q_selfjoin_lead",
+    oracle="""
+    SELECT user_id, event_id AS cur_event_id, next_event_id,
+           CAST(epoch_ms(next_ts) - epoch_ms(ts) AS BIGINT) AS delta_ms
+    FROM (
+        SELECT user_id, event_id, ts,
+               lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        FROM events
+    ) WHERE next_event_id IS NOT NULL
+    """,
+)
+def q_selfjoin_lead(spark, sf_dir):
+    """J3: consecutive-row as-of self-join via lead() — the
+    consecutive-frame positive-pair extraction (reference
+    helpers.py:481-530). One window shuffle, no join."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_id").alias("cur_event_id"),
+            "ts",
+            F.lead("event_id").over(w).alias("next_event_id"),
+            F.lead("ts").over(w).alias("next_ts"),
+        )
+        .filter(F.col("next_event_id").isNotNull())
+        .select(
+            "user_id",
+            "cur_event_id",
+            "next_event_id",
+            (F.unix_millis("next_ts") - F.unix_millis("ts")).alias("delta_ms"),
+        )
+    )
+
+
+@query(
+    "q_islands",
+    oracle="""
+    SELECT user_id, event_type, longest_streak FROM (
+        SELECT user_id, event_type, streak AS longest_streak,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY streak DESC, event_type
+               ) AS rn
+        FROM (
+            SELECT user_id, event_type, grp, count(*) AS streak
+            FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+                       AS grp
+                FROM events
+            ) GROUP BY user_id, event_type, grp
+        )
+    ) WHERE rn = 1
+    """,
+)
+def q_islands(spark, sf_dir):
+    """A12: gaps-and-islands — longest contiguous same-value run per key
+    (reference IDTP longest-segment computation, eval.py:355-418)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    return islands_longest_streak(
+        ev, key_cols=["user_id"], order_col="_ord", island_col="event_type"
+    )
+
+
+@query(
+    "q_mutual_argmax",
+    oracle="""
+    WITH pairs AS (
+        SELECT s.s_suppkey, c.c_custkey, s.s_nationkey AS nationkey,
+               round(abs(s.s_acctbal - c.c_acctbal), 2) AS affinity
+        FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY s_suppkey
+                                  ORDER BY affinity, c_custkey) AS rs,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY affinity, s_suppkey) AS rc
+        FROM pairs
+    )
+    SELECT s_suppkey, c_custkey, nationkey, affinity
+    FROM ranked WHERE rs = 1 AND rc = 1
+    """,
+)
+def q_mutual_argmax(spark, sf_dir):
+    """W5/W6: bidirectional mutual-best matching — keep (track, det)
+    pairs where each is the other's argmax (reference
+    tracking.py:977-1035). Affinity here = closest account balance
+    within a nation."""
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    pairs = s.join(c, s.s_nationkey == c.c_nationkey).select(
+        "s_suppkey",
+        "c_custkey",
+        F.col("s_nationkey").alias("nationkey"),
+        F.round(F.abs(F.col("s_acctbal") - F.col("c_acctbal")), 2).alias("affinity"),
+    )
+    w_s = Window.partitionBy("s_suppkey").orderBy(
+        F.col("affinity").asc(), F.col("c_custkey").asc()
+    )
+    w_c = Window.partitionBy("c_custkey").orderBy(
+        F.col("affinity").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        pairs.withColumn("rs", F.row_number().over(w_s))
+        .withColumn("rc", F.row_number().over(w_c))
+        .filter((F.col("rs") == 1) & (F.col("rc") == 1))
+        .drop("rs", "rc")
+    )
+
+
+@query(
+    "q_grid_join",
+    oracle="""
+    SELECT bucket, count(*) AS n_pairs, round(avg(dist), 4) AS avg_dist FROM (
+        SELECT CAST(floor(a.value / 0.5) AS BIGINT) AS bucket,
+               abs(a.value - b.value) AS dist
+        FROM events a JOIN events b
+          ON a.event_id < b.event_id AND abs(a.value - b.value) <= 0.5
+    ) GROUP BY bucket
+    """,
+)
+def q_grid_join(spark, sf_dir):
+    """J1: grid spatial radius join — bucket both sides on cells of the
+    radius size, explode probe side to neighbor cells, equi-join, exact
+    distance post-filter (reference SpatialIndex, tracking.py:442-554).
+    The oracle states the naive theta-join; the Spark plan is the
+    grid-accelerated equi-join form that scales."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    pairs = grid_radius_join_1d(ev, "value", radius=0.5, id_col="event_id")
+    return (
+        pairs.select(
+            F.floor(F.col("a_value") / 0.5).cast("long").alias("bucket"),
+            F.abs(F.col("a_value") - F.col("b_value")).alias("dist"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+        )
+    )
+
+
+@query(
+    "q_containment_antijoin",
+    oracle="""
+    SELECT a.event_id, a.user_id, a.value FROM events a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM events b
+        WHERE b.user_id = a.user_id
+          AND b.event_id <> a.event_id
+          AND b.value >= 2 * a.value
+          AND abs(epoch_ms(b.ts) - epoch_ms(a.ts)) <= 3600000
+    )
+    """,
+)
+def q_containment_antijoin(spark, sf_dir):
+    """W4: containment-based suppression — drop rows "contained" by a
+    dominating row in the same group (reference nested-box removal,
+    detection.py:1120-1198). Anti-join on equi key + theta predicate."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.event_id") != F.col("a.event_id"))
+        & (F.col("b.value") >= 2 * F.col("a.value"))
+        & (
+            F.abs(F.unix_millis(F.col("b.ts")) - F.unix_millis(F.col("a.ts")))
+            <= 3600000
+        )
+    )
+    return a.join(b, cond, "left_anti").select("event_id", "user_id", "value")
+
+
+@query(
+    "q_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def q_tumbling_window(spark, sf_dir):
+    """§2.9: tumbling event-time window aggregation — the batch form of
+    the streaming `window(ts, '1 hour')` group (generalizes the
+    reference's per-frame tick processing)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    SELECT user_id, session_id, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms
+    FROM (
+        SELECT user_id, ts, value,
+               CAST(sum(CASE WHEN prev_ts IS NULL
+                             OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM (
+            SELECT user_id, ts, value, event_id,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        )
+    ) GROUP BY user_id, session_id
+    """,
+)
+def q_session_window(spark, sf_dir):
+    """§2.9/T4: sessionization with a 30-minute inactivity gap — the
+    batch analog of session_window + state timeout (the reference's
+    max_age track ageing, tracking.py:815-823)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = (
+        ev.select("user_id", "ts", "value", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_millis("ts") - F.unix_millis("prev_ts") > 1800000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w_run))
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms"),
+    )

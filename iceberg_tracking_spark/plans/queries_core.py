@@ -1,0 +1,606 @@
+"""Core relational queries (SURVEY §2.1-§2.6 scans/filters/aggs/joins/windows).
+
+Every query here is a Catalyst-native plan: filters/projections push to
+the parquet scan, joins broadcast when a side is small, aggregates get
+map-side partial aggregation for free. Rounding of float aggregates is
+applied identically in the oracle SQL so cross-engine hashes match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- scans
+
+@query(
+    "q_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def q_scan_project(spark, sf_dir):
+    """S1: typed projection + pushdown filter on the fact table
+    (reference MOT CSV scan, helpers.py:339-395)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT o_orderpriority FROM orders",
+)
+def q_distinct(spark, sf_dir):
+    """S5: distinct projection (reference detection.py:263 unique())."""
+    return _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+@query(
+    "q_embed_scan",
+    oracle="""
+    SELECT count(*) AS n_vecs,
+           CAST(avg(len(embedding)) AS DOUBLE) AS avg_dim,
+           count(DISTINCT label) AS n_labels
+    FROM embeddings
+    """,
+)
+def q_embed_scan(spark, sf_dir):
+    """S9: embedding-store scan (reference tracking.py:693-696)."""
+    return _t(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg(F.size("embedding")).cast("double").alias("avg_dim"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+@query(
+    "q_group_collect",
+    oracle="""
+    SELECT user_id,
+           string_agg(CAST(epoch_ms(ts) AS VARCHAR) || ':' || CAST(event_id AS VARCHAR),
+                      ',' ORDER BY epoch_ms(ts), event_id) AS series
+    FROM events GROUP BY user_id
+    """,
+)
+def q_group_collect(spark, sf_dir):
+    """S3: grouped nested scan — per-key ordered series collected into one
+    value (reference load_icebergs_by_frame, helpers.py:398-443).
+    Fingerprinted as a string so the oracle hash is portable."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_millis("ts").alias("t"), F.col("event_id").alias("e")
+            ).alias("p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("p")),
+                    lambda x: F.concat_ws(":", x["t"], x["e"]),
+                ),
+                ",",
+            ).alias("series")
+        )
+    )
+
+
+# ------------------------------------------------------------- filters
+
+@query(
+    "q_filter_conf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_discount
+    FROM lineitem WHERE l_discount >= 0.05
+    """,
+)
+def q_filter_conf(spark, sf_dir):
+    """F1: confidence-style threshold filter (reference detection.py:1067-1069)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") >= 0.05)
+        .select("l_orderkey", "l_linenumber", "l_discount")
+    )
+
+
+@query(
+    "q_filter_expr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem WHERE l_extendedprice * (1 - l_discount) > 30000
+    """,
+)
+def q_filter_expr(spark, sf_dir):
+    """F2: computed-column predicate — min-area-style filter `w*h >= s`
+    (reference detection.py:1071-1075)."""
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(net > 30000)
+        .select(
+            "l_orderkey", "l_linenumber", F.round(net, 4).alias("net_price")
+        )
+    )
+
+
+@query(
+    "q_filter_range",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events WHERE value BETWEEN 50 AND 150
+    """,
+)
+def q_filter_range(spark, sf_dir):
+    """F3: boundary/range predicate — edge-proximity filter analog
+    (reference detection.py:1077-1084)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").between(50, 150))
+        .select("event_id", "user_id", "value")
+    )
+
+
+@query(
+    "q_string_fmt",
+    oracle="""
+    SELECT event_id,
+           lpad(CAST(user_id AS VARCHAR), 6, '0') AS ukey,
+           CAST(user_id AS VARCHAR) || '_' || CAST(event_id AS VARCHAR) AS ckey,
+           substr(md5(CAST(user_id AS VARCHAR) || '_' || CAST(event_id AS VARCHAR)), 1, 7) AS hkey
+    FROM events
+    """,
+)
+def q_string_fmt(spark, sf_dir):
+    """F7/X10/X11/X13: zero-pad frame-id normalization, composite
+    embedding key, stable md5 id hash (reference helpers.py:368-373,
+    tracking.py:983-984, detection.py:338-340)."""
+    ev = _t(spark, sf_dir, "events")
+    ckey = F.concat_ws("_", F.col("user_id").cast("string"), F.col("event_id").cast("string"))
+    return ev.select(
+        "event_id",
+        F.lpad(F.col("user_id").cast("string"), 6, "0").alias("ukey"),
+        ckey.alias("ckey"),
+        F.substring(F.md5(ckey), 1, 7).alias("hkey"),
+    )
+
+
+@query(
+    "q_limit_offset",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, rnk FROM (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+        FROM lineitem
+    ) WHERE rnk > 100 AND rnk <= 200
+    """,
+)
+def q_limit_offset(spark, sf_dir):
+    """F8/W1/W2: global order + limit/offset slice. Spark side takes
+    top-200 via TakeOrderedAndProject (scalable: per-partition top-k then
+    merge) and ranks only the 200 survivors."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    order = [
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    ]
+    top = li.orderBy(*order).limit(200)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") > 100)
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """JSON scalar extraction over events.props (engine extension,
+    SURVEY §2.7 note)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------- aggs
+
+@query(
+    "q_sum_count",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sum_count(spark, sf_dir):
+    """A7: TPC-H-Q1-shaped rollup — sum/avg/count with map-side partial
+    aggregation (reference eval.py:260-264 count rollups)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           count(*) AS n_orders
+    FROM orders
+    """,
+)
+def q_count_distinct(spark, sf_dir):
+    """A2: exact distinct counting (reference detection.py:370-375)."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("q_approx_count_distinct")  # rows-only: HLL sketches differ per engine
+def q_approx_count_distinct(spark, sf_dir):
+    """A2 (scale path): approx_count_distinct — the 100 TB form of
+    distinct counting. No oracle (sketch values are engine-specific);
+    tests assert relative error vs exact instead."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@query(
+    "q_stats",
+    oracle="""
+    SELECT round(avg(l_extendedprice), 4) AS mean_price,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           round(stddev_pop(l_extendedprice), 4) AS std_price,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem
+    """,
+)
+def q_stats(spark, sf_dir):
+    """A3: the 5-stat aggregate — Mean/Median/Std/Min/Max per feature
+    (reference feature_extraction.py:112-122; population stddev as the
+    reference uses np.std)."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.stddev_pop("l_extendedprice"), 4).alias("std_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@query(
+    "q_global_norm",
+    oracle="""
+    SELECT event_id,
+           round(value / (SELECT max(value) FROM events), 6) AS norm_value
+    FROM events
+    """,
+)
+def q_global_norm(spark, sf_dir):
+    """A5: global-max normalization — two-pass agg-then-transform
+    (reference feature_extraction.py:109-111). Implemented as scalar agg
+    + broadcast cross join (no single-partition window)."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("value").alias("_mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select(
+            "event_id", F.round(F.col("value") / F.col("_mx"), 6).alias("norm_value")
+        )
+    )
+
+
+@query(
+    "q_cond_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
+           CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+           CAST(sum(CASE WHEN l_tax > 0.04 AND l_discount <= 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxed_cheap,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_cond_agg(spark, sf_dir):
+    """A8: conditional tallies — CLR_TP/CLR_FN-style `sum(when(cond,1))`
+    (reference eval.py:216-254)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_high_disc"),
+        F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).alias("n_bulk"),
+        F.sum(
+            F.when((F.col("l_tax") > 0.04) & (F.col("l_discount") <= 0.02), 1).otherwise(0)
+        ).alias("n_taxed_cheap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_weighted_avg",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(o.o_totalprice * ln.n_items) / sum(ln.n_items), 4) AS w_avg_price
+    FROM orders o
+    JOIN (SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey) ln
+      ON o.o_orderkey = ln.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_weighted_avg(spark, sf_dir):
+    """A10: weighted average across groups — combined LocA
+    `Σ(v·w)/Σw` (reference eval.py:494-499)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per_order = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    return (
+        o.join(per_order, o.o_orderkey == per_order.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice") * F.col("n_items")) / F.sum("n_items"), 4
+            ).alias("w_avg_price")
+        )
+    )
+
+
+@query(
+    "q_two_level_agg",
+    oracle="""
+    SELECT bucket, count(*) AS n_users FROM (
+        SELECT user_id,
+               CASE WHEN purchase_ratio >= 0.5 THEN 'high'
+                    WHEN purchase_ratio >= 0.2 THEN 'mid'
+                    ELSE 'low' END AS bucket
+        FROM (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) AS purchase_ratio
+            FROM events GROUP BY user_id
+        )
+    ) GROUP BY bucket
+    """,
+)
+def q_two_level_agg(spark, sf_dir):
+    """A9: two-level aggregation — per-key coverage ratio → bucket →
+    bucket counts (reference MT/PT/ML, eval.py:319-349)."""
+    ev = _t(spark, sf_dir, "events")
+    ratios = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("purchase_ratio")
+    )
+    bucketed = ratios.select(
+        "user_id",
+        F.when(F.col("purchase_ratio") >= 0.5, "high")
+        .when(F.col("purchase_ratio") >= 0.2, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    """A11: per-group rows + COMBINED rollup row (reference
+    combine_metrics, eval.py:460-508) via ROLLUP grouping sets."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------- joins
+
+@query(
+    "q_equijoin",
+    oracle="""
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_equijoin(spark, sf_dir):
+    """J4: dimension equi-join (embedding-lookup analog,
+    tracking.py:981-998). `part` is broadcast — no shuffle of the fact
+    table on the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_semi_anti",
+    oracle="""
+    SELECT c_custkey, 'with' AS status FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, 'without' AS status FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_semi_anti(spark, sf_dir):
+    """J7: matched/unmatched split via left_semi + left_anti
+    (reference eval.py:245-254 TP vs FN)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_o = c.join(o, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit("with").alias("status")
+    )
+    without_o = c.join(o, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit("without").alias("status")
+    )
+    return with_o.unionByName(without_o)
+
+
+@query(
+    "q_having_semijoin",
+    oracle="""
+    SELECT e.event_id, e.user_id FROM events e
+    WHERE e.user_id IN (
+        SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 50
+    )
+    """,
+)
+def q_having_semijoin(spark, sf_dir):
+    """S12/A6: group-count HAVING + semi-join back — the track-length
+    post-filter (reference tracking.py:1152-1174)."""
+    ev = _t(spark, sf_dir, "events")
+    keep = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 50)
+        .select("user_id")
+    )
+    return ev.join(F.broadcast(keep), "user_id", "left_semi").select(
+        "event_id", "user_id"
+    )
+
+
+@query(
+    "q_antijoin_sample",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderpriority FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08
+    ) AND o.o_orderkey % 7 = 0
+    """,
+)
+def q_antijoin_sample(spark, sf_dir):
+    """J6: anti-join + deterministic sampling. The reference samples
+    negatives with `random.sample` (embedding.py:917-931); cross-engine
+    RNG parity is impossible, so the declared query uses a deterministic
+    modulus sample (SURVEY §4 note 4)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.08).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        o.join(li, "o_orderkey", "left_anti")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@query(
+    "q_union",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events WHERE event_type = 'error'
+    UNION
+    SELECT event_id, user_id, event_type FROM events WHERE value > 250
+    """,
+)
+def q_union(spark, sf_dir):
+    """SO1: union + dedup of two slices (reference ConcatDataset,
+    detection.py:735)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    a = ev.filter(F.col("event_type") == "error")
+    b = ev.filter(F.col("value") > 250)
+    return a.unionByName(b).select("event_id", "user_id", "event_type").distinct()
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08'
+    INTERSECT
+    SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-22'
+    """,
+)
+def q_intersect(spark, sf_dir):
+    """SO3: membership intersection — ids alive in both periods
+    (reference helpers.py:517-522)."""
+    ev = _t(spark, sf_dir, "events")
+    early = ev.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp")).select("user_id")
+    late = ev.filter(F.col("ts") >= F.lit("2024-01-22").cast("timestamp")).select("user_id")
+    return early.intersect(late)

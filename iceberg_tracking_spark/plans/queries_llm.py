@@ -1,0 +1,440 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis
+(BASELINE.json north-star surface; generalizes the reference's
+embedding-similarity machinery, feature_extraction.py:255-297).
+
+Portability rules for the oracles: tokenization is `lower → split \\s+ →
+drop empties` on both engines; all hashing goes through md5 hex strings
+(identical in Spark and DuckDB); regex replace uses DuckDB's 'g' flag to
+match Spark's global-by-default semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import LANG_MARKERS, STOPWORDS
+from ..sources.tables import load_table
+from .registry import query
+
+# DuckDB-side shared fragments (tokenization identical to functions/text.py).
+_DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_DUCK_SHINGLES = (
+    "CASE WHEN len({toks}) >= 3 THEN "
+    "list_transform(range(1, len({toks}) - 1), "
+    "i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]) "
+    "ELSE [] END"
+).format(toks=_DUCK_TOKS)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str):
+    return load_table(spark, sf_dir, name)
+
+
+def _spark_tokens(col):
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def _spark_shingles(toks, k: int = 3):
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ------------------------------------------------------------ text analysis
+
+_sw_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                      / length(text) ELSE 0.0 END, 4) AS punct_ratio,
+           round(CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_filter(toks, x -> x IN ({_sw_list}))) AS DOUBLE)
+                      / len(toks) ELSE 0.0 END, 4) AS stopword_ratio
+    FROM (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """Text quality metrics per document: token count, punctuation
+    ratio, stopword ratio — the deterministic core of quality scoring
+    for training-data curation."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _spark_tokens(F.col("text"))
+    d = d.withColumn("toks", toks)
+    n_toks = F.size("toks")
+    stripped = F.regexp_replace("text", r"[A-Za-z0-9\s]", "")
+    punct = F.when(
+        F.length("text") > 0,
+        F.length(stripped).cast("double") / F.length("text"),
+    ).otherwise(F.lit(0.0))
+    sw_hits = F.size(F.filter(F.col("toks"), lambda t: t.isin(STOPWORDS)))
+    sw = F.when(n_toks > 0, sw_hits.cast("double") / n_toks).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n_toks.cast("long").alias("n_tokens"),
+        F.round(punct, 4).alias("punct_ratio"),
+        F.round(sw, 4).alias("stopword_ratio"),
+    )
+
+
+def _lang_oracle() -> str:
+    toks = _DUCK_TOKS
+    score_cols = ",\n".join(
+        f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)}))) AS s_{lang}"
+        for lang, ws in sorted(LANG_MARKERS.items())
+    )
+    langs = sorted(LANG_MARKERS)
+    m = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(f"WHEN s_{l} = m THEN '{l}'" for l in langs) + " END"
+    return f"""
+    SELECT doc_id, {case} AS pred_lang, CAST(m AS BIGINT) AS score FROM (
+        SELECT doc_id, {m} AS m, * FROM (
+            SELECT doc_id, {score_cols}
+            FROM (SELECT doc_id, {toks} AS toks FROM documents)
+        )
+    )
+    """
+
+
+@query("q_lang_id", oracle=_lang_oracle())
+def q_lang_id(spark, sf_dir):
+    """Language identification via stopword-marker scoring — argmax over
+    per-language hit counts, alphabetical tie-break (deterministic)."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "toks", _spark_tokens(F.col("text"))
+    )
+    langs = sorted(LANG_MARKERS)
+    for lang in langs:
+        d = d.withColumn(
+            f"s_{lang}",
+            F.size(F.filter(F.col("toks"), lambda t: t.isin(LANG_MARKERS[lang]))),
+        )
+    m = F.greatest(*[F.col(f"s_{l}") for l in langs])
+    expr = None
+    for lang in langs:
+        cond = F.col(f"s_{lang}") == F.col("m")
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return (
+        d.withColumn("m", m)
+        .select(
+            "doc_id",
+            expr.alias("pred_lang"),
+            F.col("m").cast("long").alias("score"),
+        )
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string({_DUCK_TOKS}, ' ')) AS fingerprint,
+           CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over the normalized token stream —
+    the whitespace-robust exact-dedup key."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "toks", _spark_tokens(F.col("text"))
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join("toks", " ")).alias("fingerprint"),
+        F.size("toks").cast("long").alias("n_tokens"),
+    )
+
+
+# ------------------------------------------------------------------- dedup
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep min doc_id as the
+    canonical representative. Map-side partial agg; at 100 TB this is a
+    single shuffle on the 128-bit hash."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, lang, u.s AS shingle
+        FROM (SELECT doc_id, lang, {_DUCK_SHINGLES} AS shingles FROM documents),
+             unnest(shingles) AS u(s)
+        GROUP BY doc_id, lang, u.s
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                           AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4)
+             AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Near-dedup via 3-word-shingle Jaccard: explode distinct shingles,
+    self-join on shingle (within the same lang partition to bound the
+    blow-up), count common / union ≥ 0.2. The shared-shingle join IS
+    the candidate pruning — disjoint docs never pair."""
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(_spark_shingles(_spark_tokens(F.col("text")))).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_N_PERM = 8
+_BAND_SIZE = 2  # → 4 bands
+
+
+def _minhash_oracle() -> str:
+    mh = ",\n".join(
+        "list_aggregate(list_transform(shingles, x -> md5('{s}_' || x)), 'min') AS m{s}".format(s=s)
+        for s in range(_N_PERM)
+    )
+    n_bands = _N_PERM // _BAND_SIZE
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM mh".format(
+            b=b,
+            key=" || ".join(f"m{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents
+    ),
+    mh AS (
+        SELECT doc_id, {mh} FROM docs WHERE len(shingles) > 0
+    ),
+    bands AS ({band_rows})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(DISTINCT a.band) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """
+
+
+@query("q_minhash_lsh", oracle=_minhash_oracle())
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dedup: 8 md5-salted min-hashes over 3-word
+    shingles, banded 2-per-band into 4 LSH buckets; candidate pairs =
+    docs sharing a band bucket. Hashes are md5 hex strings with
+    lexicographic min — portable across engines. At scale the band-key
+    groupBy is the only shuffle; no all-pairs comparison ever happens."""
+    d = _t(spark, sf_dir, "documents")
+    # Explode shingles to rows and compute each minhash as a plain
+    # `min(md5(...))` aggregate: non-lambda md5 stays in whole-stage
+    # codegen and the shingle array is built exactly once per doc
+    # (8 higher-order array transforms were ~30× slower: interpreted
+    # per element, with the shingle expr re-inlined into each column).
+    sh = d.select(
+        "doc_id",
+        F.explode(_spark_shingles(_spark_tokens(F.col("text")))).alias("shingle"),
+    )
+    docs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}_"), F.col("shingle")))).alias(f"m{s}")
+            for s in range(_N_PERM)
+        ]
+    )
+    n_bands = _N_PERM // _BAND_SIZE
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"m{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = docs.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct(F.col("a.band")).alias("n_shared_bands"))
+    )
+
+
+# -------------------------------------------------------- similarity search
+
+@query(
+    "q_cosine_topk",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 25 = 0),
+    sims AS (
+        SELECT q.qid, v.vec_id AS nid,
+               round(list_dot_product(q.qe, v.e)
+                     / (sqrt(list_dot_product(q.qe, q.qe))
+                        * sqrt(list_dot_product(v.e, v.e))), 6) AS sim
+        FROM q JOIN v ON v.vec_id <> q.qid
+    )
+    SELECT qid, nid, sim FROM (
+        SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+        FROM sims
+    ) WHERE rn <= 5
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search: for each query vector
+    (vec_id % 25 = 0) the 5 nearest neighbors by cosine. Native
+    aggregate/zip_with array math (JVM-side); similarity rounded to 6dp
+    before ranking so cross-engine float summation order can't flip
+    ranks (tie-break: neighbor id)."""
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = v.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(
+        F.aggregate(F.col("qe"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    ne = F.sqrt(
+        F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sims = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(dot / (nq * ne), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@query(
+    "q_embedding_neardup",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.label AS label_a, b.label AS label_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.45
+    """,
+)
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.45) — the
+    vector-space dedup path. All-pairs here (oracle-checkable); the
+    scale path is the LSH-bucketed variant in operators/similarity.py."""
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col("a.e"), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col("b.e"), F.lit(0.0), lambda acc, x: acc + x * x))
+    sim = F.round(dot / (na * nb), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.45)
+    )

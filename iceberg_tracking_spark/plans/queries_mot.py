@@ -1,0 +1,168 @@
+"""MOT-domain queries over a deterministic synthetic detection table.
+
+The driver's star schema has no box data, so these queries derive a
+detections table arithmetically from `events` — the SAME derivation in
+Spark and in the oracle SQL (pure per-row double math, bit-identical
+across engines): frame = hour index of ts, boxes from `value`/ids.
+This exercises the reference's IoU theta-join + argmax matching
+(eval.py:221-254) and greedy NMS (detection.py:1223-1261) on
+driver-checkable data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.geometry import iou
+from ..operators.nms import greedy_assignment, nms
+from ..sources.tables import load_table
+from .registry import query
+
+# Shared derivation: one GT box and one DET box per event. DET is the GT
+# box jittered by deterministic id-based offsets.
+_DUCK_BOXES = """
+    boxes AS (
+        SELECT event_id,
+               CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS frame,
+               value * 3.0 AS gl,
+               (value * 7.0) % 500.0 AS gt_,
+               20.0 + (event_id % 30) AS gw,
+               20.0 + (event_id % 20) AS gh,
+               value * 3.0 + (event_id % 9) - 4.0 AS dl,
+               (value * 7.0) % 500.0 + (event_id % 11) - 5.0 AS dt_,
+               20.0 + (event_id % 30) AS dw,
+               20.0 + (event_id % 20) + (event_id % 5) - 2.0 AS dh
+        FROM events
+    )
+"""
+
+
+def _boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = F.col("event_id")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.floor(F.unix_millis("ts") / 3600000.0).cast("long").alias("frame"),
+        (v * 3.0).alias("gl"),
+        ((v * 7.0) % 500.0).alias("gt_"),
+        (20.0 + (e % 30)).alias("gw"),
+        (20.0 + (e % 20)).alias("gh"),
+        (v * 3.0 + (e % 9) - 4.0).alias("dl"),
+        ((v * 7.0) % 500.0 + (e % 11) - 5.0).alias("dt_"),
+        (20.0 + (e % 30)).alias("dw"),
+        (20.0 + (e % 20) + (e % 5) - 2.0).alias("dh"),
+    )
+
+
+@query(
+    "q_iou_argmax",
+    oracle=f"""
+    WITH {_DUCK_BOXES},
+    gt AS (SELECT event_id AS gt_id, frame, gl AS l, gt_ AS t, gw AS w, gh AS h FROM boxes),
+    det AS (SELECT event_id AS det_id, frame, dl AS l, dt_ AS t, dw AS w, dh AS h FROM boxes),
+    pairs AS (
+        SELECT g.gt_id, d.det_id,
+               CASE WHEN (g.w * g.h + d.w * d.h
+                          - greatest(least(g.l + g.w, d.l + d.w) - greatest(g.l, d.l), 0)
+                            * greatest(least(g.t + g.h, d.t + d.h) - greatest(g.t, d.t), 0)) > 0
+                    THEN (greatest(least(g.l + g.w, d.l + d.w) - greatest(g.l, d.l), 0)
+                          * greatest(least(g.t + g.h, d.t + d.h) - greatest(g.t, d.t), 0))
+                         / (g.w * g.h + d.w * d.h
+                            - greatest(least(g.l + g.w, d.l + d.w) - greatest(g.l, d.l), 0)
+                              * greatest(least(g.t + g.h, d.t + d.h) - greatest(g.t, d.t), 0))
+                    ELSE 0.0 END AS iou
+        FROM gt g JOIN det d ON g.frame = d.frame
+    )
+    SELECT gt_id, det_id, round(iou, 6) AS best_iou FROM (
+        SELECT gt_id, det_id, iou,
+               row_number() OVER (PARTITION BY gt_id ORDER BY iou DESC, det_id) AS rn
+        FROM pairs WHERE iou >= 0.3
+    ) WHERE rn = 1
+    """,
+)
+def q_iou_argmax(spark, sf_dir):
+    """X1+J2: IoU theta-join + per-GT argmax — the eval matching core
+    (reference eval.py:221-254): join GT×DET on frame, compute IoU as a
+    native column expression, keep the best det per GT with IoU ≥ 0.3."""
+    b = _boxes(spark, sf_dir)
+    gt = b.select(
+        F.col("event_id").alias("gt_id"), "frame",
+        F.col("gl").alias("g_l"), F.col("gt_").alias("g_t"),
+        F.col("gw").alias("g_w"), F.col("gh").alias("g_h"),
+    )
+    det = b.select(
+        F.col("event_id").alias("det_id"), "frame",
+        F.col("dl").alias("d_l"), F.col("dt_").alias("d_t"),
+        F.col("dw").alias("d_w"), F.col("dh").alias("d_h"),
+    )
+    pairs = gt.join(det, "frame").withColumn(
+        "iou",
+        iou(
+            F.col("g_l"), F.col("g_t"), F.col("g_w"), F.col("g_h"),
+            F.col("d_l"), F.col("d_t"), F.col("d_w"), F.col("d_h"),
+        ),
+    ).filter(F.col("iou") >= 0.3)
+    w = Window.partitionBy("gt_id").orderBy(F.col("iou").desc(), F.col("det_id").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("gt_id", "det_id", F.round("iou", 6).alias("best_iou"))
+    )
+
+
+@query("q_nms")  # rows-only: greedy suppression is order-sensitive (SURVEY §7.4)
+def q_nms(spark, sf_dir):
+    """W3: exact greedy NMS per frame via applyInPandas. Correctness is
+    asserted in tests via the NMS invariant (pairwise IoU of survivors ≤
+    threshold — itself SQL-checkable, SURVEY §5)."""
+    b = _boxes(spark, sf_dir)
+    det = b.select(
+        F.lit("s0").alias("sequence"),
+        F.col("frame").cast("string").alias("frame"),
+        F.col("event_id").cast("int").alias("obj_id"),
+        F.col("dl").alias("bb_left"),
+        F.col("dt_").alias("bb_top"),
+        F.col("dw").alias("bb_width"),
+        F.col("dh").alias("bb_height"),
+        ((F.col("event_id") % 100) / 100.0).alias("conf"),
+    )
+    kept = nms(det, iou_threshold=0.45)
+    return kept.select("sequence", "frame", "obj_id", "bb_left", "bb_top", "conf")
+
+
+@query("q_greedy_match")  # rows-only: sequential greedy order-dependence
+def q_greedy_match(spark, sf_dir):
+    """W7: global greedy 1:1 assignment per frame via applyInPandas
+    (reference tracking.py:1037-1133). Tests assert the 1:1 invariant."""
+    b = _boxes(spark, sf_dir)
+    gt = b.select(
+        F.col("event_id").alias("gt_id"), "frame",
+        F.col("gl").alias("g_l"), F.col("gt_").alias("g_t"),
+        F.col("gw").alias("g_w"), F.col("gh").alias("g_h"),
+    )
+    det = b.select(
+        F.col("event_id").alias("det_id"), "frame",
+        F.col("dl").alias("d_l"), F.col("dt_").alias("d_t"),
+        F.col("dw").alias("d_w"), F.col("dh").alias("d_h"),
+    )
+    pairs = (
+        gt.join(det, "frame")
+        .withColumn(
+            "score",
+            iou(
+                F.col("g_l"), F.col("g_t"), F.col("g_w"), F.col("g_h"),
+                F.col("d_l"), F.col("d_t"), F.col("d_w"), F.col("d_h"),
+            ),
+        )
+        .filter(F.col("score") >= 0.1)
+        .withColumn("sequence", F.lit("s0"))
+        .select("sequence", "frame", "gt_id", "det_id", "score")
+    )
+    assigned = greedy_assignment(
+        pairs, "gt_id", "det_id", "score", group_cols=("sequence", "frame")
+    )
+    return assigned.select(
+        "frame", "gt_id", "det_id", F.round("score", 6).alias("score")
+    )

@@ -1,0 +1,46 @@
+"""Synthetic star-schema table loaders.
+
+The driver generates deterministic parquet tables under
+/root/testdata/sf*/ (TESTDATA.md). Everything is read as columnar
+parquet with Catalyst predicate pushdown / column pruning intact —
+queries should `.select()` early so `ReadSchema` stays narrow.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import SYNTHETIC_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table as a DataFrame.
+
+    `events.ts` is stored as INT64 TIMESTAMP(NANOS), which Spark reads
+    as a long (spark.sql.legacy.parquet.nanosAsLong) — convert to a
+    microsecond timestamp with integer division (`div`, not `/`: double
+    math would lose precision on epoch-nanos magnitudes).
+    """
+    if name == "events":
+        # Runtime SQL conf — set here so the engine works under ANY
+        # caller-provided SparkSession (the driver builds its own).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in SYNTHETIC_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view for spark.sql use."""
+    for t in SYNTHETIC_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
