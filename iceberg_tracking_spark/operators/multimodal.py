@@ -1,0 +1,122 @@
+"""Multimodal column operators (LLM-pipeline surface; SURVEY §2.8 M1-M4).
+
+Media (image/audio/video) is carried as an opaque `binary` column with
+typed metadata (schemas.MEDIA_SCHEMA). Decode / feature-extract /
+resize / frame-sample run as Arrow-batched `mapInPandas` functions so
+each partition amortizes decoder initialization — the distributed form
+of the reference's per-worker model/DataLoader setup
+(embedding.py:1358-1362).
+
+The image/audio codec libraries are not in this container, so the
+decode core is STUBBED: `decode_stub=True` (default) produces a
+deterministic fake decode derived from the bytes; passing
+`decode_stub=False` raises NotImplementedError at the exact point a
+real decoder (PIL/cv2/ffmpeg) would plug in. Everything Spark-side —
+schema, partitioning, batch shapes, UDF signatures — is real and
+tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def synthesize_media_table(
+    spark: SparkSession, sf_dir: str, modality: str = "image"
+) -> DataFrame:
+    """Deterministic media fixture: documents.text bytes as fake blobs.
+
+    Stands in for `spark.read.format("binaryFile")` (reference image
+    scan S8) in this container; the downstream operators only see
+    (media_id, modality, content, mime_type, width, height).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("application/x-fake").alias("mime_type"),
+        (F.pmod(F.col("doc_id"), F.lit(64)) + 32).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(48)) + 24).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+
+
+def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for image decode: bytes → (h, w) uint8.
+
+    A real implementation would be `cv2.imdecode` / `PIL.Image.open`
+    (reference embedding.py:234-250); this keeps shape/dtype semantics
+    so downstream plumbing is exercised for real.
+    """
+    seed = int.from_bytes(hashlib.md5(content).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+
+
+def extract_media_features(
+    media: DataFrame, decode_stub: bool = True, batch_note: str = "decode"
+) -> DataFrame:
+    """Decode + feature-extract per blob via mapInPandas.
+
+    Output: (media_id, n_bytes, mean_intensity, std_intensity,
+    phash) — mean/std over the decoded matrix, phash = md5 of the
+    downsampled bit pattern (a perceptual-hash stand-in).
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real media decode requires PIL/cv2/ffmpeg (not in this "
+            "container); pass decode_stub=True for the deterministic fake"
+        )
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-partition decoder init would go here (load codec/model once).
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mat = _fake_decode(bytes(r.content), int(r.width), int(r.height))
+                small = mat[::8, ::8]
+                phash = hashlib.md5(
+                    (small > small.mean()).astype(np.uint8).tobytes()
+                ).hexdigest()
+                rows.append(
+                    (
+                        r.media_id,
+                        len(bytes(r.content)),
+                        float(mat.mean()),
+                        float(mat.std()),
+                        phash,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "mean_intensity", "std_intensity", "phash",
+                ],
+            )
+
+    return media.select("media_id", "content", "width", "height").mapInPandas(
+        _features,
+        schema=(
+            "media_id long, n_bytes long, mean_intensity double, "
+            "std_intensity double, phash string"
+        ),
+    )
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video blobs: one output row per sampled
+    timestamp — the tile/explode pattern (M2) applied to the time axis.
+    Pure Catalyst: `sequence` + `explode`, no Python."""
+    return media.filter(F.col("duration_ms").isNotNull()).select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(int(every_ms)))
+        ).alias("sample_ms"),
+    )

@@ -1,0 +1,275 @@
+"""ML-adjacent queries: threshold calibration, simhash fingerprinting,
+mask-ratio filtering, tiling, multimodal metadata (SURVEY §2.8, F4, M2,
+M10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .queries_mot import _DUCK_BOXES, _boxes
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str):
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q_calibration",
+    oracle=f"""
+    WITH {_DUCK_BOXES},
+    ordered AS (
+        SELECT user_id, frame, gl, gt_, gw, gh,
+               lead(gl) OVER w AS n_gl, lead(gt_) OVER w AS n_gt,
+               lead(gw) OVER w AS n_gw, lead(gh) OVER w AS n_gh
+        FROM boxes
+        WINDOW w AS (PARTITION BY user_id ORDER BY frame, event_id)
+    ),
+    feats AS (
+        SELECT sqrt(((gl + gw/2) - (n_gl + n_gw/2)) * ((gl + gw/2) - (n_gl + n_gw/2))
+                    + ((gt_ + gh/2) - (n_gt + n_gh/2)) * ((gt_ + gh/2) - (n_gt + n_gh/2)))
+                 AS dist,
+               CASE WHEN greatest(gw*gh, n_gw*n_gh) > 0
+                    THEN least(gw*gh, n_gw*n_gh) / greatest(gw*gh, n_gw*n_gh)
+                    ELSE 0.0 END AS size_sim
+        FROM ordered WHERE n_gl IS NOT NULL
+    )
+    SELECT round(max(dist), 4) AS distance_threshold,
+           round(min(size_sim), 6) AS size_threshold,
+           round(avg(dist), 4) AS mean_dist,
+           round(stddev_pop(dist), 4) AS std_dist,
+           round(quantile_cont(dist, 0.5), 4) AS median_dist,
+           count(*) AS n_pairs
+    FROM feats
+    """,
+)
+def q_calibration(spark, sf_dir):
+    """M10/A3-A5: GT threshold calibration — consecutive same-id pairs
+    (J3 as-of lead), geometric features (X3/X5), then the stats
+    aggregate (A3) producing tracker thresholds: distance=max, size=min
+    (reference get_gt_thresholds, feature_extraction.py:51-144;
+    population stddev as the reference's np.std)."""
+    b = _boxes(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("frame", "event_id")
+    ordered = b.select(
+        "user_id", "frame", "gl", "gt_", "gw", "gh",
+        F.lead("gl").over(w).alias("n_gl"),
+        F.lead("gt_").over(w).alias("n_gt"),
+        F.lead("gw").over(w).alias("n_gw"),
+        F.lead("gh").over(w).alias("n_gh"),
+    ).filter(F.col("n_gl").isNotNull())
+    dx = (F.col("gl") + F.col("gw") / 2) - (F.col("n_gl") + F.col("n_gw") / 2)
+    dy = (F.col("gt_") + F.col("gh") / 2) - (F.col("n_gt") + F.col("n_gh") / 2)
+    a1 = F.col("gw") * F.col("gh")
+    a2 = F.col("n_gw") * F.col("n_gh")
+    feats = ordered.select(
+        F.sqrt(dx * dx + dy * dy).alias("dist"),
+        F.when(F.greatest(a1, a2) > 0, F.least(a1, a2) / F.greatest(a1, a2))
+        .otherwise(0.0)
+        .alias("size_sim"),
+    )
+    return feats.agg(
+        F.round(F.max("dist"), 4).alias("distance_threshold"),
+        F.round(F.min("size_sim"), 6).alias("size_threshold"),
+        F.round(F.avg("dist"), 4).alias("mean_dist"),
+        F.round(F.stddev_pop("dist"), 4).alias("std_dist"),
+        F.round(F.expr("percentile(dist, 0.5)"), 4).alias("median_dist"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+def _simhash_oracle() -> str:
+    # 16-bit simhash from the first 4 hex nibbles of md5(token):
+    # bit value = nibble bit; contribution +1/-1; sign of sum = bit.
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    nib = (
+        "CAST(strpos('0123456789abcdef', substr(md5(tok), {pos}, 1)) - 1 AS BIGINT)"
+    )
+    bit_sums = ",\n".join(
+        "CAST(sum(CASE WHEN (({n} // {p}) % 2) = 1 THEN 1 ELSE -1 END) AS BIGINT)"
+        " AS s_{k}_{b}".format(n=nib.format(pos=k + 1), p=2 ** b, k=k, b=b)
+        for k in range(4)
+        for b in range(4)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s_{k}_{b} >= 0 THEN {2 ** (4 * k + b)} ELSE 0 END"
+        for k in range(4)
+        for b in range(4)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, u.tok AS tok
+        FROM (SELECT doc_id, {toks} AS l FROM documents), unnest(l) AS u(tok)
+    ),
+    sums AS (
+        SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@query("q_simhash", oracle=_simhash_oracle())
+def q_simhash(spark, sf_dir):
+    """SimHash document fingerprinting (16-bit, md5-derived, engine-
+    portable): per token take 4 md5 hex nibbles → 16 bits; per document
+    sum ±1 per bit; fingerprint = sign pattern. Near-dup candidates =
+    equal (or low-Hamming) fingerprints. One explode + one groupBy —
+    two shuffles total at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    nibs = [
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5("tok"), k + 1, 1),
+            )
+            - 1
+        ).cast("long")
+        for k in range(4)
+    ]
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(((nibs[k] / F.lit(2 ** b)).cast("long") % 2) == 1, 1).otherwise(-1)
+            ).alias(f"s_{k}_{b}")
+            for k in range(4)
+            for b in range(4)
+        ]
+    )
+    fp = None
+    for k in range(4):
+        for b in range(4):
+            term = F.when(F.col(f"s_{k}_{b}") >= 0, 2 ** (4 * k + b)).otherwise(0)
+            fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+@query(
+    "q_mask_filter",
+    oracle=f"""
+    WITH {_DUCK_BOXES},
+    mask AS (
+        SELECT CAST(cx.c AS BIGINT) AS cell_x, CAST(cy.c AS BIGINT) AS cell_y,
+               CASE WHEN (cx.c * 7 + cy.c * 13) % 10 < 3 THEN 0.9 ELSE 0.05 END
+                 AS masked_frac
+        FROM (SELECT unnest(range(0, 20)) AS c) cx,
+             (SELECT unnest(range(0, 20)) AS c) cy
+    )
+    SELECT b.event_id, CAST(floor((b.dl + b.dw/2) / 100.0) AS BIGINT) AS cell_x,
+           CAST(floor((b.dt_ + b.dh/2) / 100.0) AS BIGINT) AS cell_y
+    FROM boxes b
+    JOIN mask m
+      ON m.cell_x = CAST(floor((b.dl + b.dw/2) / 100.0) AS BIGINT)
+     AND m.cell_y = CAST(floor((b.dt_ + b.dh/2) / 100.0) AS BIGINT)
+    WHERE m.masked_frac <= 0.1
+    """,
+)
+def q_mask_filter(spark, sf_dir):
+    """F4/J8: mask-overlap filter as a broadcast join against a per-cell
+    mask-density table (the tabular form of the reference's boolean mask
+    matrix, detection.py:1013-1116): keep boxes whose center cell has
+    masked_frac ≤ 0.1. The mask grid is tiny → broadcast, zero shuffle
+    on the fact side."""
+    b = _boxes(spark, sf_dir)
+    cells = spark.range(0, 20).select(F.col("id").alias("c"))
+    mask = (
+        cells.select(F.col("c").alias("cell_x"))
+        .crossJoin(cells.select(F.col("c").alias("cell_y")))
+        .select(
+            "cell_x",
+            "cell_y",
+            F.when((F.col("cell_x") * 7 + F.col("cell_y") * 13) % 10 < 3, 0.9)
+            .otherwise(0.05)
+            .alias("masked_frac"),
+        )
+    )
+    with_cell = b.select(
+        "event_id",
+        F.floor((F.col("dl") + F.col("dw") / 2) / 100.0).cast("long").alias("cell_x"),
+        F.floor((F.col("dt_") + F.col("dh") / 2) / 100.0).cast("long").alias("cell_y"),
+    )
+    return (
+        with_cell.join(F.broadcast(mask), ["cell_x", "cell_y"])
+        .filter(F.col("masked_frac") <= 0.1)
+        .select("event_id", "cell_x", "cell_y")
+    )
+
+
+@query(
+    "q_tiling",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id AS media_id,
+               CAST((doc_id % 64) + 32 AS BIGINT) * 100 AS width,
+               CAST((doc_id % 48) + 24 AS BIGINT) * 100 AS height
+        FROM documents
+    ),
+    scaled AS (
+        SELECT media_id, s.scale,
+               CAST(floor(width * s.scale) AS BIGINT) AS sw,
+               CAST(floor(height * s.scale) AS BIGINT) AS sh
+        FROM imgs, (SELECT unnest([0.5, 1.0]) AS scale) s
+    ),
+    tiles AS (
+        SELECT media_id, scale, sw, sh,
+               least(tx.i * 998, greatest(sw - 1536, 0)) AS tile_x,
+               least(ty.i * 998, greatest(sh - 1536, 0)) AS tile_y
+        FROM scaled,
+             (SELECT unnest(range(0, 20)) AS i) tx,
+             (SELECT unnest(range(0, 20)) AS i) ty
+        WHERE tx.i < greatest(CAST(ceil(CAST(sw - 1536 AS DOUBLE) / 998) AS BIGINT) + 1, 1)
+          AND ty.i < greatest(CAST(ceil(CAST(sh - 1536 AS DOUBLE) / 998) AS BIGINT) + 1, 1)
+    )
+    SELECT media_id, scale, tile_x, tile_y
+    FROM tiles GROUP BY media_id, scale, tile_x, tile_y
+    """,
+)
+def q_tiling(spark, sf_dir):
+    """M2: multi-scale sliding-window tile planner as a declarative
+    explode (reference detection.py:1307-1423): per scale ∈ {0.5, 1.0},
+    overlapping 1536² windows at stride 998 (overlap 0.35), edge-snapped
+    so no partial tiles. Synthetic image dims derived from doc ids."""
+    from ..operators.inference import tile_plan
+
+    imgs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        ((F.col("doc_id") % 64 + 32) * 100).cast("long").alias("width"),
+        ((F.col("doc_id") % 48 + 24) * 100).cast("long").alias("height"),
+    )
+    tiles = tile_plan(imgs, window=1536, overlap=0.35, scales=(0.5, 1.0))
+    return tiles.select("media_id", "scale", "tile_x", "tile_y").distinct()
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_hash,
+           CAST((doc_id % 64) + 32 AS INTEGER) AS width,
+           CAST((doc_id % 48) + 24 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal blob metadata pass: byte length + content hash over
+    the binary column, typed dims from metadata — the oracle-checkable
+    slice of the media pipeline (decode itself is the stubbed
+    mapInPandas in operators/multimodal.py, tested separately)."""
+    from ..operators.multimodal import synthesize_media_table
+
+    media = synthesize_media_table(spark, sf_dir)
+    return media.select(
+        "media_id",
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_hash"),
+        "width",
+        "height",
+    )

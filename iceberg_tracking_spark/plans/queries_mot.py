@@ -23,7 +23,7 @@ from .registry import query
 # box jittered by deterministic id-based offsets.
 _DUCK_BOXES = """
     boxes AS (
-        SELECT event_id,
+        SELECT event_id, user_id,
                CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS frame,
                value * 3.0 AS gl,
                (value * 7.0) % 500.0 AS gt_,
@@ -44,6 +44,7 @@ def _boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("value")
     return ev.select(
         "event_id",
+        "user_id",
         F.floor(F.unix_millis("ts") / 3600000.0).cast("long").alias("frame"),
         (v * 3.0).alias("gl"),
         ((v * 7.0) % 500.0).alias("gt_"),
@@ -165,4 +166,153 @@ def q_greedy_match(spark, sf_dir):
     )
     return assigned.select(
         "frame", "gt_id", "det_id", F.round("score", 6).alias("score")
+    )
+
+
+@query(
+    "q_eval_metrics",
+    oracle=f"""
+    WITH {_DUCK_BOXES},
+    picked AS (
+        SELECT * FROM (
+            SELECT b.*, row_number() OVER (PARTITION BY user_id, frame
+                                           ORDER BY event_id) AS rn
+            FROM boxes b
+        ) WHERE rn = 1
+    ),
+    gt AS (
+        SELECT frame, user_id AS gt_id, gl AS l, gt_ AS t, gw AS w, gh AS h
+        FROM picked
+    ),
+    tr AS (
+        SELECT frame,
+               user_id + CASE WHEN frame % 50 < 2 THEN 100 ELSE 0 END AS track_id,
+               dl AS l, dt_ AS t, dw AS w, dh AS h
+        FROM picked WHERE event_id % 10 <> 0
+    ),
+    pairs AS (
+        SELECT g.frame, g.gt_id, t.track_id,
+               greatest(least(g.l + g.w, t.l + t.w) - greatest(g.l, t.l), 0)
+                 * greatest(least(g.t + g.h, t.t + t.h) - greatest(g.t, t.t), 0) AS inter,
+               g.w * g.h + t.w * t.h - inter AS uni,
+               CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END AS iou
+        FROM gt g JOIN tr t ON g.frame = t.frame
+    ),
+    matches AS (
+        SELECT frame, gt_id, track_id, iou FROM (
+            SELECT frame, gt_id, track_id, iou,
+                   row_number() OVER (PARTITION BY frame, gt_id
+                                      ORDER BY iou DESC, track_id) AS rn
+            FROM pairs WHERE iou >= 0.5
+        ) WHERE rn = 1
+    ),
+    lagged AS (
+        SELECT gt_id, frame, track_id,
+               lag(track_id) OVER (PARTITION BY gt_id ORDER BY frame) AS prev_track,
+               lag(frame) OVER (PARTITION BY gt_id ORDER BY frame) AS prev_frame
+        FROM matches
+    ),
+    coverage AS (
+        SELECT g.gt_id, g.n_frames,
+               coalesce(m.n_matched, 0) AS n_matched,
+               CAST(coalesce(m.n_matched, 0) AS DOUBLE) / g.n_frames AS ratio
+        FROM (SELECT gt_id, count(*) AS n_frames FROM gt GROUP BY gt_id) g
+        LEFT JOIN (SELECT gt_id, count(*) AS n_matched FROM matches GROUP BY gt_id) m
+          ON g.gt_id = m.gt_id
+    ),
+    runs AS (
+        SELECT gt_id, track_id, grp, count(*) AS run_len FROM (
+            SELECT gt_id, track_id, frame,
+                   frame - row_number() OVER (PARTITION BY gt_id, track_id
+                                              ORDER BY frame) AS grp
+            FROM matches
+        ) GROUP BY gt_id, track_id, grp
+    ),
+    idtp_t AS (
+        SELECT CAST(sum(best_run) AS BIGINT) AS idtp FROM (
+            SELECT gt_id, max(run_len) AS best_run FROM runs GROUP BY gt_id
+        )
+    )
+    SELECT 's0' AS sequence,
+           (SELECT count(*) FROM gt) AS n_gt,
+           (SELECT count(*) FROM tr) AS n_det,
+           (SELECT count(*) FROM matches) AS tp,
+           (SELECT count(*) FROM gt) - (SELECT count(*) FROM matches) AS fn,
+           (SELECT count(*) FROM tr) - (SELECT count(*) FROM matches) AS fp,
+           round(CAST((SELECT count(*) FROM matches) AS DOUBLE)
+                 / (SELECT count(*) FROM gt), 6) AS clr_re,
+           round(CAST((SELECT count(*) FROM matches) AS DOUBLE)
+                 / (SELECT count(*) FROM tr), 6) AS clr_pr,
+           (SELECT round(avg(iou), 6) FROM matches) AS loca,
+           (SELECT CAST(sum(CASE WHEN prev_track IS NOT NULL
+                                 AND prev_track <> track_id THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lagged) AS idsw,
+           (SELECT CAST(sum(CASE WHEN prev_frame IS NOT NULL
+                                 AND frame > prev_frame + 1 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lagged) AS frag,
+           (SELECT CAST(sum(CASE WHEN ratio >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM coverage) AS mt,
+           (SELECT CAST(sum(CASE WHEN ratio >= 0.2 AND ratio < 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM coverage) AS pt,
+           (SELECT CAST(sum(CASE WHEN ratio < 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM coverage) AS ml,
+           (SELECT idtp FROM idtp_t) AS idtp,
+           round(2.0 * (SELECT idtp FROM idtp_t)
+                 / ((SELECT count(*) FROM gt) + (SELECT count(*) FROM tr)), 6) AS idf1
+    """,
+)
+def q_eval_metrics(spark, sf_dir):
+    """§7.2 minimum slice: the full CLEAR + Identity metrics job as one
+    relational query (reference eval.py:117-508) — IoU argmax matching,
+    conditional counts, lag-based IDSW/Frag, coverage buckets,
+    gaps-and-islands IDTP/IDF1. GT = one box per (user, frame-hour);
+    tracks = jittered boxes with simulated misses (event_id % 10 = 0)
+    and id switches (frame % 50 < 2)."""
+    from .eval_metrics import clear_identity_metrics
+
+    b = _boxes(spark, sf_dir)
+    w = Window.partitionBy("user_id", "frame").orderBy("event_id")
+    picked = b.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    gt = picked.select(
+        F.lit("s0").alias("sequence"),
+        "frame",
+        F.col("user_id").alias("gt_id"),
+        F.col("gl").alias("l"), F.col("gt_").alias("t"),
+        F.col("gw").alias("w"), F.col("gh").alias("h"),
+    )
+    tr = picked.filter(F.col("event_id") % 10 != 0).select(
+        F.lit("s0").alias("sequence"),
+        "frame",
+        (
+            F.col("user_id")
+            + F.when(F.col("frame") % 50 < 2, 100).otherwise(0)
+        ).alias("track_id"),
+        F.col("dl").alias("l"), F.col("dt_").alias("t"),
+        F.col("dw").alias("w"), F.col("dh").alias("h"),
+    )
+    return clear_identity_metrics(gt, tr, iou_threshold=0.5)
+
+
+@query("q_track")  # rows-only: stateful sequential tracker (SURVEY §7.4)
+def q_track(spark, sf_dir):
+    """T1-T7: the batch Kalman tracker over synthetic detections —
+    applyInPandas per sequence (parallel across sequences, faithful
+    sequential loop within). Invariants (1:1 per frame, id monotone,
+    min-length filter) are asserted in tests/test_tracker.py."""
+    from ..tracker.batch import TrackerConfig, track_sequences
+
+    b = _boxes(spark, sf_dir)
+    det = b.select(
+        (F.col("user_id") % 4).cast("string").alias("sequence"),
+        F.format_string("%09d", F.col("frame")).alias("frame"),
+        F.col("event_id").cast("int").alias("obj_id"),
+        F.col("dl").alias("bb_left"),
+        F.col("dt_").alias("bb_top"),
+        (F.col("dw") * 3).alias("bb_width"),
+        (F.col("dh") * 3).alias("bb_height"),
+        F.lit(0.9).alias("conf"),
+    )
+    tracks = track_sequences(det, TrackerConfig(min_track_length=2))
+    return tracks.select(
+        "sequence", "frame", "track_id", "det_id", "bb_left", "bb_top", "conf"
     )

@@ -1,0 +1,70 @@
+"""Structured Streaming windowed aggregations (SURVEY §2.9 note).
+
+The reference has no time windows (frame index = event tick); these are
+the engine's streaming generalization of its per-tick processing:
+tumbling/sliding windows + watermark (the max_age ageing analog, T4/T5)
+and session windows over the `events` stream.
+
+All functions take a *streaming* DataFrame (spark.readStream...) and
+return the transformed streaming DataFrame — sinks are the caller's
+choice (tests use the memory sink + processAllAvailable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_tumbling_agg(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding, if `slide` given) event-time window counts
+    + sums per event_type, with late-data watermark."""
+    win = (
+        F.window("ts", window_duration, slide)
+        if slide
+        else F.window("ts", window_duration)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows with an inactivity gap per user — the streaming
+    form of the batch sessionization in q_session_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,148 @@
+"""Streaming surface tests: windowed aggs equal their batch forms; the
+stateful streaming tracker equals the batch tracker when frames arrive
+in order across micro-batches."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_tracking_spark.sources.tables import load_table
+from iceberg_tracking_spark.streaming.windows import (
+    streaming_session_agg,
+    streaming_tumbling_agg,
+)
+from iceberg_tracking_spark.streaming.tracker import streaming_track
+from iceberg_tracking_spark.tracker.batch import TrackerConfig, track_one_sequence_pdf
+
+from .test_tracker import make_sequence
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+DET_SCHEMA = T.StructType(
+    [
+        T.StructField("sequence", T.StringType()),
+        T.StructField("frame", T.StringType()),
+        T.StructField("obj_id", T.LongType()),
+        T.StructField("bb_left", T.DoubleType()),
+        T.StructField("bb_top", T.DoubleType()),
+        T.StructField("bb_width", T.DoubleType()),
+        T.StructField("bb_height", T.DoubleType()),
+        T.StructField("conf", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def events_stream_dir(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql(f"SELECT * FROM {name}").toPandas()
+    finally:
+        q.stop()
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, events_stream_dir):
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
+    agg = streaming_tumbling_agg(stream, "1 hour")
+    got = _run_stream(spark, agg, "tumbling_out")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "sum_value",
+        )
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+
+
+def test_streaming_session_runs(spark, events_stream_dir):
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
+    agg = streaming_session_agg(stream, gap="30 minutes")
+    got = _run_stream(spark, agg, "session_out")
+    assert len(got) > 0
+    assert (got["n_events"] > 0).all()
+
+
+def test_streaming_tracker_equals_batch(spark):
+    """Feed 3 frame-ordered micro-batches; final emitted rows must equal
+    the batch tracker run over the whole sequence (no length filter —
+    streaming emits online)."""
+    pdf = make_sequence("s1", n_frames=30)
+    cfg = TrackerConfig(min_track_length=1)
+
+    stream_dir = tempfile.mkdtemp(prefix="det_stream_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        stream = spark.readStream.schema(DET_SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(stream_dir)
+        out = streaming_track(stream, cfg)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tracks_out")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            # write 3 chunks in frame order, waiting for each to process
+            for lo, hi in [(0, 10), (10, 20), (20, 30)]:
+                chunk = pdf[
+                    pdf["frame"].isin([f"{f:06d}" for f in range(lo, hi)])
+                ]
+                sub = os.path.join(stream_dir, f"chunk_{lo:03d}.parquet")
+                spark.createDataFrame(chunk, DET_SCHEMA).coalesce(1).write.mode(
+                    "append"
+                ).parquet(stream_dir)
+                q.processAllAvailable()
+            got = spark.sql("SELECT * FROM tracks_out").toPandas()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    batch = track_one_sequence_pdf(pdf, cfg)
+    key = ["frame", "track_id"]
+    got = got.sort_values(key).reset_index(drop=True)[batch.columns]
+    batch = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, batch, check_dtype=False)
