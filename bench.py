@@ -41,8 +41,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
     timings: dict[str, float] = {}
-    # Warm the JVM/codegen once with a trivial action (not counted).
+    # Warm the JVM once (not counted): codegen plus the parquet/Arrow
+    # reader paths — classloading on the first columnar scan otherwise
+    # bills ~2 s of one-time JVM setup to whichever query runs first.
     spark.range(1000).count()
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "lineitem").limit(1000).count()
+    load_table(spark, sf_dir, "events").limit(1000).count()
     for name in HEADLINE:
         q = QUERIES[name]
         t0 = time.perf_counter()

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import consecutive_frame_join, grid_radius_join_1d
 from ..operators.windows import islands_longest_streak, mutual_argmax, top_k_per_group
-from ..sources.tables import load_table
+from ..sources.tables import load_table, scatter
 from .registry import query
 
 
@@ -253,7 +253,7 @@ def q_grid_join(spark, sf_dir):
     distance post-filter (reference SpatialIndex, tracking.py:442-554).
     The oracle states the naive theta-join; the Spark plan is the
     grid-accelerated equi-join form that scales."""
-    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    ev = scatter(_t(spark, sf_dir, "events").select("event_id", "value"))
     pairs = grid_radius_join_1d(ev, "value", radius=0.5, id_col="event_id")
     return (
         pairs.select(

@@ -14,7 +14,7 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import LANG_MARKERS, STOPWORDS
-from ..sources.tables import load_table
+from ..sources.tables import load_table, scatter
 from .registry import query
 
 # DuckDB-side shared fragments (tokenization identical to functions/text.py).
@@ -28,7 +28,10 @@ _DUCK_SHINGLES = (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str):
-    return load_table(spark, sf_dir, name)
+    # documents/embeddings carry heavy per-row expression work (token
+    # hashing, shingle explode, array math); the local single-row-group
+    # files would otherwise pin that work to one input task.
+    return scatter(load_table(spark, sf_dir, name))
 
 
 def _spark_tokens(col):
@@ -36,6 +39,12 @@ def _spark_tokens(col):
 
 
 def _spark_shingles(toks, k: int = 3):
+    """3-word shingle array from a token array.
+
+    `toks` MUST be a materialized column reference (withColumn first),
+    not the inline tokenization expression: the lambda below references
+    it per element and Catalyst does not CSE inside higher-order
+    functions — inlining re-tokenizes per shingle (measured ~14×)."""
     n = F.size(toks)
     return F.when(
         n >= k,
@@ -212,10 +221,11 @@ def q_ngram_jaccard(spark, sf_dir):
     the candidate pruning — disjoint docs never pair."""
     d = _t(spark, sf_dir, "documents")
     sh = (
-        d.select(
+        d.withColumn("toks", _spark_tokens(F.col("text")))
+        .select(
             "doc_id",
             "lang",
-            F.explode(_spark_shingles(_spark_tokens(F.col("text")))).alias("shingle"),
+            F.explode(_spark_shingles(F.col("toks"))).alias("shingle"),
         )
         .distinct()
     )
@@ -249,11 +259,18 @@ _N_PERM = 8
 _BAND_SIZE = 2  # → 4 bands
 
 
-def _minhash_oracle() -> str:
-    mh = ",\n".join(
-        "list_aggregate(list_transform(shingles, x -> md5('{s}_' || x)), 'min') AS m{s}".format(s=s)
-        for s in range(_N_PERM)
+def _minhash_chunk_sql(s: int) -> str:
+    """One 32-bit minhash lane as a DuckDB expr: 8 hex chars carved out
+    of md5(shingle) (lanes 0-3) / md5('x' || shingle) (lanes 4-7)."""
+    src = "x" if s < 4 else "'x' || x"
+    return (
+        f"list_aggregate(list_transform(shingles, "
+        f"x -> substring(md5({src}), {(s % 4) * 8 + 1}, 8)), 'min') AS m{s}"
     )
+
+
+def _minhash_oracle() -> str:
+    mh = ",\n".join(_minhash_chunk_sql(s) for s in range(_N_PERM))
     n_bands = _N_PERM // _BAND_SIZE
     band_rows = "\nUNION ALL\n".join(
         "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM mh".format(
@@ -286,18 +303,24 @@ def q_minhash_lsh(spark, sf_dir):
     lexicographic min — portable across engines. At scale the band-key
     groupBy is the only shuffle; no all-pairs comparison ever happens."""
     d = _t(spark, sf_dir, "documents")
-    # Explode shingles to rows and compute each minhash as a plain
-    # `min(md5(...))` aggregate: non-lambda md5 stays in whole-stage
-    # codegen and the shingle array is built exactly once per doc
-    # (8 higher-order array transforms were ~30× slower: interpreted
-    # per element, with the shingle expr re-inlined into each column).
-    sh = d.select(
+    # Explode shingles to rows and compute each minhash lane as a plain
+    # `min(substring(md5, …))` aggregate: non-lambda md5 stays in
+    # whole-stage codegen, the shingle array is built exactly once per
+    # doc, and 8 independent 32-bit lanes come from just TWO md5 calls
+    # per shingle — 4 hex chunks each of md5(s) and md5('x'||s).
+    # (8 salted full-md5 lanes were ~2× slower; 8 higher-order array
+    # transforms ~30× — interpreted per element.)
+    sh = d.withColumn("toks", _spark_tokens(F.col("text"))).select(
         "doc_id",
-        F.explode(_spark_shingles(_spark_tokens(F.col("text")))).alias("shingle"),
+        F.explode(_spark_shingles(F.col("toks"))).alias("shingle"),
     )
+    h1 = F.md5(F.col("shingle"))
+    h2 = F.md5(F.concat(F.lit("x"), F.col("shingle")))
     docs = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{s}_"), F.col("shingle")))).alias(f"m{s}")
+            F.min(
+                F.substring(h1 if s < 4 else h2, (s % 4) * 8 + 1, 8)
+            ).alias(f"m{s}")
             for s in range(_N_PERM)
         ]
     )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.geometry import iou
 from ..operators.nms import greedy_assignment, nms
-from ..sources.tables import load_table
+from ..sources.tables import load_table, scatter
 from .registry import query
 
 # Shared derivation: one GT box and one DET box per event. DET is the GT
@@ -39,7 +39,9 @@ _DUCK_BOXES = """
 
 
 def _boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # Every consumer joins/aggregates the derived boxes — spread the
+    # single-row-group local scan first (no-op-sized on a real cluster).
+    ev = scatter(load_table(spark, sf_dir, "events"))
     e = F.col("event_id")
     v = F.col("value")
     return ev.select(

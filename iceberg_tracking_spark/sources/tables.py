@@ -36,6 +36,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scatter(df: DataFrame, spark: SparkSession | None = None) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy work.
+
+    The local testdata parquet files are single-row-group, so Spark
+    plans them as ONE input task; any expensive expression chain
+    (per-token hashing, explode amplification) then runs on one core.
+    On a real cluster the scan is already parallel (many files /
+    row-groups) and this round-robin shuffle is a cheap no-op-sized
+    exchange — the pattern mirrors what AQE does for small inputs.
+    """
+    sc = (spark or df.sparkSession).sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in SYNTHETIC_TABLES}
 
