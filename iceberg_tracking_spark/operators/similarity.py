@@ -1,0 +1,153 @@
+"""Vector similarity search operators (LLM-pipeline surface).
+
+Generalizes the reference's appearance-similarity machinery
+(reference feature_extraction.py:255-297: cosine over 256-d embedding
+vectors) into the two standard large-scale shapes:
+
+* ``brute_force_topk`` — exact cosine top-k; the small-query-set path
+  (broadcast the queries, scan the corpus once). O(|Q|·|C|) but fully
+  JVM-side and embarrassingly parallel — right answer when |Q| is
+  small or a ground-truth oracle is needed.
+* ``signature_lsh`` / ``lsh_bucket_topk`` — sign-random-projection LSH:
+  each vector gets a b-bit signature (sign of dot with b fixed
+  Rademacher hyperplanes); candidates share a signature bucket. The
+  all-pairs comparison never happens — the only shuffle is the
+  signature equi-join, so cost is Σ|bucket|² ≪ |C|² and the plan is a
+  plain shuffled hash join Catalyst/AQE can optimize (skewed buckets
+  split by AQE). This is the 100 TB scale path.
+
+Hyperplanes are DETERMINISTIC (a fixed integer mix of (bit, dim)), so
+the same planes are reproducible in any engine — the DuckDB oracle
+re-derives them from the same formula via `hyperplane_sql_literals`.
+All dot products fold left-to-right in both engines so the sign at the
+bucket boundary is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BITS = 8
+
+
+def hyperplane(bit: int, dim: int) -> list[int]:
+    """The ±1 Rademacher hyperplane for one signature bit.
+
+    Entry i = +1 iff ((i+1)·2654435761 + (bit+1)·40503) mod 4 < 2 —
+    Knuth/Fibonacci multiplicative mixes, chosen only to be cheap,
+    deterministic, and identically computable in SQL.
+    """
+    return [
+        1 if ((i + 1) * 2654435761 + (bit + 1) * 40503) % 4 < 2 else -1
+        for i in range(dim)
+    ]
+
+
+def hyperplane_sql_literals(n_bits: int, dim: int) -> list[str]:
+    """DuckDB array literals of the same hyperplanes, for oracle SQL."""
+    return [
+        "[" + ", ".join(f"{v}.0" for v in hyperplane(b, dim)) + "]"
+        for b in range(n_bits)
+    ]
+
+
+def seq_dot(a: Column, b: Column) -> Column:
+    """Left-to-right sequential dot product (order-stable across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return seq_dot(a, b) / (na * nb)
+
+
+def signature_lsh(
+    df: DataFrame, vec_col: str, dim: int, n_bits: int = DEFAULT_BITS
+) -> DataFrame:
+    """Add an integer `sig` column: the b-bit sign-LSH signature.
+
+    `vec_col` must already be a materialized array<double> column (HOF
+    lambdas re-evaluate inlined expressions — see queries_llm shingle
+    note). Pure Catalyst expressions; no shuffle.
+    """
+    sig = None
+    for b in range(n_bits):
+        plane = F.array(*[F.lit(float(v)) for v in hyperplane(b, dim)])
+        bit = F.when(seq_dot(F.col(vec_col), plane) > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        sig = bit if sig is None else sig + bit
+    return df.withColumn("sig", sig.cast("long"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    query_id: str = "qid",
+    vec_col: str = "e",
+    query_vec_col: str = "qe",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus scan + rank window.
+
+    Similarity is rounded before ranking (tie-break: neighbor id) so
+    float summation-order differences can't flip ranks across engines.
+    """
+    sims = (
+        F.broadcast(queries)
+        .join(corpus, F.col(corpus_id) != F.col(query_id))
+        .select(
+            query_id,
+            F.col(corpus_id).alias("nid"),
+            F.round(cosine(F.col(query_vec_col), F.col(vec_col)), round_digits).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop(
+        "rn"
+    )
+
+
+def lsh_bucket_topk(
+    vectors: DataFrame,
+    dim: int,
+    k: int,
+    query_pred: Column,
+    n_bits: int = DEFAULT_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's LSH bucket.
+
+    Equi-join on `sig` replaces the all-pairs cross join; recall < 1 by
+    design (vectors in other buckets are never scored) — the standard
+    LSH trade. Multi-probe or band-OR extensions compose by unioning
+    additional signature columns.
+    """
+    signed = signature_lsh(vectors, vec_col, dim, n_bits)
+    q = signed.filter(query_pred).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "sig"
+    )
+    sims = (
+        F.broadcast(q)
+        .join(signed, "sig")
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col).alias("nid"),
+            F.round(cosine(F.col("qe"), F.col(vec_col)), round_digits).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop(
+        "rn"
+    )

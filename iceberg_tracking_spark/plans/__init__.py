@@ -4,3 +4,4 @@ from . import queries_advanced  # noqa: F401
 from . import queries_llm  # noqa: F401
 from . import queries_mot  # noqa: F401
 from . import queries_ml  # noqa: F401
+from . import queries_scale  # noqa: F401

@@ -1,0 +1,387 @@
+"""Scale-path and engine-extension queries.
+
+The operators here are the ones a 100 TB training-data pipeline leans
+on beyond the reference's own inventory (SURVEY §2.8, BASELINE.json
+north star): LSH-bucketed approximate nearest neighbor (the scale form
+of the brute-force cosine search), sliding event-time windows, seeded
+k-fold splitting (reference detection.py:493-516 KFold),
+rank-sum ROC-AUC (reference embedding.py:1752-1756 sklearn AUC re-read
+as a relational program), CUBE/grouping-sets, calendar rollups, and
+BPE-ish token accounting for quality scoring.
+
+Oracle portability notes: hex→int is Spark `conv(x,16,10)` vs DuckDB
+`('0x'||x)::BIGINT`; every dot product folds left-to-right on both
+engines (Spark `aggregate`, DuckDB `list_reduce`) so LSH sign bits are
+bit-identical; grouping ids compose DuckDB `GROUPING(a)*2+GROUPING(b)`
+to match Spark `grouping_id()` bit order (first column = MSB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    DEFAULT_BITS,
+    hyperplane_sql_literals,
+    lsh_bucket_topk,
+)
+from ..sources.tables import load_table, scatter
+from .registry import query
+
+_DIM = 64  # embeddings table vector width (FIXTURES.md)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str):
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------- similarity: scale path
+
+def _ann_oracle() -> str:
+    planes = hyperplane_sql_literals(DEFAULT_BITS, _DIM)
+    plane_cols = ", ".join(f"{p} AS h{b}" for b, p in enumerate(planes))
+    dot = (
+        "list_reduce(list_transform(range(1, {n}), i -> e[i] * {h}[i]), "
+        "(a, b) -> a + b)"
+    )
+    sig = " + ".join(
+        f"(CASE WHEN {dot.format(n=_DIM + 1, h=f'p.h{b}')} > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(DEFAULT_BITS)
+    )
+    return f"""
+    WITH p AS (SELECT {plane_cols}),
+    v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               CAST({sig} AS BIGINT) AS sig
+        FROM embeddings, p
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe, sig FROM v WHERE vec_id % 25 = 0),
+    sims AS (
+        SELECT q.qid, v.vec_id AS nid,
+               round(list_reduce(list_transform(range(1, {_DIM + 1}),
+                                 i -> q.qe[i] * v.e[i]), (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_transform(q.qe, x -> x * x),
+                                         (a, b) -> a + b))
+                        * sqrt(list_reduce(list_transform(v.e, x -> x * x),
+                                           (a, b) -> a + b))), 6) AS sim
+        FROM q JOIN v ON v.sig = q.sig AND v.vec_id <> q.qid
+    )
+    SELECT qid, nid, sim FROM (
+        SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid) AS rn
+        FROM sims
+    ) WHERE rn <= 3
+    """
+
+
+@query("q_ann_lsh", oracle=_ann_oracle())
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbor — the 100 TB form of
+    q_cosine_topk: 8-bit sign-random-projection signatures, candidates
+    restricted to the query's bucket (equi-join on sig), exact cosine
+    re-rank inside the bucket. No all-pairs comparison ever happens;
+    the only shuffle is the signature join."""
+    v = scatter(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    return lsh_bucket_topk(
+        v, dim=_DIM, k=3, query_pred=F.col("vec_id") % 25 == 0
+    )
+
+
+# ------------------------------------------------------ windows / calendar
+
+@query(
+    "q_sliding_window",
+    oracle="""
+    SELECT ws, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM (
+        SELECT CAST(floor(epoch_ms(ts) / 1800000.0) AS BIGINT) * 1800
+               - u.o * 1800 AS ws,
+               event_type, value
+        FROM events, (SELECT unnest([0, 1]) AS o) u
+    )
+    GROUP BY ws, event_type
+    """,
+)
+def q_sliding_window(spark, sf_dir):
+    """Sliding event-time windows (1 h width, 30 min slide): every event
+    lands in exactly two windows. Spark's window() generator explodes
+    window instances before the partial agg — the same plan shape
+    Structured Streaming uses for sliding aggregations."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("ws"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(month(o_orderdate) AS BIGINT) AS mon,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY year(o_orderdate), quarter(o_orderdate), month(o_orderdate)
+    """,
+)
+def q_date_funcs(spark, sf_dir):
+    """Calendar rollup: year/quarter/month extraction + revenue — the
+    date-dimension path the MOT reference lacks (frame index is its
+    only clock) but any warehouse engine needs."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.month("o_orderdate").cast("long").alias("mon"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS gid,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark, sf_dir):
+    """CUBE grouping sets over (returnflag, linestatus) with grouping
+    ids — one pass producing all 2^2 aggregation levels (generalizes
+    A11's per-sequence + COMBINED rollup)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+# --------------------------------------------------------- ML data prep
+
+@query(
+    "q_kfold",
+    oracle="""
+    SELECT fold, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+    FROM (
+        SELECT ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 5 AS fold,
+               o_totalprice
+        FROM orders
+    )
+    GROUP BY fold
+    """,
+)
+def q_kfold(spark, sf_dir):
+    """Seeded k-fold assignment (reference detection.py:493-516 KFold):
+    fold = first 32 md5 bits of the key mod k. Hash-based so the split
+    is stable under any row order or partitioning — the only correct
+    way to fold at 100 TB (randomSplit depends on partition layout)."""
+    o = _t(spark, sf_dir, "orders")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 5
+    )
+    return (
+        o.select(fold.alias("fold"), "o_totalprice")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_auc",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+               round(embedding[1] + embedding[2] * 0.5, 9) AS score,
+               vec_id
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY score, vec_id) AS DOUBLE)
+               AS r
+        FROM scored
+    )
+    SELECT round(
+        (sum(CASE WHEN y = 1 THEN r ELSE 0 END)
+         - (sum(y) * (sum(y) + 1)) / 2.0)
+        / (sum(y) * (count(*) - sum(y))), 6) AS auc
+    FROM ranked
+    """,
+)
+def q_auc(spark, sf_dir):
+    """ROC-AUC as a rank-sum (Mann-Whitney U) — the reference's
+    embedding quality gate (embedding.py:1752-1756) re-read as a
+    relational program: one global sort window + one aggregate, no
+    sklearn. Score is a deterministic function of the vector; positives
+    are labels ≥ 5. Tie-break by vec_id keeps ranks engine-stable."""
+    e = _t(spark, sf_dir, "embeddings")
+    scored = e.select(
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        F.round(
+            F.element_at("embedding", 1).cast("double")
+            + F.element_at("embedding", 2).cast("double") * 0.5,
+            9,
+        ).alias("score"),
+        "vec_id",
+    )
+    ranked = scored.select(
+        "y",
+        F.row_number()
+        .over(Window.orderBy("score", "vec_id"))
+        .cast("double")
+        .alias("r"),
+    )
+    npos = F.sum("y")
+    return ranked.agg(
+        F.round(
+            (F.sum(F.when(F.col("y") == 1, F.col("r")).otherwise(0.0))
+             - (npos * (npos + 1)) / 2.0)
+            / (npos * (F.count(F.lit(1)) - npos)),
+            6,
+        ).alias("auc")
+    )
+
+
+# ------------------------------------------------------- text accounting
+
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> x ~ '^[0-9]+$')) AS BIGINT)
+             AS n_numeric,
+           CAST(len(list_filter(toks, x -> x ~ '^[^A-Za-z0-9]$')) AS BIGINT)
+             AS n_punct,
+           round(CASE WHEN len(toks) > 0
+                 THEN list_reduce(list_transform(toks, x -> CAST(length(x) AS DOUBLE)),
+                                  (a, b) -> a + b) / len(toks)
+                 ELSE 0.0 END, 4) AS avg_token_len
+    FROM (
+        SELECT doc_id, regexp_extract_all(text, '{_TOKEN_RE}') AS toks
+        FROM documents
+    )
+    """,
+)
+def q_token_count(spark, sf_dir):
+    """BPE-ish token accounting: split text into letter-runs /
+    digit-runs / single punctuation (the pre-tokenizer shape BPE
+    vocabularies assume), count classes and mean token length — the
+    per-document cost model for training-data budgeting."""
+    d = scatter(_t(spark, sf_dir, "documents"))
+    d = d.withColumn("toks", F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0))
+    n = F.size("toks")
+    tok_lens = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.filter(F.col("toks"), lambda x: x.rlike("^[0-9]+$")))
+        .cast("long")
+        .alias("n_numeric"),
+        F.size(F.filter(F.col("toks"), lambda x: x.rlike("^[^A-Za-z0-9]$")))
+        .cast("long")
+        .alias("n_punct"),
+        F.round(
+            F.when(n > 0, tok_lens / n).otherwise(F.lit(0.0)), 4
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(n_chars AS DOUBLE) AS chars,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS DOUBLE) AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               round(least(chars / 500.0, 1.0) * 0.5
+                     + least(toks / 100.0, 1.0) * 0.5, 4) AS quality
+        FROM m
+    )
+    SELECT bucket, count(*) AS n_docs, round(avg(quality), 4) AS avg_quality
+    FROM (
+        SELECT CASE WHEN quality >= 0.8 THEN 'high'
+                    WHEN quality >= 0.4 THEN 'medium'
+                    ELSE 'low' END AS bucket,
+               quality
+        FROM s
+    )
+    GROUP BY bucket
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Composite quality scoring for corpus curation: bounded length and
+    token-count signals blended into one score, bucketed high/medium/low
+    — the keep/downsample/drop decision that gates a training mix."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    ).cast("double")
+    quality = F.round(
+        F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0)) * 0.5
+        + F.least(toks / 100.0, F.lit(1.0)) * 0.5,
+        4,
+    )
+    bucket = (
+        F.when(quality >= 0.8, "high")
+        .when(quality >= 0.4, "medium")
+        .otherwise("low")
+    )
+    return (
+        d.select(bucket.alias("bucket"), quality.alias("quality"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
