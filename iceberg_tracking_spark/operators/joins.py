@@ -109,6 +109,58 @@ def grid_radius_join_1d(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of join: each left row gets the latest right row with
+    right_time ≤ left_time for the same key (inner semantics — left
+    rows with no prior right row are dropped).
+
+    Implemented as union → single window pass (the scalable form): tag
+    the streams, sort within key by (time, side) with right first at
+    ties, and carry right attributes forward with last_value(ignore
+    nulls). ONE shuffle, no pair explosion — a join+argmax formulation
+    would materialize |L|·|R| pairs per key before pruning, which is
+    exactly what kills as-of joins at scale. Same pattern as the
+    reference's per-frame "most recent track state" lookup
+    (tracking.py:788-799), generalized to two tables.
+    """
+    lt = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
+    for c in right_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    rt = (
+        right.select(
+            F.col(key).alias(key) if key in right.columns else F.col(key),
+            F.col(right_time).alias("_t"),
+            *[F.col(c) for c in right_cols],
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    lt = lt.select(*([key, "_t", "_side"] + right_cols + [c for c in left.columns if c not in (key,)]))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).drop("_side", *right_cols)
+    for c in right_cols:
+        out = out.withColumnRenamed(f"_asof_{c}", c)
+    return out.filter(F.col(right_cols[0]).isNotNull()).drop("_t")
+
+
 def consecutive_frame_join(
     df: DataFrame,
     key_cols: list[str],

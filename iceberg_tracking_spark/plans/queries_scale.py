@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.joins import asof_join
 from ..operators.similarity import (
     DEFAULT_BITS,
     hyperplane_sql_literals,
@@ -384,4 +385,170 @@ def q_quality_score(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("quality"), 4).alias("avg_quality"),
         )
+    )
+
+
+# ------------------------------------------------------ joins / reshaping
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, o.o_orderkey,
+           round(o.o_totalprice, 2) AS o_totalprice
+    FROM events e ASOF JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """True two-table as-of join: each event picks the customer's latest
+    order at-or-before the event time. Implemented as union + ONE
+    window pass (operators/joins.asof_join) — no |L|x|R| pair blow-up,
+    one shuffle; the oracle uses DuckDB's native ASOF JOIN. Right side
+    is deduped to one order per (custkey, date) (max orderkey) so the
+    as-of pick is engine-deterministic."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    o1 = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    joined = asof_join(
+        ev,
+        o1,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark, sf_dir):
+    """Skew-resistant two-phase aggregation: salt the hot grouping key
+    (event_type has single-digit cardinality — at 100 TB every reducer
+    for a popular type is a straggler), partial-agg on (key, salt) over
+    16 salts, then combine per key. Results are identical to the plain
+    groupBy (the oracle); only the shuffle layout changes. Spark's own
+    map-side partial aggregation does this implicitly for sums — the
+    explicit salt matters for high-fan-in combine states (collect_list,
+    exact distinct) and is shown here as the library pattern
+    (AQE skew handling covers the join-side analog)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.pmod(F.col("event_id"), F.lit(16))).alias("salt")
+    )
+    partial = ev.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psum")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("psum"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "q_cumsum_window",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS cum_spend,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS BIGINT) AS order_seq
+    FROM orders
+    """,
+)
+def q_cumsum_window(spark, sf_dir):
+    """Explicit window frames (ROWS BETWEEN): per-customer running spend
+    and order sequence number — the frame-spec family the reference
+    never needed (its islands trick avoids running windows) but a
+    warehouse engine must have. Deterministic frame order (date, then
+    orderkey) makes the cumulative sum engine-stable."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("cum_spend"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id,
+               CAST(floor(epoch_ms(min(ts)) / 86400000.0) AS BIGINT) AS d0,
+               CAST(floor(epoch_ms(max(ts)) / 86400000.0) AS BIGINT) AS d1
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM bounds
+    ),
+    actual AS (
+        SELECT user_id,
+               CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.day, coalesce(a.n, 0) AS n
+    FROM grid g LEFT JOIN actual a
+      ON g.user_id = a.user_id AND g.day = a.day
+    """,
+)
+def q_gap_fill(spark, sf_dir):
+    """Time-series gap filling: densify each user's activity to one row
+    per day between their first and last event (missing days = 0) —
+    sequence() + explode generates the grid declaratively (the engine's
+    UDTF-shaped generator, same mechanism as the tile planner M2), then
+    a left join snaps counts onto it."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_millis("ts") / 86400000.0).cast("long").alias("day"),
+    )
+    actual = ev.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    return grid.join(actual, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce("n", F.lit(0)).alias("n")
     )
