@@ -148,3 +148,41 @@ def test_mot_csv_malformed_rows_skipped(spark, tmp_path):
     )
     df = read_mot_csv(spark, str(p))
     assert df.count() == 2
+
+
+def test_write_table_partitioned_parquet(spark, tmp_path):
+    from iceberg_tracking_spark.sources.sinks import iceberg_available, write_table
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0)], "seq string, k int, v double"
+    )
+    path = str(tmp_path / "tbl")
+    # No Iceberg jars in this container — the probe must say so and the
+    # writer must fall through to partitioned parquet.
+    assert iceberg_available(spark) is False
+    write_table(df, path, partition_by=["seq"])
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("seq=")
+    ) == ["seq=a", "seq=b"]
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+    assert set(back.columns) == {"seq", "k", "v"}
+
+
+def test_compact_parquet_table(spark, tmp_path):
+    from iceberg_tracking_spark.sources.sinks import compact_parquet_table
+
+    path = str(tmp_path / "frag")
+    # Fragment: 24 tiny files.
+    spark.range(0, 2400).withColumnRenamed("id", "k").repartition(24).write.parquet(
+        path
+    )
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) == 24
+    stats = compact_parquet_table(spark, path)
+    assert stats["files_before"] == 24
+    assert stats["files_after"] < 24
+    assert spark.read.parquet(path).count() == 2400

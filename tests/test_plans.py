@@ -1,0 +1,93 @@
+"""Physical-plan regression guards.
+
+The 100 TB design contract (README "Design rules") is enforced at the
+plan level: filters must reach the parquet scan, dimension joins must
+broadcast, bucketed joins must stay equi-joins, and nothing may fall
+back to a cartesian product. These tests read `.explain` output so a
+refactor that silently degrades a plan (e.g. a join condition that
+stops being an equi-join) fails CI, not the next 100 TB run.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from iceberg_tracking_spark.plans import QUERIES
+
+# All-pairs-by-construction queries: the oracle-checkable theta joins
+# where the candidate set IS the whole (small, broadcast) table. Their
+# scale-path replacements are q_ann_lsh / q_minhash_lsh / q_grid_join.
+NESTED_LOOP_OK = {
+    "q_cosine_topk",       # broadcast queries x corpus, != condition
+    "q_embedding_neardup", # all-pairs cosine (scale path: q_ann_lsh)
+    "q_containment_antijoin",  # theta anti-join (bounded by group)
+    "q_theta_argmax",      # deliberate theta join exercise
+    # Single-row / tiny broadcast cross joins (scalar fan-out, not pair
+    # explosion): global aggregate joined back onto every row.
+    "q_global_norm",       # global max (1 row) broadcast to all rows
+    "q_eval_metrics",      # scalar metric components combined (1-row sides)
+    "q_mask_filter",       # broadcast mask-cell table, range predicate
+}
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_product(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} fell back to a nested-loop join — a join condition "
+            "stopped being an equi-join"
+        )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scan_project")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # Projection pruning: the scan must not read all 11 lineitem columns.
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read_schema
+    assert read_schema.count(":") <= 7
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_equijoin")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_grid_join_is_equi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_grid_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # The neighbor-cell trick must surface as a hash-partitioned join
+    # on the cell key, never a theta join.
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_minhash_band_join_is_equi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_minhash_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_window_no_join(spark, sf_dir):
+    # The as-of implementation must be union+window — no join operator
+    # at all (a join+argmax formulation would explode pairs).
+    plan = _plan(spark, sf_dir, "q_asof_join")
+    assert "Window" in plan
+    for join_op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, f"q_asof_join plans {join_op}"
