@@ -552,3 +552,131 @@ def q_gap_fill(spark, sf_dir):
     return grid.join(actual, ["user_id", "day"], "left").select(
         "user_id", "day", F.coalesce("n", F.lit(0)).alias("n")
     )
+
+
+# ----------------------------------------------- SURVEY checklist gap-fill
+
+@query(
+    "q_orderby",
+    oracle="""
+    SELECT CAST(row_number() OVER (
+               ORDER BY l_orderkey, l_linenumber, l_extendedprice) AS BIGINT)
+             AS rn,
+           l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           round(l_extendedprice, 2) AS l_extendedprice
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 1000
+    )
+    """,
+)
+def q_orderby(spark, sf_dir):
+    """W1/S14: global composite-key sort, made hash-visible by
+    materializing the rank (the driver's compare is order-insensitive,
+    so the ORDER is checked through the rn column). Spark executes the
+    bounded sort as TakeOrderedAndProject — per-partition top-k then a
+    driver-side merge of k·p rows — never a global single-partition
+    sort; the row_number window then runs on just the k survivors.
+    The synthetic (l_orderkey, l_linenumber) pair is NOT unique, so
+    l_extendedprice completes the total order — rank determinism needs
+    a tie-free key (SURVEY §7.4 note 1).
+    (Mirrors the reference's (id, frame) file re-sort, helpers.py:293-336.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    top = li.select("l_orderkey", "l_linenumber", "l_extendedprice").orderBy(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).limit(1000)
+    w = Window.orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rn"),
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round("l_extendedprice", 2).alias("l_extendedprice"),
+    )
+
+
+@query(
+    "q_ratio_expr",
+    oracle="""
+    SELECT p_brand,
+           round(avg(CASE WHEN greatest(l_quantity * 10.0, p_size) > 0
+                     THEN least(l_quantity * 10.0, p_size)
+                          / greatest(l_quantity * 10.0, p_size)
+                     ELSE 0.0 END), 6) AS avg_size_sim,
+           count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_ratio_expr(spark, sf_dir):
+    """X5: size-similarity ratio min(a,b)/max(a,b) with 0-guard
+    (reference get_size_similarity, feature_extraction.py:300-332) as a
+    pure least/greatest expression over a broadcast dimension join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    a = F.col("l_quantity") * 10.0
+    b = F.col("p_size")
+    sim = F.when(
+        F.greatest(a, b) > 0, F.least(a, b) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.avg(sim), 6).alias("avg_size_sim"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ------------------------------------------- multimodal, driver-visible
+
+@query(
+    "q_frame_sample",
+    oracle="""
+    SELECT media_id, unnest(range(0, duration_ms + 1, 1000)) AS sample_ms
+    FROM (
+        SELECT doc_id AS media_id, n_chars * 10 AS duration_ms FROM documents
+    )
+    """,
+)
+def q_frame_sample(spark, sf_dir):
+    """M-surface: video frame-sampling plan — one row per sampled
+    timestamp via sequence()+explode (the tile-planner pattern M2 on
+    the time axis). Pure Catalyst; the decode of each sampled frame
+    would be the mapInPandas stage exercised by q_media_features."""
+    from ..operators.multimodal import sample_video_frames, synthesize_media_table
+
+    media = synthesize_media_table(spark, sf_dir)
+    return sample_video_frames(media, every_ms=1000).select(
+        "media_id", F.col("sample_ms").cast("long").alias("sample_ms")
+    )
+
+
+@query("q_media_features")  # rows-only: stubbed decode is numpy-side (SURVEY §2.8)
+def q_media_features(spark, sf_dir):
+    """M1/M3: decode + feature-extraction over binary media columns via
+    Arrow-batched mapInPandas (per-partition decoder init). The decode
+    core is a deterministic stub (no codec libs in this container); the
+    partitioning, batch shapes, and schema plumbing are real."""
+    from ..operators.multimodal import extract_media_features, synthesize_media_table
+
+    media = scatter(synthesize_media_table(spark, sf_dir))
+    return extract_media_features(media)
+
+
+@query("q_batch_infer")  # rows-only: stub model forward (SURVEY §2.8 M1-M2)
+def q_batch_infer(spark, sf_dir):
+    """M1+M2 composed: declarative multi-scale sliding-window tile plan
+    (explode) → mapInPandas batch inference (per-partition model load,
+    deterministic stub forward) → boxes translated back to original
+    coordinates (X14). The end-to-end shape of the reference's detect
+    stage (detection.py:1307-1423) as one distributed pipeline."""
+    from ..operators.inference import detect_tiles, tile_plan
+    from ..operators.multimodal import synthesize_media_table
+
+    media = scatter(synthesize_media_table(spark, sf_dir)).withColumn(
+        "width", F.col("width") * 40
+    ).withColumn("height", F.col("height") * 30)
+    tiles = tile_plan(media, window=1536, overlap=0.35, scales=(0.5, 1.0))
+    return detect_tiles(tiles)
