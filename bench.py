@@ -33,6 +33,12 @@ HEADLINE = [
     "q_cosine_topk",
     "q_iou_argmax",
     "q_rollup",
+    # scale-path additions: as-of (union+window), LSH-bucketed ANN,
+    # token accounting, and the full eval-metrics relational job
+    "q_asof_join",
+    "q_ann_lsh",
+    "q_token_count",
+    "q_eval_metrics",
 ]
 
 

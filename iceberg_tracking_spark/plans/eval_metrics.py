@@ -52,11 +52,15 @@ def clear_identity_metrics(
     w_best = Window.partitionBy("sequence", "frame", "gt_id").orderBy(
         F.col("iou").desc(), F.col("track_id").asc()
     )
+    # The matches relation feeds THREE independent aggregation branches
+    # (match/switch stats, coverage, islands). Without materialization
+    # Catalyst would recompute the IoU join + argmax window once per
+    # branch — persist it (tiny: one row per matched GT per frame).
     matches = (
         pairs.withColumn("rn", F.row_number().over(w_best))
         .filter(F.col("rn") == 1)
         .select("sequence", "frame", "gt_id", "track_id", "iou")
-    )
+    ).persist()
 
     counts = (
         gt.groupBy("sequence").agg(F.count(F.lit(1)).alias("n_gt"))
@@ -66,20 +70,19 @@ def clear_identity_metrics(
             "outer",
         )
     )
-    match_stats = matches.groupBy("sequence").agg(
-        F.count(F.lit(1)).alias("tp"),
-        F.round(F.avg("iou"), 6).alias("loca"),
-    )
 
-    # ID switches + fragmentation: lag over each GT's matched timeline
-    # (reference eval.py:291-316).
+    # TP/LocA + ID switches + fragmentation in ONE pass: lag over each
+    # GT's matched timeline (reference eval.py:291-316), then a single
+    # per-sequence aggregate.
     w_gt = Window.partitionBy("sequence", "gt_id").orderBy("frame")
     lagged = matches.select(
-        "sequence", "gt_id", "frame", "track_id",
+        "sequence", "gt_id", "frame", "track_id", "iou",
         F.lag("track_id").over(w_gt).alias("prev_track"),
         F.lag("frame").over(w_gt).alias("prev_frame"),
     )
-    switch_stats = lagged.groupBy("sequence").agg(
+    match_stats = lagged.groupBy("sequence").agg(
+        F.count(F.lit(1)).alias("tp"),
+        F.round(F.avg("iou"), 6).alias("loca"),
         F.sum(
             F.when(
                 F.col("prev_track").isNotNull()
@@ -140,7 +143,6 @@ def clear_identity_metrics(
 
     out = (
         counts.join(match_stats, "sequence", "left")
-        .join(switch_stats, "sequence", "left")
         .join(cov_stats, "sequence", "left")
         .join(idtp_stats, "sequence", "left")
         .na.fill(
