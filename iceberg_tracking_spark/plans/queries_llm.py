@@ -461,3 +461,173 @@ def q_embedding_neardup(spark, sf_dir):
         )
         .filter(F.col("sim") >= 0.45)
     )
+
+
+# ------------------------------------------------- corpus curation ops
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc
+    FROM (
+        SELECT lang, doc_id,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS h
+        FROM documents
+    )
+    WHERE h < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 ELSE 20 END
+    GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Stratified (per-language) sampling for training-mix curation:
+    keep-rate differs per stratum, membership decided by a hash of the
+    key — deterministic, partition-layout-independent, and exactly
+    reproducible across engines (TABLESAMPLE/rand() are neither).
+    The per-stratum rates are the language-balancing knob of a corpus
+    mix; at 100 TB this is a single scan with no shuffle before the
+    audit aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 80)
+        .when(F.col("lang") == "de", 50)
+        .otherwise(20)
+    )
+    return (
+        d.select("lang", "doc_id", h.alias("h"), rate.alias("rate"))
+        .filter(F.col("h") < F.col("rate"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
+@query(
+    "q_vocab_topk",
+    oracle=f"""
+    SELECT token, n FROM (
+        SELECT token, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+        FROM (
+            SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+        )
+        GROUP BY token
+    ) WHERE rn <= 20
+    """,
+)
+def q_vocab_topk(spark, sf_dir):
+    """Vocabulary building: global top-k tokens by frequency. The plan
+    is explode → map-side partial count → one shuffle on token → final
+    count → TakeOrdered(k) — the scalable shape (never a global sort of
+    the full vocabulary). Ties broken by token text for determinism."""
+    d = scatter(_t(spark, sf_dir, "documents"))
+    toks = d.withColumn("toks", _spark_tokens(F.col("text"))).select(
+        F.explode("toks").alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("token", "n")
+    )
+
+
+@query(
+    "q_tfidf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+    ),
+    df_t AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df_t.df), 6)
+                 AS tfidf
+        FROM tf JOIN df_t USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf FROM (
+        SELECT doc_id, token, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, token) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    """TF-IDF keyword extraction: term frequency × inverse document
+    frequency, top term per document. Two shuffles (tf on (doc, token),
+    df on token) + a broadcast of the tiny per-token df table back onto
+    tf — the standard scalable shape; the corpus size joins in as a
+    1-row broadcast."""
+    d = scatter(_t(spark, sf_dir, "documents"))
+    tok = d.withColumn("toks", _spark_tokens(F.col("text"))).select(
+        "doc_id", F.explode("toks").alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT bucket, count(*) AS n,
+           round(min(n_chars), 2) AS lo, round(max(n_chars), 2) AS hi
+    FROM (
+        SELECT CAST(least(floor(n_chars / 200.0), 9) AS BIGINT) AS bucket,
+               n_chars
+        FROM documents
+    )
+    GROUP BY bucket
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram of document lengths (10 buckets of 200
+    chars, top bucket open-ended) — the distribution scan every corpus
+    audit starts with; one pass, map-side combinable."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 200.0), F.lit(9)).cast("long")
+    return (
+        d.select(bucket.alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("n_chars"), 2).alias("lo"),
+            F.round(F.max("n_chars"), 2).alias("hi"),
+        )
+    )

@@ -1,0 +1,188 @@
+"""Property-based tests for the scalar expression library.
+
+The geometry/vector expressions are the engine's innermost hot path —
+they run inside whole-stage codegen over every joined pair at 100 TB,
+so their algebraic invariants (bounds, symmetry, identity, degenerate-
+input guards) are pinned here with hypothesis-generated inputs
+evaluated through Spark itself (one job per example batch, not per
+example). Reference semantics: helpers.py:533-569 (IoU incl. the
+0-for-degenerate rule), detection.py:1263-1302 (containment),
+feature_extraction.py:255-378 (cosine rescale, minmax, size sim).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from iceberg_tracking_spark.functions.geometry import (
+    center_distance,
+    containment_ratio,
+    grid_cell,
+    iou,
+    size_similarity,
+)
+from iceberg_tracking_spark.functions.vectors import (
+    cosine_similarity,
+    min_max_normalize,
+    rescaled_cosine,
+)
+
+coord = st.floats(-1e4, 1e4, allow_nan=False, width=32)
+side = st.floats(0.0, 1e3, allow_nan=False, width=32)
+box = st.tuples(coord, coord, side, side)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _eval_pairs(spark, boxes_a, boxes_b, exprs: dict) -> pd.DataFrame:
+    pdf = pd.DataFrame(
+        [a + b for a, b in zip(boxes_a, boxes_b)],
+        columns=["l1", "t1", "w1", "h1", "l2", "t2", "w2", "h2"],
+    )
+    df = spark.createDataFrame(pdf)
+    args1 = [F.col(c) for c in ("l1", "t1", "w1", "h1")]
+    args2 = [F.col(c) for c in ("l2", "t2", "w2", "h2")]
+    out = df.select(
+        "*", *[fn(args1, args2).alias(name) for name, fn in exprs.items()]
+    )
+    return out.toPandas()
+
+
+@SETTINGS
+@given(st.lists(st.tuples(box, box), min_size=1, max_size=64))
+def test_iou_bounds_symmetry_identity(spark, pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    res = _eval_pairs(
+        spark,
+        a,
+        b,
+        {
+            "iou_ab": lambda x, y: iou(*x, *y),
+            "iou_ba": lambda x, y: iou(*y, *x),
+            "iou_aa": lambda x, y: iou(*x, *x),
+        },
+    )
+    assert ((res.iou_ab >= 0) & (res.iou_ab <= 1.0 + 1e-12)).all()
+    assert np.allclose(res.iou_ab, res.iou_ba, rtol=1e-9, atol=1e-12)
+    # Self-IoU is 1 for boxes with positive area *in float arithmetic*:
+    # w, h must survive the corner round-trip (l+w > l, t+h > t — a
+    # width of 2e-16 on a coordinate of 2.0 vanishes below one ULP).
+    # Degenerate boxes hit the reference's zero-union guard
+    # (helpers.py:560-566) and return exactly 0.
+    pos = (res.l1 + res.w1 > res.l1) & (res.t1 + res.h1 > res.t1)
+    assert np.allclose(res.iou_aa[pos], 1.0)
+    assert (res.iou_aa[~pos] == 0.0).all()
+
+
+@SETTINGS
+@given(st.lists(st.tuples(box, box), min_size=1, max_size=64))
+def test_containment_and_size_similarity(spark, pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    res = _eval_pairs(
+        spark,
+        a,
+        b,
+        {
+            "cont": lambda x, y: containment_ratio(*x, *y),
+            "sim_ab": lambda x, y: size_similarity(x[2], x[3], y[2], y[3]),
+            "sim_ba": lambda x, y: size_similarity(y[2], y[3], x[2], x[3]),
+            "dist_ab": lambda x, y: center_distance(*x, *y),
+            "dist_ba": lambda x, y: center_distance(*y, *x),
+        },
+    )
+    assert ((res.cont >= 0) & (res.cont <= 1.0 + 1e-9)).all()
+    assert ((res.sim_ab >= 0) & (res.sim_ab <= 1.0 + 1e-12)).all()
+    assert np.allclose(res.sim_ab, res.sim_ba, rtol=1e-9)
+    assert (res.dist_ab >= 0).all()
+    assert np.allclose(res.dist_ab, res.dist_ba, rtol=1e-9)
+
+
+@SETTINGS
+@given(st.lists(st.tuples(box, box), min_size=1, max_size=64))
+def test_full_containment_ratio_is_one(spark, pairs):
+    # Shrink box B to sit strictly inside box A; ratio must be exactly 1
+    # whenever the inner box has positive area.
+    a = [(l, t, w + 4.0, h + 4.0) for (l, t, w, h), _ in pairs]
+    b = [(l + 1.0, t + 1.0, (w + 4.0) / 2, (h + 4.0) / 2) for (l, t, w, h), _ in pairs]
+    res = _eval_pairs(spark, a, b, {"cont": lambda x, y: containment_ratio(*x, *y)})
+    inner_pos = (res.w2 > 0) & (res.h2 > 0)
+    assert np.allclose(res.cont[inner_pos], 1.0)
+
+
+vec = st.lists(st.floats(-10, 10, allow_nan=False, width=32), min_size=4, max_size=16)
+
+
+@SETTINGS
+@given(st.lists(st.tuples(vec, vec), min_size=1, max_size=32))
+def test_cosine_bounds_and_rescale(spark, pairs):
+    rows = [
+        (list(a[: len(b)]) + [0.0] * max(0, len(b) - len(a)), list(b))
+        for a, b in pairs
+    ]
+    # Pad to equal length per row (zip_with requires it).
+    rows = [
+        (a + [0.0] * (max(len(a), len(b)) - len(a)),
+         b + [0.0] * (max(len(a), len(b)) - len(b)))
+        for a, b in rows
+    ]
+    pdf = pd.DataFrame(rows, columns=["a", "b"])
+    df = spark.createDataFrame(pdf)
+    res = df.select(
+        cosine_similarity(F.col("a"), F.col("b")).alias("cos"),
+        rescaled_cosine(F.col("a"), F.col("b")).alias("rcos"),
+        cosine_similarity(F.col("a"), F.col("a")).alias("cos_aa"),
+    ).toPandas()
+    valid = res.cos.notna()
+    assert ((res.cos[valid] >= -1 - 1e-9) & (res.cos[valid] <= 1 + 1e-9)).all()
+    # rescale (cos+1)/2 → [0, 1] (reference feature_extraction.py:283-291)
+    assert ((res.rcos[valid] >= -1e-9) & (res.rcos[valid] <= 1 + 1e-9)).all()
+    nonzero = [i for i, (a, _b) in enumerate(rows) if any(x != 0 for x in a)]
+    aa = res.cos_aa.iloc[nonzero].dropna()
+    assert np.allclose(aa, 1.0, rtol=1e-6)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-1e3, 1e3, allow_nan=False, width=32),
+            st.floats(-1e3, 1e3, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_minmax_normalize_endpoints(spark, lo_hi):
+    rows = [(lo, hi) for lo, hi in lo_hi if hi > lo]
+    if not rows:
+        return
+    pdf = pd.DataFrame(rows, columns=["lo", "hi"])
+    df = spark.createDataFrame(pdf)
+    res = df.select(
+        min_max_normalize(F.col("lo"), F.col("lo"), F.col("hi")).alias("at_lo"),
+        min_max_normalize(F.col("hi"), F.col("lo"), F.col("hi")).alias("at_hi"),
+    ).toPandas()
+    assert np.allclose(res.at_lo, 0.0, atol=1e-12)
+    assert np.allclose(res.at_hi, 1.0, rtol=1e-9)
+
+
+def test_grid_cell_matches_floor(spark):
+    pdf = pd.DataFrame({"x": np.linspace(-500.0, 500.0, 1001)})
+    res = spark.createDataFrame(pdf).select(
+        "x", grid_cell(F.col("x"), cell_size=100.0).alias("cell")
+    ).toPandas()
+    expected = np.floor(res.x / 100.0).astype("int64")
+    assert (res.cell == expected).all()

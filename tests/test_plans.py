@@ -30,6 +30,7 @@ NESTED_LOOP_OK = {
     "q_global_norm",       # global max (1 row) broadcast to all rows
     "q_eval_metrics",      # scalar metric components combined (1-row sides)
     "q_mask_filter",       # broadcast mask-cell table, range predicate
+    "q_tfidf",             # corpus doc-count (1 row) broadcast into scoring
 }
 
 
