@@ -680,3 +680,34 @@ def q_batch_infer(spark, sf_dir):
     ).withColumn("height", F.col("height") * 30)
     tiles = tile_plan(media, window=1536, overlap=0.35, scales=(0.5, 1.0))
     return detect_tiles(tiles)
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           round(coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0), 2) AS qty_A,
+           round(coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0), 2) AS qty_N,
+           round(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0), 2) AS qty_R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot (rows→columns reshaping): quantity by linestatus × pinned
+    returnflag values. The value list is explicit — at 100 TB an
+    unpinned pivot would scan once just to discover column names; with
+    pinned values this is one pass of conditional aggregation (exactly
+    the oracle's CASE form, which is what Spark lowers pivot to)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+    )
+    return out.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    )

@@ -106,6 +106,28 @@ class VersionedTable:
         self._commit(m)
         return version
 
+    def upsert(self, changes: DataFrame, key_cols: list[str]) -> int:
+        """MERGE: rows in `changes` replace current rows with the same
+        key; unmatched keys are inserted. Commits a new snapshot.
+
+        The matched-row removal is a left_anti join on the key — one
+        shuffle (or broadcast when `changes` is small, the common CDC
+        case); no full-table rewrite logic lives caller-side. This is
+        the plain-parquet analog of Iceberg/Delta `MERGE INTO` in
+        copy-on-write mode.
+        """
+        m = self._load_manifest()
+        if m["current"] is None:
+            return self.write(changes)
+        spark = changes.sparkSession
+        current = spark.read.parquet(self._data_dir(m["current"]))
+        kept = current.join(changes.select(*key_cols), key_cols, "left_anti")
+        merged = kept.unionByName(changes)
+        entry = m["versions"][-1]
+        return self.write(
+            merged, mode="overwrite", partition_by=entry["partition_by"] or None
+        )
+
     # ------------------------------------------------------------ read
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

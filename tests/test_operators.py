@@ -225,3 +225,51 @@ def test_versioned_table_compact_and_expire(spark, tmp_path):
     with _pytest.raises(ValueError):
         t.read(spark, version=0)
     assert t.read(spark).count() == 1000
+
+
+def test_versioned_table_upsert(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt3"))
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit("old").alias("v")
+    )
+    t.write(base)
+    changes = spark.createDataFrame(
+        [(5, "new"), (6, "new"), (100, "new")], "k long, v string"
+    )
+    t.upsert(changes, key_cols=["k"])
+    cur = t.read(spark).toPandas().set_index("k").sort_index()
+    assert len(cur) == 11                       # 10 originals + 1 insert
+    assert cur.loc[5, "v"] == "new"             # matched rows replaced
+    assert cur.loc[6, "v"] == "new"
+    assert cur.loc[100, "v"] == "new"           # unmatched inserted
+    assert cur.loc[0, "v"] == "old"             # untouched rows kept
+    # Upsert is a commit: the pre-merge snapshot is still readable.
+    assert t.read(spark, version=0).count() == 10
+
+
+def test_grid_join_correct_under_skew(spark):
+    """A hot cell (80% of points in one bucket) must not change results:
+    the grid join's AQE skew-split path returns the same pairs as the
+    naive O(n^2) check."""
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_tracking_spark.operators.joins import grid_radius_join_1d
+
+    rng = np.random.default_rng(42)
+    hot = rng.uniform(0.0, 0.5, 800)        # one cell at radius=0.5
+    spread = rng.uniform(0.5, 50.0, 200)
+    vals = np.concatenate([hot, spread])
+    pdf = pd.DataFrame({"event_id": np.arange(len(vals)), "value": vals})
+    df = spark.createDataFrame(pdf)
+    got = (
+        grid_radius_join_1d(df, "value", radius=0.5, id_col="event_id")
+        .count()
+    )
+    diffs = np.abs(vals[:, None] - vals[None, :]) <= 0.5
+    expected = int((np.triu(diffs, k=1)).sum())
+    assert got == expected
