@@ -146,3 +146,65 @@ def test_streaming_tracker_equals_batch(spark):
     got = got.sort_values(key).reset_index(drop=True)[batch.columns]
     batch = batch.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+
+
+def test_watermark_drops_late_events(spark):
+    """T5 semantics: an event arriving behind the watermark must not
+    contribute to an already-finalized window (the reference's max_age
+    ageing: data older than the allowed lateness is gone)."""
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="late_stream_")
+    try:
+        def _write(rows, name):
+            pdf = pd.DataFrame(
+                rows,
+                columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+            )
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            spark.createDataFrame(pdf, EVENTS_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+
+        # Batch 1: two events in the 00:00 window + one at 03:00 that
+        # pushes event-time far past it.
+        _write(
+            [
+                (1, "2024-01-01 00:10:00", 1, "a", 1.0, "{}"),
+                (2, "2024-01-01 00:20:00", 1, "a", 1.0, "{}"),
+                (3, "2024-01-01 03:00:00", 1, "a", 1.0, "{}"),
+            ],
+            "b1",
+        )
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+        agg = streaming_tumbling_agg(stream, "1 hour", watermark="1 hour")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("late_test")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # Batch 2: a LATE event for the 00:00 window (watermark is
+            # already at 02:00) plus a fresh one.
+            _write(
+                [
+                    (4, "2024-01-01 00:30:00", 1, "a", 99.0, "{}"),
+                    (5, "2024-01-01 03:10:00", 1, "a", 1.0, "{}"),
+                ],
+                "b2",
+            )
+            q.processAllAvailable()
+            out = spark.sql(
+                "SELECT * FROM late_test WHERE window_start = '2024-01-01 00:00:00'"
+            ).toPandas()
+            # The 00:00 window finalized with the two on-time events;
+            # the late 99.0 contribution was dropped.
+            assert len(out) == 1
+            assert out.iloc[0]["n"] == 2
+            assert out.iloc[0]["sum_value"] == 2.0
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
