@@ -318,3 +318,56 @@ def q_track(spark, sf_dir):
     return tracks.select(
         "sequence", "frame", "track_id", "det_id", "bb_left", "bb_top", "conf"
     )
+
+
+@query(
+    "q_grid_join_2d",
+    oracle=f"""
+    WITH {_DUCK_BOXES},
+    pts AS (
+        SELECT event_id, frame, gl AS x, gt_ AS y FROM boxes
+    )
+    SELECT frame, count(*) AS n_pairs, round(avg(dist), 4) AS avg_dist
+    FROM (
+        SELECT a.frame, sqrt((a.x - b.x) ^ 2 + (a.y - b.y) ^ 2) AS dist
+        FROM pts a JOIN pts b
+          ON a.frame = b.frame AND a.event_id < b.event_id
+         AND sqrt((a.x - b.x) ^ 2 + (a.y - b.y) ^ 2) <= 25.0
+    )
+    GROUP BY frame
+    """,
+)
+def q_grid_join_2d(spark, sf_dir):
+    """J1 in full 2-D: the tracker's spatial candidate search as a
+    distributed query — per frame, all point pairs within radius 25 px.
+    Both sides bucket on (floor(x/cell), floor(y/cell)); the probe side
+    explodes to the 3x3 neighbor cells; the join is equi on
+    (frame, cx, cy) with the exact Euclidean post-filter (reference
+    SpatialIndex.query_radius, tracking.py:509-554). The oracle states
+    the naive per-frame all-pairs theta join."""
+    from ..operators.joins import grid_radius_join
+
+    b = _boxes(spark, sf_dir)
+    pts = b.select(
+        "event_id", "frame", F.col("gl").alias("x"), F.col("gt_").alias("y")
+    )
+    left = pts.select(
+        F.col("event_id").alias("a_id"), F.col("frame").alias("a_frame"),
+        F.col("x").alias("a_x"), F.col("y").alias("a_y"),
+    )
+    right = pts.select(
+        F.col("event_id").alias("b_id"), F.col("frame").alias("b_frame"),
+        F.col("x").alias("b_x"), F.col("y").alias("b_y"),
+    )
+    pairs = grid_radius_join(
+        left, right,
+        left_x="a_x", left_y="a_y", right_x="b_x", right_y="b_y",
+        radius=25.0, extra_on=[("a_frame", "b_frame")],
+    ).filter(F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.groupBy(F.col("a_frame").alias("frame"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+        )
+    )
