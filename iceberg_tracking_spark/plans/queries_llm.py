@@ -631,3 +631,98 @@ def q_histogram(spark, sf_dir):
             F.round(F.max("n_chars"), 2).alias("hi"),
         )
     )
+
+
+# --------------------------------------------- dedup cluster formation
+
+_JACCARD_PAIR_CTES = f"""
+    sh AS (
+        SELECT doc_id, lang, u.s AS shingle
+        FROM (SELECT doc_id, lang, {_DUCK_SHINGLES} AS shingles FROM documents),
+             unnest(shingles) AS u(s)
+        GROUP BY doc_id, lang, u.s
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                           AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    )
+"""
+
+
+def _jaccard_edges(spark, sf_dir):
+    """Near-dup candidate edges: 3-shingle Jaccard ≥ 0.2 (the pair set
+    of q_ngram_jaccard, without the score column)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.withColumn("toks", _spark_tokens(F.col("text")))
+        .select(
+            "doc_id", "lang", F.explode(_spark_shingles(F.col("toks"))).alias("shingle")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.node
+    )
+    SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup cluster formation: connected components over the near-dup
+    candidate graph (shingle-Jaccard ≥ 0.2 edges) via distributed
+    min-label propagation — keep-one-per-component is then a trivial
+    `component = doc_id` filter. Component id = min doc_id in the
+    component (deterministic under any partitioning); the oracle states
+    the same closure as a recursive CTE. Iterations are join+agg rounds
+    with lineage checkpointing (operators/graph.py) — O(diameter)
+    shuffles, never a driver-side graph."""
+    from ..operators.graph import connected_components
+
+    edges = _jaccard_edges(spark, sf_dir)
+    return connected_components(edges, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )

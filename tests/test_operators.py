@@ -273,3 +273,22 @@ def test_grid_join_correct_under_skew(spark):
     diffs = np.abs(vals[:, None] - vals[None, :]) <= 0.5
     expected = int((np.triu(diffs, k=1)).sum())
     assert got == expected
+
+
+def test_connected_components_known_graph(spark):
+    from iceberg_tracking_spark.operators.graph import connected_components
+
+    # Chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
