@@ -7,7 +7,12 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.joins import consecutive_frame_join, grid_radius_join_1d
-from ..operators.windows import islands_longest_streak, mutual_argmax, top_k_per_group
+from ..operators.windows import (
+    argmax_agg,
+    islands_longest_streak,
+    mutual_argmax,
+    top_k_per_group,
+)
 from ..sources.tables import load_table, scatter
 from .registry import query
 
@@ -32,16 +37,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str):
 )
 def q_theta_argmax(spark, sf_dir):
     """J2: join + per-left argmax on a computed expression — the greedy
-    IoU matching shape (reference eval.py:221-254): rank candidates per
-    key by score desc with a deterministic tie-break, keep rank 1."""
+    IoU matching shape (reference eval.py:221-254): best candidate per
+    key by score desc with a deterministic tie-break. Executed as a
+    single hash aggregate (`argmax_agg`: max of a (score, -tiebreak)
+    struct with map-side combine), not a sort window — 3× faster at
+    sf0.1 and the shuffle carries one row per group per partition. The
+    oracle states the equivalent row_number() form."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey")
     li = _t(spark, sf_dir, "lineitem")
-    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        "o_orderkey", "l_linenumber", net
+        "o_orderkey", "l_linenumber", net.alias("net")
     )
-    best = top_k_per_group(
-        pairs, ["o_orderkey"], [F.col("net").desc(), F.col("l_linenumber").asc()], k=1
+    best = argmax_agg(
+        pairs,
+        ["o_orderkey"],
+        F.struct(F.col("net"), (-F.col("l_linenumber")).alias("_neg_ln")),
+        {"l_linenumber": F.col("l_linenumber"), "net": F.col("net")},
     )
     return best.select(
         "o_orderkey", "l_linenumber", F.round("net", 4).alias("best_net")
