@@ -49,17 +49,20 @@ def clear_identity_metrics(
             F.col("t_l"), F.col("t_t"), F.col("t_w"), F.col("t_h"),
         ),
     ).filter(F.col("iou") >= F.lit(iou_threshold))
-    w_best = Window.partitionBy("sequence", "frame", "gt_id").orderBy(
-        F.col("iou").desc(), F.col("track_id").asc()
-    )
+    # Best track per (sequence, frame, gt): hash-aggregate argmax
+    # (score = (iou, -track_id) struct → deterministic tie-break,
+    # map-side combine on the pair explosion — no sort window).
     # The matches relation feeds THREE independent aggregation branches
     # (match/switch stats, coverage, islands). Without materialization
-    # Catalyst would recompute the IoU join + argmax window once per
-    # branch — persist it (tiny: one row per matched GT per frame).
-    matches = (
-        pairs.withColumn("rn", F.row_number().over(w_best))
-        .filter(F.col("rn") == 1)
-        .select("sequence", "frame", "gt_id", "track_id", "iou")
+    # Catalyst would recompute the IoU join + argmax once per branch —
+    # persist it (tiny: one row per matched GT per frame).
+    from ..operators.windows import argmax_agg
+
+    matches = argmax_agg(
+        pairs,
+        ["sequence", "frame", "gt_id"],
+        F.struct(F.col("iou"), (-F.col("track_id")).alias("_neg_tr")),
+        {"track_id": F.col("track_id"), "iou": F.col("iou")},
     ).persist()
 
     counts = (

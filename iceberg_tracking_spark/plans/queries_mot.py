@@ -107,12 +107,18 @@ def q_iou_argmax(spark, sf_dir):
             F.col("d_l"), F.col("d_t"), F.col("d_w"), F.col("d_h"),
         ),
     ).filter(F.col("iou") >= 0.3)
-    w = Window.partitionBy("gt_id").orderBy(F.col("iou").desc(), F.col("det_id").asc())
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("gt_id", "det_id", F.round("iou", 6).alias("best_iou"))
+    # Top-1 per GT as a hash aggregate (argmax_agg), not a sort window:
+    # the IoU join's pair explosion combines map-side to one row per
+    # (partition, gt) before the shuffle.
+    from ..operators.windows import argmax_agg
+
+    best = argmax_agg(
+        pairs,
+        ["gt_id"],
+        F.struct(F.col("iou"), (-F.col("det_id")).alias("_neg_det")),
+        {"det_id": F.col("det_id"), "iou": F.col("iou")},
     )
+    return best.select("gt_id", "det_id", F.round("iou", 6).alias("best_iou"))
 
 
 @query("q_nms")  # rows-only: greedy suppression is order-sensitive (SURVEY §7.4)
