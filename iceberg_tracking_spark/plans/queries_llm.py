@@ -726,3 +726,62 @@ def q_dedup_clusters(spark, sf_dir):
     return connected_components(edges, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), "component"
     )
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source, u.s AS shingle
+        FROM (SELECT doc_id, source, {_DUCK_SHINGLES} AS shingles FROM documents),
+             unnest(shingles) AS u(s)
+        GROUP BY doc_id, source, u.s
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    corpus AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+    hits AS (
+        SELECT c.doc_id, count(*) AS n_shared
+        FROM corpus c JOIN bench b ON c.shingle = b.shingle
+        GROUP BY c.doc_id
+    ),
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM corpus GROUP BY doc_id
+    )
+    SELECT h.doc_id, h.n_shared,
+           round(CAST(h.n_shared AS DOUBLE) / s.n_sh, 4) AS overlap
+    FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+    WHERE CAST(h.n_shared AS DOUBLE) / s.n_sh >= 0.1
+    """,
+)
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination detection: flag corpus documents whose
+    3-word shingles overlap a held-out set ('src0' as the benchmark) by
+    ≥ 10%. The benchmark shingle set is deduped and broadcast (at 100 TB
+    the eval sets are MBs while the corpus is the big side — classic
+    broadcast-semi-join shape); corpus docs never compare to each other.
+    The decontamination step every training mix runs before a model
+    sees the data."""
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.withColumn("toks", _spark_tokens(F.col("text")))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(_spark_shingles(F.col("toks"))).alias("shingle"),
+        )
+        .distinct()
+    )
+    bench = sh.filter(F.col("source") == "src0").select("shingle").distinct()
+    corpus = sh.filter(F.col("source") != "src0").select("doc_id", "shingle")
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    overlap = F.col("n_shared").cast("double") / F.col("n_sh")
+    return (
+        hits.join(sizes, "doc_id")
+        .filter(overlap >= 0.1)
+        .select("doc_id", "n_shared", F.round(overlap, 4).alias("overlap"))
+    )
