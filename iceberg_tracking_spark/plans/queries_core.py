@@ -604,3 +604,117 @@ def q_intersect(spark, sf_dir):
     early = ev.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp")).select("user_id")
     late = ev.filter(F.col("ts") >= F.lit("2024-01-22").cast("timestamp")).select("user_id")
     return early.intersect(late)
+
+
+@query(
+    "q_group_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+           round(quantile_cont(l_quantity, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_group_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (p25/p50/p75/p99) —
+    the distribution profile behind threshold derivation (A4) and data
+    audits. Spark's `percentile` is the exact sort-based aggregate;
+    at 100 TB swap for `percentile_approx` (t-digest, one pass,
+    mergeable) — the rows-only q_approx_count_distinct pattern."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.expr(f"percentile(l_quantity, {p})"), 4
+            ).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75, 0.99)
+        ]
+    )
+
+
+@query(
+    "q_corr_covar",
+    oracle="""
+    SELECT l_linestatus,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(stddev_samp(l_discount), 6) AS std_discount
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_corr_covar(spark, sf_dir):
+    """Bivariate statistics per group: Pearson correlation, population
+    covariance, sample stddev — single-pass mergeable moment aggregates
+    (the same co-moment recurrences Spark uses distributed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("std_discount"),
+    )
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           upper(substring(o_orderpriority, 1, 3)) AS pri3,
+           replace(o_orderpriority, '-', '_') AS pri_snake,
+           CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+           left(o_orderstatus || '/' || o_orderpriority, 8) AS status_key,
+           CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_at
+    FROM orders
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    """String function family: substring/upper/replace/length/concat/
+    left/position — all native codegen expressions (the engine has no
+    Python in any scalar path)."""
+    o = _t(spark, sf_dir, "orders")
+    combo = F.concat(F.col("o_orderstatus"), F.lit("/"), F.col("o_orderpriority"))
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("pri3"),
+        F.replace(
+            F.col("o_orderpriority"), F.lit("-"), F.lit("_")
+        ).alias("pri_snake"),
+        F.length("o_orderpriority").cast("long").alias("pri_len"),
+        F.substring(combo, 1, 8).alias("status_key"),
+        F.instr(F.col("o_orderpriority"), "-").cast("long").alias("dash_at"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           list_sort(list_distinct(toks))[1] AS first_token,
+           array_to_string(list_sort(list_distinct(toks))[1:3], '|') AS top3_joined,
+           CAST(list_contains(toks, 'the') AS BIGINT) AS has_the
+    FROM (SELECT doc_id, {{toks}} AS toks FROM documents)
+    """.format(toks="list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"),
+)
+def q_array_funcs(spark, sf_dir):
+    """Array function family: distinct/sort/slice/join/contains over the
+    token array — the collection algebra used by the shingle and
+    vocabulary pipelines, all JVM-side. Array-typed outputs are reduced
+    to scalars (element/joined string) because engines stringify array
+    cells differently in the hash compare."""
+    from .queries_llm import _spark_tokens
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "toks", _spark_tokens(F.col("text"))
+    )
+    dedup_sorted = F.array_sort(F.array_distinct("toks"))
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.element_at(dedup_sorted, 1).alias("first_token"),
+        F.array_join(F.slice(dedup_sorted, 1, 3), "|").alias("top3_joined"),
+        F.array_contains("toks", "the").cast("long").alias("has_the"),
+    )
