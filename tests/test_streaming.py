@@ -280,3 +280,24 @@ def test_stream_foreachbatch_upserts_into_catalog(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(tbl.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_streaming_sliding_equals_batch(spark, sf_dir, events_stream_dir):
+    """Sliding-window streaming agg matches the batch q_sliding_window
+    (same window()+groupBy plan over readStream)."""
+    from iceberg_tracking_spark.plans.registry import QUERIES
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
+    agg = streaming_tumbling_agg(
+        stream, "1 hour", slide="30 minutes", watermark="2 hours"
+    )
+    got = _run_stream(spark, agg, "sliding_parity")
+    batch = QUERIES["q_sliding_window"].fn(spark, sf_dir).toPandas()
+    got2 = got.assign(ws=(got["window_start"].astype("int64") // 10**9))[
+        ["ws", "event_type", "n", "sum_value"]
+    ]
+    a = got2.sort_values(["ws", "event_type"]).reset_index(drop=True)
+    b = batch.sort_values(["ws", "event_type"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["n"].values == b["n"].values).all()
+    assert (abs(a["sum_value"].values - b["sum_value"].values) < 1e-6).all()
