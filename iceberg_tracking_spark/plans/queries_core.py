@@ -718,3 +718,44 @@ def q_array_funcs(spark, sf_dir):
         F.array_join(F.slice(dedup_sorted, 1, 3), "|").alias("top3_joined"),
         F.array_contains("toks", "the").cast("long").alias("has_the"),
     )
+
+
+@query(
+    "q_star_join",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN supplier ON s_nationkey = n_nationkey
+    JOIN lineitem ON l_suppkey = s_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY r_name, n_name
+    """,
+)
+def q_star_join(spark, sf_dir):
+    """Five-way star join (TPC-H Q5 shape): region→nation→supplier are
+    broadcast dimensions chained onto the lineitem fact, orders joins on
+    the fact key with its filter pushed below the join. One fact shuffle
+    total; Catalyst's join reordering + broadcast promotion handle the
+    rest — the canonical warehouse query the MOT reference never needed
+    but a complete engine must run well."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    joined = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

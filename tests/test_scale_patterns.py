@@ -81,3 +81,33 @@ def test_partition_pruning_skips_directories(spark, tmp_path):
     assert "seq" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
     assert back.count() == 100
     assert back.select(F.countDistinct("seq")).first()[0] == 1
+
+
+def test_range_clustered_write_enables_file_skipping(spark, tmp_path):
+    """Data clustering for scan pruning: writing with repartitionByRange
+    + sortWithinPartitions gives each file a narrow min-max range on the
+    cluster key, so a range filter touches a strict subset of files
+    (parquet row-group stats skipping — the storage-level analog of
+    partition pruning for high-cardinality keys, and the poor-man's
+    Z-order for one dimension)."""
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    (
+        df.repartitionByRange(16, "k")
+        .sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    all_files = back.select(F.input_file_name()).distinct().count()
+    hit_files = (
+        back.filter((F.col("k") >= 10_000) & (F.col("k") < 15_000))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert all_files == 16
+    assert hit_files <= 2, f"range filter touched {hit_files} of {all_files} files"
+    assert back.filter((F.col("k") >= 10_000) & (F.col("k") < 15_000)).count() == 5_000
