@@ -34,11 +34,13 @@ HEADLINE = [
     "q_iou_argmax",
     "q_rollup",
     # scale-path additions: as-of (union+window), LSH-bucketed ANN,
-    # token accounting, and the full eval-metrics relational job
+    # token accounting, the full eval-metrics relational job, and the
+    # five-way star join
     "q_asof_join",
     "q_ann_lsh",
     "q_token_count",
     "q_eval_metrics",
+    "q_star_join",
 ]
 
 
