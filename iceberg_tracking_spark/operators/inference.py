@@ -144,3 +144,70 @@ def detect_tiles(tiles: DataFrame) -> DataFrame:
             "conf double"
         ),
     )
+
+
+def generate_embeddings(
+    detections: DataFrame,
+    dim: int = 64,
+    cache_size: int = 32,
+) -> DataFrame:
+    """Per-detection embedding generation with frame-clustered decode
+    caching (reference generate_iceberg_embeddings, embedding.py:1263-1387
+    + the LRU trick at embedding.py:234-250, 1346-1349).
+
+    The expensive step is decoding a full frame once, not cropping one
+    box — so detections are range-partitioned AND sorted by
+    (sequence, frame) before the Arrow pass: every frame lands in
+    exactly one partition, arrives contiguously, and is decoded exactly
+    once into a small executor-local LRU (the distributed form of the
+    reference's sorted-DataLoader + 32-frame cache). Output rows carry
+    `cache_miss` so tests can assert decode count == distinct frames.
+
+    The frame decode + backbone are deterministic stubs (no image/torch
+    libs in this container); the partitioning, ordering, batch shape,
+    and cache mechanics are the production pattern — swap `_decode` /
+    `_embed` for cv2 + a TorchScript model on a GPU cluster.
+    """
+    from collections import OrderedDict
+
+    out_schema = (
+        "sequence string, frame string, obj_id int, "
+        f"embedding array<float>, cache_miss boolean"
+    )
+
+    def _partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: OrderedDict = OrderedDict()
+
+        def _decode(seq: str, frame: str):
+            key = (seq, frame)
+            if key in cache:
+                cache.move_to_end(key)
+                return cache[key], False
+            seed = int(hashlib.md5(f"{seq}/{frame}".encode()).hexdigest()[:8], 16)
+            mat = seed  # stands in for the decoded frame
+            cache[key] = mat
+            if len(cache) > cache_size:
+                cache.popitem(last=False)
+            return mat, True
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mat, miss = _decode(r.sequence, r.frame)
+                h = hashlib.md5(
+                    f"{mat}/{r.obj_id}/{r.bb_left:.3f}/{r.bb_top:.3f}".encode()
+                ).digest()
+                vec = [
+                    (h[i % 16] * 16 + i) / 4096.0 for i in range(dim)
+                ]
+                rows.append((r.sequence, r.frame, int(r.obj_id), vec, miss))
+            yield pd.DataFrame(
+                rows,
+                columns=["sequence", "frame", "obj_id", "embedding", "cache_miss"],
+            )
+
+    clustered = (
+        detections.repartitionByRange("sequence", "frame")
+        .sortWithinPartitions("sequence", "frame")
+    )
+    return clustered.mapInPandas(_partition, schema=out_schema)

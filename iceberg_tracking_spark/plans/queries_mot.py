@@ -377,3 +377,56 @@ def q_grid_join_2d(spark, sf_dir):
             F.round(F.avg("dist"), 4).alias("avg_dist"),
         )
     )
+
+
+@query("q_remove_nested")  # rows-only: order-dependent precedence (SURVEY §7.4)
+def q_remove_nested(spark, sf_dir):
+    """W4 exact: nested-box removal with confidence classes via
+    applyInPandas per frame (reference detection.py:1120-1198) — a
+    high-confidence box always beats a low-confidence one; among
+    same-class boxes the higher score survives. The SQL-checkable
+    approximation is q_containment_antijoin; the invariant (no
+    surviving box nested in another survivor) is asserted in
+    tests/test_operators.py."""
+    from ..operators.nms import remove_nested
+
+    b = _boxes(spark, sf_dir)
+    det = b.select(
+        F.lit("s0").alias("sequence"),
+        F.col("frame").cast("string").alias("frame"),
+        F.col("event_id").cast("int").alias("obj_id"),
+        F.col("dl").alias("bb_left"),
+        F.col("dt_").alias("bb_top"),
+        (F.col("dw") * 2).alias("bb_width"),
+        (F.col("dh") * 2).alias("bb_height"),
+        ((F.col("event_id") % 100) / 100.0).alias("conf"),
+    )
+    kept = remove_nested(det, containment_threshold=0.75, conf_split=0.5)
+    return kept.select("sequence", "frame", "obj_id", "bb_left", "bb_top", "conf")
+
+
+@query("q_gen_embeddings")  # rows-only: stub backbone (SURVEY §2.8 M4)
+def q_gen_embeddings(spark, sf_dir):
+    """M4: embedding generation over detections with frame-clustered
+    decode caching — range-partition + sort by (sequence, frame) so each
+    frame is decoded once into an executor-local LRU, then an
+    Arrow-batched embedding pass (operators/inference.generate_embeddings;
+    reference embedding.py:1263-1387). Cache effectiveness is asserted
+    in tests (decodes == distinct frames)."""
+    from ..operators.inference import generate_embeddings
+
+    b = _boxes(spark, sf_dir)
+    det = b.select(
+        (F.col("user_id") % 4).cast("string").alias("sequence"),
+        F.format_string("%09d", F.col("frame")).alias("frame"),
+        F.col("event_id").cast("int").alias("obj_id"),
+        F.col("dl").alias("bb_left"),
+        F.col("dt_").alias("bb_top"),
+        F.col("dw").alias("bb_width"),
+        F.col("dh").alias("bb_height"),
+        F.lit(0.9).alias("conf"),
+    )
+    out = generate_embeddings(det, dim=32)
+    return out.select(
+        "sequence", "frame", "obj_id", F.size("embedding").alias("dim")
+    )

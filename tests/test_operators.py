@@ -292,3 +292,88 @@ def test_connected_components_known_graph(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_remove_nested_invariant_and_precedence(spark):
+    from iceberg_tracking_spark.operators.nms import remove_nested
+
+    rows = [
+        # big low-conf box containing a small high-conf box -> big loses
+        ("s", "1", 1, 0.0, 0.0, 100.0, 100.0, 0.4),
+        ("s", "1", 2, 10.0, 10.0, 20.0, 20.0, 0.9),
+        # two low-conf nested boxes -> lower score loses
+        ("s", "1", 3, 200.0, 200.0, 50.0, 50.0, 0.45),
+        ("s", "1", 4, 210.0, 210.0, 20.0, 20.0, 0.30),
+        # disjoint box untouched
+        ("s", "1", 5, 400.0, 400.0, 10.0, 10.0, 0.2),
+        # high-conf containing high-conf -> higher score survives
+        ("s", "2", 6, 0.0, 0.0, 100.0, 100.0, 0.95),
+        ("s", "2", 7, 5.0, 5.0, 30.0, 30.0, 0.80),
+    ]
+    det = spark.createDataFrame(
+        rows,
+        "sequence string, frame string, obj_id int, bb_left double, "
+        "bb_top double, bb_width double, bb_height double, conf double",
+    )
+    kept = remove_nested(det, containment_threshold=0.75, conf_split=0.5)
+    ids = {r["obj_id"] for r in kept.collect()}
+    assert ids == {2, 3, 5, 6}
+    # Invariant: no survivor is nested (>=0.75 containment) in another
+    # survivor of the same frame.
+    import itertools
+
+    by_frame = {}
+    for r in kept.collect():
+        by_frame.setdefault(r["frame"], []).append(r)
+    for boxes in by_frame.values():
+        for p, q in itertools.permutations(boxes, 2):
+            xa = max(p["bb_left"], q["bb_left"])
+            ya = max(p["bb_top"], q["bb_top"])
+            xb = min(p["bb_left"] + p["bb_width"], q["bb_left"] + q["bb_width"])
+            yb = min(p["bb_top"] + p["bb_height"], q["bb_top"] + q["bb_height"])
+            inter = max(xb - xa, 0) * max(yb - ya, 0)
+            smaller = min(
+                p["bb_width"] * p["bb_height"], q["bb_width"] * q["bb_height"]
+            )
+            assert smaller > 0 and inter / smaller < 0.75
+
+
+def test_generate_embeddings_frame_cache_locality(spark):
+    """M4: the frame-clustered embedding pass decodes each frame exactly
+    once (range partitioning puts a frame in one partition; sorting
+    makes it contiguous; the LRU never evicts mid-frame)."""
+    import pandas as pd
+
+    from iceberg_tracking_spark.operators.inference import generate_embeddings
+
+    rows = []
+    for seq in ("a", "b"):
+        for f in range(40):
+            for o in range(5):
+                rows.append((seq, f"{f:06d}", f * 10 + o, 1.0 * o, 2.0 * o, 10.0, 10.0, 0.9))
+    det = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "sequence", "frame", "obj_id",
+                "bb_left", "bb_top", "bb_width", "bb_height", "conf",
+            ],
+        )
+    )
+    out = generate_embeddings(det, dim=16).cache()
+    assert out.count() == 2 * 40 * 5
+    from pyspark.sql import functions as F
+
+    n_misses = out.filter("cache_miss").count()
+    assert n_misses == 2 * 40  # one decode per (sequence, frame)
+    # Deterministic across runs.
+    a = sorted(
+        (r["sequence"], r["frame"], r["obj_id"], tuple(r["embedding"]))
+        for r in out.collect()
+    )
+    b = sorted(
+        (r["sequence"], r["frame"], r["obj_id"], tuple(r["embedding"]))
+        for r in generate_embeddings(det, dim=16).collect()
+    )
+    assert a == b
+    out.unpersist()
