@@ -759,3 +759,87 @@ def q_star_join(spark, sf_dir):
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "q_ship_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_ship_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): selective dimension filter
+    broadcast onto the fact, date predicates pushed to both scans,
+    aggregate, then global top-10 by revenue — executed as
+    TakeOrderedAndProject (per-partition top-k, never a full sort)."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return (
+        agg.select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q_big_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+           round(total_qty, 2) AS total_qty
+    FROM orders
+    JOIN (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    ) big ON o_orderkey = big.l_orderkey
+    """,
+)
+def q_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): aggregate the fact first
+    (map-side combine shrinks it to one row per order), HAVING-filter,
+    then join the small survivor set back to orders — aggregate-before-
+    join, the order-of-operations that matters at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"]).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round("total_qty", 2).alias("total_qty"),
+    )
