@@ -42,6 +42,7 @@ def connected_components(
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
 
+    converged = False
     for _ in range(max_iterations):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -67,5 +68,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Truncated labels look like extra components — silently wrong
+        # results are worse than failing (the oracle computes the exact
+        # closure). Diameter > max_iterations is the only cause.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — raise max_iterations (graph diameter exceeds it)"
+        )
     return labels.select("node", F.col("label").alias("component"))

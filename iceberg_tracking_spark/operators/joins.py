@@ -123,42 +123,55 @@ def asof_join(
 
     Implemented as union → single window pass (the scalable form): tag
     the streams, sort within key by (time, side) with right first at
-    ties, and carry right attributes forward with last_value(ignore
-    nulls). ONE shuffle, no pair explosion — a join+argmax formulation
-    would materialize |L|·|R| pairs per key before pruning, which is
-    exactly what kills as-of joins at scale. Same pattern as the
-    reference's per-frame "most recent track state" lookup
-    (tracking.py:788-799), generalized to two tables.
+    ties, and carry the WHOLE right row forward as one struct with
+    last_value(ignore nulls) — per-column carry would stitch attributes
+    from different right rows whenever a right column holds a NULL, and
+    would misread a legitimately-NULL first column as "no match". ONE
+    shuffle, no pair explosion — a join+argmax formulation would
+    materialize |L|·|R| pairs per key before pruning, which is exactly
+    what kills as-of joins at scale. Same pattern as the reference's
+    per-frame "most recent track state" lookup (tracking.py:788-799),
+    generalized to two tables.
     """
-    lt = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
-    for c in right_cols:
-        lt = lt.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
-    rt = (
-        right.select(
-            F.col(key).alias(key) if key in right.columns else F.col(key),
-            F.col(right_time).alias("_t"),
-            *[F.col(c) for c in right_cols],
+    collisions = set(right_cols) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"right_cols collide with left columns: {sorted(collisions)}; "
+            "rename one side before the as-of join"
         )
-        .withColumn("_side", F.lit(0))
+    lt = (
+        left.withColumn("_t", F.col(left_time))
+        .withColumn("_side", F.lit(1))
+        .withColumn("_r", F.lit(None).cast(
+            "struct<" + ", ".join(
+                f"{c}: {dict(right.dtypes)[c]}" for c in right_cols
+            ) + ">"
+        ))
     )
-    lt = lt.select(*([key, "_t", "_side"] + right_cols + [c for c in left.columns if c not in (key,)]))
-    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    rt = right.select(
+        F.col(key),
+        F.col(right_time).alias("_t"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
+    ).withColumn("_side", F.lit(0))
+    unioned = lt.select(
+        *([key, "_t", "_side", "_r"] + [c for c in left.columns if c != key])
+    ).unionByName(rt, allowMissingColumns=True)
     w = (
         Window.partitionBy(key)
         .orderBy("_t", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in right_cols
-        ],
+        "*", F.last(F.col("_r"), ignorenulls=True).over(w).alias("_asof")
     )
-    out = carried.filter(F.col("_side") == 1).drop("_side", *right_cols)
+    out = (
+        carried.filter(F.col("_side") == 1)
+        .filter(F.col("_asof").isNotNull())
+        .drop("_side", "_r", "_t")
+    )
     for c in right_cols:
-        out = out.withColumnRenamed(f"_asof_{c}", c)
-    return out.filter(F.col(right_cols[0]).isNotNull()).drop("_t")
+        out = out.withColumn(c, F.col(f"_asof.{c}"))
+    return out.drop("_asof")
 
 
 def consecutive_frame_join(

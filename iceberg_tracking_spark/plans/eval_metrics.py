@@ -55,7 +55,12 @@ def clear_identity_metrics(
     # The matches relation feeds THREE independent aggregation branches
     # (match/switch stats, coverage, islands). Without materialization
     # Catalyst would recompute the IoU join + argmax once per branch —
-    # persist it (tiny: one row per matched GT per frame).
+    # persist it (tiny: one row per matched GT per frame). The cache is
+    # intentionally NOT unpersisted here: the result DataFrame is lazy
+    # and the branches re-execute on every downstream action. Long-lived
+    # sessions calling this repeatedly should unpersist via
+    # spark.catalog.clearCache() between runs; Spark's LRU handles the
+    # rest.
     from ..operators.windows import argmax_agg
 
     matches = argmax_agg(

@@ -527,7 +527,7 @@ def q_vocab_topk(spark, sf_dir):
     is explode → map-side partial count → one shuffle on token → final
     count → TakeOrdered(k) — the scalable shape (never a global sort of
     the full vocabulary). Ties broken by token text for determinism."""
-    d = scatter(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents")  # _t already scatters
     toks = d.withColumn("toks", _spark_tokens(F.col("text"))).select(
         F.explode("toks").alias("token")
     )
@@ -573,7 +573,7 @@ def q_tfidf(spark, sf_dir):
     df on token) + a broadcast of the tiny per-token df table back onto
     tf — the standard scalable shape; the corpus size joins in as a
     1-row broadcast."""
-    d = scatter(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents")  # _t already scatters
     tok = d.withColumn("toks", _spark_tokens(F.col("text"))).select(
         "doc_id", F.explode("toks").alias("token")
     )

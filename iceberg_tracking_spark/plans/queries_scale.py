@@ -703,11 +703,14 @@ def q_pivot(spark, sf_dir):
     out = (
         li.groupBy("l_linestatus")
         .pivot("l_returnflag", ["A", "N", "R"])
-        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+        .agg(F.round(F.sum("l_quantity"), 2))
     )
+    # coalesce must wrap the PIVOTED columns: a missing (status, flag)
+    # combo yields NULL cells (the agg expression never runs for an
+    # absent group), while the oracle's coalesce(sum(...), 0) gives 0.
     return out.select(
         "l_linestatus",
-        F.col("A").alias("qty_A"),
-        F.col("N").alias("qty_N"),
-        F.col("R").alias("qty_R"),
+        F.coalesce(F.col("A"), F.lit(0.0)).alias("qty_A"),
+        F.coalesce(F.col("N"), F.lit(0.0)).alias("qty_N"),
+        F.coalesce(F.col("R"), F.lit(0.0)).alias("qty_R"),
     )

@@ -65,6 +65,16 @@ class VersionedTable:
     def _data_dir(self, version: int) -> str:
         return os.path.join(self.base, f"v={version}")
 
+    @staticmethod
+    def _entry_for(manifest: dict, version: int) -> dict:
+        """Manifest entry of a specific version — NOT versions[-1]: after
+        a rollback the current snapshot is not the newest one, and
+        upsert/compact must inherit the CURRENT snapshot's layout."""
+        for e in manifest["versions"]:
+            if e["version"] == version:
+                return e
+        raise ValueError(f"version {version} not in manifest")
+
     # ------------------------------------------------------------ write
 
     def write(
@@ -123,7 +133,7 @@ class VersionedTable:
         current = spark.read.parquet(self._data_dir(m["current"]))
         kept = current.join(changes.select(*key_cols), key_cols, "left_anti")
         merged = kept.unionByName(changes)
-        entry = m["versions"][-1]
+        entry = self._entry_for(m, m["current"])
         return self.write(
             merged, mode="overwrite", partition_by=entry["partition_by"] or None
         )
@@ -175,7 +185,7 @@ class VersionedTable:
         )
         n_files = max(1, math.ceil(size / target_file_bytes))
         df = spark.read.parquet(cur).repartition(n_files)
-        entry = m["versions"][-1]
+        entry = self._entry_for(m, m["current"])
         return self.write(df, mode="overwrite", partition_by=entry["partition_by"] or None)
 
     def expire(self, keep_last: int = 1) -> list[int]:
@@ -183,14 +193,13 @@ class VersionedTable:
         (never the current one). Returns expired version numbers."""
         m = self._load_manifest()
         keep = {e["version"] for e in m["versions"][-keep_last:]} | {m["current"]}
-        expired = []
-        remaining = []
-        for e in m["versions"]:
-            if e["version"] in keep:
-                remaining.append(e)
-                continue
-            shutil.rmtree(self._data_dir(e["version"]), ignore_errors=True)
-            expired.append(e["version"])
-        m["versions"] = remaining
+        expired = [e["version"] for e in m["versions"] if e["version"] not in keep]
+        # Commit the pruned manifest FIRST, then delete data: a crash
+        # in between leaves unreferenced directories (harmless garbage,
+        # re-collectable) — deleting first would leave the manifest
+        # advertising snapshots whose data is gone.
+        m["versions"] = [e for e in m["versions"] if e["version"] in keep]
         self._commit(m)
+        for v in expired:
+            shutil.rmtree(self._data_dir(v), ignore_errors=True)
         return expired

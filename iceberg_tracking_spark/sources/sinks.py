@@ -87,8 +87,22 @@ def compact_parquet_table(
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
     if partition_cols:
+        # Hash-repartitioning on the partition columns alone would put
+        # ALL rows of each partition value in one task → exactly one
+        # file per partition directory regardless of size. A salt
+        # bounded by files-per-partition keeps each directory at
+        # ~target-sized files.
+        n_parts = df.select(*partition_cols).distinct().count()
+        per_dir = max(1, math.ceil(n_files / max(1, n_parts)))
+        salted = df.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(per_dir)),
+        )
         (
-            df.repartition(n_files, *[F.col(c) for c in partition_cols])
+            salted.repartition(
+                max(n_files, n_parts), *[F.col(c) for c in partition_cols], F.col("_salt")
+            )
+            .drop("_salt")
             .write.mode("overwrite")
             .partitionBy(*partition_cols)
             .parquet(tmp)

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..tracker.batch import TrackerConfig, SequenceTracker, _Track
+from ..tracker.batch import TrackerConfig, SequenceTracker, _Track, frame_order
 from ..tracker.kalman import KalmanBoxTracker, STATE_DIM
 
 OUTPUT_SCHEMA = (
@@ -90,7 +90,9 @@ def streaming_track(
         )
         rows: list[tuple[Any, ...]] = []
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        for frame in sorted(pdf["frame"].unique()):
+        # Numeric-aware frame ordering — lexicographic would process
+        # unpadded '10' before '2' (see tracker.batch.frame_order).
+        for frame in frame_order(pdf["frame"]):
             fd = pdf[pdf["frame"] == frame].sort_values("obj_id")
             dets = fd[["bb_left", "bb_top", "bb_width", "bb_height"]].to_numpy(float)
             rows.extend(

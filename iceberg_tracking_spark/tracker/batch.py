@@ -168,12 +168,30 @@ class SequenceTracker:
         return emitted
 
 
+def frame_order(frames) -> list:
+    """Deterministic temporal order for frame ids.
+
+    MOT frame ids are strings that are USUALLY zero-padded numerics but
+    may arrive unpadded ('2' vs '10' — reference helpers.py:368-373
+    pads on load, raw feeds do not). Plain lexicographic sort would run
+    frame '10' before '2' and scramble the Kalman timeline, so digit
+    strings order numerically (length, then lexicographic — equivalent
+    for non-negative ints) ahead of non-digit stems, which keep
+    lexicographic order among themselves.
+    """
+    def k(s):
+        s = str(s)
+        return (0, len(s), s) if s.isdigit() else (1, 0, s)
+
+    return sorted(set(frames), key=k)
+
+
 def track_one_sequence_pdf(pdf: pd.DataFrame, cfg: TrackerConfig) -> pd.DataFrame:
     """Run the sequential tracker over one sequence's detections."""
     seq = pdf["sequence"].iloc[0]
     tracker = SequenceTracker(cfg)
     out_rows = []
-    for frame in sorted(pdf["frame"].unique()):
+    for frame in frame_order(pdf["frame"]):
         fd = pdf[pdf["frame"] == frame].sort_values("obj_id")
         dets = fd[["bb_left", "bb_top", "bb_width", "bb_height"]].to_numpy(float)
         emitted = tracker.step(

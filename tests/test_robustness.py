@@ -112,3 +112,87 @@ def test_calibration_feeds_tracker_config(spark, sf_dir):
     det = spark.createDataFrame(make_sequence("s0", n_frames=20))
     tracks = track_sequences(det, cfg)
     assert tracks.select(F.countDistinct("track_id")).first()[0] == 3
+
+
+def test_asof_join_nullable_right_column_no_row_mixing(spark):
+    """A NULL in one right column must not stitch attributes from two
+    different right rows (the whole right row is carried as one struct)."""
+    left = spark.createDataFrame([(1, 3)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 1, 1, 7.0), (1, 2, 2, None)],
+        "k long, rt long, rid long, price double",
+    )
+    out = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        right_cols=["rid", "price"],
+    ).collect()
+    assert len(out) == 1
+    # The as-of row is (rid=2, price=NULL) — NOT rid=2 with price=7.0
+    # leaked from the older row.
+    assert out[0]["rid"] == 2
+    assert out[0]["price"] is None
+
+
+def test_asof_join_rejects_column_collision(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 3, 9.0)], "k long, t long, price double")
+    right = spark.createDataFrame([(1, 1, 7.0)], "k long, rt long, price double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, key="k", left_time="t", right_time="rt",
+                  right_cols=["price"])
+
+
+def test_tracker_orders_unpadded_numeric_frames(spark):
+    """Frames '2' and '10' (unpadded) must process numerically: an
+    object moving at constant velocity keeps ONE track id — a
+    lexicographic frame order would scramble the timeline and split it."""
+    rows = []
+    for f in range(1, 15):  # frames '1'..'14', unpadded
+        rows.append(("s", str(f), f, 100.0 + 8.0 * f, 50.0 + 3.0 * f, 30.0, 30.0, 0.9))
+    det = spark.createDataFrame(
+        rows,
+        "sequence string, frame string, obj_id int, bb_left double, "
+        "bb_top double, bb_width double, bb_height double, conf double",
+    )
+    out = track_sequences(det, TrackerConfig()).toPandas()
+    assert out["track_id"].nunique() == 1
+    assert len(out) == 14
+
+
+def test_catalog_upsert_after_rollback_keeps_layout(spark, tmp_path):
+    import glob
+
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt_rb"))
+    df0 = spark.createDataFrame([("a", 1, 1.0), ("b", 2, 2.0)], "seq string, k long, v double")
+    t.write(df0, partition_by=["seq"])  # v0 partitioned
+    t.write(df0)                        # v1 unpartitioned
+    t.rollback(0)
+    t.upsert(spark.createDataFrame([("a", 1, 9.0)], "seq string, k long, v double"),
+             key_cols=["k"])
+    v = t.current_version()
+    # The new snapshot inherits v0's (current's) partitioning, not v1's.
+    assert glob.glob(f"{t.base}/v={v}/seq=*"), "partition layout lost after rollback+upsert"
+    assert {r["v"] for r in t.read(spark).filter("k = 1").collect()} == {9.0}
+
+
+def test_partitioned_compaction_splits_large_partitions(spark, tmp_path):
+    import glob
+
+    from iceberg_tracking_spark.sources.sinks import compact_parquet_table
+
+    path = str(tmp_path / "frag_part")
+    df = spark.range(0, 40_000).selectExpr(
+        "CAST(id % 2 AS STRING) AS seq", "id AS k", "CAST(id AS DOUBLE) AS v"
+    )
+    df.repartition(12).write.partitionBy("seq").mode("overwrite").parquet(path)
+    # Tiny target size forces multiple output files per partition dir.
+    compact_parquet_table(
+        spark, path, target_file_bytes=64 * 1024, partition_cols=["seq"]
+    )
+    for part in ("seq=0", "seq=1"):
+        n = len(glob.glob(f"{path}/{part}/*.parquet"))
+        assert n > 1, f"{part} compacted to a single file"
+    assert spark.read.parquet(path).count() == 40_000
