@@ -16,8 +16,17 @@ def composite_key(frame: Column, obj_id: Column) -> Column:
 
 
 def zero_pad(col: Column, width: int = 6) -> Column:
-    """`f"{int(x):06d}"` (reference helpers.py:370)."""
-    return F.format_string(f"%0{width}d", col.cast("int"))
+    """`f"{int(x):06d}"` for numeric ids; non-numeric ids pass through.
+
+    Mirrors reference helpers.py:368-373, which pads int-parseable frame
+    ids and keeps image stems (e.g. '_MG_17310') verbatim. Without the
+    guard, format_string renders a failed int cast as the literal
+    string 'null'.
+    """
+    as_int = col.cast("int")
+    return F.when(
+        as_int.isNotNull(), F.format_string(f"%0{width}d", as_int)
+    ).otherwise(col.cast("string"))
 
 
 def stable_id_hash(*cols: Column) -> Column:

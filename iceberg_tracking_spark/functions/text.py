@@ -67,9 +67,16 @@ def quality_score(text: Column) -> Column:
     )
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles as array<string> (for minhash / Jaccard dedup)."""
-    toks = tokens(F.lower(text))
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles from a token array.
+
+    THE canonical shingle implementation — the oracle-checked dedup
+    queries and this library share it, so the tokenization contract
+    mirrored by the DuckDB oracle fragments lives in exactly one place.
+    `toks` MUST be a materialized column (withColumn first), not an
+    inline tokenization expression: Catalyst does not CSE inside
+    higher-order-function lambdas, so inlining re-tokenizes per shingle
+    (measured ~14×)."""
     n = F.size(toks)
     return F.when(
         n >= k,
@@ -77,7 +84,14 @@ def word_shingles(text: Column, k: int = 3) -> Column:
             F.sequence(F.lit(1), n - F.lit(k - 1)),
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
         ),
-    ).otherwise(F.array())
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles straight from text (convenience; see
+    shingles_from_tokens for the CSE warning — prefer materializing the
+    token column first on large corpora)."""
+    return shingles_from_tokens(tokens(F.lower(text)), k)
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:

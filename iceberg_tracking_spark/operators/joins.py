@@ -35,11 +35,23 @@ def grid_radius_join(
     (tracking.py:509-554): candidate cells = ±⌈r/cell⌉ around the probe
     cell, then the exact distance filter. `extra_on` adds equi-join
     conjuncts (e.g. same frame). Output keeps all columns of both
-    inputs plus `dist`.
+    inputs plus `dist`; right-side columns whose names collide with
+    left columns come back prefixed `r_`.
     """
     cell = float(cell_size if cell_size is not None else max(radius, 1e-9))
     reach = int(math.ceil(radius / cell))
     offsets = F.array(*[F.lit(o) for o in range(-reach, reach + 1)])
+
+    # Self-joins are the common case — disambiguate by prefixing any
+    # right column whose name collides with a left column ('r_<name>'),
+    # so the output contract (all columns of both inputs) stays usable.
+    renames = {c: f"r_{c}" for c in right.columns if c in set(left.columns)}
+    for old, new in renames.items():
+        right = right.withColumnRenamed(old, new)
+    right_x = renames.get(right_x, right_x)
+    right_y = renames.get(right_y, right_y)
+    if extra_on:
+        extra_on = [(lc, renames.get(rc, rc)) for lc, rc in extra_on]
 
     l = left.withColumn("_lcx", F.floor(F.col(left_x) / cell).cast("long")).withColumn(
         "_lcy", F.floor(F.col(left_y) / cell).cast("long")

@@ -161,21 +161,26 @@ def q_filter_range(spark, sf_dir):
     SELECT event_id,
            lpad(CAST(user_id AS VARCHAR), 6, '0') AS ukey,
            CAST(user_id AS VARCHAR) || '_' || CAST(event_id AS VARCHAR) AS ckey,
-           substr(md5(CAST(user_id AS VARCHAR) || '_' || CAST(event_id AS VARCHAR)), 1, 7) AS hkey
+           substr(md5(CAST(user_id AS VARCHAR) || '_' || CAST(event_id AS VARCHAR)), 1, 7) AS hkey,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_' || CAST(event_id AS VARCHAR)), 1, 7))::BIGINT AS hid
     FROM events
     """,
 )
 def q_string_fmt(spark, sf_dir):
     """F7/X10/X11/X13: zero-pad frame-id normalization, composite
     embedding key, stable md5 id hash (reference helpers.py:368-373,
-    tracking.py:983-984, detection.py:338-340)."""
+    tracking.py:983-984, detection.py:338-340) — via the functions.keys
+    library so the query exercises the exported expressions."""
+    from ..functions.keys import composite_key, stable_id_hash, zero_pad
+
     ev = _t(spark, sf_dir, "events")
-    ckey = F.concat_ws("_", F.col("user_id").cast("string"), F.col("event_id").cast("string"))
+    ckey = composite_key(F.col("user_id"), F.col("event_id"))
     return ev.select(
         "event_id",
-        F.lpad(F.col("user_id").cast("string"), 6, "0").alias("ukey"),
+        zero_pad(F.col("user_id"), 6).alias("ukey"),
         ckey.alias("ckey"),
         F.substring(F.md5(ckey), 1, 7).alias("hkey"),
+        stable_id_hash(F.col("user_id"), F.col("event_id")).alias("hid"),
     )
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import LANG_MARKERS, STOPWORDS
+from ..functions.text import LANG_MARKERS, STOPWORDS, shingles_from_tokens, tokens
 from ..sources.tables import load_table, scatter
 from .registry import query
 
@@ -35,24 +35,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str):
 
 
 def _spark_tokens(col):
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+    """Tokenization = functions.text.tokens over lowercased text — ONE
+    implementation shared with the library so the oracle-mirrored
+    contract (_DUCK_TOKS) cannot silently diverge."""
+    return tokens(F.lower(col))
 
 
-def _spark_shingles(toks, k: int = 3):
-    """3-word shingle array from a token array.
-
-    `toks` MUST be a materialized column reference (withColumn first),
-    not the inline tokenization expression: the lambda below references
-    it per element and Catalyst does not CSE inside higher-order
-    functions — inlining re-tokenizes per shingle (measured ~14×)."""
-    n = F.size(toks)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+# Canonical shingles live in functions.text (CSE warning included there).
+_spark_shingles = shingles_from_tokens
 
 
 # ------------------------------------------------------------ text analysis

