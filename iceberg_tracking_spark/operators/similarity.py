@@ -125,18 +125,33 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "e",
     round_digits: int = 6,
+    probes: int = 0,
 ) -> DataFrame:
-    """ANN top-k: candidates restricted to the query's LSH bucket.
+    """ANN top-k: candidates restricted to the query's LSH bucket(s).
 
     Equi-join on `sig` replaces the all-pairs cross join; recall < 1 by
     design (vectors in other buckets are never scored) — the standard
-    LSH trade. Multi-probe or band-OR extensions compose by unioning
-    additional signature columns.
+    LSH trade. `probes` > 0 enables multi-probe: each query also
+    searches the buckets at Hamming distance 1 obtained by flipping its
+    first `probes` signature bits — candidate volume grows ~(probes+1)×
+    while the corpus side is still touched only via the equi-join (the
+    standard recall lever; index stays single-signature).
     """
     signed = signature_lsh(vectors, vec_col, dim, n_bits)
     q = signed.filter(query_pred).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "sig"
     )
+    if probes > 0:
+        probe_sigs = F.array(
+            F.col("sig"),
+            *[
+                F.col("sig").bitwiseXOR(F.lit(1 << b))
+                for b in range(min(probes, n_bits))
+            ],
+        )
+        q = q.select(
+            "qid", "qe", F.explode(probe_sigs).alias("sig")
+        )
     sims = (
         F.broadcast(q)
         .join(signed, "sig")
