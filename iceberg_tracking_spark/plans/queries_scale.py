@@ -714,3 +714,48 @@ def q_pivot(spark, sf_dir):
         F.coalesce(F.col("N"), F.lit(0.0)).alias("qty_N"),
         F.coalesce(F.col("R"), F.lit(0.0)).alias("qty_R"),
     )
+
+
+@query(
+    "q_rolling_window",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2)
+             AS wk_revenue,
+           first_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS first_orderkey,
+           last_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_orderkey
+    FROM orders
+    """,
+)
+def q_rolling_window(spark, sf_dir):
+    """RANGE-framed rolling aggregation: per-customer 7-day revenue
+    window over event time (peers at the same instant are frame-mates,
+    per SQL RANGE semantics) plus first_value/last_value — the
+    value-based frame family that completes ROWS BETWEEN
+    (q_cumsum_window). Ordering by epoch seconds makes the interval
+    arithmetic engine-portable."""
+    o = _t(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-604800, 0)
+    )
+    w_order = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_order.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w_range), 2).alias("wk_revenue"),
+        F.first("o_orderkey").over(w_order).alias("first_orderkey"),
+        F.last("o_orderkey").over(w_full).alias("last_orderkey"),
+    )
