@@ -759,3 +759,39 @@ def q_rolling_window(spark, sf_dir):
         F.first("o_orderkey").over(w_order).alias("first_orderkey"),
         F.last("o_orderkey").over(w_full).alias("last_orderkey"),
     )
+
+
+@query(
+    "q_rank_family",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY round(o_totalprice, 2) DESC)
+    """,
+)
+def q_rank_family(spark, sf_dir):
+    """The full ranking family per customer: rank/dense_rank (gap vs
+    dense tie semantics over the SAME tied ordering), percent_rank, and
+    ntile quartiles (tie-broken ordering — ntile splits peers, so its
+    order must be total for engine parity)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.round("o_totalprice", 2).desc()
+    )
+    w_tiebroken = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w_tiebroken).cast("long").alias("quartile"),
+    )
