@@ -36,9 +36,14 @@ def connected_components(
     (node, component). Deterministic: the component id is the smallest
     member id, independent of partitioning or iteration order.
     """
+    # Checkpoint the symmetrized edge list ONCE: it is re-joined every
+    # round, and without lineage truncation each iteration would re-run
+    # the (possibly expensive) edge-derivation plan from the scan.
     sym = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+    ).union(
+        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    ).localCheckpoint()
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
 

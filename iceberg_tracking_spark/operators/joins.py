@@ -36,7 +36,8 @@ def grid_radius_join(
     cell, then the exact distance filter. `extra_on` adds equi-join
     conjuncts (e.g. same frame). Output keeps all columns of both
     inputs plus `dist`; right-side columns whose names collide with
-    left columns come back prefixed `r_`.
+    left columns come back prefixed `r_` (prefix grows to `rr_`… if a
+    right column already uses it).
     """
     cell = float(cell_size if cell_size is not None else max(radius, 1e-9))
     reach = int(math.ceil(radius / cell))
@@ -45,7 +46,10 @@ def grid_radius_join(
     # Self-joins are the common case — disambiguate by prefixing any
     # right column whose name collides with a left column ('r_<name>'),
     # so the output contract (all columns of both inputs) stays usable.
-    renames = {c: f"r_{c}" for c in right.columns if c in set(left.columns)}
+    prefix = "r_"
+    while any((prefix + c) in set(right.columns) for c in right.columns):
+        prefix = "r" + prefix
+    renames = {c: prefix + c for c in right.columns if c in set(left.columns)}
     for old, new in renames.items():
         right = right.withColumnRenamed(old, new)
     right_x = renames.get(right_x, right_x)

@@ -159,7 +159,7 @@ def q_filter_range(spark, sf_dir):
     "q_string_fmt",
     oracle="""
     SELECT event_id,
-           lpad(CAST(user_id AS VARCHAR), 6, '0') AS ukey,
+           printf('%06d', user_id) AS ukey,
            CAST(user_id AS VARCHAR) || '_' || CAST(event_id AS VARCHAR) AS ckey,
            substr(md5(CAST(user_id AS VARCHAR) || '_' || CAST(event_id AS VARCHAR)), 1, 7) AS hkey,
            ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '_' || CAST(event_id AS VARCHAR)), 1, 7))::BIGINT AS hid

@@ -179,10 +179,11 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-@query(
-    "q_ngram_jaccard",
-    oracle=f"""
-    WITH sh AS (
+# THE canonical Jaccard candidate-pair contract, defined once for both
+# oracle consumers (q_ngram_jaccard and q_dedup_clusters): tokenize →
+# distinct 3-shingles → lang-bounded self-join → jaccard ≥ 0.2.
+_JACCARD_PAIR_CTES = f"""
+    sh AS (
         SELECT doc_id, lang, u.s AS shingle
         FROM (SELECT doc_id, lang, {_DUCK_SHINGLES} AS shingles FROM documents),
              unnest(shingles) AS u(s)
@@ -194,21 +195,23 @@ def q_dedup_exact(spark, sf_dir):
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
                            AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               round(CAST(n_common AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
     )
-    SELECT doc_a, doc_b,
-           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4)
-             AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
-    """,
-)
-def q_ngram_jaccard(spark, sf_dir):
-    """Near-dedup via 3-word-shingle Jaccard: explode distinct shingles,
-    self-join on shingle (within the same lang partition to bound the
-    blow-up), count common / union ≥ 0.2. The shared-shingle join IS
-    the candidate pruning — disjoint docs never pair."""
+"""
+
+
+def _jaccard_pairs(spark, sf_dir):
+    """Canonical Spark side of _JACCARD_PAIR_CTES: one pair builder
+    shared by q_ngram_jaccard (scored) and q_dedup_clusters (edges) so
+    the threshold/shingle contract cannot desynchronize."""
     d = _t(spark, sf_dir, "documents")
     sh = (
         d.withColumn("toks", _spark_tokens(F.col("text")))
@@ -220,8 +223,7 @@ def q_ngram_jaccard(spark, sf_dir):
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(
             b,
@@ -232,8 +234,7 @@ def q_ngram_jaccard(spark, sf_dir):
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
         F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
     )
@@ -243,6 +244,21 @@ def q_ngram_jaccard(spark, sf_dir):
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Near-dedup via 3-word-shingle Jaccard: explode distinct shingles,
+    self-join on shingle (within the same lang partition to bound the
+    blow-up), count common / union ≥ 0.2. The shared-shingle join IS
+    the candidate pruning — disjoint docs never pair."""
+    return _jaccard_pairs(spark, sf_dir)
 
 
 _N_PERM = 8
@@ -625,63 +641,12 @@ def q_histogram(spark, sf_dir):
 
 # --------------------------------------------- dedup cluster formation
 
-_JACCARD_PAIR_CTES = f"""
-    sh AS (
-        SELECT doc_id, lang, u.s AS shingle
-        FROM (SELECT doc_id, lang, {_DUCK_SHINGLES} AS shingles FROM documents),
-             unnest(shingles) AS u(s)
-        GROUP BY doc_id, lang, u.s
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    common AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
-                           AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    ),
-    pairs AS (
-        SELECT doc_a, doc_b
-        FROM common
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
-    )
-"""
 
 
 def _jaccard_edges(spark, sf_dir):
-    """Near-dup candidate edges: 3-shingle Jaccard ≥ 0.2 (the pair set
-    of q_ngram_jaccard, without the score column)."""
-    d = _t(spark, sf_dir, "documents")
-    sh = (
-        d.withColumn("toks", _spark_tokens(F.col("text")))
-        .select(
-            "doc_id", "lang", F.explode(_spark_shingles(F.col("toks"))).alias("shingle")
-        )
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
-    )
-    return (
-        common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.2)
-        .select("doc_a", "doc_b")
-    )
+    """Near-dup candidate edges: the shared pair builder minus the
+    score column."""
+    return _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
 
 
 @query(

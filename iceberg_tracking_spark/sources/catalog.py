@@ -126,6 +126,25 @@ class VersionedTable:
         the plain-parquet analog of Iceberg/Delta `MERGE INTO` in
         copy-on-write mode.
         """
+        from pyspark.sql import functions as F
+
+        # MERGE semantics require a usable key: reject NULL keys (the
+        # equality anti-join can never match them → silent duplicates)
+        # and duplicate keys within `changes` (Iceberg/Delta MERGE
+        # raises on multiple source matches). One small agg job on the
+        # CDC batch, which is the small side by construction.
+        any_null = F.lit(False)
+        for c in key_cols:
+            any_null = any_null | F.col(c).isNull()
+        bad = changes.agg(
+            F.sum(F.when(any_null, 1).otherwise(0)).alias("n_null"),
+            (F.count(F.lit(1)) - F.countDistinct(*key_cols)).alias("n_dup"),
+        ).collect()[0]
+        if bad["n_null"] or bad["n_dup"]:
+            raise ValueError(
+                f"upsert changes invalid: {bad['n_null']} NULL-key rows, "
+                f"{bad['n_dup']} duplicate-key rows on {key_cols}"
+            )
         m = self._load_manifest()
         if m["current"] is None:
             return self.write(changes)

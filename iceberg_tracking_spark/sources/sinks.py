@@ -91,8 +91,9 @@ def compact_parquet_table(
         # ALL rows of each partition value in one task → exactly one
         # file per partition directory regardless of size. A salt
         # bounded by files-per-partition keeps each directory at
-        # ~target-sized files.
-        n_parts = df.select(*partition_cols).distinct().count()
+        # ~target-sized files. Partition-dir count comes from the file
+        # walk already done above — no extra full-table distinct scan.
+        n_parts = max(1, len({os.path.dirname(f) for f in before}))
         per_dir = max(1, math.ceil(n_files / max(1, n_parts)))
         salted = df.withColumn(
             "_salt",

@@ -175,13 +175,13 @@ def frame_order(frames) -> list:
     may arrive unpadded ('2' vs '10' — reference helpers.py:368-373
     pads on load, raw feeds do not). Plain lexicographic sort would run
     frame '10' before '2' and scramble the Kalman timeline, so digit
-    strings order numerically (length, then lexicographic — equivalent
-    for non-negative ints) ahead of non-digit stems, which keep
-    lexicographic order among themselves.
+    strings order by integer VALUE (a (len, lex) key would still
+    misorder padded '000010' vs unpadded '100') ahead of non-digit
+    stems, which keep lexicographic order among themselves.
     """
     def k(s):
         s = str(s)
-        return (0, len(s), s) if s.isdigit() else (1, 0, s)
+        return (0, int(s), "") if s.isdigit() else (1, 0, s)
 
     return sorted(set(frames), key=k)
 

@@ -196,3 +196,32 @@ def test_partitioned_compaction_splits_large_partitions(spark, tmp_path):
         n = len(glob.glob(f"{path}/{part}/*.parquet"))
         assert n > 1, f"{part} compacted to a single file"
     assert spark.read.parquet(path).count() == 40_000
+
+
+def test_upsert_rejects_null_and_duplicate_keys(spark, tmp_path):
+    import pytest
+
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt_guard"))
+    t.write(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(ValueError, match="duplicate-key"):
+        t.upsert(
+            spark.createDataFrame([(2, "x"), (2, "y")], "k long, v string"),
+            key_cols=["k"],
+        )
+    with pytest.raises(ValueError, match="NULL-key"):
+        t.upsert(
+            spark.createDataFrame([(None, "x")], "k long, v string"),
+            key_cols=["k"],
+        )
+    # Table unchanged after rejected merges.
+    assert t.read(spark).count() == 1
+
+
+def test_frame_order_mixed_padding():
+    from iceberg_tracking_spark.tracker.batch import frame_order
+
+    assert frame_order(["100", "000010", "2", "img_b", "img_a"]) == [
+        "2", "000010", "100", "img_a", "img_b",
+    ]
