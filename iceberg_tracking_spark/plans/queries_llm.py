@@ -740,3 +740,43 @@ def q_contamination(spark, sf_dir):
         .filter(overlap >= 0.1)
         .select("doc_id", "n_shared", F.round(overlap, 4).alias("overlap"))
     )
+
+
+@query(
+    "q_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq)
+    SELECT doc_id,
+           round(-avg(ln(freq.c / total.n)), 4) AS avg_nll,
+           count(*) AS n_tokens
+    FROM tok JOIN freq USING (token) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-LM quality proxy (CCNet-style): score each document by the
+    mean negative log-probability of its tokens under the corpus's own
+    unigram distribution — fluent/common text scores low, gibberish and
+    boilerplate outliers score high, and the score needs no external
+    model. Two shuffles (token frequency, per-doc mean); the frequency
+    table broadcasts back onto the token stream; corpus total is a
+    1-row broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.withColumn("toks", _spark_tokens(F.col("text"))).select(
+        "doc_id", F.explode("toks").alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("avg_nll"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
