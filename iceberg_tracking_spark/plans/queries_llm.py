@@ -780,3 +780,43 @@ def q_unigram_logprob(spark, sf_dir):
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+@query(
+    "q_dedup_keep_one",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    losers AS (SELECT node FROM comp WHERE component <> node)
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM losers)
+    """,
+)
+def q_dedup_keep_one(spark, sf_dir):
+    """The end product of the near-dup pipeline: the deduplicated
+    corpus. Connected components over the Jaccard candidate graph pick
+    one representative per cluster (min doc_id); every non-clustered
+    document passes through untouched. Composition: shared pair builder
+    → label propagation → anti-join of the losers against the corpus —
+    at 100 TB the loser set is small (duplicates are the minority), so
+    the final anti-join broadcasts."""
+    from ..operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    comp = connected_components(_jaccard_edges(spark, sf_dir), "doc_a", "doc_b")
+    losers = comp.filter(F.col("component") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id", "lang"
+    )

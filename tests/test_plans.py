@@ -31,6 +31,7 @@ NESTED_LOOP_OK = {
     "q_eval_metrics",      # scalar metric components combined (1-row sides)
     "q_mask_filter",       # broadcast mask-cell table, range predicate
     "q_tfidf",             # corpus doc-count (1 row) broadcast into scoring
+    "q_unigram_logprob",   # corpus token-total (1 row) broadcast into scoring
 }
 
 
