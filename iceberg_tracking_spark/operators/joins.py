@@ -46,10 +46,12 @@ def grid_radius_join(
     # Self-joins are the common case — disambiguate by prefixing any
     # right column whose name collides with a left column ('r_<name>'),
     # so the output contract (all columns of both inputs) stays usable.
+    lcols, rcols = set(left.columns), set(right.columns)
+    taken = lcols | rcols
     prefix = "r_"
-    while any((prefix + c) in set(right.columns) for c in right.columns):
+    while any((prefix + c) in taken for c in rcols):
         prefix = "r" + prefix
-    renames = {c: prefix + c for c in right.columns if c in set(left.columns)}
+    renames = {c: prefix + c for c in right.columns if c in lcols}
     for old, new in renames.items():
         right = right.withColumnRenamed(old, new)
     right_x = renames.get(right_x, right_x)

@@ -138,7 +138,12 @@ class VersionedTable:
             any_null = any_null | F.col(c).isNull()
         bad = changes.agg(
             F.sum(F.when(any_null, 1).otherwise(0)).alias("n_null"),
-            (F.count(F.lit(1)) - F.countDistinct(*key_cols)).alias("n_dup"),
+            # countDistinct skips NULL-containing tuples — count dups
+            # among non-null keys only so NULL rows aren't re-reported.
+            (
+                F.sum(F.when(~any_null, 1).otherwise(0))
+                - F.countDistinct(*key_cols)
+            ).alias("n_dup"),
         ).collect()[0]
         if bad["n_null"] or bad["n_dup"]:
             raise ValueError(

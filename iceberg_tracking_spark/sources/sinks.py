@@ -91,9 +91,17 @@ def compact_parquet_table(
         # ALL rows of each partition value in one task → exactly one
         # file per partition directory regardless of size. A salt
         # bounded by files-per-partition keeps each directory at
-        # ~target-sized files. Partition-dir count comes from the file
-        # walk already done above — no extra full-table distinct scan.
-        n_parts = max(1, len({os.path.dirname(f) for f in before}))
+        # ~target-sized files. The partition count comes free from the
+        # file walk WHEN the table is already laid out by these columns
+        # (dirnames look like `<col>=`); for a flat→partitioned rewrite
+        # that walk would report 1 and over-split, so fall back to a
+        # distinct scan of the partition columns.
+        dirs = {os.path.dirname(f) for f in before}
+        if dirs and all(f"{partition_cols[0]}=" in d for d in dirs):
+            n_parts = len(dirs)
+        else:
+            n_parts = df.select(*partition_cols).distinct().count()
+        n_parts = max(1, n_parts)
         per_dir = max(1, math.ceil(n_files / max(1, n_parts)))
         salted = df.withColumn(
             "_salt",

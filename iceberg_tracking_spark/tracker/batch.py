@@ -176,12 +176,13 @@ def frame_order(frames) -> list:
     pads on load, raw feeds do not). Plain lexicographic sort would run
     frame '10' before '2' and scramble the Kalman timeline, so digit
     strings order by integer VALUE (a (len, lex) key would still
-    misorder padded '000010' vs unpadded '100') ahead of non-digit
-    stems, which keep lexicographic order among themselves.
+    misorder padded '000010' vs unpadded '100'), tie-broken by the raw
+    spelling so coexisting '2'/'002' keep a total order; non-digit
+    stems follow in lexicographic order.
     """
     def k(s):
         s = str(s)
-        return (0, int(s), "") if s.isdigit() else (1, 0, s)
+        return (0, int(s), s) if s.isdigit() else (1, 0, s)
 
     return sorted(set(frames), key=k)
 

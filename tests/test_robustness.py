@@ -225,3 +225,32 @@ def test_frame_order_mixed_padding():
     assert frame_order(["100", "000010", "2", "img_b", "img_a"]) == [
         "2", "000010", "100", "img_a", "img_b",
     ]
+
+
+def test_frame_order_total_order_mixed_spellings():
+    from iceberg_tracking_spark.tracker.batch import frame_order
+
+    # '2' and '002' are the same instant numerically but must keep a
+    # STABLE relative order (tie-break on spelling), or set-iteration
+    # order would leak into the tracker timeline.
+    assert frame_order(["002", "2", "10"]) == ["002", "2", "10"]
+    assert frame_order(["2", "002", "10"]) == ["002", "2", "10"]
+
+
+def test_flat_to_partitioned_compaction_not_oversplit(spark, tmp_path):
+    import glob
+
+    from iceberg_tracking_spark.sources.sinks import compact_parquet_table
+
+    # Table currently flat on disk; compact WITH partition_cols must not
+    # explode into (values x n_files) shards.
+    path = str(tmp_path / "flat")
+    spark.range(0, 20_000).selectExpr(
+        "CAST(id % 3 AS STRING) AS seq", "id AS k"
+    ).repartition(8).write.mode("overwrite").parquet(path)
+    compact_parquet_table(
+        spark, path, target_file_bytes=1024 * 1024, partition_cols=["seq"]
+    )
+    files = glob.glob(f"{path}/seq=*/*.parquet")
+    assert 3 <= len(files) <= 6, files
+    assert spark.read.parquet(path).count() == 20_000
