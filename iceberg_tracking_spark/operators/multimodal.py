@@ -48,6 +48,30 @@ def synthesize_media_table(
     )
 
 
+def media_from_binary_files(
+    spark: SparkSession, path: str | None = None, modality: str = "image"
+) -> DataFrame:
+    """S8 → media schema: a REAL `binaryFile` directory scan shaped into
+    the engine's media columns. Width/height are derived metadata here
+    (a real pipeline would read them from the container header); the
+    blob bytes are the genuine file contents."""
+    from ..sources.binary import ensure_binary_fixture, read_binary_files
+
+    raw = read_binary_files(spark, path or ensure_binary_fixture())
+    media_id = F.element_at(
+        F.split(F.element_at(F.split(F.col("path"), "/"), -1), "\\."), 1
+    ).cast("long")
+    return raw.select(
+        media_id.alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.col("content").alias("content"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        (F.pmod(media_id, F.lit(64)) + 32).cast("int").alias("width"),
+        (F.pmod(media_id, F.lit(48)) + 24).cast("int").alias("height"),
+        (F.col("length") * 10).cast("long").alias("duration_ms"),
+    )
+
+
 def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic stand-in for image decode: bytes → (h, w) uint8.
 

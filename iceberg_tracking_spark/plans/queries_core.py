@@ -289,14 +289,45 @@ def q_count_distinct(spark, sf_dir):
     )
 
 
-@query("q_approx_count_distinct")  # rows-only: HLL sketches differ per engine
+@query(
+    "q_approx_count_distinct",
+    oracle="""
+    SELECT count(DISTINCT l_partkey) AS exact_parts,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           true AS parts_within_tol,
+           true AS orders_within_tol
+    FROM lineitem
+    """,
+)
 def q_approx_count_distinct(spark, sf_dir):
     """A2 (scale path): approx_count_distinct — the 100 TB form of
-    distinct counting. No oracle (sketch values are engine-specific);
-    tests assert relative error vs exact instead."""
-    return _t(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    distinct counting. The HLL estimate itself is engine-specific, so
+    the checkable contract is the estimate's relative error vs the
+    exact count: `*_within_tol` asserts |approx-exact|/exact ≤ 5%
+    (HLL at rsd=0.01 — 5σ headroom), which the oracle states as a
+    constant `true` next to the exact counts. A sketch regression
+    (wrong column, wrong rsd, broken merge) flips the boolean and
+    fails the hash."""
+    tol = 0.05
+    agg = _t(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("ap"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("ao"),
+    )
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        (
+            F.abs(F.col("ap") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= tol
+        ).alias("parts_within_tol"),
+        (
+            F.abs(F.col("ao") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= tol
+        ).alias("orders_within_tol"),
     )
 
 

@@ -14,8 +14,16 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import LANG_MARKERS, STOPWORDS, shingles_from_tokens, tokens
+from ..operators.similarity import (
+    DEFAULT_BITS,
+    cosine,
+    hyperplane_sql_literals,
+    signature_lsh,
+)
 from ..sources.tables import load_table, scatter
 from .registry import query
+
+_EMB_DIM = 64  # embeddings table vector width (FIXTURES.md)
 
 # DuckDB-side shared fragments (tokenization identical to functions/text.py).
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
@@ -275,6 +283,9 @@ def _minhash_chunk_sql(s: int) -> str:
     )
 
 
+_HOT_BAND_CAP = 64  # max docs per LSH bucket before it is dropped
+
+
 def _minhash_oracle() -> str:
     mh = ",\n".join(_minhash_chunk_sql(s) for s in range(_N_PERM))
     n_bands = _N_PERM // _BAND_SIZE
@@ -292,7 +303,13 @@ def _minhash_oracle() -> str:
     mh AS (
         SELECT doc_id, {mh} FROM docs WHERE len(shingles) > 0
     ),
-    bands AS ({band_rows})
+    bands_all AS ({band_rows}),
+    bands AS (
+        SELECT doc_id, band, band_key FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bn
+            FROM bands_all
+        ) WHERE bn <= {_HOT_BAND_CAP}
+    )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            count(DISTINCT a.band) AS n_shared_bands
     FROM bands a JOIN bands b
@@ -307,7 +324,9 @@ def q_minhash_lsh(spark, sf_dir):
     shingles, banded 2-per-band into 4 LSH buckets; candidate pairs =
     docs sharing a band bucket. Hashes are md5 hex strings with
     lexicographic min — portable across engines. At scale the band-key
-    groupBy is the only shuffle; no all-pairs comparison ever happens."""
+    groupBy is the only shuffle; no all-pairs comparison ever happens,
+    and buckets over _HOT_BAND_CAP docs are dropped (hot-band guard:
+    k² pairs in one reducer; see test_minhash_hot_band_guard)."""
     d = _t(spark, sf_dir, "documents")
     # Explode shingles to rows and compute each minhash lane as a plain
     # `min(substring(md5, …))` aggregate: non-lambda md5 stays in
@@ -347,6 +366,19 @@ def q_minhash_lsh(spark, sf_dir):
     bands = docs.select(
         "doc_id", F.explode(band_structs).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    # Hot-band guard: a bucket of k docs yields k² candidate pairs in a
+    # single reducer, so a degenerate corpus (thousands of identical
+    # docs) would melt one task at 100 TB. Buckets over the cap are
+    # dropped — their members are near-identical by construction and
+    # belong to the exact-dup path (q_dedup_exact), not pairwise LSH.
+    # The over-cap key list is tiny by construction → broadcast anti-join.
+    hot = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") > _HOT_BAND_CAP)
+        .select("band", "band_key")
+    )
+    bands = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -424,40 +456,92 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
-@query(
-    "q_embedding_neardup",
-    oracle="""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+def _neardup_oracle() -> str:
+    """DuckDB mirror of the banded sign-LSH candidate generation: the
+    same deterministic hyperplanes and fold order as the Spark side
+    (operators/similarity.py), so the candidate set is bit-identical."""
+    planes = hyperplane_sql_literals(DEFAULT_BITS, _EMB_DIM)
+    plane_cols = ", ".join(f"{p} AS h{b}" for b, p in enumerate(planes))
+    dot = (
+        "list_reduce(list_transform(range(1, {n}), i -> e[i] * {h}[i]), "
+        "(a, b) -> a + b)"
+    )
+    sig = " + ".join(
+        f"(CASE WHEN {dot.format(n=_EMB_DIM + 1, h=f'p.h{b}')} > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(DEFAULT_BITS)
+    )
+    return f"""
+    WITH p AS (SELECT {plane_cols}),
+    v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               CAST({sig} AS BIGINT) AS sig
+        FROM embeddings, p
+    ),
+    bnd AS (SELECT *, sig % 16 AS b0, sig // 16 AS b1 FROM v)
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
            a.label AS label_a, b.label AS label_b,
-           round(list_dot_product(a.e, b.e)
-                 / (sqrt(list_dot_product(a.e, a.e))
-                    * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.e, b.e)
-                / (sqrt(list_dot_product(a.e, a.e))
-                   * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.45
-    """,
-)
+           round(list_reduce(list_transform(range(1, {_EMB_DIM + 1}),
+                             i -> a.e[i] * b.e[i]), (x, y) -> x + y)
+                 / (sqrt(list_reduce(list_transform(a.e, x -> x * x),
+                                     (x, y) -> x + y))
+                    * sqrt(list_reduce(list_transform(b.e, x -> x * x),
+                                       (x, y) -> x + y))), 6) AS sim
+    FROM bnd a JOIN bnd b
+      ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
+    WHERE round(list_reduce(list_transform(range(1, {_EMB_DIM + 1}),
+                            i -> a.e[i] * b.e[i]), (x, y) -> x + y)
+                / (sqrt(list_reduce(list_transform(a.e, x -> x * x),
+                                    (x, y) -> x + y))
+                   * sqrt(list_reduce(list_transform(b.e, x -> x * x),
+                                      (x, y) -> x + y))), 6) >= 0.45
+    """
+
+
+@query("q_embedding_neardup", oracle=_neardup_oracle())
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (sim ≥ 0.45) — the
-    vector-space dedup path. All-pairs here (oracle-checkable); the
-    scale path is the LSH-bucketed variant in operators/similarity.py."""
+    vector-space dedup path, in its 100 TB shape: candidates come from
+    banded sign-LSH buckets (8-bit signature split into 2×4-bit bands;
+    a pair is a candidate iff it shares either band), then an exact
+    cosine re-rank keeps pairs ≥ 0.45. The all-pairs comparison never
+    happens — the only pair-producing operator is the equi-join on
+    (band, key), and a pair sharing both bands is deduped by DISTINCT
+    after scoring. Recall < 1 by design (the standard LSH trade); the
+    oracle re-derives the identical buckets so the contract is exact."""
     v = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    a = v.alias("a")
-    b = v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    signed = signature_lsh(v, "e", _EMB_DIM)
+    banded = signed.select(
+        "vec_id",
+        "label",
+        "e",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"), (F.col("sig") % 16).alias("key")
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.shiftright(F.col("sig"), 4).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(
+        "vec_id", "label", "e",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
     )
-    na = F.sqrt(F.aggregate(F.col("a.e"), F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(F.col("b.e"), F.lit(0.0), lambda acc, x: acc + x * x))
-    sim = F.round(dot / (na * nb), 6)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    sim = F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -466,6 +550,7 @@ def q_embedding_neardup(spark, sf_dir):
             sim.alias("sim"),
         )
         .filter(F.col("sim") >= 0.45)
+        .distinct()
     )
 
 

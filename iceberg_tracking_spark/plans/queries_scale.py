@@ -631,6 +631,37 @@ def q_ratio_expr(spark, sf_dir):
 
 # ------------------------------------------- multimodal, driver-visible
 
+# Materialized at import so the fixture exists before EITHER side of
+# the q_binary_scan check (Spark scan or DuckDB read_blob) runs.
+from ..sources.binary import FIXTURE_DIR, ensure_binary_fixture, read_binary_files  # noqa: E402
+
+ensure_binary_fixture()
+
+
+@query(
+    "q_binary_scan",
+    oracle=f"""
+    SELECT parse_filename(filename) AS file_name,
+           size AS n_bytes,
+           md5(hex(content)) AS content_md5
+    FROM read_blob('{FIXTURE_DIR}/*.bin')
+    """,
+)
+def q_binary_scan(spark, sf_dir):
+    """S8: REAL raw-file ingestion — `spark.read.format("binaryFile")`
+    over a directory of actual .bin files (reference embedding.py:234-250
+    image-directory scan). Projects per-file name / byte length /
+    content hash; the oracle re-reads the same files independently via
+    DuckDB `read_blob`, so row splitting, glob filtering, and content
+    bytes are verified end-to-end. Scales by file-parallel splits; the
+    glob prunes at listing time."""
+    df = read_binary_files(spark, ensure_binary_fixture())
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.hex(F.col("content"))).alias("content_md5"),
+    )
+
 @query(
     "q_frame_sample",
     oracle="""
@@ -656,12 +687,25 @@ def q_frame_sample(spark, sf_dir):
 @query("q_media_features")  # rows-only: stubbed decode is numpy-side (SURVEY §2.8)
 def q_media_features(spark, sf_dir):
     """M1/M3: decode + feature-extraction over binary media columns via
-    Arrow-batched mapInPandas (per-partition decoder init). The decode
-    core is a deterministic stub (no codec libs in this container); the
-    partitioning, batch shapes, and schema plumbing are real."""
-    from ..operators.multimodal import extract_media_features, synthesize_media_table
+    Arrow-batched mapInPandas (per-partition decoder init). The media
+    relation is a UNION of a REAL `binaryFile` directory scan (S8 —
+    genuine file bytes) and the sf-scaled synthesized blobs, so the
+    query both exercises raw-file ingestion and grows with the corpus.
+    The decode core is a deterministic stub (no codec libs in this
+    container); partitioning, batch shapes, and schema plumbing are
+    real."""
+    from ..operators.multimodal import (
+        extract_media_features,
+        media_from_binary_files,
+        synthesize_media_table,
+    )
 
-    media = scatter(synthesize_media_table(spark, sf_dir))
+    real_files = media_from_binary_files(spark).withColumn(
+        "media_id", F.col("media_id") + 1_000_000  # keep ids disjoint
+    )
+    media = scatter(synthesize_media_table(spark, sf_dir)).unionByName(
+        real_files
+    )
     return extract_media_features(media)
 
 

@@ -1,0 +1,61 @@
+"""Real binary-file ingestion (SURVEY §2.1 S8).
+
+`spark.read.format("binaryFile")` is the Spark-native form of the
+reference's raw image scan (reference embedding.py:234-250 loads image
+files from a directory): one row per file with (path, modificationTime,
+length, content). Media blobs enter the engine here and flow into the
+multimodal operators (operators/multimodal.py) as opaque binary
+columns.
+
+For a driver-checkable fixture, `ensure_binary_fixture` materializes a
+small deterministic set of real files on local disk (content = a
+repeated md5 digest of the file index — reproducible anywhere, no
+codec libraries needed). The DuckDB oracle reads the very same files
+via `read_blob`, so the scan is verified end-to-end against an
+independent reader.
+
+At 100 TB the same plan holds: `binaryFile` scans are split per file
+across executors (files never concatenate into one task), and
+`pathGlobFilter` / partitioned directory layouts prune at the listing
+step.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Inside the repo (the driver and local tests share this absolute
+# path); regenerated on demand, ignored by git.
+FIXTURE_DIR = "/root/repo/.binary_fixture"
+FIXTURE_N = 32
+
+
+def ensure_binary_fixture(path: str = FIXTURE_DIR, n: int = FIXTURE_N) -> str:
+    """Idempotently write `n` real .bin files with deterministic bytes.
+
+    File i holds md5(str(i)) repeated (i % 7 + 1) times — distinct
+    lengths and contents, byte-identical on every machine.
+    """
+    os.makedirs(path, exist_ok=True)
+    for i in range(n):
+        fp = os.path.join(path, f"{i:04d}.bin")
+        payload = hashlib.md5(str(i).encode()).digest() * (i % 7 + 1)
+        if not (os.path.exists(fp) and os.path.getsize(fp) == len(payload)):
+            with open(fp, "wb") as f:
+                f.write(payload)
+    return path
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str = "*.bin"
+) -> DataFrame:
+    """S8: scan a directory of raw files as (path, modificationTime,
+    length, content) rows — the binary ingestion source."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )

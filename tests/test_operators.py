@@ -451,3 +451,88 @@ def test_multiprobe_lsh_improves_recall(spark, sf_dir):
     # exact/ANN trade is priced at.
     assert r0 <= r4 <= r8
     assert r0 >= 0.3
+
+
+def test_minhash_hot_band_guard(spark, tmp_path):
+    """A degenerate corpus (one giant cluster of identical docs) must
+    not produce the quadratic candidate set: the hot band buckets are
+    dropped (those docs belong to the exact-dup path), while ordinary
+    near-dup pairs elsewhere in the corpus still surface. The DuckDB
+    oracle applies the identical cap, so the contract stays exact."""
+    import duckdb
+    import pandas as pd
+
+    from iceberg_tracking_spark.plans import QUERIES
+    from iceberg_tracking_spark.plans.queries_llm import _HOT_BAND_CAP
+
+    hot_n = _HOT_BAND_CAP + 36  # one bucket well over the cap
+    clone = "the quick brown fox jumps over the lazy dog again and again"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [(i, clone, "en", "web", len(clone)) for i in range(hot_n)]
+    rows += [
+        (1000, near_a, "en", "web", len(near_a)),
+        (1001, near_b, "en", "web", len(near_b)),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf_dir = str(tmp_path / "skewsf")
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(sf_dir)
+    pq.write_table(
+        pa.Table.from_pandas(pdf), os.path.join(sf_dir, "documents.parquet")
+    )
+
+    q = QUERIES["q_minhash_lsh"]
+    got = q.fn(spark, sf_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    # No pair between two clones (their buckets were all over-cap) …
+    assert not any(a < hot_n and b < hot_n for a, b in pairs)
+    # … but the ordinary near-dup pair survives.
+    assert (1000, 1001) in pairs
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    odf = con.execute(q.oracle).fetchdf()
+    oracle_pairs = {
+        (int(r.doc_a), int(r.doc_b)) for r in odf.itertuples(index=False)
+    }
+    con.close()
+    assert pairs == oracle_pairs
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    """S8: a real binaryFile scan — bytes on disk come back verbatim,
+    one row per file, glob filtering applied — and the rows flow into
+    the mapInPandas feature extractor."""
+    import hashlib
+
+    from iceberg_tracking_spark.operators.multimodal import (
+        extract_media_features,
+        media_from_binary_files,
+    )
+    from iceberg_tracking_spark.sources.binary import (
+        ensure_binary_fixture,
+        read_binary_files,
+    )
+
+    d = ensure_binary_fixture(str(tmp_path / "blobs"), n=5)
+    (tmp_path / "blobs" / "ignored.txt").write_text("not matched by glob")
+    rows = {r["path"].split("/")[-1]: r for r in read_binary_files(spark, d).collect()}
+    assert sorted(rows) == [f"{i:04d}.bin" for i in range(5)]
+    for i in range(5):
+        expected = hashlib.md5(str(i).encode()).digest() * (i % 7 + 1)
+        got = rows[f"{i:04d}.bin"]
+        assert bytes(got["content"]) == expected
+        assert got["length"] == len(expected)
+
+    feats = extract_media_features(media_from_binary_files(spark, d)).collect()
+    assert len(feats) == 5
+    assert all(f["n_bytes"] > 0 and f["phash"] for f in feats)
