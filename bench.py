@@ -44,6 +44,32 @@ HEADLINE = [
 ]
 
 
+def _previous_bench() -> tuple[str, dict] | None:
+    """Latest BENCH_r*.json next to this script, parsed, or None."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            r = int(m.group(1))
+            if best is None or r > best[0]:
+                best = (r, p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            doc = json.load(f)
+        parsed = doc.get("parsed") or doc
+        if isinstance(parsed.get("queries"), dict):
+            return f"r{best[0]:02d}", parsed
+    except (OSError, json.JSONDecodeError, AttributeError):
+        pass
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -64,17 +90,33 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    doc = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Round-over-round deltas vs the latest recorded BENCH_r*.json (same
+    # sf only — the per-round record runs at sf0.1). Sign convention:
+    # negative = faster than the previous round. Machine-visible
+    # regressions; note single-run timings at this scale carry 2-3×
+    # transient-load noise (README "Performance"), so deltas flag
+    # candidates, not verdicts.
+    prev = _previous_bench()
+    if prev is not None and prev[1].get("sf") == doc["sf"]:
+        tag, p = prev
+        deltas = {
+            name: round(t - p["queries"][name], 3)
+            for name, t in timings.items()
+            if name in p["queries"]
+        }
+        doc["prev_round"] = tag
+        doc["prev_total_sec"] = p.get("value")
+        doc["delta_queries_sec"] = deltas
+        for name, d in sorted(deltas.items(), key=lambda kv: kv[1]):
+            print(f"# delta vs {tag} {name}: {d:+.3f}s", file=sys.stderr)
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":

@@ -52,15 +52,6 @@ def clear_identity_metrics(
     # Best track per (sequence, frame, gt): hash-aggregate argmax
     # (score = (iou, -track_id) struct → deterministic tie-break,
     # map-side combine on the pair explosion — no sort window).
-    # The matches relation feeds THREE independent aggregation branches
-    # (match/switch stats, coverage, islands). Without materialization
-    # Catalyst would recompute the IoU join + argmax once per branch —
-    # persist it (tiny: one row per matched GT per frame). The cache is
-    # intentionally NOT unpersisted here: the result DataFrame is lazy
-    # and the branches re-execute on every downstream action. Long-lived
-    # sessions calling this repeatedly should unpersist via
-    # spark.catalog.clearCache() between runs; Spark's LRU handles the
-    # rest.
     from ..operators.windows import argmax_agg
 
     matches = argmax_agg(
@@ -68,7 +59,7 @@ def clear_identity_metrics(
         ["sequence", "frame", "gt_id"],
         F.struct(F.col("iou"), (-F.col("track_id")).alias("_neg_tr")),
         {"track_id": F.col("track_id"), "iou": F.col("iou")},
-    ).persist()
+    )
 
     counts = (
         gt.groupBy("sequence").agg(F.count(F.lit(1)).alias("n_gt"))
@@ -79,83 +70,93 @@ def clear_identity_metrics(
         )
     )
 
-    # TP/LocA + ID switches + fragmentation in ONE pass: lag over each
-    # GT's matched timeline (reference eval.py:291-316), then a single
-    # per-sequence aggregate.
+    # The expensive matches relation is consumed ONCE, by a single
+    # linear pipeline — no persist/cache to manage (a previous version
+    # persisted `matches` for three aggregation branches and leaked the
+    # cache in long-lived sessions). The pipeline folds TP/LocA,
+    # ID-switch, fragmentation, coverage, and IDTP into run-level
+    # algebra (reference eval.py:291-418):
+    #
+    # 1. One window pass per GT timeline marks run boundaries — a run
+    #    breaks on a track change OR a frame gap. Within a run every
+    #    row has prev_track == track and frame == prev_frame + 1, so
+    #    the reference's row-level lag counts are exactly the boundary
+    #    transitions: idsw = adjacent-run pairs with a track change,
+    #    frag = adjacent-run pairs with a frame gap.
+    # 2. Runs aggregate to (run_len, sum_iou, min/max frame) — the
+    #    groupBy reuses the window's (sequence, gt_id) partitioning
+    #    (ClusteredDistribution is satisfied by the superset key), so
+    #    no extra shuffle.
+    # 3. Per-GT and per-sequence rollups derive every metric:
+    #    tp = Σ run_len, loca = Σ sum_iou / tp, idtp = Σ max(run_len),
+    #    coverage ratio = Σ run_len / n_frames.
     w_gt = Window.partitionBy("sequence", "gt_id").orderBy("frame")
-    lagged = matches.select(
-        "sequence", "gt_id", "frame", "track_id", "iou",
-        F.lag("track_id").over(w_gt).alias("prev_track"),
-        F.lag("frame").over(w_gt).alias("prev_frame"),
+    w_run = w_gt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    boundary = (
+        F.lag("track_id").over(w_gt).isNull()
+        | (F.lag("track_id").over(w_gt) != F.col("track_id"))
+        | (F.col("frame") != F.lag("frame").over(w_gt) + 1)
     )
-    match_stats = lagged.groupBy("sequence").agg(
-        F.count(F.lit(1)).alias("tp"),
-        F.round(F.avg("iou"), 6).alias("loca"),
-        F.sum(
-            F.when(
-                F.col("prev_track").isNotNull()
-                & (F.col("prev_track") != F.col("track_id")),
-                1,
-            ).otherwise(0)
-        ).alias("idsw"),
-        F.sum(
-            F.when(
-                F.col("prev_frame").isNotNull()
-                & (F.col("frame") > F.col("prev_frame") + 1),
-                1,
-            ).otherwise(0)
-        ).alias("frag"),
+    run_rows = matches.select(
+        "sequence", "gt_id", "frame", "track_id", "iou",
+        F.sum(boundary.cast("int")).over(w_run).alias("run_id"),
+    )
+    runs = run_rows.groupBy("sequence", "gt_id", "run_id").agg(
+        F.first("track_id").alias("track_id"),  # constant within a run
+        F.count(F.lit(1)).alias("run_len"),
+        F.sum("iou").alias("sum_iou"),
+        F.min("frame").alias("min_frame"),
+        F.max("frame").alias("max_frame"),
+    )
+    w_seq_runs = Window.partitionBy("sequence", "gt_id").orderBy("run_id")
+    run_trans = runs.select(
+        "sequence", "gt_id", "run_len", "sum_iou",
+        F.when(
+            F.lag("track_id").over(w_seq_runs).isNotNull()
+            & (F.lag("track_id").over(w_seq_runs) != F.col("track_id")),
+            1,
+        ).otherwise(0).alias("idsw_flag"),
+        F.when(
+            F.lag("max_frame").over(w_seq_runs).isNotNull()
+            & (F.col("min_frame") > F.lag("max_frame").over(w_seq_runs) + 1),
+            1,
+        ).otherwise(0).alias("frag_flag"),
+    )
+    per_gt = run_trans.groupBy("sequence", "gt_id").agg(
+        F.sum("run_len").alias("n_matched"),
+        F.max("run_len").alias("best_run"),
+        F.sum("sum_iou").alias("sum_iou"),
+        F.sum("idsw_flag").alias("idsw_gt"),
+        F.sum("frag_flag").alias("frag_gt"),
     )
 
-    # MT/PT/ML coverage buckets (reference eval.py:319-349).
+    # MT/PT/ML coverage needs every GT, matched or not (reference
+    # eval.py:319-349) — left join from the per-GT frame totals.
     gt_frames = gt.groupBy("sequence", "gt_id").agg(
         F.count(F.lit(1)).alias("n_frames")
     )
-    matched_frames = matches.groupBy("sequence", "gt_id").agg(
-        F.count(F.lit(1)).alias("n_matched")
+    per_gt_full = gt_frames.join(
+        per_gt, ["sequence", "gt_id"], "left"
+    ).withColumn(
+        "ratio",
+        F.coalesce(F.col("n_matched"), F.lit(0)).cast("double")
+        / F.col("n_frames"),
     )
-    coverage = (
-        gt_frames.join(matched_frames, ["sequence", "gt_id"], "left")
-        .withColumn(
-            "ratio",
-            F.coalesce(F.col("n_matched"), F.lit(0)).cast("double")
-            / F.col("n_frames"),
-        )
-    )
-    cov_stats = coverage.groupBy("sequence").agg(
+    seq_stats = per_gt_full.groupBy("sequence").agg(
+        F.sum("n_matched").alias("tp"),
+        F.round(F.sum("sum_iou") / F.sum("n_matched"), 6).alias("loca"),
+        F.sum("idsw_gt").alias("idsw"),
+        F.sum("frag_gt").alias("frag"),
         F.sum(F.when(F.col("ratio") >= 0.8, 1).otherwise(0)).alias("mt"),
         F.sum(
             F.when((F.col("ratio") >= 0.2) & (F.col("ratio") < 0.8), 1).otherwise(0)
         ).alias("pt"),
         F.sum(F.when(F.col("ratio") < 0.2, 1).otherwise(0)).alias("ml"),
+        F.sum("best_run").alias("idtp"),
     )
 
-    # IDTP: per GT, longest contiguous run matched to one track
-    # (gaps-and-islands; reference eval.py:355-418). A run breaks on a
-    # frame gap OR a track change — dense-rank by frame minus
-    # row_number within (gt, track) is gap-sensitive via frame arithmetic.
-    w_tr = Window.partitionBy("sequence", "gt_id", "track_id").orderBy("frame")
-    runs = (
-        matches.withColumn(
-            "grp", F.col("frame") - F.row_number().over(w_tr)
-        )
-        .groupBy("sequence", "gt_id", "track_id", "grp")
-        .agg(F.count(F.lit(1)).alias("run_len"))
-    )
-    idtp_per_gt = runs.groupBy("sequence", "gt_id").agg(
-        F.max("run_len").alias("best_run")
-    )
-    idtp_stats = idtp_per_gt.groupBy("sequence").agg(
-        F.sum("best_run").alias("idtp")
-    )
-
-    out = (
-        counts.join(match_stats, "sequence", "left")
-        .join(cov_stats, "sequence", "left")
-        .join(idtp_stats, "sequence", "left")
-        .na.fill(
-            {"tp": 0, "idsw": 0, "frag": 0, "mt": 0, "pt": 0, "ml": 0, "idtp": 0}
-        )
+    out = counts.join(seq_stats, "sequence", "left").na.fill(
+        {"tp": 0, "idsw": 0, "frag": 0, "mt": 0, "pt": 0, "ml": 0, "idtp": 0}
     )
     return out.select(
         "sequence",

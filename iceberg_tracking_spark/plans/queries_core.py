@@ -332,6 +332,46 @@ def q_approx_count_distinct(spark, sf_dir):
 
 
 @query(
+    "q_approx_quantile",
+    oracle="""
+    SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS exact_p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS exact_p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS exact_p75,
+           true AS p25_ok, true AS p50_ok, true AS p75_ok
+    FROM lineitem
+    """,
+)
+def q_approx_quantile(spark, sf_dir):
+    """A3 (scale path): percentile_approx — the sketch form of quantile
+    computation (one pass, mergeable, the 100 TB way to get
+    distribution stats). Sketch values are engine-specific, so the
+    checkable contract mirrors q_approx_count_distinct: each approx
+    quantile must land between the exact quantiles at p±0.01
+    (percentile_approx at accuracy=1000 bounds rank error to 0.1% —
+    10× headroom); the oracle states the booleans as `true` next to
+    the exact interpolated quantiles."""
+    probes = "array(0.24, 0.25, 0.26, 0.49, 0.50, 0.51, 0.74, 0.75, 0.76)"
+    agg = _t(spark, sf_dir, "lineitem").agg(
+        F.expr(f"percentile(l_extendedprice, {probes})").alias("ex"),
+        F.expr(
+            "percentile_approx(l_extendedprice, array(0.25, 0.50, 0.75), 1000)"
+        ).alias("ap"),
+    )
+    def ok(i: int) -> F.Column:
+        return (F.col("ap")[i] >= F.col("ex")[3 * i]) & (
+            F.col("ap")[i] <= F.col("ex")[3 * i + 2]
+        )
+    return agg.select(
+        F.round(F.col("ex")[1], 4).alias("exact_p25"),
+        F.round(F.col("ex")[4], 4).alias("exact_p50"),
+        F.round(F.col("ex")[7], 4).alias("exact_p75"),
+        ok(0).alias("p25_ok"),
+        ok(1).alias("p50_ok"),
+        ok(2).alias("p75_ok"),
+    )
+
+
+@query(
     "q_stats",
     oracle="""
     SELECT round(avg(l_extendedprice), 4) AS mean_price,

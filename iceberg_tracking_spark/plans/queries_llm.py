@@ -371,14 +371,17 @@ def q_minhash_lsh(spark, sf_dir):
     # docs) would melt one task at 100 TB. Buckets over the cap are
     # dropped — their members are near-identical by construction and
     # belong to the exact-dup path (q_dedup_exact), not pairwise LSH.
-    # The over-cap key list is tiny by construction → broadcast anti-join.
-    hot = (
-        bands.groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("bn"))
-        .filter(F.col("bn") > _HOT_BAND_CAP)
-        .select("band", "band_key")
+    # Expressed as a count window over the SAME (band, band_key)
+    # partitioning the self-join shuffles on — one lineage, no second
+    # computation of the minhash pipeline (a separate agg + anti-join
+    # re-executed the shingle explode and cost +50% wall-clock), and a
+    # bit-exact mirror of the oracle's windowed form.
+    w_bucket = Window.partitionBy("band", "band_key")
+    bands = (
+        bands.withColumn("bn", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("bn") <= _HOT_BAND_CAP)
+        .drop("bn")
     )
-    bands = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     return (

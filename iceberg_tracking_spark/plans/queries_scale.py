@@ -95,6 +95,86 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+_IVF_DOT = (
+    "list_reduce(list_transform(range(1, {n}), i -> {a}[i] * {b}[i]), "
+    "(x, y) -> x + y)"
+)
+
+
+def _ivf_cos(a: str, b: str) -> str:
+    dot = _IVF_DOT.format(n=_DIM + 1, a=a, b=b)
+    na = (
+        f"sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+    )
+    nb = (
+        f"sqrt(list_reduce(list_transform({b}, x -> x * x), (x, y) -> x + y))"
+    )
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _ann_ivf_oracle() -> str:
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 50 = 1),
+    scored AS (
+        SELECT v.vec_id, v.e, c.cid, {_ivf_cos('v.e', 'c.ce')} AS csim
+        FROM v, c
+    ),
+    assigned AS (
+        SELECT vec_id, cid, e FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY csim DESC, cid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS qid, e AS qe, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY csim DESC, cid) AS rn
+            FROM scored WHERE vec_id % 25 = 0
+        ) WHERE rn <= 2
+    ),
+    sims AS (
+        SELECT p.qid, a.vec_id AS nid,
+               round({_ivf_cos('p.qe', 'a.e')}, 6) AS sim
+        FROM probes p JOIN assigned a
+          ON a.cid = p.cid AND a.vec_id <> p.qid
+    )
+    SELECT qid, nid, sim FROM (
+        SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid) AS rn
+        FROM sims
+    ) WHERE rn <= 3
+    """
+
+
+@query("q_ann_ivf", oracle=_ann_ivf_oracle())
+def q_ann_ivf(spark, sf_dir):
+    """ANN top-k via an IVF coarse quantizer (operators/similarity.py:
+    ivf_topk) — the cluster-partitioned scale path next to the sign-LSH
+    one (q_ann_lsh): data-sampled centroids (vec_id % 50 = 1), argmax
+    assignment against the broadcast centroid table, nprobe=2 cluster
+    probing, exact cosine re-rank. All dot products fold left-to-right
+    so the assignment boundary is bit-identical to the DuckDB oracle."""
+    from ..operators.similarity import ivf_topk
+
+    v = scatter(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    return ivf_topk(
+        v,
+        k=3,
+        query_pred=F.col("vec_id") % 25 == 0,
+        centroid_pred=F.col("vec_id") % 50 == 1,
+        nprobe=2,
+    )
+
+
 # ------------------------------------------------------ windows / calendar
 
 @query(

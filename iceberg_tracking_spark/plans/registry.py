@@ -53,6 +53,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_minhash_lsh",
     # new this round
     "q_binary_scan",
+    "q_ann_ivf",
+    "q_approx_quantile",
     # remaining round-1-unchecked, oracle-backed
     "q_stratified_sample",
     "q_vocab_topk",

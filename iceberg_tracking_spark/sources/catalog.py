@@ -227,3 +227,130 @@ class VersionedTable:
         for v in expired:
             shutil.rmtree(self._data_dir(v), ignore_errors=True)
         return expired
+
+
+# ---------------------------------------------------- write-path switch
+
+def iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of an Iceberg catalog configured on this session, or None.
+
+    Iceberg's Spark integration is declared purely via conf
+    (`spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog`);
+    `SET` lists every explicitly-set conf, including runtime ones, so
+    detection works under any caller-provided session.
+    """
+    for r in spark.sql("SET").collect():
+        k, v = r["key"], str(r["value"])
+        # exactly `spark.sql.catalog.<name>` — sub-keys like
+        # `spark.sql.catalog.<name>.type` have one more dot
+        if (
+            k.startswith("spark.sql.catalog.")
+            and k.count(".") == 3
+            and "iceberg" in v.lower()
+        ):
+            return k.rsplit(".", 1)[1]
+    return None
+
+
+class CatalogTable:
+    """Interchangeable write path (SURVEY §7.1): one API that commits to
+    a Spark-native Iceberg table when an Iceberg catalog is configured
+    on the session, and to the parquet-backed `VersionedTable` (same
+    snapshot semantics, this module) when none is — so local runs and a
+    real lakehouse deployment share call sites.
+
+    `backend` forces the choice ("iceberg" / "parquet"); by default it
+    is resolved per-session via `iceberg_catalog`. The Iceberg branch
+    uses only the public DataFrameWriterV2 / SQL-procedure surface
+    (`writeTo(...).using("iceberg")`, `VERSION AS OF`,
+    `system.rewrite_data_files`, `system.expire_snapshots`,
+    `system.rollback_to_snapshot`) — any failure from a missing runtime
+    surfaces as Spark's own "iceberg data source not found" error.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        identifier: str,
+        base_path: str,
+        backend: str | None = None,
+    ):
+        if backend not in (None, "iceberg", "parquet"):
+            raise ValueError(f"unknown backend: {backend}")
+        self.spark = spark
+        self.identifier = identifier
+        self.backend = backend or (
+            "iceberg" if iceberg_catalog(spark) else "parquet"
+        )
+        self._vt = (
+            VersionedTable(base_path) if self.backend == "parquet" else None
+        )
+
+    # -- write / merge
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ):
+        if self.backend == "parquet":
+            return self._vt.write(df, mode=mode, partition_by=partition_by)
+        from pyspark.sql import functions as F
+
+        w = df.writeTo(self.identifier).using("iceberg")
+        if partition_by:
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "overwrite":
+            w.createOrReplace()
+        elif mode == "append":
+            w.append()
+        else:
+            raise ValueError(f"unsupported mode: {mode}")
+        return None
+
+    def upsert(self, changes: DataFrame, key_cols: list[str]):
+        if self.backend == "parquet":
+            return self._vt.upsert(changes, key_cols)
+        changes.createOrReplaceTempView("_catalog_upsert_src")
+        on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+        self.spark.sql(
+            f"MERGE INTO {self.identifier} t USING _catalog_upsert_src s "
+            f"ON {on} WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        return None
+
+    # -- read / time travel
+
+    def read(self, version: int | None = None) -> DataFrame:
+        if self.backend == "parquet":
+            return self._vt.read(self.spark, version=version)
+        if version is None:
+            return self.spark.read.table(self.identifier)
+        return self.spark.sql(
+            f"SELECT * FROM {self.identifier} VERSION AS OF {int(version)}"
+        )
+
+    # -- maintenance
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024):
+        if self.backend == "parquet":
+            return self._vt.compact(self.spark, target_file_bytes)
+        cat = self.identifier.split(".", 1)[0]
+        self.spark.sql(
+            f"CALL {cat}.system.rewrite_data_files(table => "
+            f"'{self.identifier}', options => map("
+            f"'target-file-size-bytes', '{int(target_file_bytes)}'))"
+        )
+        return None
+
+    def expire(self, keep_last: int = 1):
+        if self.backend == "parquet":
+            return self._vt.expire(keep_last=keep_last)
+        cat = self.identifier.split(".", 1)[0]
+        self.spark.sql(
+            f"CALL {cat}.system.expire_snapshots(table => "
+            f"'{self.identifier}', retain_last => {int(keep_last)})"
+        )
+        return None

@@ -1,5 +1,8 @@
-"""Streaming stateful tracker: applyInPandasWithState keyed by sequence
-(SURVEY §2.9 T1-T6, streaming form).
+"""Streaming stateful tracker keyed by sequence (SURVEY §2.9 T1-T6,
+streaming form): `streaming_track` uses `applyInPandasWithState`;
+`streaming_track_tws` is the same logic on Spark 4's arbitrary-state v2
+API (`transformWithStateInPandas`), gated behind an import check
+because its Python side requires `protobuf` (absent in this container).
 
 The batch tracker's per-frame step (tracker/batch.py SequenceTracker) is
 reused verbatim; this module only adds state (de)serialization so the
@@ -117,4 +120,75 @@ def streaming_track(
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_track_tws(
+    detections: DataFrame, config: TrackerConfig | None = None
+) -> DataFrame:
+    """`streaming_track` on the arbitrary-state v2 API
+    (`transformWithStateInPandas`, Spark ≥ 4.0): a StatefulProcessor
+    holding the identical serialized tracker tuple in a ValueState.
+    Requires the `protobuf` Python package (the v2 state protocol) and
+    the RocksDB state store provider; raises ImportError with the
+    missing dependency otherwise. Shares `_tracker_to_state` /
+    `_tracker_from_state` with the v1 path so the two stay in lockstep.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the `protobuf` package "
+            "(not in this container); use streaming_track "
+            "(applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    cfg = config or TrackerConfig()
+
+    class _TrackerProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("tracker", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            seq = key[0]
+            tracker = (
+                _tracker_from_state(tuple(self._state.get()), cfg)
+                if self._state.exists()
+                else SequenceTracker(cfg)
+            )
+            out_rows: list[tuple[Any, ...]] = []
+            pdf = pd.concat(list(rows), ignore_index=True)
+            for frame in frame_order(pdf["frame"]):
+                fd = pdf[pdf["frame"] == frame].sort_values("obj_id")
+                dets = fd[
+                    ["bb_left", "bb_top", "bb_width", "bb_height"]
+                ].to_numpy(float)
+                out_rows.extend(
+                    tracker.step(
+                        frame,
+                        dets,
+                        fd["obj_id"].to_numpy(),
+                        fd["conf"].to_numpy(float),
+                    )
+                )
+            self._state.update(_tracker_to_state(tracker))
+            out = pd.DataFrame(
+                out_rows,
+                columns=[
+                    "frame", "track_id", "det_id",
+                    "bb_left", "bb_top", "bb_width", "bb_height", "conf",
+                ],
+            )
+            out.insert(0, "sequence", seq)
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return detections.groupBy("sequence").transformWithStateInPandas(
+        statefulProcessor=_TrackerProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
     )

@@ -68,3 +68,20 @@ def streaming_session_agg(
             "sum_value",
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once key dedup on a stream: `dropDuplicatesWithinWatermark`
+    keeps the first arrival per key and drops re-deliveries that arrive
+    within the watermark horizon — the streaming form of the exact-dedup
+    path (q_dedup_exact), with state automatically expired past the
+    watermark (bounded memory; a plain dropDuplicates on a stream would
+    keep every key forever)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -536,3 +536,45 @@ def test_binary_file_source_roundtrip(spark, tmp_path):
     feats = extract_media_features(media_from_binary_files(spark, d)).collect()
     assert len(feats) == 5
     assert all(f["n_bytes"] > 0 and f["phash"] for f in feats)
+
+
+def test_catalog_table_write_path_switch(spark, tmp_path):
+    """SURVEY §7.1 interchangeable writer: CatalogTable resolves to the
+    parquet VersionedTable when no Iceberg catalog is configured, routes
+    to format("iceberg") when one is, and detection reads the live
+    session conf."""
+    import pytest as _pytest
+
+    from iceberg_tracking_spark.sources.catalog import (
+        CatalogTable,
+        iceberg_catalog,
+    )
+
+    # No Iceberg catalog on the test session → parquet backend, full
+    # snapshot semantics via VersionedTable.
+    assert iceberg_catalog(spark) is None
+    t = CatalogTable(spark, "demo.db.t", str(tmp_path / "ct"))
+    assert t.backend == "parquet"
+    from pyspark.sql import functions as F
+
+    t.write(spark.range(3).select(F.col("id").alias("k")))
+    t.write(spark.range(5).select(F.col("id").alias("k")), mode="append")
+    assert t.read().count() == 8
+    assert t.read(version=0).count() == 3  # time travel still works
+
+    # Declaring an Iceberg catalog flips detection (runtime conf only).
+    spark.conf.set(
+        "spark.sql.catalog.demo", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    try:
+        assert iceberg_catalog(spark) == "demo"
+        it = CatalogTable(spark, "demo.db.t", str(tmp_path / "ct2"))
+        assert it.backend == "iceberg"
+        # This container has no Iceberg runtime: the write surfaces
+        # Spark's own missing-data-source error (the hook adds no
+        # swallowing layer).
+        with _pytest.raises(Exception):
+            it.write(spark.range(1))
+    finally:
+        spark.conf.unset("spark.sql.catalog.demo")
+    assert iceberg_catalog(spark) is None

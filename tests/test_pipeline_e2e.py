@@ -23,6 +23,10 @@ from .test_tracker import make_sequence
 
 
 def test_track_then_eval_recovers_ground_truth(spark):
+    # Baseline for the leak check at the end: other tests in the shared
+    # session may hold localCheckpoint blocks (e.g. connected
+    # components) — this test only asserts IT adds none.
+    n_persistent_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     # Two independent sequences, one with a short (survivable) occlusion.
     det_pdf = pd.concat(
         [
@@ -68,4 +72,8 @@ def test_track_then_eval_recovers_ground_truth(spark):
     # reference eval.py:355-418), capping IDF1 below 1 even with zero
     # switches — one fragmentation, identity intact.
     assert m["s1"]["idf1"] >= 0.80
+    # The metrics job is a single linear pipeline — it must leave no
+    # cached partitions behind in a long-lived session.
+    n_persistent_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_persistent_after == n_persistent_before
     assert m["s1"]["frag"] <= 1

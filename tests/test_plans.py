@@ -22,6 +22,8 @@ from iceberg_tracking_spark.plans import QUERIES
 # scale-path replacements are q_ann_lsh / q_minhash_lsh / q_grid_join.
 NESTED_LOOP_OK = {
     "q_cosine_topk",       # broadcast queries x corpus, != condition
+    "q_ann_ivf",           # IVF assignment: broadcast K-row centroid table
+                           # (bounded O(N*K) scoring, the IVF build cost)
     "q_containment_antijoin",  # theta anti-join (bounded by group)
     "q_theta_argmax",      # deliberate theta join exercise
     # Single-row / tiny broadcast cross joins (scalar fan-out, not pair

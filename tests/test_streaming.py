@@ -362,3 +362,72 @@ def test_stream_restart_from_checkpoint_exactly_once(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(tbl.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_streaming_track_tws_gated(spark):
+    """The arbitrary-state-v2 tracker variant must either work (when
+    protobuf is installed) or fail fast with a clear ImportError naming
+    the missing dependency — never a deep stack later at query start."""
+    import pytest
+
+    from iceberg_tracking_spark.streaming.tracker import streaming_track_tws
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+    if has_protobuf:
+        pytest.skip("protobuf present; covered by the parity test path")
+    stream = spark.readStream.schema(DET_SCHEMA).parquet(
+        tempfile.mkdtemp(prefix="tws_")
+    )
+    with pytest.raises(ImportError, match="protobuf"):
+        streaming_track_tws(stream)
+
+
+def test_streaming_dedup_drops_redeliveries(spark, sf_dir):
+    """Duplicate event_ids re-delivered across micro-batches within the
+    watermark must be emitted exactly once; the surviving set equals the
+    batch distinct."""
+    from iceberg_tracking_spark.streaming.windows import streaming_dedup
+
+    src = (
+        load_table(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(200)
+        .select("event_id", "ts", "event_type")
+    )
+    stream_dir = tempfile.mkdtemp(prefix="dedup_stream_")
+    ckpt = tempfile.mkdtemp(prefix="dedup_ckpt_")
+    try:
+        # Batch 1: first 150 events; batch 2: events 100-200 (50 dupes).
+        src.limit(150).coalesce(1).write.mode("append").parquet(stream_dir)
+        stream = spark.readStream.schema(src.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(stream_dir)
+        out = streaming_dedup(stream, ["event_id"])
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_out")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            src.subtract(src.limit(100)).coalesce(1).write.mode(
+                "append"
+            ).parquet(stream_dir)
+            q.processAllAvailable()
+            got = spark.sql("SELECT event_id FROM dedup_out").toPandas()
+        finally:
+            q.stop()
+        assert len(got) == len(set(got["event_id"])), "duplicate emissions"
+        assert set(got["event_id"]) == {
+            r["event_id"] for r in src.select("event_id").collect()
+        }
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
