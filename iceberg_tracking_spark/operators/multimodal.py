@@ -58,9 +58,15 @@ def media_from_binary_files(
     from ..sources.binary import ensure_binary_fixture, read_binary_files
 
     raw = read_binary_files(spark, path or ensure_binary_fixture())
-    media_id = F.element_at(
-        F.split(F.element_at(F.split(F.col("path"), "/"), -1), "\\."), 1
-    ).cast("long")
+    # Numeric basename → id; anything else falls back to a stable hash
+    # of the path (a NULL id would poison the derived width/height and
+    # crash the downstream mapInPandas decode on int(None)).
+    media_id = F.coalesce(
+        F.element_at(
+            F.split(F.element_at(F.split(F.col("path"), "/"), -1), "\\."), 1
+        ).cast("long"),
+        F.abs(F.xxhash64(F.col("path"))),
+    )
     return raw.select(
         media_id.alias("media_id"),
         F.lit(modality).alias("modality"),

@@ -52,6 +52,48 @@ def hyperplane_sql_literals(n_bits: int, dim: int) -> list[str]:
     ]
 
 
+# ---- DuckDB-side mirrors (oracle SQL fragments) -----------------------
+# ONE canonical rendering of the fold-order-stable dot / norm / cosine /
+# signature expressions. Every oracle that must be bit-identical to the
+# Spark side builds from these — a second hand-written copy would let a
+# future edit (fold order, bit count) silently desynchronize the hashes.
+
+
+def duck_seq_dot_sql(a: str, b: str, dim: int) -> str:
+    """DuckDB left-fold dot product, bit-identical to `seq_dot`."""
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+def duck_norm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({a}, x -> x * x), "
+        "(x, y) -> x + y))"
+    )
+
+
+def duck_cosine_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"({duck_seq_dot_sql(a, b, dim)} "
+        f"/ ({duck_norm_sql(a)} * {duck_norm_sql(b)}))"
+    )
+
+
+def duck_sig_sql(
+    dim: int, n_bits: int = DEFAULT_BITS, vec: str = "e", plane_prefix: str = "p.h"
+) -> str:
+    """The b-bit sign-LSH signature as a DuckDB expression (planes from
+    a CTE aliased `p`, columns `h0..h{n_bits-1}` via
+    `hyperplane_sql_literals`)."""
+    return " + ".join(
+        f"(CASE WHEN {duck_seq_dot_sql(vec, f'{plane_prefix}{b}', dim)} > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits)
+    )
+
+
 def seq_dot(a: Column, b: Column) -> Column:
     """Left-to-right sequential dot product (order-stable across engines)."""
     return F.aggregate(

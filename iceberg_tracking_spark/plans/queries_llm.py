@@ -17,13 +17,14 @@ from ..functions.text import LANG_MARKERS, STOPWORDS, shingles_from_tokens, toke
 from ..operators.similarity import (
     DEFAULT_BITS,
     cosine,
+    duck_cosine_sql,
+    duck_sig_sql,
     hyperplane_sql_literals,
     signature_lsh,
 )
+from ..schemas import EMB_DIM as _EMB_DIM
 from ..sources.tables import load_table, scatter
 from .registry import query
-
-_EMB_DIM = 64  # embeddings table vector width (FIXTURES.md)
 
 # DuckDB-side shared fragments (tokenization identical to functions/text.py).
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
@@ -462,42 +463,25 @@ def q_cosine_topk(spark, sf_dir):
 def _neardup_oracle() -> str:
     """DuckDB mirror of the banded sign-LSH candidate generation: the
     same deterministic hyperplanes and fold order as the Spark side
-    (operators/similarity.py), so the candidate set is bit-identical."""
+    (shared fragments in operators/similarity.py:duck_*_sql), so the
+    candidate set is bit-identical."""
     planes = hyperplane_sql_literals(DEFAULT_BITS, _EMB_DIM)
     plane_cols = ", ".join(f"{p} AS h{b}" for b, p in enumerate(planes))
-    dot = (
-        "list_reduce(list_transform(range(1, {n}), i -> e[i] * {h}[i]), "
-        "(a, b) -> a + b)"
-    )
-    sig = " + ".join(
-        f"(CASE WHEN {dot.format(n=_EMB_DIM + 1, h=f'p.h{b}')} > 0 "
-        f"THEN {1 << b} ELSE 0 END)"
-        for b in range(DEFAULT_BITS)
-    )
+    cos = duck_cosine_sql("a.e", "b.e", _EMB_DIM)
     return f"""
     WITH p AS (SELECT {plane_cols}),
     v AS (
         SELECT vec_id, label, embedding::DOUBLE[] AS e,
-               CAST({sig} AS BIGINT) AS sig
+               CAST({duck_sig_sql(_EMB_DIM)} AS BIGINT) AS sig
         FROM embeddings, p
     ),
     bnd AS (SELECT *, sig % 16 AS b0, sig // 16 AS b1 FROM v)
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
            a.label AS label_a, b.label AS label_b,
-           round(list_reduce(list_transform(range(1, {_EMB_DIM + 1}),
-                             i -> a.e[i] * b.e[i]), (x, y) -> x + y)
-                 / (sqrt(list_reduce(list_transform(a.e, x -> x * x),
-                                     (x, y) -> x + y))
-                    * sqrt(list_reduce(list_transform(b.e, x -> x * x),
-                                       (x, y) -> x + y))), 6) AS sim
+           round({cos}, 6) AS sim
     FROM bnd a JOIN bnd b
       ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
-    WHERE round(list_reduce(list_transform(range(1, {_EMB_DIM + 1}),
-                            i -> a.e[i] * b.e[i]), (x, y) -> x + y)
-                / (sqrt(list_reduce(list_transform(a.e, x -> x * x),
-                                    (x, y) -> x + y))
-                   * sqrt(list_reduce(list_transform(b.e, x -> x * x),
-                                      (x, y) -> x + y))), 6) >= 0.45
+    WHERE round({cos}, 6) >= 0.45
     """
 
 

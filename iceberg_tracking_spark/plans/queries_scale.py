@@ -24,13 +24,15 @@ from pyspark.sql import functions as F
 from ..operators.joins import asof_join
 from ..operators.similarity import (
     DEFAULT_BITS,
+    duck_cosine_sql,
+    duck_sig_sql,
     hyperplane_sql_literals,
     lsh_bucket_topk,
 )
 from ..sources.tables import load_table, scatter
 from .registry import query
 
-_DIM = 64  # embeddings table vector width (FIXTURES.md)
+from ..schemas import EMB_DIM as _DIM  # noqa: E402  (single source)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str):
@@ -42,31 +44,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str):
 def _ann_oracle() -> str:
     planes = hyperplane_sql_literals(DEFAULT_BITS, _DIM)
     plane_cols = ", ".join(f"{p} AS h{b}" for b, p in enumerate(planes))
-    dot = (
-        "list_reduce(list_transform(range(1, {n}), i -> e[i] * {h}[i]), "
-        "(a, b) -> a + b)"
-    )
-    sig = " + ".join(
-        f"(CASE WHEN {dot.format(n=_DIM + 1, h=f'p.h{b}')} > 0 "
-        f"THEN {1 << b} ELSE 0 END)"
-        for b in range(DEFAULT_BITS)
-    )
     return f"""
     WITH p AS (SELECT {plane_cols}),
     v AS (
         SELECT vec_id, embedding::DOUBLE[] AS e,
-               CAST({sig} AS BIGINT) AS sig
+               CAST({duck_sig_sql(_DIM)} AS BIGINT) AS sig
         FROM embeddings, p
     ),
     q AS (SELECT vec_id AS qid, e AS qe, sig FROM v WHERE vec_id % 25 = 0),
     sims AS (
         SELECT q.qid, v.vec_id AS nid,
-               round(list_reduce(list_transform(range(1, {_DIM + 1}),
-                                 i -> q.qe[i] * v.e[i]), (a, b) -> a + b)
-                     / (sqrt(list_reduce(list_transform(q.qe, x -> x * x),
-                                         (a, b) -> a + b))
-                        * sqrt(list_reduce(list_transform(v.e, x -> x * x),
-                                           (a, b) -> a + b))), 6) AS sim
+               round({duck_cosine_sql('q.qe', 'v.e', _DIM)}, 6) AS sim
         FROM q JOIN v ON v.sig = q.sig AND v.vec_id <> q.qid
     )
     SELECT qid, nid, sim FROM (
@@ -95,23 +83,6 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
-_IVF_DOT = (
-    "list_reduce(list_transform(range(1, {n}), i -> {a}[i] * {b}[i]), "
-    "(x, y) -> x + y)"
-)
-
-
-def _ivf_cos(a: str, b: str) -> str:
-    dot = _IVF_DOT.format(n=_DIM + 1, a=a, b=b)
-    na = (
-        f"sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
-    )
-    nb = (
-        f"sqrt(list_reduce(list_transform({b}, x -> x * x), (x, y) -> x + y))"
-    )
-    return f"({dot} / ({na} * {nb}))"
-
-
 def _ann_ivf_oracle() -> str:
     return f"""
     WITH v AS (
@@ -119,7 +90,8 @@ def _ann_ivf_oracle() -> str:
     ),
     c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 50 = 1),
     scored AS (
-        SELECT v.vec_id, v.e, c.cid, {_ivf_cos('v.e', 'c.ce')} AS csim
+        SELECT v.vec_id, v.e, c.cid,
+               {duck_cosine_sql('v.e', 'c.ce', _DIM)} AS csim
         FROM v, c
     ),
     assigned AS (
@@ -138,7 +110,7 @@ def _ann_ivf_oracle() -> str:
     ),
     sims AS (
         SELECT p.qid, a.vec_id AS nid,
-               round({_ivf_cos('p.qe', 'a.e')}, 6) AS sim
+               round({duck_cosine_sql('p.qe', 'a.e', _DIM)}, 6) AS sim
         FROM probes p JOIN assigned a
           ON a.cid = p.cid AND a.vec_id <> p.qid
     )
@@ -712,10 +684,15 @@ def q_ratio_expr(spark, sf_dir):
 # ------------------------------------------- multimodal, driver-visible
 
 # Materialized at import so the fixture exists before EITHER side of
-# the q_binary_scan check (Spark scan or DuckDB read_blob) runs.
+# the q_binary_scan check (Spark scan or DuckDB read_blob) runs — the
+# driver may execute the oracle SQL first. Best-effort: on a read-only
+# filesystem import must still succeed (the query fn re-ensures).
 from ..sources.binary import FIXTURE_DIR, ensure_binary_fixture, read_binary_files  # noqa: E402
 
-ensure_binary_fixture()
+try:
+    ensure_binary_fixture()
+except OSError:
+    pass
 
 
 @query(

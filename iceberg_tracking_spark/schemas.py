@@ -89,6 +89,8 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+EMB_DIM = 64  # synthetic embeddings table vector width (FIXTURES.md)
+
 SYNTHETIC_TABLES = (
     "region",
     "nation",

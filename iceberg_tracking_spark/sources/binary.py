@@ -27,9 +27,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Inside the repo (the driver and local tests share this absolute
-# path); regenerated on demand, ignored by git.
-FIXTURE_DIR = "/root/repo/.binary_fixture"
+# Inside the repo (the driver and local tests share this path — derived
+# from the package location so any checkout works); regenerated on
+# demand, ignored by git.
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+FIXTURE_DIR = os.path.join(_REPO_ROOT, ".binary_fixture")
 FIXTURE_N = 32
 
 

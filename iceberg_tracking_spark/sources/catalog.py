@@ -312,32 +312,76 @@ class CatalogTable:
     def upsert(self, changes: DataFrame, key_cols: list[str]):
         if self.backend == "parquet":
             return self._vt.upsert(changes, key_cols)
-        changes.createOrReplaceTempView("_catalog_upsert_src")
-        on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
-        self.spark.sql(
-            f"MERGE INTO {self.identifier} t USING _catalog_upsert_src s "
-            f"ON {on} WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+        # Unique per-call view: a fixed name would race concurrent
+        # upserts on the same session (one caller's MERGE reading
+        # another's rows) and leak the view afterwards.
+        import uuid
+
+        view = f"_catalog_upsert_{uuid.uuid4().hex}"
+        changes.createOrReplaceTempView(view)
+        try:
+            on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+            self.spark.sql(
+                f"MERGE INTO {self.identifier} t USING {view} s "
+                f"ON {on} WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
         return None
 
     # -- read / time travel
 
     def read(self, version: int | None = None) -> DataFrame:
+        """Current snapshot, or time-travel to sequential `version`.
+
+        `version` keeps VersionedTable's sequential meaning (0 = first
+        commit) on BOTH backends: Iceberg snapshot IDs are random longs,
+        so the ordinal is resolved through the table's `snapshots`
+        metadata relation (ordered by commit time) before `VERSION AS
+        OF` — call sites stay interchangeable.
+        """
         if self.backend == "parquet":
             return self._vt.read(self.spark, version=version)
         if version is None:
             return self.spark.read.table(self.identifier)
+        snaps = (
+            self.spark.sql(
+                f"SELECT snapshot_id FROM {self.identifier}.snapshots "
+                "ORDER BY committed_at"
+            )
+            .collect()
+        )
+        if not 0 <= int(version) < len(snaps):
+            raise ValueError(
+                f"unknown version {version}; have 0..{len(snaps) - 1}"
+            )
+        sid = snaps[int(version)]["snapshot_id"]
         return self.spark.sql(
-            f"SELECT * FROM {self.identifier} VERSION AS OF {int(version)}"
+            f"SELECT * FROM {self.identifier} VERSION AS OF {sid}"
         )
 
     # -- maintenance
 
+    def _catalog_name(self) -> str:
+        """Catalog for `CALL <cat>.system.*`: the identifier's first
+        part only when fully qualified (cat.db.table) — a 2-part
+        identifier's first part is a NAMESPACE in the session default
+        catalog, so fall back to the configured Iceberg catalog."""
+        parts = self.identifier.split(".")
+        if len(parts) >= 3:
+            return parts[0]
+        cat = iceberg_catalog(self.spark)
+        if cat is None:
+            raise ValueError(
+                f"cannot derive Iceberg catalog for '{self.identifier}'"
+            )
+        return cat
+
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024):
         if self.backend == "parquet":
             return self._vt.compact(self.spark, target_file_bytes)
-        cat = self.identifier.split(".", 1)[0]
+        cat = self._catalog_name()
         self.spark.sql(
             f"CALL {cat}.system.rewrite_data_files(table => "
             f"'{self.identifier}', options => map("
@@ -348,7 +392,7 @@ class CatalogTable:
     def expire(self, keep_last: int = 1):
         if self.backend == "parquet":
             return self._vt.expire(keep_last=keep_last)
-        cat = self.identifier.split(".", 1)[0]
+        cat = self._catalog_name()
         self.spark.sql(
             f"CALL {cat}.system.expire_snapshots(table => "
             f"'{self.identifier}', retain_last => {int(keep_last)})"
