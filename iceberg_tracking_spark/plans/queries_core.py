@@ -919,3 +919,92 @@ def q_big_orders(spark, sf_dir):
         F.round("o_totalprice", 2).alias("o_totalprice"),
         F.round("total_qty", 2).alias("total_qty"),
     )
+
+
+@query(
+    "q_corr_scalar_subquery",
+    oracle="""
+    SELECT p.p_brand,
+           count(*) AS n_small_lots,
+           round(sum(l.l_extendedprice), 2) AS small_lot_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+    )
+    GROUP BY p.p_brand
+    """,
+)
+def q_corr_scalar_subquery(spark, sf_dir):
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average
+    quantity) gating the outer row. The DataFrame form IS the
+    decorrelated plan Catalyst would produce: aggregate the fact once
+    per correlation key (map-side combine), broadcast-join the tiny
+    per-part averages back, filter, aggregate. One pass over lineitem
+    per side, no per-row subquery execution — the only formulation that
+    survives 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part_avg), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lots"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_lot_revenue"),
+        )
+    )
+
+
+@query(
+    "q_not_exists",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_never_urgent,
+           round(avg(c.c_acctbal), 2) AS avg_balance
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT avg(c2.c_acctbal) FROM customer c2
+        WHERE c2.c_mktsegment = c.c_mktsegment AND c2.c_acctbal < 5000
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_not_exists(spark, sf_dir):
+    """TPC-H Q22 shape — correlated NOT EXISTS plus a correlated scalar
+    aggregate: above-segment-threshold customers who never placed an
+    URGENT-priority order. Decorrelated form: per-segment thresholds
+    (5-row broadcast), then a LEFT ANTI join against the filtered
+    orders for the NOT EXISTS — the anti join is the only shuffle, the
+    priority filter pushes to the orders scan, and only customer keys
+    ship through it."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    seg_avg = (
+        c.filter(F.col("c_acctbal") < 5000)
+        .groupBy("c_mktsegment")
+        .agg(F.avg("c_acctbal").alias("seg_avg"))
+    )
+    return (
+        c.join(F.broadcast(seg_avg), "c_mktsegment")
+        .filter(F.col("c_acctbal") > F.col("seg_avg"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_never_urgent"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+        )
+    )

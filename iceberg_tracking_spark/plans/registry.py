@@ -55,6 +55,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_binary_scan",
     "q_ann_ivf",
     "q_approx_quantile",
+    "q_corr_scalar_subquery",
+    "q_not_exists",
     # remaining round-1-unchecked, oracle-backed
     "q_stratified_sample",
     "q_vocab_topk",
