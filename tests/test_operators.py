@@ -578,3 +578,45 @@ def test_catalog_table_write_path_switch(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.catalog.demo")
     assert iceberg_catalog(spark) is None
+
+
+def test_ivf_topk_invariants(spark, sf_dir):
+    """IVF ANN invariants: ≤ k neighbors per query, no duplicates, no
+    self-matches, and widening nprobe is monotone in recall vs the
+    exact brute-force truth."""
+    from pyspark.sql import functions as F
+
+    from iceberg_tracking_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    pred = F.col("vec_id") % 25 == 0
+    q = v.filter(pred).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    truth = {
+        (r["qid"], r["nid"]) for r in brute_force_topk(v, q, k=3).collect()
+    }
+
+    def run(nprobe):
+        rows = ivf_topk(
+            v, k=3, query_pred=pred,
+            centroid_pred=F.col("vec_id") % 50 == 1, nprobe=nprobe,
+        ).collect()
+        pairs = {(r["qid"], r["nid"]) for r in rows}
+        assert len(pairs) == len(rows)            # no duplicate candidates
+        assert all(qid != nid for qid, nid in pairs)
+        per_q: dict = {}
+        for qid, _ in pairs:
+            per_q[qid] = per_q.get(qid, 0) + 1
+        assert max(per_q.values()) <= 3
+        return len(pairs & truth) / len(truth)
+
+    r1, r2, r4 = run(1), run(2), run(4)
+    assert r1 <= r2 <= r4                          # probe widening is monotone
+    assert r2 >= 0.3                               # sane recall floor
