@@ -892,3 +892,87 @@ def q_dedup_keep_one(spark, sf_dir):
     return d.join(F.broadcast(losers), "doc_id", "left_anti").select(
         "doc_id", "lang"
     )
+
+
+@query(
+    "q_corpus_curate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars,
+               {_DUCK_TOKS} AS toks
+        FROM documents
+    ),
+    fp AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               md5(array_to_string(toks, ' ')) AS fingerprint
+        FROM toks
+        WHERE len(toks) >= 5 AND n_chars >= 30
+    ),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                         ORDER BY doc_id) AS rn
+            FROM fp
+        ) WHERE rn = 1
+    ),
+    sampled AS (
+        SELECT * FROM kept
+        WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 100
+              < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 ELSE 30 END
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           min(doc_id) AS min_doc
+    FROM sampled GROUP BY lang
+    """,
+)
+def q_corpus_curate(spark, sf_dir):
+    """The composed training-mix builder — the end-to-end corpus
+    curation pipeline as ONE declarative plan: quality gate (token and
+    char floors) → exact-dedup keep-first (row_number over the
+    normalized-token fingerprint) → deterministic per-language
+    stratified sampling (hash-of-key rates, reproducible on any
+    engine/partitioning) → per-language document and token accounting.
+    Each stage is the already-verified operator (q_doc_fingerprint,
+    q_dedup_rank, q_stratified_sample, q_token_count shapes) — this
+    query proves they COMPOSE without materialization barriers: one
+    scan, one dedup shuffle, one final aggregate."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "toks", _spark_tokens(F.col("text"))
+    )
+    fp = d.filter(
+        (F.size("toks") >= 5) & (F.col("n_chars") >= 30)
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("toks", " ")).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    kept = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 80)
+        .when(F.col("lang") == "de", 50)
+        .otherwise(30)
+    )
+    return (
+        kept.filter(h < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )

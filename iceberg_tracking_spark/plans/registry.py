@@ -57,6 +57,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_approx_quantile",
     "q_corr_scalar_subquery",
     "q_not_exists",
+    "q_corpus_curate",
     # remaining round-1-unchecked, oracle-backed
     "q_stratified_sample",
     "q_vocab_topk",

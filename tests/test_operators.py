@@ -620,3 +620,31 @@ def test_ivf_topk_invariants(spark, sf_dir):
     r1, r2, r4 = run(1), run(2), run(4)
     assert r1 <= r2 <= r4                          # probe widening is monotone
     assert r2 >= 0.3                               # sane recall floor
+
+
+def test_source_format_matrix_roundtrip(spark, sf_dir, tmp_path):
+    """Source-format breadth (S-family): the same relation written as
+    parquet, ORC, and JSON-lines reads back value-identical — format is
+    an I/O detail, not a semantic one."""
+    from pyspark.sql import functions as F
+
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(100)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        )
+    )
+    expected = [tuple(r) for r in src.collect()]
+    for fmt in ("parquet", "orc", "json"):
+        p = str(tmp_path / f"fmt_{fmt}")
+        src.write.format(fmt).save(p)
+        back = spark.read.format(fmt).schema(src.schema).load(p)
+        got = sorted(tuple(r) for r in back.collect())
+        assert got == sorted(expected), f"{fmt} roundtrip diverged"
