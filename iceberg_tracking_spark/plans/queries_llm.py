@@ -976,3 +976,46 @@ def q_corpus_curate(spark, sf_dir):
             F.min("doc_id").alias("min_doc"),
         )
     )
+
+
+@query(
+    "q_repetition",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(shingles) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct,
+           round(CASE WHEN len(shingles) > 0
+                 THEN 1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE)
+                      / len(shingles)
+                 ELSE 0.0 END, 4) AS rep_ratio,
+           CASE WHEN len(shingles) > 0
+                THEN (1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE)
+                      / len(shingles)) > 0.2
+                ELSE FALSE END AS is_repetitive
+    FROM (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents)
+    """,
+)
+def q_repetition(spark, sf_dir):
+    """Repetition-based quality signal (the duplicate-n-gram fraction
+    used by Gopher-style corpus filters): share of 3-word shingles that
+    are repeats within the document. Boilerplate, keyword stuffing, and
+    degenerate generations score high and get flagged. Pure per-row
+    array expressions — no shuffle at all until a consumer aggregates,
+    so at 100 TB this is a map-only pass. The shingle array is
+    materialized via withColumn BEFORE the size/distinct expressions
+    (HOF-lambda CSE gotcha)."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "toks", _spark_tokens(F.col("text"))
+    ).withColumn("shingles", _spark_shingles(F.col("toks")))
+    n = F.size("shingles")
+    nd = F.size(F.array_distinct("shingles"))
+    ratio = F.when(
+        n > 0, F.lit(1.0) - nd.cast("double") / n
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_shingles"),
+        nd.cast("long").alias("n_distinct"),
+        F.round(ratio, 4).alias("rep_ratio"),
+        (ratio > 0.2).alias("is_repetitive"),
+    )

@@ -254,3 +254,42 @@ def test_flat_to_partitioned_compaction_not_oversplit(spark, tmp_path):
     files = glob.glob(f"{path}/seq=*/*.parquet")
     assert 3 <= len(files) <= 6, files
     assert spark.read.parquet(path).count() == 20_000
+
+
+def test_tokenizer_unicode_parity_with_oracle(spark):
+    """The Spark tokenizer and the oracle's _DUCK_TOKS fragment must
+    agree beyond ASCII — the synthetic corpus is ASCII-only, so the
+    driver gate never exercises NBSP/CJK/emoji/case-folding edges."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from iceberg_tracking_spark.plans.queries_llm import _DUCK_TOKS, _spark_tokens
+
+    texts = [
+        "hello\xa0world nbsp",            # non-breaking space: NOT \s
+        "tab\tand\nnewline split",
+        "emoji 🙂 and cjk 中文 mixed",
+        "Ünïcödé ACCENTS Größe",          # case folding incl. ß
+        "  leading trailing  ",
+        "multi   space",
+        "",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf).withColumn(
+        "toks", _spark_tokens(F.col("text"))
+    )
+    spark_toks = {
+        r["doc_id"]: list(r["toks"])
+        for r in sdf.select("doc_id", "toks").collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck_toks = {
+        int(r[0]): list(r[1])
+        for r in con.execute(
+            f"SELECT doc_id, {_DUCK_TOKS} FROM documents"
+        ).fetchall()
+    }
+    con.close()
+    assert spark_toks == duck_toks
