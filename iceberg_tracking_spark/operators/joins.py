@@ -217,3 +217,38 @@ def consecutive_frame_join(
         *[F.lead(c).over(w).alias("next_" + c) for c in attr_cols],
     )
     return out.filter(F.col("next_" + order_col).isNotNull())
+
+
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    key: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the hot-key analog of the two-phase
+    salted aggregation (`q_salted_agg`).
+
+    When the probe side concentrates on a handful of key values (at
+    100 TB one hot key can pin a single reducer for hours) and the
+    build side is too large to broadcast, salt the probe rows into
+    `n_salts` sub-keys and replicate each build row once per salt, so
+    every hot key spreads across `n_salts` reducers. The result set is
+    identical to the plain join — only the shuffle layout changes.
+
+    The salt on the probe side is derived from a hash of the whole row
+    (deterministic — no `rand()`, so retried tasks and the driver's
+    oracle replay produce the same partitioning); the build side gets a
+    `sequence`+`explode` replication, amplifying it ×`n_salts`, which
+    is why this targets *medium* build sides: small ones should just
+    broadcast, and Spark AQE's skew-join handles the case where both
+    sides are huge. `how` supports inner/left — the salt never changes
+    match semantics because every probe salt value has its replica.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    probe = skewed.withColumn("__salt", salt)
+    build = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return probe.join(build, on=keys + ["__salt"], how=how).drop("__salt")

@@ -1008,3 +1008,41 @@ def q_not_exists(spark, sf_dir):
             F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
         )
     )
+
+
+@query(
+    "q_minmax_by",
+    oracle="""
+    SELECT o_custkey,
+           max(CASE WHEN rn_hi = 1 THEN o_orderkey END) AS best_order,
+           round(max(o_totalprice), 2) AS best_price,
+           max(CASE WHEN rn_lo = 1 THEN o_orderkey END) AS cheapest_order,
+           round(min(o_totalprice), 2) AS cheapest_price
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_hi,
+               row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_lo
+        FROM orders
+    )
+    GROUP BY o_custkey
+    """,
+)
+def q_minmax_by(spark, sf_dir):
+    """`max_by`/`min_by` argmax aggregates: each customer's priciest and
+    cheapest order in ONE hash aggregate — no window, no self-join, no
+    sort. The ordering value is a (price, orderkey) struct so ties are
+    deterministic (bare max_by on a tied price is engine-unstable).
+    DuckDB's arg_max can't take a struct ordering key, so the oracle is
+    the row_number() formulation — same result, but the Spark plan is
+    the one that scales: a single partial-aggregating shuffle instead
+    of a per-customer sort."""
+    o = _t(spark, sf_dir, "orders")
+    hi = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", hi).alias("best_order"),
+        F.round(F.max("o_totalprice"), 2).alias("best_price"),
+        F.min_by("o_orderkey", hi).alias("cheapest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("cheapest_price"),
+    )

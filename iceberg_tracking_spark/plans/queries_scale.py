@@ -896,3 +896,109 @@ def q_rank_family(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("prnk"),
         F.ntile(4).over(w_tiebroken).cast("long").alias("quartile"),
     )
+
+
+@query(
+    "q_skew_join",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type, round(avg(value), 4) AS type_avg
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value - d.type_avg, 2) AS delta
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def q_skew_join(spark, sf_dir):
+    """Skew-resistant join via `salted_join` (operators/joins.py): every
+    event joins its per-type average, but `event_type` has single-digit
+    cardinality, so a plain shuffle join funnels ~1/8 of 100 TB through
+    one reducer per type. Salting spreads each hot key over 16 reducers;
+    the build side (tiny here, medium in the real case this targets) is
+    replicated ×16. The oracle is the PLAIN join — salting must not
+    change a single row. The per-type average is rounded to 4dp before
+    the subtraction on both engines so summation order can't leak into
+    the 2dp delta."""
+    from ..operators.joins import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("type_avg")
+    )
+    out = salted_join(ev, dim.hint("shuffle_hash"), key="event_type", n_salts=16)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") - F.col("type_avg"), 2).alias("delta"),
+    )
+
+
+def _kmeans_step_oracle() -> str:
+    from ..operators.clustering import duck_sqdist_sql
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 101 = 0),
+    d AS (SELECT v.vec_id, c.cid, v.e,
+                 {duck_sqdist_sql('v.e', 'c.ce', _DIM)} AS dist
+          FROM v CROSS JOIN c),
+    a AS (SELECT vec_id, cid, e FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+              FROM d) WHERE rn = 1),
+    idx AS (SELECT unnest(range(1, {_DIM} + 1)) AS i),
+    x AS (SELECT a.cid, CAST(i - 1 AS BIGINT) AS pos, a.e[i] AS val
+          FROM a CROSS JOIN idx)
+    SELECT cid, pos, round(avg(val), 4) AS c_val,
+           count(*) AS n_members
+    FROM x GROUP BY cid, pos
+    """
+
+
+@query("q_kmeans_step", oracle=_kmeans_step_oracle())
+def q_kmeans_step(spark, sf_dir):
+    """One Lloyd k-means iteration as a relational program
+    (operators/clustering.py): assign all vectors to their nearest of
+    the stride-seeded centroids (broadcast k-row table, hash-agg
+    argmin, bit-identical left-fold distances so ties can't flip
+    cross-engine), then emit the updated centroids in long
+    (cid, pos, mean) form. The assignment pass is the per-iteration
+    cost at 100 TB: one broadcast join over the data, shuffles carry
+    only k*dim partial means. The full iterative loop is `q_kmeans`
+    (rows-only: iteration count is imperative, not SQL)."""
+    from ..operators.clustering import assign_clusters
+
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = v.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    assigned = assign_clusters(v, cents)
+    return (
+        assigned.select("cid", F.posexplode("e").alias("pos", "v"))
+        .groupBy("cid", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.round(F.avg("v"), 4).alias("c_val"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+@query("q_kmeans", oracle=None)
+def q_kmeans(spark, sf_dir):
+    """Trained k-means (3 Lloyd iterations, k=8) over the embedding
+    store — the quantizer-training path IVF needs (rows-only: the
+    iterative loop isn't SQL-expressible; invariants are pinned in
+    tests/test_clustering.py). Returns one row per vector with its
+    final cluster and distance."""
+    from ..operators.clustering import kmeans
+
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    _, assigned = kmeans(v, k=8, n_iter=3)
+    return assigned.select(
+        "vec_id", "cid", F.round("dist", 6).alias("dist")
+    )

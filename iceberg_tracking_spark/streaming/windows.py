@@ -85,3 +85,39 @@ def streaming_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    upper: str = "15 minutes",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval condition
+    (the attribution shape: right events within [left_ts, left_ts +
+    upper] for the same key).
+
+    Watermarks on BOTH inputs plus the closed time-range predicate are
+    what make this runnable forever at scale: they bound the join
+    state — a buffered left row is evicted once the right watermark
+    passes `left_ts + upper`, so state size tracks the interval, not
+    the stream length. Without the range condition Spark must keep
+    every row indefinitely (unbounded state = eventual OOM at 100 TB
+    equivalents). Inputs are aliased `l`/`r`; both sides' columns
+    survive into the result for the caller to project.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return l.join(r, cond, how)

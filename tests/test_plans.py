@@ -24,6 +24,8 @@ NESTED_LOOP_OK = {
     "q_cosine_topk",       # broadcast queries x corpus, != condition
     "q_ann_ivf",           # IVF assignment: broadcast K-row centroid table
                            # (bounded O(N*K) scoring, the IVF build cost)
+    "q_kmeans_step",       # Lloyd assignment: same broadcast K-row pattern
+    "q_kmeans",            # full Lloyd loop (same assignment core)
     "q_containment_antijoin",  # theta anti-join (bounded by group)
     "q_theta_argmax",      # deliberate theta join exercise
     # Single-row / tiny broadcast cross joins (scalar fan-out, not pair
@@ -121,3 +123,52 @@ def test_asof_join_single_window_no_join(spark, sf_dir):
     for join_op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
                     "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert join_op not in plan, f"q_asof_join plans {join_op}"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketed co-located join: writing both fact tables bucketed on
+    the join key must let Spark plan the join with ZERO Exchange —
+    this is the amortize-the-shuffle-once contract of
+    sources/bucketing.py, the dominant cost saver for repeated
+    fact-to-fact joins at 100 TB."""
+    import io
+    from contextlib import redirect_stdout
+
+    from iceberg_tracking_spark.sources.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a real (non-broadcast) join so the exchange test bites
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(orders, "bkt_orders", "o_orderkey", 8)
+        write_bucketed(lineitem, "bkt_lineitem", "o_orderkey", 8)
+        joined = bucketed_join(spark, "bkt_orders", "bkt_lineitem", "o_orderkey")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+        # and it must still be correct
+        expected = orders.join(lineitem, "o_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_skew_join_salts_the_shuffle(spark, sf_dir):
+    """q_skew_join must join on (key, salt) through a shuffled join —
+    a broadcast would silently bypass the salting demonstration."""
+    plan = _plan(spark, sf_dir, "q_skew_join")
+    assert "__salt" in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan

@@ -293,3 +293,28 @@ def test_tokenizer_unicode_parity_with_oracle(spark):
     }
     con.close()
     assert spark_toks == duck_toks
+
+
+def test_salted_join_parity_under_extreme_skew(spark):
+    """salted_join must return exactly the plain-join rows (incl. left
+    semantics for unmatched probes) when 95% of probe rows share one
+    key — the hot-key layout it exists for."""
+    from pyspark.sql import functions as F
+
+    from iceberg_tracking_spark.operators.joins import salted_join
+
+    probe = spark.range(2000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 20 != 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 7).cast("string")))
+        .alias("k"),
+    )
+    build = spark.createDataFrame(
+        [("hot", 1.0), ("k0", 2.0), ("k3", 3.0)], ["k", "w"]
+    )
+    for how in ("inner", "left"):
+        got = salted_join(probe, build, key="k", n_salts=8, how=how)
+        want = probe.join(build, on="k", how=how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), how

@@ -431,3 +431,56 @@ def test_streaming_dedup_drops_redeliveries(spark, sf_dir):
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_dir, events_stream_dir):
+    """Stream-stream attribution join (views -> purchases within 15
+    minutes per user) must produce exactly the batch join's rows."""
+    from iceberg_tracking_spark.streaming.windows import streaming_interval_join
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = streaming_interval_join(
+        views, purchases, key="user_id", upper="15 minutes"
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("view_ts"),
+        F.col("r.ts").alias("purchase_ts"),
+        F.col("r.value").alias("purchase_value"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM ij_out").toPandas()
+    finally:
+        q.stop()
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").alias("l")
+    p = ev.filter(F.col("event_type") == "purchase").alias("r")
+    batch = (
+        v.join(
+            p,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 15 minutes")),
+        )
+        .select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.ts").alias("view_ts"),
+            F.col("r.ts").alias("purchase_ts"),
+            F.col("r.value").alias("purchase_value"),
+        )
+        .toPandas()
+    )
+    assert len(batch) > 0, "fixture produced no view->purchase pairs"
+    key = ["user_id", "view_ts", "purchase_ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, batch, check_dtype=False)
