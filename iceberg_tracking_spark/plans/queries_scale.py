@@ -1002,3 +1002,35 @@ def q_kmeans(spark, sf_dir):
     return assigned.select(
         "vec_id", "cid", F.round("dist", 6).alias("dist")
     )
+
+
+def _zorder_oracle() -> str:
+    from ..sources.zorder import duck_zvalue_sql
+
+    return f"""
+    SELECT event_id, user_id,
+           {duck_zvalue_sql('user_id', 'CAST(floor(value) AS BIGINT)')}
+             AS zval
+    FROM events
+    """
+
+
+@query("q_zorder", oracle=_zorder_oracle())
+def q_zorder(spark, sf_dir):
+    """Morton z-value computation (sources/zorder.py) — the clustering
+    key behind multi-column data skipping (Iceberg/Delta OPTIMIZE
+    ZORDER). Pure shift/mask Catalyst expressions, bit-identical to
+    the oracle; the write path that sorts files by this key and the
+    parquet-footer pruning it buys are pinned in tests/test_zorder.py.
+    `floor` before the cast because Spark truncates double→long while
+    DuckDB rounds (portability rule)."""
+    from ..sources.zorder import zvalue
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        zvalue(
+            F.col("user_id"), F.floor("value").cast("long")
+        ).alias("zval"),
+    )
