@@ -381,3 +381,168 @@ def q_session_window(spark, sf_dir):
         F.round(F.sum("value"), 2).alias("sum_value"),
         (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms"),
     )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked_after,
+           (SELECT count(*) FROM p) AS n_purchased_after
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered-event funnel (view -> later click -> later purchase per
+    user): each stage is a per-user min-timestamp aggregate joined to
+    the next stage with a strict time predicate — conditional aggs +
+    equi-joins on user_id, so every shuffle is on the user key and the
+    per-stage relations shrink monotonically. The window-free shape
+    matters at 100 TB: no per-user event-array materialization, and
+    stage N's input is only stage N-1 survivors."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.wk) / 7 AS BIGINT)
+             AS week_offset,
+           count(DISTINCT a.user_id) AS n_active
+    FROM active a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users bucketed by first-seen week, activity
+    counted per (cohort, week-offset) cell — the standard triangle.
+    Two shuffles on user_id (first-seen agg, distinct-activity agg) and
+    one on the tiny (cohort, offset) key. Both engines truncate weeks
+    to Monday, and offsets are exact multiples of 7 days, so integer
+    division is engine-stable."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT *, sum(chg) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        FROM ordered
+    ),
+    intervals AS (
+        SELECT user_id, run_id, event_type,
+               min(ts) AS valid_from, count(*) AS n_events
+        FROM runs GROUP BY user_id, run_id, event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, run_id) AS valid_to,
+           n_events
+    FROM intervals
+    """,
+)
+def q_scd2(spark, sf_dir):
+    """SCD-2 (slowly-changing-dimension) interval build: collapse each
+    user's consecutive same-state events into [valid_from, valid_to)
+    rows, the open (NULL valid_to) row being current — the standard
+    warehouse dimension-history shape. Run detection is the
+    gaps-and-islands trick (lag + running sum, one window shuffle per
+    user key); valid_to comes from lead over the collapsed intervals,
+    so the second window runs on the already-shrunk relation. Total
+    ordering (ts, event_id) makes runs engine-deterministic."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = ev.withColumn(
+        "chg",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    intervals = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "run_id")
+    return intervals.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )

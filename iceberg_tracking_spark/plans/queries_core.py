@@ -1046,3 +1046,42 @@ def q_minmax_by(spark, sf_dir):
         F.min_by("o_orderkey", hi).alias("cheapest_order"),
         F.round(F.min("o_totalprice"), 2).alias("cheapest_price"),
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
+    FROM (
+        UNPIVOT (SELECT l_orderkey, l_linenumber,
+                        l_quantity, l_extendedprice, l_discount
+                 FROM lineitem)
+        ON l_quantity, l_extendedprice, l_discount
+        INTO NAME measure VALUE val
+    )
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """Wide-to-long melt (the inverse of `q_pivot`): each lineitem's
+    three measures become (measure, value) rows via the native
+    `unpivot` operator — a zero-shuffle map-side explode (Expand node),
+    NOT a 3-way self-union that would re-scan the table per measure.
+    The long layout is what metric stores and plotting pipelines
+    ingest at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount",
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "val",
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "measure",
+            F.round("val", 2).alias("val"),
+        )
+    )

@@ -32,6 +32,7 @@ NESTED_LOOP_OK = {
     # explosion): global aggregate joined back onto every row.
     "q_global_norm",       # global max (1 row) broadcast to all rows
     "q_eval_metrics",      # scalar metric components combined (1-row sides)
+    "q_funnel",            # three 1-row stage counts combined into one row
     "q_mask_filter",       # broadcast mask-cell table, range predicate
     "q_tfidf",             # corpus doc-count (1 row) broadcast into scoring
     "q_unigram_logprob",   # corpus token-total (1 row) broadcast into scoring

@@ -318,3 +318,26 @@ def test_salted_join_parity_under_extreme_skew(spark):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), how
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Appended files may add columns over time (the 100 TB reality:
+    schemas evolve mid-table). mergeSchema reads must surface the
+    union schema with NULLs for pre-evolution rows, and a projection
+    that only touches old columns must not fail on either vintage."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(10).select(
+        F.col("id"), F.lit("v1").alias("src")
+    ).write.mode("overwrite").parquet(path)
+    spark.range(10, 20).select(
+        F.col("id"), F.lit("v2").alias("src"), F.lit(1.5).alias("score")
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "src", "score"}
+    assert merged.count() == 20
+    nulls = merged.filter(F.col("score").isNull()).count()
+    assert nulls == 10
+    assert merged.select("id", "src").count() == 20
