@@ -125,6 +125,10 @@ def kmeans(
         .select(vec_col)
         .collect()
     )
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans needs >= k rows to seed centroids: k={k}, rows={len(init)}"
+        )
     cents = [
         (i, [float(x) for x in row[vec_col]]) for i, row in enumerate(init)
     ]

@@ -245,6 +245,10 @@ def salted_join(
     sides are huge. `how` supports inner/left — the salt never changes
     match semantics because every probe salt value has its replica.
     """
+    if how not in ("inner", "left"):
+        # right/full would emit every unmatched build REPLICA (once per
+        # salt) — silently wrong rows, so reject rather than surprise.
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = [key] if isinstance(key, str) else list(key)
     salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     probe = skewed.withColumn("__salt", salt)

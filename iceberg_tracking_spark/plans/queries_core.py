@@ -1080,6 +1080,10 @@ def q_unpivot(spark, sf_dir):
             "measure",
             "val",
         )
+        # DuckDB's UNPIVOT drops NULL-valued cells; Spark keeps them.
+        # Pin the drop-NULLs contract so the engines can't diverge on
+        # schema-evolved data with NULL measures.
+        .filter(F.col("val").isNotNull())
         .select(
             "l_orderkey", "l_linenumber", "measure",
             F.round("val", 2).alias("val"),

@@ -58,6 +58,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_corr_scalar_subquery",
     "q_not_exists",
     "q_corpus_curate",
+    "q_zorder",
+    "q_kmeans_step",
+    "q_skew_join",
+    "q_scd2",
     # remaining round-1-unchecked, oracle-backed
     "q_stratified_sample",
     "q_vocab_topk",
@@ -84,14 +88,16 @@ DRIVER_PRIORITY: list[str] = [
     "q_frame_sample",
     "q_rolling_window",
     "q_rank_family",
-    # remaining round-1-unchecked, rows-only by design
+    # remaining round-1-unchecked, rows-only by design. (The stub-path
+    # rows-only queries q_remove_nested / q_gen_embeddings /
+    # q_media_features / q_batch_infer were rotated OUT for round 2:
+    # their driver rows are weak `no_oracle` entries and their §2 ids
+    # keep other driver evidence — q_containment_antijoin (W4, r01
+    # green), q_binary_scan (S8, in-window oracle) — making room for
+    # oracle-backed rows on q_zorder/q_kmeans_step/q_skew_join/q_scd2.)
     "q_nms",
     "q_greedy_match",
     "q_track",
-    "q_remove_nested",
-    "q_gen_embeddings",
-    "q_media_features",
-    "q_batch_infer",
 ]
 
 

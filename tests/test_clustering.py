@@ -83,3 +83,18 @@ def test_update_centroids_is_elementwise_mean(spark):
     }
     assert out[0] == ([2.0, 20.0], 2)
     assert out[1] == ([5.0, 50.0], 1)
+
+
+def test_kmeans_rejects_fewer_rows_than_k(vectors):
+    with pytest.raises(ValueError, match="k=50"):
+        kmeans(vectors.limit(10), k=50, n_iter=1)
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    from iceberg_tracking_spark.operators.joins import salted_join
+
+    probe = spark.range(4).selectExpr("id AS k")
+    build = spark.range(2).selectExpr("id AS k")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(probe, build, key="k", how=how)

@@ -173,3 +173,17 @@ def test_skew_join_salts_the_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_skew_join")
     assert "__salt" in plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_readme_query_counts_match_registry():
+    """README's declared query/oracle counts must track the registry."""
+    import re
+
+    from iceberg_tracking_spark.plans import get_oracles, get_queries
+
+    text = open("README.md").read()
+    m = re.search(r"\((\d+) named queries\)", text)
+    n = re.search(r"the (\d+) SQL-expressible queries", text)
+    assert m and n, "README query-count sentence changed shape"
+    assert int(m.group(1)) == len(get_queries())
+    assert int(n.group(1)) == len(get_oracles())

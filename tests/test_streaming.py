@@ -480,7 +480,7 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir, events_stream_dir):
         .toPandas()
     )
     assert len(batch) > 0, "fixture produced no view->purchase pairs"
-    key = ["user_id", "view_ts", "purchase_ts"]
+    key = ["user_id", "view_ts", "purchase_ts", "purchase_value"]
     got = got.sort_values(key).reset_index(drop=True)
     batch = batch.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, batch, check_dtype=False)
