@@ -222,14 +222,15 @@ def _jaccard_pairs(spark, sf_dir):
     shared by q_ngram_jaccard (scored) and q_dedup_clusters (edges) so
     the threshold/shingle contract cannot desynchronize."""
     d = _t(spark, sf_dir, "documents")
-    sh = (
-        d.withColumn("toks", _spark_tokens(F.col("text")))
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(_spark_shingles(F.col("toks"))).alias("shingle"),
-        )
-        .distinct()
+    # array_distinct BEFORE the explode: per-doc dedup is map-side
+    # array work, so the old post-explode `.distinct()` — a full
+    # (doc_id, lang, shingle) shuffle — disappears from the plan.
+    sh = d.withColumn("toks", _spark_tokens(F.col("text"))).select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(_spark_shingles(F.col("toks")))).alias(
+            "shingle"
+        ),
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -336,9 +337,15 @@ def q_minhash_lsh(spark, sf_dir):
     # per shingle — 4 hex chunks each of md5(s) and md5('x'||s).
     # (8 salted full-md5 lanes were ~2× slower; 8 higher-order array
     # transforms ~30× — interpreted per element.)
+    # array_distinct before the explode: min over the distinct shingle
+    # set == min over the multiset, so lanes are unchanged while md5
+    # work drops by the duplicate-shingle fraction (measured ~20-30%
+    # wall on this corpus; see q_repetition for how repetitive it is).
     sh = d.withColumn("toks", _spark_tokens(F.col("text"))).select(
         "doc_id",
-        F.explode(_spark_shingles(F.col("toks"))).alias("shingle"),
+        F.explode(F.array_distinct(_spark_shingles(F.col("toks")))).alias(
+            "shingle"
+        ),
     )
     h1 = F.md5(F.col("shingle"))
     h2 = F.md5(F.concat(F.lit("x"), F.col("shingle")))
@@ -789,14 +796,14 @@ def q_contamination(spark, sf_dir):
     The decontamination step every training mix runs before a model
     sees the data."""
     d = _t(spark, sf_dir, "documents")
-    sh = (
-        d.withColumn("toks", _spark_tokens(F.col("text")))
-        .select(
-            "doc_id",
-            "source",
-            F.explode(_spark_shingles(F.col("toks"))).alias("shingle"),
-        )
-        .distinct()
+    # Same map-side dedup trick as _jaccard_pairs: array_distinct
+    # replaces the post-explode distinct() shuffle.
+    sh = d.withColumn("toks", _spark_tokens(F.col("text"))).select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(_spark_shingles(F.col("toks")))).alias(
+            "shingle"
+        ),
     )
     bench = sh.filter(F.col("source") == "src0").select("shingle").distinct()
     corpus = sh.filter(F.col("source") != "src0").select("doc_id", "shingle")
