@@ -162,6 +162,60 @@ class VersionedTable:
             merged, mode="overwrite", partition_by=entry["partition_by"] or None
         )
 
+    def merge_aggregate(
+        self, delta: DataFrame, key_cols: list[str], sum_cols: list[str]
+    ) -> int:
+        """Additive MERGE (incremental view maintenance): matched keys
+        combine as `old + delta` per `sum_cols`; unmatched keys insert.
+
+        Where `upsert` replaces matched rows (CDC), this maintains a
+        running aggregate — the table IS the materialized rollup, and
+        a micro-batch only ever touches its own delta keys, never the
+        full history. NOT idempotent under redelivery (old+delta twice
+        double-counts): callers replaying batches must gate on a batch
+        id — see streaming/materialized.py.
+        """
+        from pyspark.sql import functions as F
+
+        any_null = F.lit(False)
+        for c in key_cols:
+            any_null = any_null | F.col(c).isNull()
+        bad = delta.agg(
+            F.sum(F.when(any_null, 1).otherwise(0)).alias("n_null"),
+            (
+                F.sum(F.when(~any_null, 1).otherwise(0))
+                - F.countDistinct(*key_cols)
+            ).alias("n_dup"),
+        ).collect()[0]
+        if bad["n_null"] or bad["n_dup"]:
+            raise ValueError(
+                f"merge_aggregate delta invalid: {bad['n_null']} NULL-key "
+                f"rows, {bad['n_dup']} duplicate-key rows on {key_cols}"
+            )
+        m = self._load_manifest()
+        if m["current"] is None:
+            return self.write(delta)
+        spark = delta.sparkSession
+        current = spark.read.parquet(self._data_dir(m["current"]))
+        # USING-style full outer join coalesces the key columns; each
+        # sum column combines with 0-defaults for one-sided rows.
+        cur = current.alias("c")
+        d = delta.alias("d")
+        merged = cur.join(d, on=key_cols, how="full").select(
+            *key_cols,
+            *[
+                (
+                    F.coalesce(F.col(f"c.{v}"), F.lit(0))
+                    + F.coalesce(F.col(f"d.{v}"), F.lit(0))
+                ).alias(v)
+                for v in sum_cols
+            ],
+        )
+        entry = self._entry_for(m, m["current"])
+        return self.write(
+            merged, mode="overwrite", partition_by=entry["partition_by"] or None
+        )
+
     # ------------------------------------------------------------ read
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

@@ -341,3 +341,26 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     nulls = merged.filter(F.col("score").isNull()).count()
     assert nulls == 10
     assert merged.select("id", "src").count() == 20
+
+
+def test_corrupt_file_tolerance(spark, tmp_path):
+    """One corrupt file in a 100 TB table must not kill the job when
+    the pipeline opts into ignoreCorruptFiles — and MUST kill it by
+    default (silent data loss is worse than a failure)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).write.mode("overwrite").parquet(path)
+    with open(f"{path}/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+
+    with pytest.raises(Py4JJavaError):
+        spark.read.parquet(path).count()
+
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        assert spark.read.parquet(path).count() == 100
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)

@@ -484,3 +484,85 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir, events_stream_dir):
     got = got.sort_values(key).reset_index(drop=True)
     batch = batch.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+
+
+def test_merge_aggregate_adds_and_inserts(spark, tmp_path):
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "agg"))
+    t.merge_aggregate(
+        spark.createDataFrame(
+            [(1, 10.0, 2), (2, 5.0, 1)], "k INT, sum_value DOUBLE, n LONG"
+        ),
+        ["k"],
+        ["sum_value", "n"],
+    )
+    t.merge_aggregate(
+        spark.createDataFrame(
+            [(2, 7.0, 3), (3, 1.0, 1)], "k INT, sum_value DOUBLE, n LONG"
+        ),
+        ["k"],
+        ["sum_value", "n"],
+    )
+    got = {
+        r["k"]: (r["sum_value"], r["n"]) for r in t.read(spark).collect()
+    }
+    assert got == {1: (10.0, 2), 2: (12.0, 4), 3: (1.0, 1)}
+
+
+def test_incremental_rollup_equals_batch_recompute(spark, sf_dir, tmp_path):
+    """The incrementally-maintained table after N micro-batches must
+    equal the from-scratch batch aggregate, and a replayed batch id
+    must be skipped (additive merges are gated to stay idempotent)."""
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+    from iceberg_tracking_spark.streaming.materialized import (
+        incremental_rollup,
+        last_merged_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    half1.write.mode("overwrite").parquet(src)
+
+    t = VersionedTable(str(tmp_path / "rollup"))
+    q = incremental_rollup(
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(src),
+        t,
+        ["event_type"],
+        "value",
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        half2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["event_type"]: (round(r["sum_value"], 2), r["n_events"])
+        for r in t.read(spark).collect()
+    }
+    want = {
+        r["event_type"]: (round(r["s"], 2), r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert last_merged_batch(t) >= 1
+    # Replay guard: redeliver the LAST batch id directly through the
+    # foreachBatch callable — it must be a no-op (no new snapshot, no
+    # double-counted values).
+    from iceberg_tracking_spark.streaming.materialized import make_merge_fn
+
+    v_before = t.current_version()
+    make_merge_fn(t, ["event_type"], "value")(half2, last_merged_batch(t))
+    assert t.current_version() == v_before
+    after = {
+        r["event_type"]: (round(r["sum_value"], 2), r["n_events"])
+        for r in t.read(spark).collect()
+    }
+    assert after == want
