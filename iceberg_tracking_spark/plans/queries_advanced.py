@@ -546,3 +546,51 @@ def q_scd2(spark, sf_dir):
         F.lead("valid_from").over(w2).alias("valid_to"),
         "n_events",
     )
+
+
+@query(
+    "q_event_pattern",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'vp')) AS BIGINT) AS n_vp,
+           CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT)
+             AS n_funnel
+    FROM s
+    """,
+)
+def q_event_pattern(spark, sf_dir):
+    """Sequence pattern matching over per-user event strings — the
+    relational MATCH_RECOGNIZE analog: each user's history becomes a
+    symbol string (first letter of event_type, totally ordered by
+    (ts, event_id)), then regexes count behavioral motifs (immediate
+    view→purchase, and view→purchase through clicks/errors). One
+    shuffle on user_id; per-user strings stay small (history length),
+    and the regex work is codegen'd. Ordering parity comes from
+    array_sort on (ts, event_id, sym) structs vs the oracle's ORDER BY
+    inside string_agg — event_id uniqueness makes the order total."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("sym"),
+    )
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "sym"))
+        ).alias("arr")
+    )
+    g = g.withColumn(
+        "seq",
+        F.array_join(F.transform("arr", lambda x: x["sym"]), ""),
+    )
+    return g.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.regexp_count("seq", F.lit("vp")).cast("long").alias("n_vp"),
+        F.regexp_count("seq", F.lit("v[ce]*p")).cast("long").alias("n_funnel"),
+    )

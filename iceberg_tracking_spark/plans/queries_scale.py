@@ -1034,3 +1034,37 @@ def q_zorder(spark, sf_dir):
             F.col("user_id"), F.floor("value").cast("long")
         ).alias("zval"),
     )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — two independent one-column rollups in a
+    single pass (neither CUBE nor ROLLUP expresses {(a),(b)} without
+    extra sets). Spark plans one Expand + one aggregate: the scan and
+    shuffle are paid once for both groupings, which is the whole point
+    at 100 TB vs two separate groupBys + union. grouping_id bit order
+    is mirrored into DuckDB as GROUPING(a)*2+GROUPING(b)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"]],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
