@@ -1068,3 +1068,65 @@ def q_grouping_sets(spark, sf_dir):
             F.grouping_id().cast("long").alias("gid"),
         )
     )
+
+
+@query(
+    "q_data_profile",
+    oracle="""
+    SELECT 'user_id' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(user_id) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+           round(min(user_id), 4) AS min_val,
+           round(max(user_id), 4) AS max_val
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(value) AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT),
+           round(min(value), 4), round(max(value), 4)
+    FROM events
+    UNION ALL
+    SELECT 'event_id', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(event_id) AS BIGINT),
+           CAST(count(DISTINCT event_id) AS BIGINT),
+           round(min(event_id), 4), round(max(event_id), 4)
+    FROM events
+    """,
+)
+def q_data_profile(spark, sf_dir):
+    """Column-profiling audit (the pre-ingest data-quality pass every
+    100 TB pipeline runs): per column — row count, NULL count, distinct
+    count, min, max, in long format. ONE aggregate over ONE scan
+    produces all columns' stats simultaneously (count(col) vs count(*)
+    for nulls, count(DISTINCT col) per column); the long layout is then
+    a zero-cost literal pivot of that single row. The oracle's
+    three-scan UNION is the semantic spec, not the plan — Spark pays
+    one pass."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            x
+            for c in ("user_id", "value", "event_id")
+            for x in (
+                F.count(c).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+                F.round(F.min(c), 4).alias(f"mn_{c}"),
+                F.round(F.max(c), 4).alias(f"mx_{c}"),
+            )
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n").alias("n_rows"),
+                (F.col("n") - F.col(f"nn_{c}")).alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").cast("double").alias("min_val"),
+                F.col(f"mx_{c}").cast("double").alias("max_val"),
+            )
+            for c in ("user_id", "value", "event_id")
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
