@@ -1130,3 +1130,34 @@ def q_data_profile(spark, sf_dir):
         ]
     )
     return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@query(
+    "q_gram_matrix",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    idx AS (SELECT unnest(range(1, {_DIM} + 1)) AS i),
+    x AS (SELECT v.vec_id, i, e[i] AS xi FROM v CROSS JOIN idx)
+    SELECT CAST(a.i - 1 AS BIGINT) AS gi, CAST(b.i - 1 AS BIGINT) AS gj,
+           round(sum(a.xi * b.xi), 4) AS g
+    FROM x a JOIN x b USING (vec_id)
+    WHERE a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def q_gram_matrix(spark, sf_dir):
+    """Distributed Gram matrix (X^T X upper triangle) — the reduction
+    behind PCA/covariance/linear solvers at scale
+    (operators/decomposition.py): only d(d+1)/2 = 2080 sums leave the
+    cluster, never the data. Join-free: per-row products come from
+    slice+transform on the already-exploded (i, x_i) rows, so the only
+    shuffle is the (i, j)-keyed hash agg with map-side combine — the
+    oracle's self-join formulation is the spec, not the plan."""
+    from ..operators.decomposition import gram_upper
+
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return gram_upper(v, _DIM).select(
+        "gi", "gj", F.round("g", 4).alias("g")
+    )
