@@ -65,13 +65,15 @@ def pca_components(vectors: DataFrame, dim: int, k: int, vec_col: str = "e"):
     """
     import numpy as np
 
-    n = vectors.count()
+    # One pass yields both the mean vector and n (count of any fixed
+    # position) — no separate count() scan over the data.
     mean_rows = (
         vectors.select(F.posexplode(F.col(vec_col)).alias("i", "xi"))
         .groupBy("i")
-        .agg(F.avg("xi").alias("m"))
+        .agg(F.avg("xi").alias("m"), F.count("xi").alias("cnt"))
         .collect()
     )
+    n = mean_rows[0]["cnt"] if mean_rows else 0
     mu = np.zeros(dim)
     for r in mean_rows:
         mu[r["i"]] = r["m"]
@@ -100,18 +102,22 @@ def pca_project(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Project rows onto the given components (k literal axis vectors,
-    broadcast into the plan as array literals — no join, no UDF)."""
+    broadcast into the plan as array literals — no join, no UDF).
+
+    The centered vector is materialized ONCE via withColumn before the
+    k dot products — Catalyst does not CSE inside higher-order-function
+    lambdas, so inlining the zip_with per component would re-subtract
+    the mean k times (the shingle-pipeline lesson)."""
+    if mu is not None:
+        mu_arr = F.array(*[F.lit(float(m)) for m in mu])
+        vectors = vectors.withColumn(
+            "_centered", F.zip_with(F.col(vec_col), mu_arr, lambda x, m: x - m)
+        )
+        src = "_centered"
+    else:
+        src = vec_col
     out = [F.col(id_col)]
     for ci, comp in enumerate(components):
         axis = F.array(*[F.lit(float(x)) for x in comp])
-        centered = (
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(m)) for m in mu]),
-                lambda x, m: x - m,
-            )
-            if mu is not None
-            else F.col(vec_col)
-        )
-        out.append(seq_dot(centered, axis).alias(f"pc{ci}"))
+        out.append(seq_dot(F.col(src), axis).alias(f"pc{ci}"))
     return vectors.select(*out)

@@ -44,7 +44,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_ann_lsh",
     "q_orderby",
     "q_mask_filter",
-    "q_cube",
     "q_pivot",
     "q_dedup_clusters",
     # changed this round → need a fresh driver row
@@ -62,6 +61,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_kmeans_step",
     "q_skew_join",
     "q_scd2",
+    "q_grouping_sets",
+    "q_event_pattern",
+    "q_data_profile",
+    "q_gram_matrix",
     # remaining round-1-unchecked, oracle-backed
     "q_stratified_sample",
     "q_vocab_topk",
@@ -70,12 +73,14 @@ DRIVER_PRIORITY: list[str] = [
     "q_contamination",
     "q_unigram_logprob",
     "q_dedup_keep_one",
-    "q_grid_join_2d",
+    # (q_grid_join_2d, q_cube, q_sliding_window, q_rolling_window were
+    # rotated out late in round 2 to admit the newest oracle-backed
+    # queries: their operator families keep r01-green driver rows via
+    # q_grid_join / q_rollup / q_tumbling_window / q_cumsum_window.)
     "q_calibration",
     "q_simhash",
     "q_tiling",
     "q_multimodal_meta",
-    "q_sliding_window",
     "q_date_funcs",
     "q_kfold",
     "q_auc",
@@ -86,7 +91,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_gap_fill",
     "q_ratio_expr",
     "q_frame_sample",
-    "q_rolling_window",
     "q_rank_family",
     # remaining round-1-unchecked, rows-only by design. (The stub-path
     # rows-only queries q_remove_nested / q_gen_embeddings /

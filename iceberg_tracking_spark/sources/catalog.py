@@ -82,6 +82,7 @@ class VersionedTable:
         df: DataFrame,
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Commit a new snapshot; returns its version number.
 
@@ -89,6 +90,12 @@ class VersionedTable:
         the new version is still a full immutable copy (snapshot
         isolation; an Iceberg fast-append would share unchanged files
         via the manifest, which plain parquet directories cannot).
+
+        `txn` = (app_id, batch_id) records an idempotency token INSIDE
+        the same atomic manifest swap as the data commit (the
+        Delta/Iceberg txn pattern): `last_txn(app_id)` then answers
+        "did this writer's batch land?" with no window where data is
+        committed but the token is not.
         """
         m = self._load_manifest()
         version = (m["versions"][-1]["version"] + 1) if m["versions"] else 0
@@ -113,26 +120,27 @@ class VersionedTable:
             }
         )
         m["current"] = version
+        if txn is not None:
+            app_id, batch_id = txn
+            m.setdefault("txns", {})[app_id] = int(batch_id)
         self._commit(m)
         return version
 
-    def upsert(self, changes: DataFrame, key_cols: list[str]) -> int:
-        """MERGE: rows in `changes` replace current rows with the same
-        key; unmatched keys are inserted. Commits a new snapshot.
+    def last_txn(self, app_id: str) -> int:
+        """Latest batch id committed under `app_id`, or -1 if none."""
+        return int(self._load_manifest().get("txns", {}).get(app_id, -1))
 
-        The matched-row removal is a left_anti join on the key — one
-        shuffle (or broadcast when `changes` is small, the common CDC
-        case); no full-table rewrite logic lives caller-side. This is
-        the plain-parquet analog of Iceberg/Delta `MERGE INTO` in
-        copy-on-write mode.
-        """
+    @staticmethod
+    def _validate_merge_keys(
+        changes: DataFrame, key_cols: list[str], label: str
+    ) -> None:
+        """MERGE semantics require a usable key: reject NULL keys (the
+        equality anti-join can never match them → silent duplicates)
+        and duplicate keys within `changes` (Iceberg/Delta MERGE raises
+        on multiple source matches). One small agg job on the CDC
+        batch, which is the small side by construction."""
         from pyspark.sql import functions as F
 
-        # MERGE semantics require a usable key: reject NULL keys (the
-        # equality anti-join can never match them → silent duplicates)
-        # and duplicate keys within `changes` (Iceberg/Delta MERGE
-        # raises on multiple source matches). One small agg job on the
-        # CDC batch, which is the small side by construction.
         any_null = F.lit(False)
         for c in key_cols:
             any_null = any_null | F.col(c).isNull()
@@ -147,9 +155,34 @@ class VersionedTable:
         ).collect()[0]
         if bad["n_null"] or bad["n_dup"]:
             raise ValueError(
-                f"upsert changes invalid: {bad['n_null']} NULL-key rows, "
+                f"{label} changes invalid: {bad['n_null']} NULL-key rows, "
                 f"{bad['n_dup']} duplicate-key rows on {key_cols}"
             )
+
+    def _commit_current_layout(
+        self, merged: DataFrame, m: dict, txn: tuple[str, int] | None = None
+    ) -> int:
+        """Overwrite-commit `merged` inheriting the CURRENT snapshot's
+        partition layout (shared tail of both MERGE paths)."""
+        entry = self._entry_for(m, m["current"])
+        return self.write(
+            merged,
+            mode="overwrite",
+            partition_by=entry["partition_by"] or None,
+            txn=txn,
+        )
+
+    def upsert(self, changes: DataFrame, key_cols: list[str]) -> int:
+        """MERGE: rows in `changes` replace current rows with the same
+        key; unmatched keys are inserted. Commits a new snapshot.
+
+        The matched-row removal is a left_anti join on the key — one
+        shuffle (or broadcast when `changes` is small, the common CDC
+        case); no full-table rewrite logic lives caller-side. This is
+        the plain-parquet analog of Iceberg/Delta `MERGE INTO` in
+        copy-on-write mode.
+        """
+        self._validate_merge_keys(changes, key_cols, "upsert")
         m = self._load_manifest()
         if m["current"] is None:
             return self.write(changes)
@@ -157,13 +190,14 @@ class VersionedTable:
         current = spark.read.parquet(self._data_dir(m["current"]))
         kept = current.join(changes.select(*key_cols), key_cols, "left_anti")
         merged = kept.unionByName(changes)
-        entry = self._entry_for(m, m["current"])
-        return self.write(
-            merged, mode="overwrite", partition_by=entry["partition_by"] or None
-        )
+        return self._commit_current_layout(merged, m)
 
     def merge_aggregate(
-        self, delta: DataFrame, key_cols: list[str], sum_cols: list[str]
+        self,
+        delta: DataFrame,
+        key_cols: list[str],
+        sum_cols: list[str],
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Additive MERGE (incremental view maintenance): matched keys
         combine as `old + delta` per `sum_cols`; unmatched keys insert.
@@ -172,29 +206,19 @@ class VersionedTable:
         running aggregate — the table IS the materialized rollup, and
         a micro-batch only ever touches its own delta keys, never the
         full history. NOT idempotent under redelivery (old+delta twice
-        double-counts): callers replaying batches must gate on a batch
-        id — see streaming/materialized.py.
+        double-counts): replaying callers must pass `txn` and gate on
+        `last_txn` — see streaming/materialized.py. Every snapshot has
+        exactly the key_cols + sum_cols schema (the first commit is
+        projected too, so extra delta columns can't appear in v0 and
+        vanish later).
         """
         from pyspark.sql import functions as F
 
-        any_null = F.lit(False)
-        for c in key_cols:
-            any_null = any_null | F.col(c).isNull()
-        bad = delta.agg(
-            F.sum(F.when(any_null, 1).otherwise(0)).alias("n_null"),
-            (
-                F.sum(F.when(~any_null, 1).otherwise(0))
-                - F.countDistinct(*key_cols)
-            ).alias("n_dup"),
-        ).collect()[0]
-        if bad["n_null"] or bad["n_dup"]:
-            raise ValueError(
-                f"merge_aggregate delta invalid: {bad['n_null']} NULL-key "
-                f"rows, {bad['n_dup']} duplicate-key rows on {key_cols}"
-            )
+        self._validate_merge_keys(delta, key_cols, "merge_aggregate")
+        delta = delta.select(*key_cols, *sum_cols)
         m = self._load_manifest()
         if m["current"] is None:
-            return self.write(delta)
+            return self.write(delta, txn=txn)
         spark = delta.sparkSession
         current = spark.read.parquet(self._data_dir(m["current"]))
         # USING-style full outer join coalesces the key columns; each
@@ -211,10 +235,7 @@ class VersionedTable:
                 for v in sum_cols
             ],
         )
-        entry = self._entry_for(m, m["current"])
-        return self.write(
-            merged, mode="overwrite", partition_by=entry["partition_by"] or None
-        )
+        return self._commit_current_layout(merged, m, txn=txn)
 
     # ------------------------------------------------------------ read
 

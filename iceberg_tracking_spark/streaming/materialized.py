@@ -9,53 +9,62 @@ partial agg, tiny shuffle on the delta keys) and folds them into the
 table with `VersionedTable.merge_aggregate` (old + delta per column).
 
 Exactly-once: foreachBatch re-delivers a batch after a failure, and an
-additive merge applied twice double-counts — so the merge is gated on
-the Structured Streaming `batch_id`, persisted next to the table. A
-replayed batch id is skipped, making the sink idempotent (the same
-pattern Delta/Iceberg streaming sinks use with their txn metadata).
+additive merge applied twice double-counts — so each merge commits a
+(app_id, batch_id) transaction token INSIDE the same atomic manifest
+swap as the data (`VersionedTable.write(txn=...)`, the Delta/Iceberg
+txn pattern: there is no window where data landed but the token did
+not). `app_id` is the checkpoint location, so distinct streams
+maintaining one table gate independently, and resetting a checkpoint
+(new app_id... same path means same id) keeps the documented
+semantics: reprocessing the same checkpoint path into an existing
+table is skipped; pointing a NEW checkpoint at the table deliberately
+re-folds — callers reprocessing from scratch should start an empty
+table.
+
+Snapshot retention: every merge commits a full immutable snapshot, so
+an unbounded stream would otherwise accumulate one table copy per
+micro-batch; `expire_keep` prunes to the newest N versions after each
+merge (time travel across recent batches stays available).
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
+
 from pyspark.sql import functions as F
 
 from ..sources.catalog import VersionedTable
 
 
-def _marker_path(table: VersionedTable) -> str:
-    return os.path.join(table.base, "_last_merged_batch")
-
-
-def last_merged_batch(table: VersionedTable) -> int:
-    try:
-        with open(_marker_path(table)) as f:
-            return int(f.read().strip())
-    except (OSError, ValueError):
-        return -1
+def last_merged_batch(table: VersionedTable, app_id: str) -> int:
+    """Latest batch id committed for this stream, -1 if none."""
+    return table.last_txn(app_id)
 
 
 def make_merge_fn(
-    table: VersionedTable, key_cols: list[str], value_col: str
+    table: VersionedTable,
+    key_cols: list[str],
+    value_col: str,
+    app_id: str,
+    expire_keep: int | None = 10,
 ):
     """The foreachBatch callable: (sum, count) delta of one micro-batch
-    folded into `table`, gated on batch_id for replay idempotency.
-    Exposed separately so redelivery behavior is directly testable."""
+    folded into `table`, gated on the manifest's (app_id, batch_id)
+    token for replay idempotency. Exposed separately so redelivery
+    behavior is directly testable."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_merged_batch(table):
-            return  # redelivered batch: already folded in, skip
+        if batch_id <= table.last_txn(app_id):
+            return  # redelivered batch: already committed, skip
         delta = batch_df.groupBy(*key_cols).agg(
             F.sum(value_col).alias("sum_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        table.merge_aggregate(delta, key_cols, ["sum_value", "n_events"])
-        tmp = _marker_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, _marker_path(table))
+        table.merge_aggregate(
+            delta, key_cols, ["sum_value", "n_events"], txn=(app_id, batch_id)
+        )
+        if expire_keep is not None:
+            table.expire(keep_last=expire_keep)
 
     return _merge
 
@@ -66,13 +75,17 @@ def incremental_rollup(
     key_cols: list[str],
     value_col: str,
     checkpoint: str,
+    expire_keep: int | None = 10,
 ):
     """Start a streaming query maintaining `table` as the running
     (sum, count) rollup of `value_col` per `key_cols`. Returns the
     StreamingQuery; callers own `stop()`."""
     return (
         stream.writeStream.foreachBatch(
-            make_merge_fn(table, key_cols, value_col)
+            make_merge_fn(
+                table, key_cols, value_col, app_id=checkpoint,
+                expire_keep=expire_keep,
+            )
         )
         .option("checkpointLocation", checkpoint)
         .start()

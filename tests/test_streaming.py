@@ -527,12 +527,13 @@ def test_incremental_rollup_equals_batch_recompute(spark, sf_dir, tmp_path):
     half1.write.mode("overwrite").parquet(src)
 
     t = VersionedTable(str(tmp_path / "rollup"))
+    ckpt = str(tmp_path / "ckpt")
     q = incremental_rollup(
         spark.readStream.schema(EVENTS_SCHEMA).parquet(src),
         t,
         ["event_type"],
         "value",
-        str(tmp_path / "ckpt"),
+        ckpt,
     )
     try:
         q.processAllAvailable()
@@ -552,17 +553,23 @@ def test_incremental_rollup_equals_batch_recompute(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
-    assert last_merged_batch(t) >= 1
+    assert last_merged_batch(t, ckpt) >= 1
     # Replay guard: redeliver the LAST batch id directly through the
     # foreachBatch callable — it must be a no-op (no new snapshot, no
-    # double-counted values).
+    # double-counted values). The txn token lives inside the manifest
+    # commit itself, so there is no crash window between data and gate.
     from iceberg_tracking_spark.streaming.materialized import make_merge_fn
 
     v_before = t.current_version()
-    make_merge_fn(t, ["event_type"], "value")(half2, last_merged_batch(t))
+    make_merge_fn(t, ["event_type"], "value", app_id=ckpt)(
+        half2, last_merged_batch(t, ckpt)
+    )
     assert t.current_version() == v_before
     after = {
         r["event_type"]: (round(r["sum_value"], 2), r["n_events"])
         for r in t.read(spark).collect()
     }
     assert after == want
+    # A DIFFERENT stream identity gates independently: its batch 0 is
+    # not blocked by this stream's token.
+    assert last_merged_batch(t, "other-checkpoint") == -1
