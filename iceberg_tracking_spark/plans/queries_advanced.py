@@ -594,3 +594,136 @@ def q_event_pattern(spark, sf_dir):
         F.regexp_count("seq", F.lit("vp")).cast("long").alias("n_vp"),
         F.regexp_count("seq", F.lit("v[ce]*p")).cast("long").alias("n_funnel"),
     )
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               count(*) AS n,
+               avg(value) AS m,
+               var_samp(value) AS v
+        FROM events
+        WHERE event_type IN ('click', 'view')
+        GROUP BY event_type
+    ),
+    a AS (SELECT n, m, v FROM g WHERE event_type = 'click'),
+    b AS (SELECT n, m, v FROM g WHERE event_type = 'view')
+    SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round(a.m - b.m, 4) AS mean_diff,
+           round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+           round(power(a.v / a.n + b.v / b.n, 2) /
+                 (power(a.v / a.n, 2) / (a.n - 1)
+                  + power(b.v / b.n, 2) / (b.n - 1)), 1) AS dof
+    FROM a, b
+    """,
+)
+def q_ab_test(spark, sf_dir):
+    """Welch's two-sample t-test as a relational program (the
+    experimentation readout every event pipeline runs): per-variant
+    (n, mean, sample variance) from one grouped aggregate, then the
+    t-statistic and Welch-Satterthwaite degrees of freedom as scalar
+    algebra over the two 1-row sides. All heavy work is a single
+    map-side-combining pass over the fact table; the final formula
+    touches six numbers."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("v").alias("v_a")
+    )
+    b = g.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("v").alias("v_b")
+    )
+    se_a = F.col("v_a") / F.col("n_a")
+    se_b = F.col("v_b") / F.col("n_b")
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round(F.col("m_a") - F.col("m_b"), 4).alias("mean_diff"),
+        F.round(
+            (F.col("m_a") - F.col("m_b")) / F.sqrt(se_a + se_b), 4
+        ).alias("t_stat"),
+        F.round(
+            F.pow(se_a + se_b, 2)
+            / (
+                F.pow(se_a, 2) / (F.col("n_a") - 1)
+                + F.pow(se_b, 2) / (F.col("n_b") - 1)
+            ),
+            1,
+        ).alias("dof"),
+    )
+
+
+@query(
+    "q_drift_chi2",
+    oracle="""
+    WITH halves AS (
+        SELECT event_type,
+               CASE WHEN epoch_ms(ts) <
+                    (SELECT (epoch_ms(min(ts)) + epoch_ms(max(ts))) / 2.0
+                     FROM events)
+                    THEN 'ref' ELSE 'cur' END AS half
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type,
+               sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS n_cur
+        FROM halves GROUP BY event_type
+    ),
+    tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts)
+    SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round(CAST(n_cur AS DOUBLE) / tc - CAST(n_ref AS DOUBLE) / tr, 6)
+             AS share_shift,
+           round(power(CAST(n_cur AS DOUBLE) / tc
+                       - CAST(n_ref AS DOUBLE) / tr, 2)
+                 / (CAST(n_ref AS DOUBLE) / tr), 6) AS chi2_term
+    FROM counts, tot
+    """,
+)
+def q_drift_chi2(spark, sf_dir):
+    """Distribution-drift monitor: the event-type mix of the newer half
+    of the stream compared against the older half — per-category share
+    shift and the chi-square contribution (the alert statistic a
+    training pipeline watches so a upstream mix change can't silently
+    poison a dataset). Two grouped passes: the time midpoint (scalar)
+    and the per-category split counts; everything after is scalar
+    algebra broadcast onto categories."""
+    ev = _t(spark, sf_dir, "events")
+    # epoch-millis midpoint on both engines (timestamp+interval/2
+    # arithmetic rounds differently across engines; integer millis
+    # averaged in double are exact far past any realistic clock).
+    ms = F.unix_millis(F.col("ts"))
+    mid = ev.agg(
+        ((F.min(ms) + F.max(ms)) / F.lit(2.0)).alias("mid")
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(ms < F.col("mid"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(ms >= F.col("mid"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    share_ref = F.col("n_ref").cast("double") / F.col("tr")
+    share_cur = F.col("n_cur").cast("double") / F.col("tc")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.round(share_cur - share_ref, 6).alias("share_shift"),
+        F.round(F.pow(share_cur - share_ref, 2) / share_ref, 6).alias(
+            "chi2_term"
+        ),
+    )

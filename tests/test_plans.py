@@ -33,6 +33,8 @@ NESTED_LOOP_OK = {
     "q_global_norm",       # global max (1 row) broadcast to all rows
     "q_eval_metrics",      # scalar metric components combined (1-row sides)
     "q_funnel",            # three 1-row stage counts combined into one row
+    "q_ab_test",           # two 1-row variant summaries → scalar algebra
+    "q_drift_chi2",        # scalar midpoint/totals broadcast onto categories
     "q_mask_filter",       # broadcast mask-cell table, range predicate
     "q_tfidf",             # corpus doc-count (1 row) broadcast into scoring
     "q_unigram_logprob",   # corpus token-total (1 row) broadcast into scoring
