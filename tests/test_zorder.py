@@ -88,3 +88,40 @@ def test_zvalue_matches_reference_interleave(spark):
 
     want = [ref(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (-1, 2)]]
     assert got == want
+
+
+def test_zvalue_is_bijective_on_16bit_pairs(spark):
+    """Property: interleaving is a bijection on (16-bit, 16-bit) pairs —
+    deinterleaving the z-value recovers exactly (a & 0xffff, b & 0xffff),
+    so no two distinct masked pairs share a curve position."""
+    from hypothesis import given, settings, strategies as st
+
+    # Pure-python mirror of the Catalyst expression, already pinned to
+    # it by test_zvalue_matches_reference_interleave.
+    def ref(a: int, b: int, bits: int = 16) -> int:
+        a &= (1 << bits) - 1
+        b &= (1 << bits) - 1
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    def deinterleave(z: int, bits: int = 16) -> tuple[int, int]:
+        a = b = 0
+        for i in range(bits):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.integers(min_value=-(2**62), max_value=2**62),
+    )
+    def check(a, b):
+        z = ref(a, b)
+        assert 0 <= z < 1 << 32
+        assert deinterleave(z) == (a & 0xFFFF, b & 0xFFFF)
+
+    check()
