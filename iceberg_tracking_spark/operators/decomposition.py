@@ -65,15 +65,19 @@ def pca_components(vectors: DataFrame, dim: int, k: int, vec_col: str = "e"):
     """
     import numpy as np
 
-    # One pass yields both the mean vector and n (count of any fixed
-    # position) — no separate count() scan over the data.
+    # One pass yields both the mean vector and n — no separate count()
+    # scan. n = max per-position count: deterministic regardless of
+    # which grouped row collects first (a "first row's count" would
+    # depend on shuffle partitioning for ragged/NULL-element inputs).
     mean_rows = (
         vectors.select(F.posexplode(F.col(vec_col)).alias("i", "xi"))
         .groupBy("i")
         .agg(F.avg("xi").alias("m"), F.count("xi").alias("cnt"))
         .collect()
     )
-    n = mean_rows[0]["cnt"] if mean_rows else 0
+    n = max((r["cnt"] for r in mean_rows), default=0)
+    if n == 0:
+        raise ValueError("pca_components: no vector elements to reduce")
     mu = np.zeros(dim)
     for r in mean_rows:
         mu[r["i"]] = r["m"]

@@ -668,9 +668,9 @@ def q_ab_test(spark, sf_dir):
         SELECT event_type,
                CASE WHEN epoch_ms(ts) <
                     (SELECT (epoch_ms(min(ts)) + epoch_ms(max(ts))) / 2.0
-                     FROM events)
+                     FROM events WHERE ts IS NOT NULL)
                     THEN 'ref' ELSE 'cur' END AS half
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     counts AS (
         SELECT event_type,
@@ -683,9 +683,10 @@ def q_ab_test(spark, sf_dir):
            CAST(n_cur AS BIGINT) AS n_cur,
            round(CAST(n_cur AS DOUBLE) / tc - CAST(n_ref AS DOUBLE) / tr, 6)
              AS share_shift,
-           round(power(CAST(n_cur AS DOUBLE) / tc
-                       - CAST(n_ref AS DOUBLE) / tr, 2)
-                 / (CAST(n_ref AS DOUBLE) / tr), 6) AS chi2_term
+           CASE WHEN n_ref = 0 THEN NULL
+                ELSE round(power(CAST(n_cur AS DOUBLE) / tc
+                                 - CAST(n_ref AS DOUBLE) / tr, 2)
+                           / (CAST(n_ref AS DOUBLE) / tr), 6) END AS chi2_term
     FROM counts, tot
     """,
 )
@@ -697,7 +698,12 @@ def q_drift_chi2(spark, sf_dir):
     poison a dataset). Two grouped passes: the time midpoint (scalar)
     and the per-category split counts; everything after is scalar
     algebra broadcast onto categories."""
-    ev = _t(spark, sf_dir, "events")
+    # NULL-ts rows are excluded on BOTH sides (Spark's when/otherwise
+    # would silently bin them into 'cur'); a category seen ONLY in the
+    # newer half keeps chi2_term NULL by explicit contract (share_shift
+    # and n_ref=0 still flag it) — an inline 0-division would return
+    # NULL on Spark but Infinity on DuckDB >= 1.1.
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     # epoch-millis midpoint on both engines (timestamp+interval/2
     # arithmetic rounds differently across engines; integer millis
     # averaged in double are exact far past any realistic clock).
@@ -723,7 +729,8 @@ def q_drift_chi2(spark, sf_dir):
         "n_ref",
         "n_cur",
         F.round(share_cur - share_ref, 6).alias("share_shift"),
-        F.round(F.pow(share_cur - share_ref, 2) / share_ref, 6).alias(
-            "chi2_term"
-        ),
+        F.when(
+            F.col("n_ref") > 0,
+            F.round(F.pow(share_cur - share_ref, 2) / share_ref, 6),
+        ).alias("chi2_term"),
     )

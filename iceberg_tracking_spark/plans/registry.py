@@ -92,6 +92,9 @@ DRIVER_PRIORITY: list[str] = [
     "q_ratio_expr",
     "q_frame_sample",
     "q_rank_family",
+    # NOTE: q_ab_test / q_drift_chi2 (latest adds) are deliberately
+    # outside the window — no evictable slot remains without re-opening
+    # an r01 gap; they carry local oracle evidence and rotate in r03.
     # remaining round-1-unchecked, rows-only by design. (The stub-path
     # rows-only queries q_remove_nested / q_gen_embeddings /
     # q_media_features / q_batch_infer were rotated OUT for round 2:
