@@ -1161,3 +1161,73 @@ def q_gram_matrix(spark, sf_dir):
     return gram_upper(v, _DIM).select(
         "gi", "gj", F.round("g", 4).alias("g")
     )
+
+
+@query(
+    "q_forward_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id,
+               CAST(floor(epoch_ms(min(ts)) / 86400000.0) AS BIGINT) AS d0,
+               CAST(floor(epoch_ms(max(ts)) / 86400000.0) AS BIGINT) AS d1
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM bounds
+    ),
+    actual AS (
+        SELECT user_id,
+               CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day,
+               round(avg(value), 4) AS day_avg
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, day,
+           round(last_value(day_avg IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS filled,
+           day_avg IS NULL AS was_filled
+    FROM (
+        SELECT g.user_id, g.day, a.day_avg
+        FROM grid g LEFT JOIN actual a
+          ON g.user_id = a.user_id AND g.day = a.day
+    )
+    """,
+)
+def q_forward_fill(spark, sf_dir):
+    """LOCF forward fill (the other half of time-series densification
+    next to q_gap_fill's zero-fill): each user's daily average carries
+    forward across event-less days via last(ignorenulls) over an
+    ordered running frame — one window shuffle on the user key, no
+    self-join, no loop. `was_filled` marks imputed rows so a consumer
+    can distinguish observation from carry. The first grid day is
+    always observed (the grid starts at each user's first event), so
+    `filled` is never NULL."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_millis("ts") / 86400000.0).cast("long").alias("day"),
+        "value",
+    )
+    actual = ev.groupBy("user_id", "day").agg(
+        F.round(F.avg("value"), 4).alias("day_avg")
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    joined = grid.join(actual, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.round(F.last("day_avg", ignorenulls=True).over(w), 4).alias(
+            "filled"
+        ),
+        F.col("day_avg").isNull().alias("was_filled"),
+    )

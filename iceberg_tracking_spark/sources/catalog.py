@@ -37,6 +37,12 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "_manifest.json"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Raised when a commit's base version is no longer current
+    (optimistic concurrency, the Iceberg commit model): the caller
+    should re-read the table and retry its merge."""
+
+
 class VersionedTable:
     """A directory-backed table with immutable snapshot versions."""
 
@@ -83,6 +89,7 @@ class VersionedTable:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        expected_current: int | None | str = "any",
     ) -> int:
         """Commit a new snapshot; returns its version number.
 
@@ -96,8 +103,21 @@ class VersionedTable:
         Delta/Iceberg txn pattern): `last_txn(app_id)` then answers
         "did this writer's batch land?" with no window where data is
         committed but the token is not.
+
+        `expected_current` is Iceberg-style optimistic concurrency:
+        pass the version the write was BASED on (None for "table was
+        empty") and the commit raises ConcurrentWriteError if another
+        writer landed in between — without it, the second of two
+        read-modify-write merges from the same base silently erases
+        the first (lost update). The MERGE paths pass it automatically.
         """
         m = self._load_manifest()
+        if expected_current != "any" and m["current"] != expected_current:
+            raise ConcurrentWriteError(
+                f"table advanced to version {m['current']} since this "
+                f"write was planned against {expected_current}; re-read "
+                "and retry the merge"
+            )
         version = (m["versions"][-1]["version"] + 1) if m["versions"] else 0
         if mode == "append" and m["current"] is not None:
             prev = df.sparkSession.read.parquet(self._data_dir(m["current"]))
@@ -163,13 +183,17 @@ class VersionedTable:
         self, merged: DataFrame, m: dict, txn: tuple[str, int] | None = None
     ) -> int:
         """Overwrite-commit `merged` inheriting the CURRENT snapshot's
-        partition layout (shared tail of both MERGE paths)."""
+        partition layout (shared tail of both MERGE paths). Passes the
+        base version for the optimistic-concurrency check: the merge
+        was computed against `m`, so a commit over any OTHER version
+        would silently drop a concurrent writer's rows."""
         entry = self._entry_for(m, m["current"])
         return self.write(
             merged,
             mode="overwrite",
             partition_by=entry["partition_by"] or None,
             txn=txn,
+            expected_current=m["current"],
         )
 
     def upsert(self, changes: DataFrame, key_cols: list[str]) -> int:
@@ -185,7 +209,7 @@ class VersionedTable:
         self._validate_merge_keys(changes, key_cols, "upsert")
         m = self._load_manifest()
         if m["current"] is None:
-            return self.write(changes)
+            return self.write(changes, expected_current=None)
         spark = changes.sparkSession
         current = spark.read.parquet(self._data_dir(m["current"]))
         kept = current.join(changes.select(*key_cols), key_cols, "left_anti")
@@ -218,7 +242,7 @@ class VersionedTable:
         delta = delta.select(*key_cols, *sum_cols)
         m = self._load_manifest()
         if m["current"] is None:
-            return self.write(delta, txn=txn)
+            return self.write(delta, txn=txn, expected_current=None)
         spark = delta.sparkSession
         current = spark.read.parquet(self._data_dir(m["current"]))
         # USING-style full outer join coalesces the key columns; each

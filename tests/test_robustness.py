@@ -364,3 +364,30 @@ def test_corrupt_file_tolerance(spark, tmp_path):
         assert spark.read.parquet(path).count() == 100
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+def test_versioned_table_occ_rejects_stale_base(spark, tmp_path):
+    """Optimistic concurrency: a commit planned against a version that
+    is no longer current must raise instead of silently erasing the
+    interleaved writer's rows (lost update)."""
+    import pytest
+
+    from iceberg_tracking_spark.sources.catalog import (
+        ConcurrentWriteError,
+        VersionedTable,
+    )
+
+    t = VersionedTable(str(tmp_path / "occ"))
+    df = spark.range(5).selectExpr("id AS k", "id * 1.0 AS v")
+    t.write(df)  # v0
+    # writer A plans against v0 and lands -> v1
+    t.write(df, expected_current=0)
+    # writer B also planned against v0: must be rejected now
+    with pytest.raises(ConcurrentWriteError, match="version 1"):
+        t.write(df, expected_current=0)
+    # first-commit race: planning against an empty table that someone
+    # has since populated is also stale
+    with pytest.raises(ConcurrentWriteError):
+        t.write(df, expected_current=None)
+    # unguarded writes (explicit choice) still work
+    assert t.write(df) == 2
