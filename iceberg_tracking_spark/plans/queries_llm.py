@@ -1026,3 +1026,95 @@ def q_repetition(spark, sf_dir):
         F.round(ratio, 4).alias("rep_ratio"),
         (ratio > 0.2).alias("is_repetitive"),
     )
+
+
+from .queries_scale import _TOKEN_RE  # shared BPE-ish pre-tokenizer contract
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    SELECT doc_id, n_chars,
+           round(key, 6) AS key
+    FROM (
+        SELECT doc_id, n_chars,
+               -ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0) / n_chars AS key
+        FROM documents WHERE n_chars > 0
+    )
+    QUALIFY row_number() OVER (ORDER BY key, doc_id) <= 50
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    each doc draws key = -ln(u)/w with w = its length and u a
+    DETERMINISTIC md5-derived uniform (no rand() — replays, retried
+    tasks, and the oracle all see identical draws); the k smallest
+    keys are the sample, giving inclusion probability proportional to
+    weight. This is the data-mixing primitive (sample a corpus
+    proportionally to quality/length) as one map pass + a top-k —
+    at 100 TB the top-k is a TakeOrdered, no global sort."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double") / F.lit(4294967296.0)
+    d = d.withColumn("key", -F.log(u) / F.col("n_chars"))
+    w = Window.orderBy("key", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "n_chars", F.round("key", 6).alias("key"))
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT)
+                 AS n_toks
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_toks,
+               sum(n_toks) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_toks AS cum_before
+        FROM toks
+    )
+    SELECT doc_id, n_toks,
+           CAST(floor(cum_before / 512.0) AS BIGINT) AS bin_id,
+           CAST(cum_before - floor(cum_before / 512.0) * 512
+                AS BIGINT) AS offset_in_bin
+    FROM packed
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for pre-training (concat-and-chunk): documents
+    in deterministic order are laid head-to-tail on a token tape and
+    cut into 512-token bins; each doc learns its bin and offset from a
+    running cumulative sum — one window pass, the same assignment the
+    data loader will use, computed ahead of time so shards can be
+    written bin-aligned. (A single global-order cumsum is exact but
+    serializes at 100 TB; the production variant runs the identical
+    plan per shard/partition key.)"""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_toks",
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0)).cast(
+            "long"
+        ),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = d.withColumn("cum_before", F.sum("n_toks").over(w) - F.col("n_toks"))
+    bin_id = F.floor(F.col("cum_before") / 512.0)
+    return d.select(
+        "doc_id",
+        "n_toks",
+        bin_id.cast("long").alias("bin_id"),
+        (F.col("cum_before") - bin_id * 512).cast("long").alias(
+            "offset_in_bin"
+        ),
+    )
