@@ -692,7 +692,7 @@ def q_tfidf(spark, sf_dir):
     "q_histogram",
     oracle="""
     SELECT bucket, count(*) AS n,
-           round(min(n_chars), 2) AS lo, round(max(n_chars), 2) AS hi
+           CAST(min(n_chars) AS BIGINT) AS lo, CAST(max(n_chars) AS BIGINT) AS hi
     FROM (
         SELECT CAST(least(floor(n_chars / 200.0), 9) AS BIGINT) AS bucket,
                n_chars
@@ -712,8 +712,8 @@ def q_histogram(spark, sf_dir):
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.min("n_chars"), 2).alias("lo"),
-            F.round(F.max("n_chars"), 2).alias("hi"),
+            F.min("n_chars").cast("long").alias("lo"),
+            F.max("n_chars").cast("long").alias("hi"),
         )
     )
 
@@ -931,7 +931,7 @@ def q_dedup_keep_one(spark, sf_dir):
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            min(doc_id) AS min_doc
     FROM sampled GROUP BY lang
     """,

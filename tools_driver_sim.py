@@ -39,8 +39,19 @@ def norm(df):
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
+def dtype_class(dt):
+    """Driver hashes typed values: int64 vs float64 is a mismatch even when
+    values are numerically equal. Classify dtypes so int-vs-float fails."""
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    return "other"
+
 fails = []
-for name in sorted(qs):
+for name in (sys.argv[1:] or sorted(qs)):
     t0 = time.time()
     try:
         sp = qs[name](spark, sf).toPandas()
@@ -51,8 +62,14 @@ for name in sorted(qs):
     od = con.execute(oracles[name]).fetchdf()
     a, b = norm(sp), norm(od)
     ok = len(a) == len(b) and list(a.columns) == list(b.columns)
+    reason = f"mismatch rows sp={len(a)} or={len(b)}"
     if ok:
         for c in a.columns:
+            ca, cb = dtype_class(a[c].dtype), dtype_class(b[c].dtype)
+            if ca != cb and {ca, cb} <= {"int", "float", "bool"}:
+                ok = False
+                reason = f"dtype mismatch col={c} spark={a[c].dtype} oracle={b[c].dtype}"
+                break
             if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
                 av = pd.to_numeric(a[c]).astype(float); bv = pd.to_numeric(b[c]).astype(float)
                 if not all((math.isnan(x) and math.isnan(y)) or x==y or math.isclose(x,y,rel_tol=1e-9,abs_tol=1e-9) for x,y in zip(av,bv)):
@@ -60,7 +77,7 @@ for name in sorted(qs):
             elif (a[c].astype(str) != b[c].astype(str)).any():
                 ok = False; break
     status = "OK  " if ok else "FAIL"
-    if not ok: fails.append((name, f"mismatch rows sp={len(a)} or={len(b)}"))
+    if not ok: fails.append((name, reason))
     print(f"{status} {name}: {len(sp)} rows  ({time.time()-t0:.1f}s)")
 
 print(f"\n{'ALL PASS' if not fails else 'FAILURES: ' + str(fails)}")
