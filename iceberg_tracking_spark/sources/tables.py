@@ -21,18 +21,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table as a DataFrame.
 
-    `events.ts` is stored as INT64 TIMESTAMP(NANOS), which Spark reads
-    as a long (spark.sql.legacy.parquet.nanosAsLong) — convert to a
-    microsecond timestamp with integer division (`div`, not `/`: double
-    math would lose precision on epoch-nanos magnitudes).
+    `events.ts` has shipped under two parquet encodings across driver
+    testdata generations; both are normalized to a UTC TIMESTAMP here:
+    - INT64 TIMESTAMP(NANOS): read as long (nanosAsLong), converted with
+      integer division (`div`, not `/`: double math loses precision at
+      epoch-nanos magnitudes).
+    - timestamp[us] isAdjustedToUTC=false: read as TIMESTAMP_NTZ, cast
+      under a UTC session tz.
     """
     if name == "events":
-        # Runtime SQL conf — set here so the engine works under ANY
+        # Runtime SQL confs — set here so the engine works under ANY
         # caller-provided SparkSession (the driver builds its own).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NTZ→TIMESTAMP casting goes through the session tz; pin UTC so
+        # epoch math (unix_millis) matches DuckDB's naive-as-UTC reading.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Parquet timestamp[us] with isAdjustedToUTC=false lands as
+            # TIMESTAMP_NTZ in Spark 4, which unix_millis() rejects. The
+            # session tz is UTC in both the driver and tests, so a plain
+            # cast preserves the stored wall-clock instants.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
