@@ -93,14 +93,22 @@ def main() -> None:
     # co-tenant noise from a fixed workload. Both runs execute the full
     # action from a cold plan; `runs_per_query` records the method.
     RUNS = 2
+    errors: dict[str, str] = {}
     for name in HEADLINE:
+        # Per-query isolation: one failing query must never zero the
+        # whole round's record (r3 lost all 15 numbers to one type bug).
         q = QUERIES[name]
         best = float("inf")
         n = 0
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            n = q.fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                n = q.fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — record and keep going
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: FAILED {errors[name][:120]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
@@ -112,6 +120,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": RUNS,
     }
+    if errors:
+        doc["errors"] = errors
     # Round-over-round deltas vs the latest recorded BENCH_r*.json (same
     # sf only — the per-round record runs at sf0.1). Sign convention:
     # negative = faster than the previous round. Machine-visible

@@ -34,77 +34,67 @@ QUERIES: dict[str, QueryDef] = {}
 # positions 1-50). Every §2 operator's primary evidence query must sit
 # inside that window, so ordering is explicit: names listed here come
 # first (in this order), everything else follows in registration order.
-# Round 2 fronts the 41 queries that got no CORRECTNESS row in round 1
-# plus the queries whose plan/oracle changed this round.
+# Round 4 fronts (a) the 19 queries that have never had a driver row
+# across r1-r3, (b) the 8 rows that were red in r3 from the
+# TIMESTAMP_NTZ loader bug (fixed this round — need fresh green rows),
+# (c) the 5 r1-green queries whose ts code path was broken in r3, and
+# (d) q_ann_ivf, whose plan changed this round (materialized index).
+# Everything r3-green stays out of the window — its evidence stands.
 DRIVER_PRIORITY: list[str] = [
-    # flagships with only local evidence in round 1
+    # (a) never driver-checked in any round (r2/r3 verdict backlog)
+    "q_minmax_by",
+    "q_unpivot",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_ab_test",
+    "q_drift_chi2",
+    "q_repetition",
+    "q_sliding_window",
+    "q_cube",
+    "q_media_features",
+    "q_batch_infer",
+    "q_rolling_window",
+    "q_kmeans",
+    "q_forward_fill",
+    "q_weighted_sample",
+    "q_pack_sequences",
+    "q_grid_join_2d",
+    "q_remove_nested",
+    "q_gen_embeddings",
+    # (b) red in CORRECTNESS_r03 (loader bug, fixed in r4)
     "q_eval_metrics",
     "q_iou_argmax",
-    "q_asof_join",
-    "q_ann_lsh",
-    "q_orderby",
     "q_mask_filter",
-    "q_pivot",
-    "q_dedup_clusters",
-    # changed this round → need a fresh driver row
-    "q_embedding_neardup",
-    "q_approx_count_distinct",
-    "q_minhash_lsh",
-    # new this round
-    "q_binary_scan",
-    "q_ann_ivf",
-    "q_approx_quantile",
-    "q_corr_scalar_subquery",
-    "q_not_exists",
-    "q_corpus_curate",
-    "q_zorder",
-    "q_kmeans_step",
-    "q_skew_join",
-    "q_scd2",
-    "q_grouping_sets",
-    "q_event_pattern",
-    "q_data_profile",
-    "q_gram_matrix",
-    # remaining round-1-unchecked, oracle-backed
-    "q_stratified_sample",
-    "q_vocab_topk",
-    "q_tfidf",
-    "q_histogram",
-    "q_contamination",
-    "q_unigram_logprob",
-    "q_dedup_keep_one",
-    # (q_grid_join_2d, q_cube, q_sliding_window, q_rolling_window were
-    # rotated out late in round 2 to admit the newest oracle-backed
-    # queries: their operator families keep r01-green driver rows via
-    # q_grid_join / q_rollup / q_tumbling_window / q_cumsum_window.)
     "q_calibration",
-    "q_simhash",
-    "q_tiling",
-    "q_multimodal_meta",
-    "q_date_funcs",
-    "q_kfold",
-    "q_auc",
-    "q_token_count",
-    "q_quality_score",
-    "q_salted_agg",
-    "q_cumsum_window",
     "q_gap_fill",
-    "q_ratio_expr",
-    "q_frame_sample",
-    "q_rank_family",
-    # NOTE: q_ab_test / q_drift_chi2 (latest adds) are deliberately
-    # outside the window — no evictable slot remains without re-opening
-    # an r01 gap; they carry local oracle evidence and rotate in r03.
-    # remaining round-1-unchecked, rows-only by design. (The stub-path
-    # rows-only queries q_remove_nested / q_gen_embeddings /
-    # q_media_features / q_batch_infer were rotated OUT for round 2:
-    # their driver rows are weak `no_oracle` entries and their §2 ids
-    # keep other driver evidence — q_containment_antijoin (W4, r01
-    # green), q_binary_scan (S8, in-window oracle) — making room for
-    # oracle-backed rows on q_zorder/q_kmeans_step/q_skew_join/q_scd2.)
     "q_nms",
     "q_greedy_match",
     "q_track",
+    # (c) r1-green but ts path broke in r3 — reconfirm on fixed loader
+    "q_group_collect",
+    "q_lag_change",
+    "q_selfjoin_lead",
+    "q_containment_antijoin",
+    "q_session_window",
+    # (d) plan changed this round
+    "q_ann_ivf",
+    # high-value reconfirmations fill the remaining window slots
+    "q_asof_join",
+    "q_grid_join",
+    "q_islands",
+    "q_mutual_argmax",
+    "q_theta_argmax",
+    "q_tumbling_window",
+    "q_cumsum_window",
+    "q_rank_family",
+    "q_date_funcs",
+    "q_dedup_exact",
+    "q_cosine_topk",
+    "q_equijoin",
+    "q_sum_count",
+    "q_global_norm",
+    "q_having_semijoin",
+    "q_string_fmt",
 ]
 
 
