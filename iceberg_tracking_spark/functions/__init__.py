@@ -16,6 +16,7 @@ from .vectors import (  # noqa: F401
     weighted_score,
 )
 from .keys import composite_key, stable_id_hash, zero_pad  # noqa: F401
+from .time import day_id, epoch_ms, frame_id  # noqa: F401
 from .text import (  # noqa: F401
     char_ngrams,
     punct_ratio,

@@ -14,6 +14,7 @@ from ..operators.windows import (
     top_k_per_group,
 )
 from ..sources.tables import load_table, scatter
+from ..functions.time import epoch_ms
 from .registry import query
 
 
@@ -125,7 +126,7 @@ def q_lag_change(spark, sf_dir):
             F.when(
                 F.col("prev_ts").isNotNull()
                 & (
-                    F.unix_millis("ts") - F.unix_millis("prev_ts") > 3600000
+                    epoch_ms("ts") - epoch_ms("prev_ts") > 3600000
                 ),
                 1,
             ).otherwise(0)
@@ -165,7 +166,7 @@ def q_selfjoin_lead(spark, sf_dir):
             "user_id",
             "cur_event_id",
             "next_event_id",
-            (F.unix_millis("next_ts") - F.unix_millis("ts")).alias("delta_ms"),
+            (epoch_ms("next_ts") - epoch_ms("ts")).alias("delta_ms"),
         )
     )
 
@@ -305,7 +306,7 @@ def q_containment_antijoin(spark, sf_dir):
         & (F.col("b.event_id") != F.col("a.event_id"))
         & (F.col("b.value") >= 2 * F.col("a.value"))
         & (
-            F.abs(F.unix_millis(F.col("b.ts")) - F.unix_millis(F.col("a.ts")))
+            F.abs(epoch_ms(F.col("b.ts")) - epoch_ms(F.col("a.ts")))
             <= 3600000
         )
     )
@@ -370,7 +371,7 @@ def q_session_window(spark, sf_dir):
             "new_session",
             F.when(
                 F.col("prev_ts").isNull()
-                | (F.unix_millis("ts") - F.unix_millis("prev_ts") > 1800000),
+                | (epoch_ms("ts") - epoch_ms("prev_ts") > 1800000),
                 1,
             ).otherwise(0),
         )
@@ -379,7 +380,7 @@ def q_session_window(spark, sf_dir):
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
-        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms"),
+        (epoch_ms(F.max("ts")) - epoch_ms(F.min("ts"))).alias("duration_ms"),
     )
 
 
@@ -707,7 +708,7 @@ def q_drift_chi2(spark, sf_dir):
     # epoch-millis midpoint on both engines (timestamp+interval/2
     # arithmetic rounds differently across engines; integer millis
     # averaged in double are exact far past any realistic clock).
-    ms = F.unix_millis(F.col("ts"))
+    ms = epoch_ms(F.col("ts"))
     mid = ev.agg(
         ((F.min(ms) + F.max(ms)) / F.lit(2.0)).alias("mid")
     )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..functions.time import epoch_ms
 from .registry import query
 
 
@@ -83,7 +84,7 @@ def q_group_collect(spark, sf_dir):
         ev.select(
             "user_id",
             F.struct(
-                F.unix_millis("ts").alias("t"), F.col("event_id").alias("e")
+                epoch_ms("ts").alias("t"), F.col("event_id").alias("e")
             ).alias("p"),
         )
         .groupBy("user_id")

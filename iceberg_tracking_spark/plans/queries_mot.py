@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.geometry import iou
 from ..operators.nms import greedy_assignment, nms
 from ..sources.tables import load_table, scatter
+from ..functions.time import frame_id
 from .registry import query
 
 # Shared derivation: one GT box and one DET box per event. DET is the GT
@@ -47,7 +48,7 @@ def _boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.floor(F.unix_millis("ts") / 3600000.0).cast("long").alias("frame"),
+        frame_id("ts").alias("frame"),
         (v * 3.0).alias("gl"),
         ((v * 7.0) % 500.0).alias("gt_"),
         (20.0 + (e % 30)).alias("gw"),
@@ -121,40 +122,143 @@ def q_iou_argmax(spark, sf_dir):
     return best.select("gt_id", "det_id", F.round("iou", 6).alias("best_iou"))
 
 
-@query("q_nms")  # rows-only: greedy suppression is order-sensitive (SURVEY §7.4)
+# Contract-input derivation shared by q_nms / q_greedy_match: boxes live
+# in well-separated clusters (centers ≥ 1000 px apart, extents ≤ 60 px),
+# and within a cluster every pair overlaps heavily (jitter ≤ 6 px on
+# ~50 px boxes → pairwise IoU ≥ 0.6). On such input the order-sensitive
+# greedy algorithms have a provable closed form — greedy NMS keeps
+# exactly the (conf desc, id asc) argmax per cluster; greedy 1:1 keeps
+# each gt's best det — so the REAL applyInPandas operators run
+# end-to-end and their full output hash-checks against ANSI SQL.
+# General-case behavior stays covered by the operator/property tests.
+_DUCK_CLUSTER_DET = """
+    cdet AS (
+        SELECT event_id,
+               CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS frame,
+               event_id % 8 AS c,
+               (event_id % 4) * 1000.0 + (event_id % 7) AS bb_left,
+               floor((event_id % 8) / 4.0) * 1000.0 + (event_id % 5) AS bb_top,
+               50.0 + (event_id % 5) AS bb_width,
+               50.0 + (event_id % 3) AS bb_height,
+               ((event_id * 37) % 101) / 100.0 AS conf
+        FROM events
+    )
+"""
+
+
+def _cluster_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = scatter(load_table(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    return ev.select(
+        e.alias("event_id"),
+        frame_id("ts").alias("frame"),
+        (e % 8).alias("c"),
+        ((e % 4) * 1000.0 + (e % 7)).alias("bb_left"),
+        (F.floor((e % 8) / 4.0) * 1000.0 + (e % 5)).alias("bb_top"),
+        (50.0 + (e % 5)).alias("bb_width"),
+        (50.0 + (e % 3)).alias("bb_height"),
+        (((e * 37) % 101) / 100.0).alias("conf"),
+    )
+
+
+@query(
+    "q_nms",
+    oracle=f"""
+    WITH {_DUCK_CLUSTER_DET}
+    SELECT frame, c AS cluster, event_id AS obj_id,
+           round(conf, 2) AS conf, bb_left, bb_top
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY frame, c
+                                     ORDER BY conf DESC, event_id) AS rn
+        FROM cdet
+    ) WHERE rn = 1
+    """,
+)
 def q_nms(spark, sf_dir):
-    """W3: exact greedy NMS per frame via applyInPandas. Correctness is
-    asserted in tests via the NMS invariant (pairwise IoU of survivors ≤
-    threshold — itself SQL-checkable, SURVEY §5)."""
-    b = _boxes(spark, sf_dir)
-    det = b.select(
+    """W3: exact greedy NMS per frame via applyInPandas (reference
+    detection.py:1223-1261). Oracle contract: on clustered input
+    (within-cluster IoU ≥ 0.6 > 0.45 threshold, cross-cluster IoU = 0)
+    greedy suppression provably keeps exactly the per-cluster
+    (conf desc, id asc) argmax, which the oracle states as a window
+    rank — the full operator output hash-matches ANSI SQL. The general
+    order-sensitive case is covered by the invariant tests (pairwise
+    survivor IoU ≤ threshold + maximality, tests/test_operators.py)."""
+    d = _cluster_det(spark, sf_dir)
+    det = d.select(
         F.lit("s0").alias("sequence"),
-        F.col("frame").cast("string").alias("frame"),
-        F.col("event_id").cast("int").alias("obj_id"),
-        F.col("dl").alias("bb_left"),
-        F.col("dt_").alias("bb_top"),
-        F.col("dw").alias("bb_width"),
-        F.col("dh").alias("bb_height"),
-        ((F.col("event_id") % 100) / 100.0).alias("conf"),
+        "frame",
+        F.col("event_id").alias("obj_id"),
+        "c", "bb_left", "bb_top", "bb_width", "bb_height", "conf",
     )
     kept = nms(det, iou_threshold=0.45)
-    return kept.select("sequence", "frame", "obj_id", "bb_left", "bb_top", "conf")
+    return kept.select(
+        "frame",
+        F.col("c").alias("cluster"),
+        "obj_id",
+        F.round("conf", 2).alias("conf"),
+        "bb_left",
+        "bb_top",
+    )
 
 
-@query("q_greedy_match")  # rows-only: sequential greedy order-dependence
+@query(
+    "q_greedy_match",
+    oracle=f"""
+    WITH {_DUCK_CLUSTER_DET},
+    gt AS (
+        SELECT DISTINCT frame, c AS gt_id,
+               (c % 4) * 1000.0 AS l, floor(c / 4.0) * 1000.0 AS t,
+               50.0 AS w, 50.0 AS h
+        FROM cdet
+    ),
+    pairs AS (
+        SELECT g.frame, g.gt_id, d.event_id AS det_id,
+               CASE WHEN (g.w * g.h + d.bb_width * d.bb_height
+                          - greatest(least(g.l + g.w, d.bb_left + d.bb_width)
+                                     - greatest(g.l, d.bb_left), 0)
+                            * greatest(least(g.t + g.h, d.bb_top + d.bb_height)
+                                       - greatest(g.t, d.bb_top), 0)) > 0
+                    THEN (greatest(least(g.l + g.w, d.bb_left + d.bb_width)
+                                   - greatest(g.l, d.bb_left), 0)
+                          * greatest(least(g.t + g.h, d.bb_top + d.bb_height)
+                                     - greatest(g.t, d.bb_top), 0))
+                         / (g.w * g.h + d.bb_width * d.bb_height
+                            - greatest(least(g.l + g.w, d.bb_left + d.bb_width)
+                                       - greatest(g.l, d.bb_left), 0)
+                              * greatest(least(g.t + g.h, d.bb_top + d.bb_height)
+                                         - greatest(g.t, d.bb_top), 0))
+                    ELSE 0.0 END AS score
+        FROM gt g JOIN cdet d ON g.frame = d.frame AND g.gt_id = d.c
+    )
+    SELECT frame, gt_id, det_id, round(score, 6) AS score FROM (
+        SELECT *, row_number() OVER (PARTITION BY frame, gt_id
+                                     ORDER BY score DESC, det_id) AS rn
+        FROM pairs WHERE score >= 0.1
+    ) WHERE rn = 1
+    """,
+)
 def q_greedy_match(spark, sf_dir):
     """W7: global greedy 1:1 assignment per frame via applyInPandas
-    (reference tracking.py:1037-1133). Tests assert the 1:1 invariant."""
-    b = _boxes(spark, sf_dir)
-    gt = b.select(
-        F.col("event_id").alias("gt_id"), "frame",
-        F.col("gl").alias("g_l"), F.col("gt_").alias("g_t"),
-        F.col("gw").alias("g_w"), F.col("gh").alias("g_h"),
-    )
-    det = b.select(
+    (reference tracking.py:1037-1133). Oracle contract: the candidate
+    graph is a disjoint union of stars (each det overlaps exactly one
+    gt — cross-cluster IoU = 0 < the 0.1 floor), so greedy assignment
+    provably reduces to each gt taking its best det by
+    (score desc, det_id asc); the oracle states that as a window rank.
+    The real sequential operator runs; the general contested case is
+    covered by the 1:1 invariant tests."""
+    d = _cluster_det(spark, sf_dir)
+    gt = d.select(
+        "frame",
+        F.col("c").alias("gt_id"),
+        ((F.col("c") % 4) * 1000.0).alias("g_l"),
+        (F.floor(F.col("c") / 4.0) * 1000.0).alias("g_t"),
+        F.lit(50.0).alias("g_w"),
+        F.lit(50.0).alias("g_h"),
+    ).distinct()
+    det = d.select(
         F.col("event_id").alias("det_id"), "frame",
-        F.col("dl").alias("d_l"), F.col("dt_").alias("d_t"),
-        F.col("dw").alias("d_w"), F.col("dh").alias("d_h"),
+        F.col("bb_left").alias("d_l"), F.col("bb_top").alias("d_t"),
+        F.col("bb_width").alias("d_w"), F.col("bb_height").alias("d_h"),
     )
     pairs = (
         gt.join(det, "frame")
@@ -301,29 +405,114 @@ def q_eval_metrics(spark, sf_dir):
     return clear_identity_metrics(gt, tr, iou_threshold=0.5)
 
 
-@query("q_track")  # rows-only: stateful sequential tracker (SURVEY §7.4)
+@query(
+    "q_track",
+    oracle="""
+    WITH n AS (
+        SELECT count(*) AS n_frames FROM (
+            SELECT DISTINCT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS h
+            FROM events
+        )
+    ),
+    seqs AS (SELECT DISTINCT CAST(event_id % 4 AS VARCHAR) AS sequence FROM events)
+    SELECT s.sequence,
+           CAST(8 AS BIGINT) AS n_tracks,
+           CAST(8 * n.n_frames AS BIGINT) AS n_rows,
+           CAST(n.n_frames AS BIGINT) AS n_frames,
+           CAST(n.n_frames AS BIGINT) AS min_len,
+           CAST(n.n_frames AS BIGINT) AS max_len,
+           CAST(0 AS BIGINT) AS dup_track_frame,
+           CAST(0 AS BIGINT) AS dup_det_frame
+    FROM seqs s CROSS JOIN n
+    ORDER BY s.sequence
+    """,
+)
 def q_track(spark, sf_dir):
-    """T1-T7: the batch Kalman tracker over synthetic detections —
-    applyInPandas per sequence (parallel across sequences, faithful
-    sequential loop within). Invariants (1:1 per frame, id monotone,
-    min-length filter) are asserted in tests/test_tracker.py."""
+    """T1-T7: the batch Kalman tracker — applyInPandas per sequence
+    (parallel across sequences, faithful predict/match/update/age loop
+    within; reference tracking.py:711-854). Oracle contract: detections
+    are a dense grid (consecutive dense-ranked frames × 4 sequences × 8
+    objects 500 px apart moving 2 px/frame), on which a correct tracker
+    provably yields exactly 8 tracks per sequence, each covering every
+    frame with a 1:1 frame/det assignment — the per-sequence summary
+    (track count, row count, min/max track length, duplicate-violation
+    counts) hash-matches SQL computed from the input alone. Occlusion,
+    gap, and ageing behavior is covered by tests/test_tracker.py."""
     from ..tracker.batch import TrackerConfig, track_sequences
 
-    b = _boxes(spark, sf_dir)
-    det = b.select(
-        (F.col("user_id") % 4).cast("string").alias("sequence"),
-        F.format_string("%09d", F.col("frame")).alias("frame"),
-        F.col("event_id").cast("int").alias("obj_id"),
-        F.col("dl").alias("bb_left"),
-        F.col("dt_").alias("bb_top"),
-        (F.col("dw") * 3).alias("bb_width"),
-        (F.col("dh") * 3).alias("bb_height"),
-        F.lit(0.9).alias("conf"),
+    ev = load_table(spark, sf_dir, "events")
+    # Dense consecutive frame axis: dense_rank over the distinct hour
+    # index. Global window, but on the tiny distinct-hours relation —
+    # the time axis has bounded cardinality at any data scale.
+    hours = ev.select(frame_id("ts").alias("h")).distinct()
+    frames = hours.select(
+        F.dense_rank().over(Window.orderBy("h")).alias("f")
     )
-    tracks = track_sequences(det, TrackerConfig(min_track_length=2))
-    return tracks.select(
-        "sequence", "frame", "track_id", "det_id", "bb_left", "bb_top", "conf"
+    seqs = ev.select((F.col("event_id") % 4).cast("string").alias("sequence")).distinct()
+    objs = ev.select((F.col("event_id") % 8).alias("k")).distinct()
+    det = (
+        frames.crossJoin(seqs)
+        .crossJoin(objs)
+        .select(
+            "sequence",
+            F.format_string("%09d", F.col("f")).alias("frame"),
+            F.col("k").cast("int").alias("obj_id"),
+            (F.col("k") * 500.0 + F.col("f") * 2.0).alias("bb_left"),
+            (F.col("k") * 500.0 + F.col("f") * 2.0).alias("bb_top"),
+            F.lit(40.0).alias("bb_width"),
+            F.lit(40.0).alias("bb_height"),
+            F.lit(0.9).alias("conf"),
+        )
     )
+    # The summary fans out into four aggregations over the tracker
+    # output; localCheckpoint materializes the expensive applyInPandas
+    # pass once instead of re-running it per branch (same pattern as
+    # operators/graph.py lineage truncation).
+    tracks = track_sequences(det, TrackerConfig(min_track_length=2)).localCheckpoint()
+    per_track = tracks.groupBy("sequence", "track_id").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    dup_tf = (
+        tracks.groupBy("sequence", "frame", "track_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .groupBy("sequence")
+        .agg(F.count(F.lit(1)).alias("dup_track_frame"))
+    )
+    dup_df = (
+        tracks.groupBy("sequence", "frame", "det_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .groupBy("sequence")
+        .agg(F.count(F.lit(1)).alias("dup_det_frame"))
+    )
+    summary = (
+        tracks.groupBy("sequence")
+        .agg(
+            F.countDistinct("track_id").alias("n_tracks"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("frame").alias("n_frames"),
+        )
+        .join(
+            per_track.groupBy("sequence").agg(
+                F.min("len").alias("min_len"), F.max("len").alias("max_len")
+            ),
+            "sequence",
+        )
+        .join(dup_tf, "sequence", "left")
+        .join(dup_df, "sequence", "left")
+        .select(
+            "sequence",
+            "n_tracks",
+            "n_rows",
+            "n_frames",
+            "min_len",
+            "max_len",
+            F.coalesce("dup_track_frame", F.lit(0)).cast("long").alias("dup_track_frame"),
+            F.coalesce("dup_det_frame", F.lit(0)).cast("long").alias("dup_det_frame"),
+        )
+    )
+    return summary
 
 
 @query(

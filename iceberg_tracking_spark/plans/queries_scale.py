@@ -30,6 +30,7 @@ from ..operators.similarity import (
     lsh_bucket_topk,
 )
 from ..sources.tables import load_table, scatter
+from ..functions.time import day_id
 from .registry import query
 
 from ..schemas import EMB_DIM as _DIM  # noqa: E402  (single source)
@@ -590,7 +591,7 @@ def q_gap_fill(spark, sf_dir):
     a left join snaps counts onto it."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
-        F.floor(F.unix_millis("ts") / 86400000.0).cast("long").alias("day"),
+        day_id("ts").alias("day"),
     )
     actual = ev.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
     grid = (
@@ -1205,7 +1206,7 @@ def q_forward_fill(spark, sf_dir):
     `filled` is never NULL."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
-        F.floor(F.unix_millis("ts") / 86400000.0).cast("long").alias("day"),
+        day_id("ts").alias("day"),
         "value",
     )
     actual = ev.groupBy("user_id", "day").agg(
