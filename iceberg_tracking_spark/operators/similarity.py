@@ -234,10 +234,13 @@ def ivf_topk(
       are the cluster members (equi-join on centroid id), re-ranked by
       exact cosine. Recall < 1 by design (the IVF trade).
 
-    At 100 TB the assignment relation IS the index — it would be
-    materialized once and reused per query batch; here the declared
-    query recomputes it (two consumers of the scored relation), which
-    is the honest unmaterialized form.
+    The O(N·K) assignment — the index build — runs exactly ONCE: its
+    only consumer is the candidate equi-join. The probe side re-scores
+    only the query vectors against the broadcast centroids (O(|Q|·K),
+    negligible), so no branch re-touches the full corpus. At 100 TB the
+    assignment would additionally be written out and reused across
+    query batches (sources/catalog.VersionedTable is the write path);
+    within one query the single-consumer plan needs no materialization.
     """
     from .windows import argmax_agg
 
@@ -253,12 +256,18 @@ def ivf_topk(
         F.struct(F.col("csim"), (-F.col("cid")).alias("_neg_cid")),
         {"cid": F.col("cid"), vec_col: F.col(vec_col)},
     )
+    # Probe ranking touches ONLY the query vectors — same fold-order
+    # cosine, so ranks are identical to scoring them inside `scored`.
+    q_scored = (
+        vectors.filter(query_pred)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("csim", cosine(F.col(vec_col), F.col("ce")))
+    )
     w_probe = Window.partitionBy(id_col).orderBy(
         F.col("csim").desc(), F.col("cid").asc()
     )
     probes = (
-        scored.filter(query_pred)
-        .withColumn("rn", F.row_number().over(w_probe))
+        q_scored.withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= nprobe)
         .select(
             F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "cid"
