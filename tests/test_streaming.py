@@ -364,6 +364,15 @@ def test_stream_restart_from_checkpoint_exactly_once(spark):
         shutil.rmtree(tbl.rsplit("/", 1)[0], ignore_errors=True)
 
 
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def test_streaming_track_tws_gated(spark):
     """The arbitrary-state-v2 tracker variant must either work (when
     protobuf is installed) or fail fast with a clear ImportError naming
@@ -372,19 +381,74 @@ def test_streaming_track_tws_gated(spark):
 
     from iceberg_tracking_spark.streaming.tracker import streaming_track_tws
 
-    try:
-        import google.protobuf  # noqa: F401
-
-        has_protobuf = True
-    except ImportError:
-        has_protobuf = False
-    if has_protobuf:
-        pytest.skip("protobuf present; covered by the parity test path")
+    if _has_protobuf():
+        pytest.skip("protobuf present; test_streaming_track_tws_equals_batch runs")
     stream = spark.readStream.schema(DET_SCHEMA).parquet(
         tempfile.mkdtemp(prefix="tws_")
     )
     with pytest.raises(ImportError, match="protobuf"):
         streaming_track_tws(stream)
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs the protobuf package "
+    "(absent in this container); this parity test activates the moment "
+    "it is installed",
+)
+def test_streaming_track_tws_equals_batch(spark):
+    """TWS-path parity: the transformWithStateInPandas tracker over
+    frame-ordered micro-batches must emit exactly the batch tracker's
+    rows (same contract as the applyInPandasWithState variant)."""
+    from iceberg_tracking_spark.streaming.tracker import streaming_track_tws
+
+    pdf = make_sequence("s1", n_frames=30)
+    cfg = TrackerConfig(min_track_length=1)
+    stream_dir = tempfile.mkdtemp(prefix="det_tws_stream_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_tws_")
+    prior_provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(DET_SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(stream_dir)
+        out = streaming_track_tws(stream, cfg)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tracks_tws_out")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            for lo, hi in [(0, 10), (10, 20), (20, 30)]:
+                chunk = pdf[
+                    pdf["frame"].isin([f"{f:06d}" for f in range(lo, hi)])
+                ]
+                spark.createDataFrame(chunk, DET_SCHEMA).coalesce(1).write.mode(
+                    "append"
+                ).parquet(stream_dir)
+                q.processAllAvailable()
+            got = spark.sql("SELECT * FROM tracks_tws_out").toPandas()
+        finally:
+            q.stop()
+    finally:
+        if prior_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior_provider
+            )
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    want = track_one_sequence_pdf(pdf, cfg)
+    key = ["sequence", "frame", "track_id", "det_id"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    want_s = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
 
 
 def test_streaming_dedup_drops_redeliveries(spark, sf_dir):
