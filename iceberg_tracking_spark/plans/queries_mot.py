@@ -568,40 +568,99 @@ def q_grid_join_2d(spark, sf_dir):
     )
 
 
-@query("q_remove_nested")  # rows-only: order-dependent precedence (SURVEY §7.4)
+@query(
+    "q_remove_nested",
+    oracle=f"""
+    WITH {_DUCK_CLUSTER_DET}
+    SELECT frame, c AS cluster, event_id AS obj_id,
+           round(conf, 2) AS conf, bb_left, bb_top
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY frame, c
+                                     ORDER BY conf DESC, event_id) AS rn
+        FROM cdet
+    ) WHERE rn = 1
+    """,
+)
 def q_remove_nested(spark, sf_dir):
     """W4 exact: nested-box removal with confidence classes via
     applyInPandas per frame (reference detection.py:1120-1198) — a
     high-confidence box always beats a low-confidence one; among
-    same-class boxes the higher score survives. The SQL-checkable
-    approximation is q_containment_antijoin; the invariant (no
-    surviving box nested in another survivor) is asserted in
-    tests/test_operators.py."""
+    same-class boxes the higher score survives. Oracle contract: on the
+    clustered input every within-cluster pair's intersection/smaller
+    ratio is ≥ 0.8 > the 0.75 threshold, and under the precedence rules
+    the top-(conf, id) box always survives every pairwise duel — it
+    beats same-class boxes by processing order and lower-class boxes by
+    class — so the survivor set provably equals the per-cluster argmax.
+    The conf derivation spans both classes (split 0.5), so the class
+    logic is exercised. General nesting behavior (partial overlap
+    chains) stays covered by tests/test_operators.py."""
     from ..operators.nms import remove_nested
 
-    b = _boxes(spark, sf_dir)
-    det = b.select(
+    d = _cluster_det(spark, sf_dir)
+    det = d.select(
         F.lit("s0").alias("sequence"),
-        F.col("frame").cast("string").alias("frame"),
-        F.col("event_id").cast("int").alias("obj_id"),
-        F.col("dl").alias("bb_left"),
-        F.col("dt_").alias("bb_top"),
-        (F.col("dw") * 2).alias("bb_width"),
-        (F.col("dh") * 2).alias("bb_height"),
-        ((F.col("event_id") % 100) / 100.0).alias("conf"),
+        "frame",
+        F.col("event_id").alias("obj_id"),
+        "c", "bb_left", "bb_top", "bb_width", "bb_height", "conf",
     )
     kept = remove_nested(det, containment_threshold=0.75, conf_split=0.5)
-    return kept.select("sequence", "frame", "obj_id", "bb_left", "bb_top", "conf")
+    return kept.select(
+        "frame",
+        F.col("c").alias("cluster"),
+        "obj_id",
+        F.round("conf", 2).alias("conf"),
+        "bb_left",
+        "bb_top",
+    )
 
 
-@query("q_gen_embeddings")  # rows-only: stub backbone (SURVEY §2.8 M4)
+def _gen_embeddings_oracle() -> str:
+    """Re-derive the stub-embedding arithmetic in pure SQL.
+
+    The 'backbone' in operators/inference.generate_embeddings is
+    deterministic md5 arithmetic: frame seed = int(md5(seq/frame)[:8
+    hex], 16); per-box digest h = md5(f"{seed}/{obj_id}/{left:.3f}/
+    {top:.3f}"); component i = (h[i % 16]*16 + i)/4096 — a dyadic
+    rational, hence EXACT in the array<float> output. DuckDB's md5()
+    returns the same lowercase hex, so the oracle recomputes components
+    0 and 1 byte-for-byte (hex-char arithmetic) plus the declared dim.
+    """
+    from ._sqlgen import byte_val, hex_int
+
+    seed = hex_int("md5(sequence || '/' || frame)", 1, 8)
+    box_md5 = (
+        f"md5(CAST({seed} AS VARCHAR) || '/' || CAST(obj_id AS VARCHAR) "
+        "|| '/' || printf('%.3f', bb_left) || '/' || printf('%.3f', bb_top))"
+    )
+    e0 = f"({byte_val('h', 0)} * 16 + 0) / 4096.0"
+    e1 = f"({byte_val('h', 1)} * 16 + 1) / 4096.0"
+    return f"""
+    WITH det AS (
+        SELECT CAST(user_id % 4 AS VARCHAR) AS sequence,
+               printf('%09d', CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT)) AS frame,
+               CAST(event_id AS INTEGER) AS obj_id,
+               value * 3.0 + (event_id % 9) - 4.0 AS bb_left,
+               (value * 7.0) % 500.0 + (event_id % 11) - 5.0 AS bb_top
+        FROM events
+    ),
+    hashed AS (SELECT sequence, frame, obj_id, {box_md5} AS h FROM det)
+    SELECT sequence, frame, obj_id, CAST(32 AS INTEGER) AS dim,
+           {e0} AS e0, {e1} AS e1
+    FROM hashed
+    """
+
+
+@query("q_gen_embeddings", oracle=_gen_embeddings_oracle())
 def q_gen_embeddings(spark, sf_dir):
     """M4: embedding generation over detections with frame-clustered
     decode caching — range-partition + sort by (sequence, frame) so each
     frame is decoded once into an executor-local LRU, then an
     Arrow-batched embedding pass (operators/inference.generate_embeddings;
-    reference embedding.py:1263-1387). Cache effectiveness is asserted
-    in tests (decodes == distinct frames)."""
+    reference embedding.py:1263-1387). The oracle recomputes the
+    deterministic md5-arithmetic backbone in SQL and value-checks
+    embedding components 0 and 1 (dyadic rationals — exact in float32)
+    plus the per-detection fan-out and declared dim. Cache
+    effectiveness (decodes == distinct frames) is asserted in tests."""
     from ..operators.inference import generate_embeddings
 
     b = _boxes(spark, sf_dir)
@@ -617,5 +676,10 @@ def q_gen_embeddings(spark, sf_dir):
     )
     out = generate_embeddings(det, dim=32)
     return out.select(
-        "sequence", "frame", "obj_id", F.size("embedding").alias("dim")
+        "sequence",
+        "frame",
+        "obj_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("e0"),
+        F.element_at("embedding", 2).cast("double").alias("e1"),
     )

@@ -767,13 +767,83 @@ def q_media_features(spark, sf_dir):
     return extract_media_features(media)
 
 
-@query("q_batch_infer")  # rows-only: stub model forward (SURVEY §2.8 M1-M2)
+def _batch_infer_oracle() -> str:
+    """Re-derive the stub detector's md5 arithmetic in SQL.
+
+    The tile planner is integral arithmetic (window 1536, stride
+    int(1536*0.65)=998, last tile snapped to the edge); the stub
+    forward draws box count and coordinates from md5 digests of
+    "{media_id}_{scale}_{tx}_{ty}" / "{seed}_{k}" key strings — both
+    exactly re-computable in DuckDB (same lowercase-hex md5)."""
+    from ._sqlgen import byte_val, hex_int
+
+    positions = (
+        "unnest(list_distinct(list_transform("
+        "range(0, greatest(CAST(ceil(({d} - 1536) / 998.0) AS BIGINT) + 1, 1)), "
+        "i -> least(i * 998, greatest({d} - 1536, 0)))))"
+    )
+    scaled = " UNION ALL ".join(
+        f"""
+        SELECT media_id, CAST({s} AS DOUBLE) AS scale, '{s}' AS scale_str,
+               CAST(floor(width * {s}) AS INTEGER) AS sw,
+               CAST(floor(height * {s}) AS INTEGER) AS sh
+        FROM media"""
+        for s in ("0.5", "1.0")
+    )
+    seed = hex_int("sm", 1, 8)
+    return f"""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CAST(doc_id % 64 + 32 AS INTEGER) * 40 AS width,
+               CAST(doc_id % 48 + 24 AS INTEGER) * 30 AS height
+        FROM documents
+    ),
+    scaled AS ({scaled}),
+    tiles_x AS (
+        SELECT media_id, scale, scale_str, sw, sh, {positions.format(d="sw")} AS tx
+        FROM scaled
+    ),
+    tiles AS (
+        SELECT media_id, scale, scale_str, sw, tx, {positions.format(d="sh")} AS ty
+        FROM tiles_x
+    ),
+    seeded AS (
+        SELECT media_id, scale, tx, ty,
+               {seed} AS seed
+        FROM (
+            SELECT *, md5(CAST(media_id AS VARCHAR) || '_' || scale_str
+                          || '_' || CAST(tx AS VARCHAR)
+                          || '_' || CAST(ty AS VARCHAR)) AS sm
+            FROM tiles
+        )
+    ),
+    boxes AS (
+        SELECT media_id, scale, tx, ty,
+               md5(CAST(seed AS VARCHAR) || '_' || CAST(k.k AS VARCHAR)) AS h
+        FROM seeded, (SELECT unnest([0, 1]) AS k) k
+        WHERE k.k < seed % 3
+    )
+    SELECT media_id, scale,
+           CAST(tx AS INTEGER) AS tile_x, CAST(ty AS INTEGER) AS tile_y,
+           {byte_val('h', 0)} * 4.0 AS bb_left,
+           {byte_val('h', 1)} * 4.0 AS bb_top,
+           20.0 + {byte_val('h', 2)} % 64 AS bb_width,
+           20.0 + {byte_val('h', 3)} % 64 AS bb_height,
+           ({byte_val('h', 4)} % 100) / 100.0 AS conf
+    FROM boxes
+    """
+
+
+@query("q_batch_infer", oracle=_batch_infer_oracle())
 def q_batch_infer(spark, sf_dir):
     """M1+M2 composed: declarative multi-scale sliding-window tile plan
     (explode) → mapInPandas batch inference (per-partition model load,
     deterministic stub forward) → boxes translated back to original
     coordinates (X14). The end-to-end shape of the reference's detect
-    stage (detection.py:1307-1423) as one distributed pipeline."""
+    stage (detection.py:1307-1423) as one distributed pipeline. The
+    oracle re-derives both the integral tile planner and the stub
+    forward's md5 arithmetic in SQL, so tile layout, per-tile fan-out,
+    and box values are all exact-hash-checked."""
     from ..operators.inference import detect_tiles, tile_plan
     from ..operators.multimodal import synthesize_media_table
 
