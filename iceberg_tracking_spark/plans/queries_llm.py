@@ -188,6 +188,14 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+# NOTE on a rejected optimization (measured, round 4): unrolling the
+# dot/norm lambda folds into explicit 64-term add chains looked like a
+# codegen win but was 3-10x SLOWER end-to-end (q_ann_lsh 1.9s -> 19s at
+# sf0.1) — the giant expression trees blow past codegen method limits
+# and fall back to per-node interpretation, while the HOF fold is a
+# single tight interpreted loop. Keep the aggregate/zip_with forms.
+
+
 # THE canonical Jaccard candidate-pair contract, defined once for both
 # oracle consumers (q_ngram_jaccard and q_dedup_clusters): tokenize →
 # distinct 3-shingles → lang-bounded self-join → jaccard ≥ 0.2.
@@ -433,38 +441,15 @@ def q_cosine_topk(spark, sf_dir):
     aggregate/zip_with array math (JVM-side); similarity rounded to 6dp
     before ranking so cross-engine float summation order can't flip
     ranks (tie-break: neighbor id)."""
+    from ..operators.similarity import brute_force_topk
+
     v = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     q = v.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nq = F.sqrt(
-        F.aggregate(F.col("qe"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    ne = F.sqrt(
-        F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    sims = (
-        F.broadcast(q)
-        .join(v, F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("nid"),
-            F.round(dot / (nq * ne), 6).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
-    return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .drop("rn")
-    )
+    return brute_force_topk(v, q, k=5)
 
 
 def _neardup_oracle() -> str:
