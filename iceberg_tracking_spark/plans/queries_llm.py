@@ -1103,3 +1103,177 @@ def q_pack_sequences(spark, sf_dir):
             "offset_in_bin"
         ),
     )
+
+
+# --------------------------------------------- retrieval / curation extras
+
+_BM25_TERMS = ("join", "filter", "spark")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    # Per-term score columns added in a FIXED order (not a SQL sum())
+    # so the float addition order is identical to the Spark plan; ln()
+    # may differ by 1 ulp across libm implementations, absorbed by the
+    # 4dp round (same budget as every other float aggregate here).
+    per_term = ",\n".join(
+        f"""max(CASE WHEN term = '{t}' THEN
+            ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            * (tf * {_BM25_K1 + 1.0})
+            / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * (dl / avgdl)))
+            ELSE NULL END) AS s_{t}"""
+        for t in _BM25_TERMS
+    )
+    total = " + ".join(f"coalesce(s_{t}, 0.0)" for t in _BM25_TERMS)
+    terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, u.t AS term, count(*) AS tf
+        FROM toks, unnest(toks) AS u(t)
+        WHERE u.t IN ({terms_in})
+        GROUP BY doc_id, u.t
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.dl, s.n_docs, s.avgdl
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+    ),
+    per_doc AS (
+        SELECT doc_id, {per_term}
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, score FROM (
+        SELECT doc_id, round({total}, 4) AS score,
+               row_number() OVER (ORDER BY round({total}, 4) DESC, doc_id) AS rn
+        FROM per_doc
+    ) WHERE rn <= 10
+    """
+
+
+@query("q_bm25", oracle=_bm25_oracle())
+def q_bm25(spark, sf_dir):
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query over
+    the corpus — the lexical-retrieval side of training-data curation
+    (quality filtering by relevance to a seed query; complements the
+    embedding-side q_cosine_topk). One explode+filter pass computes
+    term frequencies; document frequencies and corpus stats are
+    broadcast 1-row/3-row scalars; top-10 by rounded score. At 100 TB
+    the only shuffle is the (doc, term) partial-agg; the term list is a
+    literal so the scan's explode filters to ~|terms| rows per doc
+    before any exchange. Per-term scores are combined in a fixed
+    expression order so float addition matches the oracle bit-for-bit
+    (ln() ulp differences absorbed by the 4dp round)."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "toks", _spark_tokens(F.col("text"))
+    )
+    toks = d.select("doc_id", "toks")
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            * (F.col("tf") * (_BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (1.0 - _BM25_B + _BM25_B * (F.col("dl") / F.col("avgdl")))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("s"))).alias(f"s_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    total = None
+    for t in _BM25_TERMS:
+        c = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
+        total = c if total is None else total + c
+    ranked = per_doc.select(
+        "doc_id", F.round(total, 4).alias("score")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        ),
+    )
+    return ranked.filter(F.col("rn") <= 10).select("doc_id", "score")
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{4}"
+
+
+@query(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH msgs AS (
+        SELECT event_id,
+               'user ' || CAST(user_id AS VARCHAR) || ' call 555-'
+               || printf('%04d', event_id % 10000) || ' or mail u'
+               || CAST(user_id AS VARCHAR) || '@example.com' AS msg
+        FROM events
+    )
+    SELECT event_id,
+           regexp_replace(regexp_replace(msg, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(msg, '{_EMAIL_RE}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(msg, '{_PHONE_RE}')) AS INTEGER)
+             AS n_phones
+    FROM msgs
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction for training-data curation: regex-scrub emails and
+    phone numbers from free text, emitting the redacted string plus
+    per-pattern match counts for the scrub audit. The contact-bearing
+    text is synthesized deterministically from events (the corpus
+    itself contains no PII-shaped strings) with the identical
+    derivation in the oracle — the same contract-input pattern as
+    _boxes. Pure regexp_replace/regexp_count Catalyst expressions (no
+    UDF): a single narrow projection pass, trivially partition-parallel
+    at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    msg = F.concat(
+        F.lit("user "),
+        F.col("user_id").cast("string"),
+        F.lit(" call 555-"),
+        F.format_string("%04d", F.col("event_id") % 10000),
+        F.lit(" or mail u"),
+        F.col("user_id").cast("string"),
+        F.lit("@example.com"),
+    )
+    m = ev.select("event_id", msg.alias("msg"))
+    return m.select(
+        "event_id",
+        F.regexp_replace(
+            F.regexp_replace("msg", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+        F.regexp_count("msg", F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("msg", F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+    )

@@ -76,8 +76,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_selfjoin_lead",
     "q_containment_antijoin",
     "q_session_window",
-    # (d) plan changed this round
+    # (d) plan changed / new this round
     "q_ann_ivf",
+    "q_bm25",
+    "q_pii_scrub",
     # high-value reconfirmations fill the remaining window slots
     "q_asof_join",
     "q_grid_join",
@@ -93,8 +95,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_equijoin",
     "q_sum_count",
     "q_global_norm",
-    "q_having_semijoin",
-    "q_string_fmt",
 ]
 
 

@@ -31,6 +31,7 @@ NESTED_LOOP_OK = {
     # Single-row / tiny broadcast cross joins (scalar fan-out, not pair
     # explosion): global aggregate joined back onto every row.
     "q_global_norm",       # global max (1 row) broadcast to all rows
+    "q_bm25",              # 1-row corpus stats (N, avgdl) broadcast to tf rows
     "q_eval_metrics",      # scalar metric components combined (1-row sides)
     "q_funnel",            # three 1-row stage counts combined into one row
     "q_ab_test",           # two 1-row variant summaries → scalar algebra
