@@ -384,7 +384,17 @@ def q_eval_metrics(spark, sf_dir):
 
     b = _boxes(spark, sf_dir)
     w = Window.partitionBy("user_id", "frame").orderBy("event_id")
-    picked = b.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # gt + tr + the metric job's own count/coverage branches consume
+    # `picked` five times; without materialization Catalyst re-derives
+    # the scan+window subtree per branch (measured: 10 parquet scans,
+    # zero ReusedExchange). localCheckpoint runs it once — the same
+    # "materialize the small derived relation, not the big input"
+    # pattern as q_track / operators/graph.py.
+    picked = (
+        b.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .localCheckpoint()
+    )
     gt = picked.select(
         F.lit("s0").alias("sequence"),
         "frame",
