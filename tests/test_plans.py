@@ -178,6 +178,32 @@ def test_skew_join_salts_the_shuffle(spark, sf_dir):
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
 
 
+def test_bench_headline_queries_registered():
+    """Every bench.py headline name must resolve in the registry — a
+    rename here would crash the round's performance record."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"bench HEADLINE references unknown queries: {missing}"
+
+
+def test_scatter_flag_disables_repartition(spark):
+    import os
+
+    from iceberg_tracking_spark.sources.tables import scatter
+
+    df = spark.range(10)
+    os.environ["SPARK_GRAFT_SCATTER"] = "0"
+    try:
+        assert scatter(df) is df
+    finally:
+        del os.environ["SPARK_GRAFT_SCATTER"]
+    assert scatter(df) is not df
+
+
 def test_readme_query_counts_match_registry():
     """README's declared query/oracle counts must track the registry."""
     import re
