@@ -511,9 +511,19 @@ def q_embedding_neardup(spark, sf_dir):
         "vec_id", "label", "e",
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
     )
+    # Per-vector norm projected below the self-join: the rerank then
+    # folds only the dot per pair (same doubles — oracle unaffected).
+    from ..operators.similarity import cosine_prenormed, norm, seq_dot  # noqa: F401
+
+    banded = banded.withColumn("_nrm", norm(F.col("e")))
     a = banded.alias("a")
     b = banded.alias("b")
-    sim = F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
+    sim = F.round(
+        cosine_prenormed(
+            F.col("a.e"), F.col("b.e"), F.col("a._nrm"), F.col("b._nrm")
+        ),
+        6,
+    )
     return (
         a.join(
             b,
