@@ -240,6 +240,10 @@ def _jaccard_pairs(spark, sf_dir):
             "shingle"
         ),
     )
+    # Three consumers (sizes + both self-join sides) would each compile
+    # the tokenize/shingle/explode pipeline from scratch (zero
+    # ReusedExchange); materialize the exploded relation once.
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -398,6 +402,13 @@ def q_minhash_lsh(spark, sf_dir):
         .filter(F.col("bn") <= _HOT_BAND_CAP)
         .drop("bn")
     )
+    # The self-join consumes `bands` on both sides; without
+    # materialization Catalyst compiles the whole shingle-explode +
+    # 2x-md5 + minhash-agg pipeline TWICE (verified: zero
+    # ReusedExchange in the physical plan). The banded relation is tiny
+    # (4 rows per doc), so localCheckpoint halves the dominant md5 work
+    # — at scale this is the signature table you would write out anyway.
+    bands = bands.localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
