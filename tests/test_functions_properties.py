@@ -186,3 +186,33 @@ def test_grid_cell_matches_floor(spark):
     ).toPandas()
     expected = np.floor(res.x / 100.0).astype("int64")
     assert (res.cell == expected).all()
+
+
+def test_cosine_prenormed_bit_identical_to_cosine(spark):
+    """The per-vector-norm rewrite (operators/similarity.cosine_prenormed)
+    must produce BIT-identical doubles to the per-pair cosine — the
+    oracle hashes depend on it. Random vectors, exact equality."""
+    from iceberg_tracking_spark.operators.similarity import (
+        cosine,
+        cosine_prenormed,
+        norm,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (rng.normal(size=16).tolist(), rng.normal(size=16).tolist())
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["a", "b"]))
+    res = (
+        df.withColumn("na", norm(F.col("a")))
+        .withColumn("nb", norm(F.col("b")))
+        .select(
+            cosine(F.col("a"), F.col("b")).alias("plain"),
+            cosine_prenormed(
+                F.col("a"), F.col("b"), F.col("na"), F.col("nb")
+            ).alias("prenormed"),
+        )
+        .toPandas()
+    )
+    assert (res.plain == res.prenormed).all()  # exact, not allclose
