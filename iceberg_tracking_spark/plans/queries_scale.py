@@ -1249,13 +1249,13 @@ def q_gram_matrix(spark, sf_dir):
     actual AS (
         SELECT user_id,
                CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day,
-               round(avg(value), 4) AS day_avg
+               round(sum(value), 2) / count(*) AS day_avg
         FROM events GROUP BY 1, 2
     )
     SELECT user_id, day,
-           round(last_value(day_avg IGNORE NULLS) OVER (
+           last_value(day_avg IGNORE NULLS) OVER (
                PARTITION BY user_id ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS filled,
            day_avg IS NULL AS was_filled
     FROM (
@@ -1279,8 +1279,15 @@ def q_forward_fill(spark, sf_dir):
         day_id("ts").alias("day"),
         "value",
     )
+    # Portability: round(avg, 4) hit a real .xxxx5 edge at sf0.1 — avg
+    # of 2-decimal values over an 8*odd-sized group terminates at
+    # exactly 5 decimals ending in 5, and the engines' summation orders
+    # land on opposite sides. round(sum, 2) instead sits ON the 2dp
+    # grid (sums of 2dp values are 2dp-exact), so the division — and
+    # every LOCF carry of it — is bit-identical cross-engine with no
+    # further rounding needed.
     actual = ev.groupBy("user_id", "day").agg(
-        F.round(F.avg("value"), 4).alias("day_avg")
+        (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("day_avg")
     )
     grid = (
         ev.groupBy("user_id")
@@ -1297,8 +1304,6 @@ def q_forward_fill(spark, sf_dir):
     return joined.select(
         "user_id",
         "day",
-        F.round(F.last("day_avg", ignorenulls=True).over(w), 4).alias(
-            "filled"
-        ),
+        F.last("day_avg", ignorenulls=True).over(w).alias("filled"),
         F.col("day_avg").isNull().alias("was_filled"),
     )

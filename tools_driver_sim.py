@@ -1,7 +1,9 @@
 """Simulates the driver's verify: vanilla SparkSession (driver's own conf,
 NOT ours), import __spark_entry__, smoke entry(), then run every query at
-sf0.01 vs oracle_sql() through DuckDB, hash-style compare."""
-import sys, time, math
+sf0.01 (override: SPARK_GRAFT_SIM_SF_DIR) vs oracle_sql() through DuckDB,
+hash-style compare. Run from /root/repo so Python workers can import the
+package."""
+import os, sys, time, math
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 import duckdb, pandas as pd
@@ -25,7 +27,7 @@ qs, oracles = E.queries(), E.oracle_sql()
 print(f"{len(qs)} queries, {len(oracles)} with oracle")
 assert set(oracles) <= set(qs)
 
-sf = "/root/testdata/sf0.01"
+sf = os.environ.get("SPARK_GRAFT_SIM_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
