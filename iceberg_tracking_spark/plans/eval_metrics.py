@@ -22,7 +22,10 @@ from ..functions.geometry import iou
 
 
 def clear_identity_metrics(
-    gt: DataFrame, tracks: DataFrame, iou_threshold: float = 0.5
+    gt: DataFrame,
+    tracks: DataFrame,
+    iou_threshold: float = 0.5,
+    prefilter_cell: float | None = None,
 ) -> DataFrame:
     """Compute CLEAR + Identity metrics per sequence.
 
@@ -31,6 +34,13 @@ def clear_identity_metrics(
     Returns one row per sequence:
       n_gt, n_det, tp, fn, fp, clr_re, clr_pr, loca,
       idsw, frag, mt, pt, ml, idtp, idf1
+
+    `prefilter_cell`: when the caller can bound box extents below this
+    cell size, the per-frame GT×track pairing routes through the
+    LOSSLESS grid prefilter (operators/joins.grid_cell_join — centers
+    of overlapping boxes are within one cell), replacing the O(n²)
+    frame explosion with cell-bounded candidates. None (default) keeps
+    the exact all-pairs join for unbounded inputs.
     """
     g = gt.select(
         "sequence", "frame", "gt_id",
@@ -42,7 +52,23 @@ def clear_identity_metrics(
         F.col("l").alias("t_l"), F.col("t").alias("t_t"),
         F.col("w").alias("t_w"), F.col("h").alias("t_h"),
     )
-    pairs = g.join(tr, ["sequence", "frame"]).withColumn(
+    if prefilter_cell is not None:
+        from ..operators.joins import grid_cell_join
+
+        g2 = g.withColumn("_gcx", F.col("g_l") + F.col("g_w") / 2).withColumn(
+            "_gcy", F.col("g_t") + F.col("g_h") / 2
+        )
+        t2 = tr.withColumn("_tcx", F.col("t_l") + F.col("t_w") / 2).withColumn(
+            "_tcy", F.col("t_t") + F.col("t_h") / 2
+        )
+        paired = grid_cell_join(
+            g2, t2, "_gcx", "_gcy", "_tcx", "_tcy",
+            cell_size=float(prefilter_cell),
+            extra_on=[("sequence", "sequence"), ("frame", "frame")],
+        )
+    else:
+        paired = g.join(tr, ["sequence", "frame"])
+    pairs = paired.withColumn(
         "iou",
         iou(
             F.col("g_l"), F.col("g_t"), F.col("g_w"), F.col("g_h"),

@@ -88,20 +88,36 @@ def _boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_iou_argmax(spark, sf_dir):
     """X1+J2: IoU theta-join + per-GT argmax — the eval matching core
-    (reference eval.py:221-254): join GT×DET on frame, compute IoU as a
-    native column expression, keep the best det per GT with IoU ≥ 0.3."""
+    (reference eval.py:221-254): pair GT×DET per frame, compute IoU as
+    a native column expression, keep the best det per GT with IoU ≥
+    0.3. Pairing goes through the lossless grid prefilter
+    (operators/joins.grid_cell_join): box extents are ≤ 49 px by
+    derivation, so with 64 px cells every overlapping pair shares a
+    3×3 cell neighborhood — the per-frame O(n²) explosion (quadratic in
+    frame density at scale) becomes cell-bounded candidates with the
+    identical surviving pair set. The oracle states the naive all-pairs
+    spec."""
+    from ..operators.joins import grid_cell_join
+
     b = _boxes(spark, sf_dir)
     gt = b.select(
         F.col("event_id").alias("gt_id"), "frame",
         F.col("gl").alias("g_l"), F.col("gt_").alias("g_t"),
         F.col("gw").alias("g_w"), F.col("gh").alias("g_h"),
+    ).withColumn("_gcx", F.col("g_l") + F.col("g_w") / 2).withColumn(
+        "_gcy", F.col("g_t") + F.col("g_h") / 2
     )
     det = b.select(
         F.col("event_id").alias("det_id"), "frame",
         F.col("dl").alias("d_l"), F.col("dt_").alias("d_t"),
         F.col("dw").alias("d_w"), F.col("dh").alias("d_h"),
+    ).withColumn("_dcx", F.col("d_l") + F.col("d_w") / 2).withColumn(
+        "_dcy", F.col("d_t") + F.col("d_h") / 2
     )
-    pairs = gt.join(det, "frame").withColumn(
+    pairs = grid_cell_join(
+        gt, det, "_gcx", "_gcy", "_dcx", "_dcy",
+        cell_size=64.0, extra_on=[("frame", "frame")],
+    ).withColumn(
         "iou",
         iou(
             F.col("g_l"), F.col("g_t"), F.col("g_w"), F.col("g_h"),
@@ -412,7 +428,9 @@ def q_eval_metrics(spark, sf_dir):
         F.col("dl").alias("l"), F.col("dt_").alias("t"),
         F.col("dw").alias("w"), F.col("dh").alias("h"),
     )
-    return clear_identity_metrics(gt, tr, iou_threshold=0.5)
+    # Box extents are ≤ 49 px by derivation → 64 px cells make the
+    # grid prefilter lossless (see clear_identity_metrics docstring).
+    return clear_identity_metrics(gt, tr, iou_threshold=0.5, prefilter_cell=64.0)
 
 
 @query(
