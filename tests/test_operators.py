@@ -648,3 +648,67 @@ def test_source_format_matrix_roundtrip(spark, sf_dir, tmp_path):
         back = spark.read.format(fmt).schema(src.schema).load(p)
         got = sorted(tuple(r) for r in back.collect())
         assert got == sorted(expected), f"{fmt} roundtrip diverged"
+
+
+def test_grid_cell_join_lossless_for_bounded_boxes(spark):
+    """grid_cell_join's contract: with cell >= max box extent, the
+    prefiltered pair set must contain EVERY pair with IoU > 0 —
+    verified against the naive all-pairs join on random boxes."""
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_tracking_spark.functions.geometry import iou
+    from iceberg_tracking_spark.operators.joins import grid_cell_join
+
+    rng = np.random.default_rng(11)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "frame": rng.integers(0, 5, n),
+            "l": rng.uniform(0, 400, n),
+            "t": rng.uniform(0, 400, n),
+            "w": rng.uniform(5, 60, n),
+            "h": rng.uniform(5, 60, n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = df.select(
+        F.col("id").alias("a_id"), "frame",
+        F.col("l").alias("a_l"), F.col("t").alias("a_t"),
+        F.col("w").alias("a_w"), F.col("h").alias("a_h"),
+    ).withColumn("_acx", F.col("a_l") + F.col("a_w") / 2).withColumn(
+        "_acy", F.col("a_t") + F.col("a_h") / 2
+    )
+    b = df.select(
+        F.col("id").alias("b_id"), "frame",
+        F.col("l").alias("b_l"), F.col("t").alias("b_t"),
+        F.col("w").alias("b_w"), F.col("h").alias("b_h"),
+    ).withColumn("_bcx", F.col("b_l") + F.col("b_w") / 2).withColumn(
+        "_bcy", F.col("b_t") + F.col("b_h") / 2
+    )
+    the_iou = iou(
+        F.col("a_l"), F.col("a_t"), F.col("a_w"), F.col("a_h"),
+        F.col("b_l"), F.col("b_t"), F.col("b_w"), F.col("b_h"),
+    )
+    naive = (
+        a.join(b, "frame")
+        .withColumn("iou", the_iou)
+        .filter(F.col("iou") > 0)
+        .select("a_id", "b_id")
+        .toPandas()
+    )
+    pre = (
+        grid_cell_join(
+            a, b, "_acx", "_acy", "_bcx", "_bcy",
+            cell_size=60.0, extra_on=[("frame", "frame")],
+        )
+        .withColumn("iou", the_iou)
+        .filter(F.col("iou") > 0)
+        .select("a_id", "b_id")
+        .toPandas()
+    )
+    key = lambda d: set(map(tuple, d.values.tolist()))  # noqa: E731
+    assert key(naive) == key(pre)
+    # And no pair is emitted twice by the 3x3 explode.
+    assert len(pre) == len(key(pre))
