@@ -252,7 +252,8 @@ def q_mutual_argmax(spark, sf_dir):
 @query(
     "q_grid_join",
     oracle="""
-    SELECT bucket, count(*) AS n_pairs, round(avg(dist), 4) AS avg_dist FROM (
+    SELECT bucket, count(*) AS n_pairs,
+           round(sum(dist), 2) / count(*) AS avg_dist FROM (
         SELECT CAST(floor(a.value / 0.5) AS BIGINT) AS bucket,
                abs(a.value - b.value) AS dist
         FROM events a JOIN events b
@@ -276,7 +277,11 @@ def q_grid_join(spark, sf_dir):
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.avg("dist"), 4).alias("avg_dist"),
+            # round(sum,2)/count, not round(avg,4): dist is 2dp-exact, so
+            # the rounded sum sits ON the grid and the quotient is
+            # bit-identical cross-engine (no .xxxx5 edge; see
+            # q_forward_fill for the edge this dodges).
+            (F.round(F.sum("dist"), 2) / F.count(F.lit(1))).alias("avg_dist"),
         )
     )
 
