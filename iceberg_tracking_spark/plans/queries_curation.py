@@ -1,0 +1,334 @@
+"""Paper-backed corpus-curation operators (training-data pipeline
+surface, extending queries_llm):
+
+* SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+  cluster embeddings, then dedup ONLY within clusters — the cluster
+  bound is what makes semantic dedup tractable at 100 TB (pairs are
+  O(Σ|c|²), not O(N²), and k grows with the corpus so |c| stays
+  bounded).
+* Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
+  §A1.1): word-count / word-length / symbol-ratio / stopword gates as
+  pure per-row Catalyst expressions — embarrassingly parallel.
+* One BPE merge step (Sennrich et al. 2016, arXiv:1508.07909):
+  corpus-level adjacent-symbol-pair counting. The distributed insight:
+  count the VOCABULARY once (word → weight), then explode pairs per
+  distinct word — pair work scales with |vocab|, not corpus size,
+  exactly how production BPE trainers shard the count step.
+
+All three are fully oracle-checked: every expression is mirrored in
+DuckDB SQL with the shared fold-order/rounding contracts from
+operators/similarity.py and queries_llm.py.
+
+Reference tie-in: the reference's appearance-embedding dedup machinery
+(feature_extraction.py:255-297) is the same shape as SemDeDup's
+cluster-then-compare; these queries generalize it to corpus curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, tokens
+from ..operators.similarity import (
+    cosine_prenormed,
+    duck_cosine_sql,
+    norm,
+)
+from ..schemas import EMB_DIM as _EMB_DIM
+from ..sources.tables import load_table, scatter
+from .registry import query
+
+_DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str):
+    return scatter(load_table(spark, sf_dir, name))
+
+
+# ------------------------------------------------------------ SemDeDup
+
+_SEMDEDUP_K = 8  # deterministic seed centroids (vec_id < k)
+_SEMDEDUP_TAU = 0.45
+
+_COS_VC = duck_cosine_sql("v.e", "c.ce", _EMB_DIM)
+_COS_AB = duck_cosine_sql("a.e", "b.e", _EMB_DIM)
+
+
+@query(
+    "q_semdedup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {_SEMDEDUP_K}),
+    s AS (
+        SELECT v.vec_id, c.cid, round({_COS_VC}, 6) AS sim
+        FROM v CROSS JOIN c
+    ),
+    asn AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM s
+        ) WHERE rn = 1
+    ),
+    m AS (SELECT asn.vec_id, asn.cluster, v.e FROM asn JOIN v USING (vec_id)),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM m a JOIN m b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round({_COS_AB}, 6) >= {_SEMDEDUP_TAU}
+    )
+    SELECT asn.vec_id, asn.cluster,
+           CAST(CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+    FROM asn LEFT JOIN dup ON asn.vec_id = dup.vec_id
+    """,
+)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540): assign every embedding to its
+    nearest of k seed centroids by cosine, then mark as duplicate any
+    vector that has a same-cluster neighbor with smaller vec_id and
+    cosine ≥ τ (keep-first policy, like q_dedup_keep_one).
+
+    Scale design: the centroid table is k rows (broadcast); assignment
+    is a broadcast nested loop over k → hash-argmax, one pass, no
+    shuffle of the corpus. The pair stage joins on `cluster` — the
+    quadratic blowup is bounded per cluster, which is the entire point
+    of SemDeDup (k ≈ √N keeps Σ|c|² ≈ N^1.5 / work per executor flat).
+    Seeds here are deterministic (vec_id < k) for oracle parity; the
+    production path fits real centroids with operators/clustering
+    (q_kmeans) and feeds them in identically.
+    """
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("_nrm", norm(F.col("e")))
+    seeds = v.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("ce"),
+        F.col("_nrm").alias("_cnrm"),
+    )
+    sims = v.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cid",
+        "e",
+        "_nrm",
+        F.round(
+            cosine_prenormed(
+                F.col("e"), F.col("ce"), F.col("_nrm"), F.col("_cnrm")
+            ),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    asn = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"), "e", "_nrm")
+    )
+    a = asn.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("va"),
+        F.col("e").alias("ea"),
+        F.col("_nrm").alias("na"),
+    )
+    b = asn.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vb"),
+        F.col("e").alias("eb"),
+        F.col("_nrm").alias("nb"),
+    )
+    dup = (
+        a.join(b, "cluster")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(
+            F.round(
+                cosine_prenormed(
+                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            )
+            >= F.lit(_SEMDEDUP_TAU)
+        )
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return asn.join(dup, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.coalesce(F.col("_d"), F.lit(0)).cast("int").alias("is_dup"),
+    )
+
+
+# ------------------------------------------------------------ Gopher rules
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks, lower(text) AS lo FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               round(CASE WHEN len(toks) > 0
+                     THEN list_reduce(list_transform(toks, x -> CAST(len(x) AS DOUBLE)),
+                                      (x, y) -> x + y) / len(toks)
+                     ELSE 0.0 END, 4) AS mean_word_len,
+               len(list_filter(toks, x -> x IN ({_SW_LIST}))) AS stop_hits,
+               round(CASE WHEN len(toks) > 0
+                     THEN CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+                          AS DOUBLE) / len(toks)
+                     ELSE 0.0 END, 4) AS alpha_frac,
+               round(CASE WHEN len(toks) > 0
+                     THEN CAST(len(lo) - len(replace(replace(lo, '#', ''), '...', ''))
+                          AS DOUBLE) / len(toks)
+                     ELSE 0.0 END, 4) AS symbol_ratio
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_frac, symbol_ratio,
+           CAST(CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1 ELSE 0 END AS INT) AS pass_nwords,
+           CAST(CASE WHEN mean_word_len BETWEEN 2 AND 10 THEN 1 ELSE 0 END AS INT) AS pass_wordlen,
+           CAST(CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS INT) AS pass_symbol,
+           CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS pass_stop,
+           CAST(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS INT) AS pass_alpha,
+           CAST(CASE WHEN n_words BETWEEN 10 AND 100000
+                      AND mean_word_len BETWEEN 2 AND 10
+                      AND symbol_ratio <= 0.1
+                      AND stop_hits >= 2
+                      AND alpha_frac >= 0.8
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM s
+    """,
+)
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality gates (arXiv:2112.11446 §A1.1) per document:
+    word count in [10, 100k], mean word length in [2, 10], symbol-to-
+    word ratio (# / ellipsis) ≤ 0.1, ≥ 2 stopword hits, ≥ 80% alphabetic
+    words. Emits every intermediate stat plus per-rule flags and the
+    final `keep` — the audit shape a curation pipeline actually needs
+    (what fraction fails which rule), not just the filtered table.
+
+    Scale: pure per-row expression work, no shuffle at all; the flags
+    stay inside one WholeStageCodegen span over the parquet scan.
+    (Thresholds adapted to the synthetic corpus: Gopher's originals are
+    [50, 100k] words / [3, 10] chars — same algebra.)
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    lo = F.lower(F.col("text"))
+    symbol_chars = F.length(lo) - F.length(
+        F.replace(F.replace(lo, F.lit("#"), F.lit("")), F.lit("..."), F.lit(""))
+    )
+    s = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                F.aggregate(
+                    F.transform(toks, lambda x: F.length(x).cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("mean_word_len"),
+        F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).alias("stop_hits"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                F.size(F.filter(toks, lambda x: x.rlike("^[a-z]+$"))).cast("double")
+                / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("alpha_frac"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                symbol_chars.cast("double") / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("symbol_ratio"),
+    )
+    pass_nwords = F.col("n_words").between(10, 100000)
+    pass_wordlen = F.col("mean_word_len").between(2, 10)
+    pass_symbol = F.col("symbol_ratio") <= 0.1
+    pass_stop = F.col("stop_hits") >= 2
+    pass_alpha = F.col("alpha_frac") >= 0.8
+    return s.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "stop_hits",
+        "alpha_frac",
+        "symbol_ratio",
+        pass_nwords.cast("int").alias("pass_nwords"),
+        pass_wordlen.cast("int").alias("pass_wordlen"),
+        pass_symbol.cast("int").alias("pass_symbol"),
+        pass_stop.cast("int").alias("pass_stop"),
+        pass_alpha.cast("int").alias("pass_alpha"),
+        (pass_nwords & pass_wordlen & pass_symbol & pass_stop & pass_alpha)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+# ------------------------------------------------------------ BPE pair count
+
+
+@query(
+    "q_bpe_pair_count",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest({_DUCK_TOKS}) AS word FROM documents
+    ),
+    vocab AS (
+        SELECT word, count(*) AS wc FROM w WHERE len(word) >= 2 GROUP BY word
+    ),
+    pr AS (
+        SELECT substring(word, CAST(i AS INT), 2) AS pair, wc
+        FROM (SELECT word, wc, unnest(range(1, len(word))) AS i FROM vocab)
+    )
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+    FROM pr GROUP BY pair
+    ORDER BY freq DESC, pair
+    LIMIT 20
+    """,
+)
+def q_bpe_pair_count(spark, sf_dir):
+    """One BPE merge-candidate step (arXiv:1508.07909): count adjacent
+    character pairs across the corpus, weighted by word frequency;
+    emit the top-20 merge candidates.
+
+    Scale design: the corpus is reduced to the VOCABULARY first (word →
+    count hash-agg with map-side combine — the only corpus-sized
+    shuffle), then pairs explode per *distinct* word, so the quadratic-
+    ish pair stage scales with |vocab| (~10⁵-10⁶) regardless of corpus
+    bytes. Top-20 runs as TakeOrdered (per-partition top-k + driver
+    merge), never a full sort. This is exactly how distributed BPE/
+    WordPiece trainers shard their count step.
+    """
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(20)
+    )

@@ -80,6 +80,9 @@ DRIVER_PRIORITY: list[str] = [
     "q_ann_ivf",
     "q_bm25",
     "q_pii_scrub",
+    "q_semdedup",
+    "q_gopher_rules",
+    "q_bpe_pair_count",
     # high-value reconfirmations fill the remaining window slots
     "q_asof_join",
     "q_grid_join",
@@ -92,9 +95,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_date_funcs",
     "q_dedup_exact",
     "q_cosine_topk",
-    "q_equijoin",
-    "q_sum_count",
-    "q_global_norm",
 ]
 
 
