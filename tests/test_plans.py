@@ -26,6 +26,7 @@ NESTED_LOOP_OK = {
                            # (bounded O(N*K) scoring, the IVF build cost)
     "q_kmeans_step",       # Lloyd assignment: same broadcast K-row pattern
     "q_kmeans",            # full Lloyd loop (same assignment core)
+    "q_semdedup",          # nearest-centroid assignment: broadcast k-row seeds
     "q_containment_antijoin",  # theta anti-join (bounded by group)
     "q_theta_argmax",      # deliberate theta join exercise
     # Single-row / tiny broadcast cross joins (scalar fan-out, not pair
