@@ -33,6 +33,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST = "_manifest.json"
 
@@ -273,6 +274,68 @@ class VersionedTable:
         if v not in known:
             raise ValueError(f"unknown version {v}; have {sorted(known)}")
         return spark.read.parquet(self._data_dir(v))
+
+    def changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+        key_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Change-data-feed between two snapshots (Delta `table_changes`
+        / Iceberg `create_changelog_view` column contract): the returned
+        frame carries every data column plus `_change_type` and
+        `_commit_version`.
+
+        Without `key_cols`: row-level multiset diff via `exceptAll`
+        both ways → change types `insert` / `delete`. Correct for any
+        schema, but both diffs hash-partition on ALL columns — use the
+        keyed path for wide tables at scale.
+
+        With `key_cols`: key-level diff — ONE full-outer shuffle on the
+        keys (the partitioning a downstream MERGE consumer needs
+        anyway), emitting `insert`, `delete`, and for changed keys the
+        Delta-style `update_preimage` + `update_postimage` row pair.
+        Non-key comparison is a null-safe struct equality, evaluated
+        inside the join projection — no second pass.
+        """
+        to_v = self.current_version() if to_version is None else to_version
+        old = self.read(spark, from_version)
+        new = self.read(spark, to_v)
+        if key_cols is None:
+            ins = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+            dels = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+            out = ins.unionByName(dels)
+            return out.withColumn("_commit_version", F.lit(to_v))
+        data_cols = [c for c in new.columns if c not in key_cols]
+        o = old.select(
+            *key_cols, F.struct(*[F.col(c) for c in data_cols]).alias("_o")
+        )
+        n = new.select(
+            *key_cols, F.struct(*[F.col(c) for c in data_cols]).alias("_n")
+        )
+        j = o.join(n, list(key_cols), "full_outer")
+        def _emit(src: str, ctype: str):
+            return [
+                *key_cols,
+                *[F.col(f"{src}.{c}").alias(c) for c in data_cols],
+                F.lit(ctype).alias("_change_type"),
+            ]
+        inserts = j.filter(F.col("_o").isNull() & F.col("_n").isNotNull()).select(
+            *_emit("_n", "insert")
+        )
+        deletes = j.filter(F.col("_o").isNotNull() & F.col("_n").isNull()).select(
+            *_emit("_o", "delete")
+        )
+        changed = j.filter(
+            F.col("_o").isNotNull()
+            & F.col("_n").isNotNull()
+            & ~F.col("_o").eqNullSafe(F.col("_n"))
+        )
+        pre = changed.select(*_emit("_o", "update_preimage"))
+        post = changed.select(*_emit("_n", "update_postimage"))
+        out = inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+        return out.withColumn("_commit_version", F.lit(to_v))
 
     def history(self) -> list[dict]:
         return list(self._load_manifest()["versions"])

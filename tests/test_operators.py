@@ -251,6 +251,57 @@ def test_versioned_table_upsert(spark, tmp_path):
     assert t.read(spark, version=0).count() == 10
 
 
+def test_versioned_table_changes_rowlevel(spark, tmp_path):
+    """Keyless CDC: multiset diff between snapshots → insert/delete."""
+    from pyspark.sql import functions as F
+
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt_cdc"))
+    t.write(spark.range(0, 10).select(F.col("id").alias("k")))
+    t.write(spark.range(5, 12).select(F.col("id").alias("k")))
+    cdc = t.changes(spark, from_version=0).toPandas()
+    ins = sorted(cdc[cdc._change_type == "insert"].k)
+    dels = sorted(cdc[cdc._change_type == "delete"].k)
+    assert ins == [10, 11]
+    assert dels == [0, 1, 2, 3, 4]
+    assert set(cdc._commit_version) == {1}
+
+
+def test_versioned_table_changes_keyed(spark, tmp_path):
+    """Keyed CDC emits the Delta-style update_preimage/postimage pair
+    for changed keys, and insert/delete for new/dropped keys."""
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt_cdc2"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, v string, x long"
+        )
+    )
+    t.write(
+        spark.createDataFrame(
+            [(2, "b", 20), (3, "C", 30), (4, "d", 40)], "k long, v string, x long"
+        )
+    )
+    cdc = t.changes(spark, 0, 1, key_cols=["k"]).toPandas()
+    by_type = {
+        ct: sorted(g.k) for ct, g in cdc.groupby("_change_type")
+    }
+    assert by_type == {
+        "insert": [4],
+        "delete": [1],
+        "update_preimage": [3],
+        "update_postimage": [3],
+    }
+    pre = cdc[(cdc._change_type == "update_preimage")].iloc[0]
+    post = cdc[(cdc._change_type == "update_postimage")].iloc[0]
+    assert (pre.v, post.v) == ("c", "C")
+    # unchanged key 2 emits nothing
+    assert 2 not in set(cdc.k)
+    assert list(cdc.columns) == ["k", "v", "x", "_change_type", "_commit_version"]
+
+
 def test_grid_join_correct_under_skew(spark):
     """A hot cell (80% of points in one bucket) must not change results:
     the grid join's AQE skew-split path returns the same pairs as the
