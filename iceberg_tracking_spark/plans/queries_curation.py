@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import STOPWORDS, tokens
+from ..functions.text import STOPWORDS, shingles_from_tokens, tokens
 from ..operators.similarity import (
     cosine_prenormed,
     duck_cosine_sql,
@@ -40,6 +40,12 @@ from ..sources.tables import load_table, scatter
 from .registry import query
 
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_DUCK_SHINGLES = (
+    "CASE WHEN len({toks}) >= 3 THEN "
+    "list_transform(range(1, len({toks}) - 1), "
+    "i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]) "
+    "ELSE [] END"
+).format(toks=_DUCK_TOKS)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str):
@@ -275,6 +281,62 @@ def q_gopher_rules(spark, sf_dir):
         (pass_nwords & pass_wordlen & pass_symbol & pass_stop & pass_alpha)
         .cast("int")
         .alias("keep"),
+    )
+
+
+# ---------------------------------------------------- cross-doc dup spans
+
+
+@query(
+    "q_dup_span_fraction",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS shingle
+        FROM documents
+    ),
+    df AS (SELECT shingle, count(*) AS ndocs FROM sh GROUP BY shingle),
+    j AS (SELECT sh.doc_id, df.ndocs FROM sh JOIN df USING (shingle))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS dup_frac
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_dup_span_fraction(spark, sf_dir):
+    """Cross-document duplicated-span fraction (Lee et al. 2021,
+    arXiv:2107.06499 'Deduplicating Training Data Makes Language Models
+    Better'): for each document, the share of its distinct 3-gram
+    shingles that also occur in at least one OTHER document. The
+    relational stand-in for their suffix-array duplicate-substring
+    scan — same signal (how much of this doc is corpus boilerplate),
+    join-based instead of suffix-automaton-based.
+
+    Scale: shingle explode → distinct per doc (map-side combinable) →
+    doc-frequency hash-agg keyed by shingle → join back keyed by
+    shingle → per-doc agg. Two shuffles, both on hash keys with
+    map-side partial aggregation; no windows, no sorts, no driver
+    state. The shingle dictionary is the skew point (stopword-heavy
+    shingles) — the same hot-band capping used in q_minhash_lsh applies
+    if a shingle's doc list outgrows a partition.
+    """
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.lower(F.col("text")))
+    ).withColumn("shingles", shingles_from_tokens(F.col("toks")))
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("shingle")
+    )
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("ndocs"))
+    j = sh.join(df, "shingle")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("ndocs") >= 2).cast("int")).cast("long").alias("n_dup"),
+        F.round(
+            F.sum((F.col("ndocs") >= 2).cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("dup_frac"),
     )
 
 

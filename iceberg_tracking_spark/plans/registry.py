@@ -83,6 +83,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_semdedup",
     "q_gopher_rules",
     "q_bpe_pair_count",
+    "q_dup_span_fraction",
     # high-value reconfirmations fill the remaining window slots
     "q_asof_join",
     "q_grid_join",

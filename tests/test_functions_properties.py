@@ -216,3 +216,64 @@ def test_cosine_prenormed_bit_identical_to_cosine(spark):
         .toPandas()
     )
     assert (res.plain == res.prenormed).all()  # exact, not allclose
+
+
+word_st = st.text(alphabet="abcde", min_size=1, max_size=6)
+
+
+@SETTINGS
+@given(st.lists(st.lists(word_st, min_size=0, max_size=8), min_size=1, max_size=6))
+def test_bpe_pair_count_matches_python_reference(spark, corpus):
+    """The distributed BPE pair-count step (vocab hash-agg → per-word
+    pair explode → weighted pair agg) must agree with the obvious
+    single-process reference on arbitrary small corpora — including
+    1-char words (no pairs), repeated words (weighting), and overlap
+    ('aaa' contributes 'aa' twice)."""
+    from collections import Counter
+
+    from iceberg_tracking_spark.functions.text import tokens as _toks
+
+    docs = [" ".join(ws) for ws in corpus]
+    # Python reference: identical contract (len>=2 words, adjacent pairs
+    # weighted by word occurrences).
+    wc = Counter(w for d in docs for w in d.split() if len(w) >= 2)
+    ref = Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            ref[w[i : i + 2]] += c
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    )
+    vocab = (
+        df.select(F.explode(_toks(F.lower(F.col("text")))).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    got = {
+        r["pair"]: r["freq"]
+        for r in pairs.groupBy("pair").agg(F.sum("wc").alias("freq")).collect()
+    }
+    assert got == dict(ref)
+
+
+def test_semdedup_keeper_invariants(spark, sf_dir):
+    """Structural invariants of q_semdedup at sf0.001: the smallest
+    vec_id in every cluster is never marked duplicate (keep-first), and
+    every vector appears exactly once."""
+    from iceberg_tracking_spark.plans import QUERIES
+
+    out = QUERIES["q_semdedup"].fn(spark, sf_dir).toPandas()
+    assert out.vec_id.is_unique
+    keepers = out.groupby("cluster").vec_id.min()
+    marked = out.set_index("vec_id").is_dup
+    assert all(marked[v] == 0 for v in keepers)

@@ -120,6 +120,35 @@ def test_minhash_band_join_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_semdedup_pair_stage_is_cluster_equi_join(spark, sf_dir):
+    """SemDeDup's quadratic stage must be bounded by the cluster key:
+    the pair join has to be a hash/merge equi-join on `cluster`, with
+    the only nested-loop being the broadcast k-row centroid
+    assignment."""
+    plan = _plan(spark, sf_dir, "q_semdedup")
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), "pair stage lost its cluster equi-join"
+
+
+def test_bpe_topk_never_global_sorts(spark, sf_dir):
+    """Top-20 merge candidates must plan as TakeOrdered (per-partition
+    top-k + driver merge), not a full Sort of the pair table."""
+    plan = _plan(spark, sf_dir, "q_bpe_pair_count")
+    assert "TakeOrderedAndProject" in plan, "limit+orderBy stopped fusing"
+
+
+def test_dup_span_fraction_all_hash_aggs(spark, sf_dir):
+    """The Lee-et-al duplicated-span signal is two hash-agg shuffles +
+    one shingle-keyed equi-join — a Window or cartesian here means the
+    plan regressed to something that dies at corpus scale."""
+    plan = _plan(spark, sf_dir, "q_dup_span_fraction")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
 def test_asof_join_single_window_no_join(spark, sf_dir):
     # The as-of implementation must be union+window — no join operator
     # at all (a join+argmax formulation would explode pairs).
