@@ -284,6 +284,95 @@ def q_gopher_rules(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------- data-quality audit
+
+
+@query(
+    "q_expectations",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT 'doc_id_not_null' AS rule,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violations
+        FROM documents
+        UNION ALL
+        SELECT 'doc_id_unique',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars_matches_text',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'lang_in_domain',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN lang NOT IN ('en','fr','es','de','zh')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'text_nonempty',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN len({_DUCK_TOKS}) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM documents
+    ) ORDER BY rule
+    """,
+)
+def q_expectations(spark, sf_dir):
+    """Deequ-style data-quality expectations over `documents`: one row
+    per declared constraint with its violation count — completeness
+    (not-null), uniqueness, consistency (n_chars = len(text)), domain
+    membership (lang), and non-emptiness. The pre-training gate a
+    corpus pipeline runs before any expensive transform.
+
+    Scale: every rule folds into ONE aggregation pass over the scan —
+    conditional sums share the scan and the (single) reduce; only the
+    uniqueness rule adds a count(distinct) expansion, which Spark
+    plans as the standard two-stage distinct-agg. Rules are data, not
+    code: adding one appends a (name, predicate) pair.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    rules = [
+        ("doc_id_not_null", F.col("doc_id").isNull()),
+        ("n_chars_matches_text", F.col("n_chars") != F.length("text")),
+        ("lang_in_domain", ~F.col("lang").isin("en", "fr", "es", "de", "zh")),
+        ("text_nonempty", F.size(toks) == 0),
+    ]
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("doc_id")).alias("_ndist"),
+        *[
+            F.sum(pred.cast("int")).cast("long").alias(f"_v_{name}")
+            for name, pred in rules
+        ],
+    )
+    # Pivot the single aggregate row into one row per rule with ONE
+    # explode — a unionByName of per-rule selects would re-run the
+    # aggregation (and the scan) once per rule.
+    rule_structs = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"_v_{name}").alias("n_violations"),
+        )
+        for name, _ in rules
+    ] + [
+        F.struct(
+            F.lit("doc_id_unique").alias("rule"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col("_ndist")).alias("n_violations"),
+        )
+    ]
+    return (
+        base.select(F.explode(F.array(*rule_structs)).alias("r"))
+        .select("r.*")
+        .orderBy("rule")
+    )
+
+
 # ---------------------------------------------------- cross-doc dup spans
 
 

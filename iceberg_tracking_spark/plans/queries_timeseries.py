@@ -1,0 +1,67 @@
+"""Time-series smoothing / monitoring queries over `events`.
+
+EWMA is the classic order-dependent recursion that looks SQL-hostile;
+the portable form here truncates it to a bounded trailing window and
+evaluates the recursion as a LEFT-TO-RIGHT FOLD over the windowed
+value list — the same fold (`F.aggregate` / DuckDB `list_reduce`,
+first element as seed) on both engines, so results are bit-identical
+and oracle-checkable. Reference tie-in: the tracker's confidence
+smoothing (tracking.py:896-911) is the same exponential-decay shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, scatter
+from .registry import query
+
+_ALPHA = 0.2
+_WIN = 10  # trailing rows (9 preceding + current)
+
+
+@query(
+    "q_ewma",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_id, user_id, value,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN {_WIN - 1} PRECEDING AND CURRENT ROW)
+                   AS vals
+        FROM events
+    )
+    SELECT event_id, user_id,
+           round(list_reduce(vals,
+                 (acc, x) -> acc * {1 - _ALPHA} + x * {_ALPHA}), 6) AS ewma
+    FROM w
+    """,
+)
+def q_ewma(spark, sf_dir):
+    """Trailing-window EWMA per user: y = fold(y·(1−α) + α·x) over the
+    last 10 values in (ts, event_id) order, seeded with the oldest
+    value in the window (DuckDB `list_reduce` semantics, mirrored with
+    an explicit seed + slice on the Spark side).
+
+    Scale: one window pass partitioned by user_id — the same shuffle a
+    sessionization already pays; the fold is a 10-element array
+    expression inside codegen, no UDF. Unbounded EWMA would need
+    `(1−α)^n` power chains that underflow differently per engine —
+    bounding the window is what makes the op portable AND constant-
+    memory per row.
+    """
+    ev = scatter(load_table(spark, sf_dir, "events"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_WIN - 1), 0)
+    )
+    vals = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        F.slice(vals, 2, _WIN - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1 - _ALPHA) + x * F.lit(_ALPHA),
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(ewma, 6).alias("ewma")
+    )

@@ -84,6 +84,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_gopher_rules",
     "q_bpe_pair_count",
     "q_dup_span_fraction",
+    "q_ewma",
+    "q_expectations",
     # high-value reconfirmations fill the remaining window slots
     "q_asof_join",
     "q_grid_join",
@@ -92,8 +94,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_theta_argmax",
     "q_tumbling_window",
     "q_cumsum_window",
-    "q_rank_family",
-    "q_date_funcs",
     "q_dedup_exact",
     "q_cosine_topk",
 ]
