@@ -35,7 +35,16 @@ from iceberg_tracking_spark.functions.vectors import (
 )
 
 coord = st.floats(-1e4, 1e4, allow_nan=False, width=32)
-side = st.floats(0.0, 1e3, allow_nan=False, width=32)
+# Sides are either exactly zero (the degenerate-box rule) or >= 1e-3:
+# a 1e-8 side next to a 1e4 coordinate makes `(t + h) - t` lose ~6
+# digits to cancellation, and IoU(a, a) legitimately evaluates to
+# 1.000002 (the library preserves the reference's unclamped float
+# algebra — SURVEY §7.4 quirk 3 — and both engines agree bit-for-bit,
+# so the [0, 1] bound only holds for non-pathological extents).
+side = st.one_of(
+    st.just(0.0),
+    st.floats(2.0**-10, 1e3, allow_nan=False, width=32),  # float32-exact bound
+)
 box = st.tuples(coord, coord, side, side)
 
 SETTINGS = settings(
