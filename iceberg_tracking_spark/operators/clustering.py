@@ -73,7 +73,7 @@ def assign_clusters(
 
 
 def update_centroids(
-    assigned: DataFrame, vec_col: str = "e"
+    assigned: DataFrame, vec_col: str = "e", round_digits: int | None = None
 ) -> DataFrame:
     """Per-cluster element-wise mean -> (cid, ce, n_members).
 
@@ -81,12 +81,18 @@ def update_centroids(
     after partial aggregation regardless of input size; the array is
     rebuilt by sorting (pos, mean) structs — `array_sort` on structs
     orders by the leading field, so positions reassemble in order.
+
+    `round_digits` quantizes each mean component — the oracle-parity
+    knob: double means depend on summation order, so an engine-mirrored
+    iterative loop rounds centroids every iteration to keep the two
+    trajectories bit-identical (q_kmeans uses 4, like q_kmeans_step).
     """
     ex = assigned.select(
         "cid", F.posexplode(F.col(vec_col)).alias("pos", "v")
     )
+    mean = F.avg("v") if round_digits is None else F.round(F.avg("v"), round_digits)
     m = ex.groupBy("cid", "pos").agg(
-        F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")
+        mean.alias("m"), F.count(F.lit(1)).alias("n")
     )
     return (
         m.groupBy("cid")
@@ -108,37 +114,52 @@ def kmeans(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "e",
+    init: DataFrame | None = None,
+    round_digits: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full Lloyd loop; returns (centroids, assignments) DataFrames.
 
     Centroids are re-created as literal DataFrames each iteration (k
     rows through the driver — deliberate, it truncates the iterative
     lineage so the plan does not grow with n_iter).
+
+    `init`: optional (cid, ce) seed table; default seeds are the k
+    lowest `hash(id)` rows (deterministic pseudo-shuffle). Pass an
+    explicit engine-portable seed (e.g. a vec_id stride) plus
+    `round_digits` when the trajectory must be mirrored in SQL on
+    another engine (q_kmeans's exact 3-iteration DuckDB oracle).
     """
     spark = vectors.sparkSession
-    init = (
-        vectors.orderBy(
-            F.pmod(F.hash(F.col(id_col)), F.lit(1 << 30)).asc(),
-            F.col(id_col).asc(),
+    if init is not None:
+        seed_rows = init.orderBy("cid").collect()
+        cents = [
+            (int(r["cid"]), [float(x) for x in r["ce"]]) for r in seed_rows
+        ]
+    else:
+        seed_rows = (
+            vectors.orderBy(
+                F.pmod(F.hash(F.col(id_col)), F.lit(1 << 30)).asc(),
+                F.col(id_col).asc(),
+            )
+            .limit(k)
+            .select(vec_col)
+            .collect()
         )
-        .limit(k)
-        .select(vec_col)
-        .collect()
-    )
-    if len(init) < k:
+        cents = [
+            (i, [float(x) for x in row[vec_col]])
+            for i, row in enumerate(seed_rows)
+        ]
+    if len(cents) < k:
         raise ValueError(
-            f"kmeans needs >= k rows to seed centroids: k={k}, rows={len(init)}"
+            f"kmeans needs >= k rows to seed centroids: k={k}, rows={len(cents)}"
         )
-    cents = [
-        (i, [float(x) for x in row[vec_col]]) for i, row in enumerate(init)
-    ]
     schema = "cid INT, ce ARRAY<DOUBLE>"
     for _ in range(n_iter):
         cdf = spark.createDataFrame(cents, schema)
         assigned = assign_clusters(vectors, cdf, id_col, vec_col)
         got = {
             row["cid"]: [float(x) for x in row["ce"]]
-            for row in update_centroids(assigned, vec_col).collect()
+            for row in update_centroids(assigned, vec_col, round_digits).collect()
         }
         cents = [(cid, got.get(cid, ce)) for cid, ce in cents]
     cdf = spark.createDataFrame(cents, schema)

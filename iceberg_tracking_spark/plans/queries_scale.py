@@ -1057,19 +1057,93 @@ def q_kmeans_step(spark, sf_dir):
     )
 
 
-@query("q_kmeans", oracle=None)
+def _kmeans_full_oracle(k: int = 8, n_iter: int = 3, stride: int = 59) -> str:
+    """Fully UNROLLED 3-iteration Lloyd loop in DuckDB SQL.
+
+    Mirrorability rests on two contracts shared with the Spark side:
+    deterministic stride seeds (lowest k vec_ids ≡ 0 mod stride — the
+    same 8 ids at every sf), and 4dp centroid rounding after every
+    update, which re-synchronizes the two engines' summation-order
+    float drift each iteration so distances (identical left folds)
+    stay bit-identical throughout the trajectory.
+    """
+    from ..operators.clustering import duck_sqdist_sql
+
+    dist = duck_sqdist_sql("v.e", "c.ce", _DIM)
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"dims AS (SELECT unnest(range(1, {_DIM + 1})) AS i)",
+        f"""c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+               e AS ce
+        FROM (SELECT vec_id, e FROM v WHERE vec_id % {stride} = 0
+              ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    for it in range(1, n_iter + 1):
+        prev = f"c{it - 1}"
+        ctes.append(f"""a{it} AS (
+        SELECT vec_id, e, cid FROM (
+            SELECT v.vec_id, v.e, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {dist} ASC, c.cid ASC) AS rn
+            FROM v CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    )""")
+        ctes.append(f"""m{it} AS (
+        SELECT cid, i, round(avg(e[i]), 4) AS mv
+        FROM a{it} CROSS JOIN dims GROUP BY cid, i
+    )""")
+        ctes.append(f"""c{it} AS (
+        SELECT p.cid, coalesce(n.ce, p.ce) AS ce
+        FROM {prev} p LEFT JOIN (
+            SELECT cid, list(mv ORDER BY i) AS ce FROM m{it} GROUP BY cid
+        ) n USING (cid)
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT vec_id, cid, round(d, 6) AS dist FROM (
+        SELECT v.vec_id, c.cid, {dist} AS d,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist} ASC, c.cid ASC) AS rn
+        FROM v CROSS JOIN c{n_iter} c
+    ) WHERE rn = 1
+    """
+    )
+
+
+@query("q_kmeans", oracle=_kmeans_full_oracle())
 def q_kmeans(spark, sf_dir):
     """Trained k-means (3 Lloyd iterations, k=8) over the embedding
-    store — the quantizer-training path IVF needs (rows-only: the
-    iterative loop isn't SQL-expressible; invariants are pinned in
-    tests/test_clustering.py). Returns one row per vector with its
-    final cluster and distance."""
+    store — the quantizer-training path IVF needs. Returns one row per
+    vector with its final cluster and squared distance.
+
+    Was rows-only through r3 ("iterative loop isn't SQL-expressible");
+    now EXACTLY oracle-checked by unrolling the fixed-depth loop into
+    DuckDB CTEs (`_kmeans_full_oracle`). The enabling contracts:
+    engine-portable stride seeds (vec_id % 59 = 0, lowest 8 — identical
+    at every sf) instead of Spark-hash seeds, and per-iteration 4dp
+    centroid quantization on BOTH engines, which absorbs cross-engine
+    mean-summation-order drift so the trajectories cannot diverge.
+    Loop-depth invariants stay pinned in tests/test_clustering.py."""
     from ..operators.clustering import kmeans
 
     v = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    _, assigned = kmeans(v, k=8, n_iter=3)
+    seed_rows = (
+        v.filter(F.col("vec_id") % 59 == 0)
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    )
+    init = spark.createDataFrame(
+        [(i, [float(x) for x in r["e"]]) for i, r in enumerate(seed_rows)],
+        "cid INT, ce ARRAY<DOUBLE>",
+    )
+    _, assigned = kmeans(v, k=8, n_iter=3, init=init, round_digits=4)
     return assigned.select(
         "vec_id", "cid", F.round("dist", 6).alias("dist")
     )
