@@ -341,3 +341,147 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+# --------------------------------------------------- product quantization
+
+
+def pq_codebook(
+    vectors: DataFrame,
+    dim: int,
+    n_sub: int,
+    ksub: int,
+    seed_pred: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """Deterministic PQ sub-codebooks: (sp, cid, ce) — one ksub-row
+    codebook per subspace, sliced from seed vectors (lowest `ksub` ids
+    matching `seed_pred`, ordered by id).
+
+    Seed-sliced codebooks keep the construction engine-portable (the
+    oracle rebuilds them in SQL); the production path trains each
+    subspace with operators/clustering.kmeans and feeds the result in
+    through the same (sp, cid, ce) contract. Only ksub rows transit
+    the driver — the PQ analog of the k-means centroid contract.
+    """
+    subdim = dim // n_sub
+    spark = vectors.sparkSession
+    seeds = (
+        vectors.filter(seed_pred).orderBy(id_col).limit(ksub).collect()
+    )
+    rows = []
+    for cid, r in enumerate(seeds):
+        e = [float(x) for x in r[vec_col]]
+        for sp in range(n_sub):
+            rows.append((sp, cid, e[sp * subdim : (sp + 1) * subdim]))
+    return spark.createDataFrame(rows, "sp INT, cid INT, ce ARRAY<DOUBLE>")
+
+
+def _subspace_explode(
+    df: DataFrame, dim: int, n_sub: int, id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    subdim = dim // n_sub
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(sp).alias("sp"),
+                F.slice(F.col(vec_col), sp * subdim + 1, subdim).alias("sub"),
+            )
+            for sp in range(n_sub)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(out_id), F.explode(slices).alias("_s")
+    ).select(out_id, F.col("_s.sp").alias("sp"), F.col("_s.sub").alias("sub"))
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    n_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """PQ encoding: (id, sp, code, sub_dist) — nearest sub-centroid per
+    subspace (squared-L2 left fold, ties to the lowest code).
+
+    The compression step of IVF-PQ: dim doubles → n_sub small ints
+    (~32x for 64-dim float64 → 8 codes). One broadcast join against the
+    (n_sub*ksub)-row codebook + a hash argmin; shuffle carries only
+    (id, sp) groups — linear, no pairwise work.
+    """
+    from .clustering import sq_dist
+    from .windows import argmax_agg
+
+    subs = _subspace_explode(vectors, dim, n_sub, id_col, vec_col, id_col)
+    scored = subs.join(F.broadcast(codebook), "sp").withColumn(
+        "_d", sq_dist(F.col("sub"), F.col("ce"))
+    )
+    return argmax_agg(
+        scored,
+        [id_col, "sp"],
+        F.struct((-F.col("_d")).alias("_nd"), (-F.col("cid")).alias("_nc")),
+        {"code": F.col("cid"), "sub_dist": F.col("_d")},
+    )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    n_sub: int,
+    k: int,
+    query_pred: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: per query, top-k database
+    vectors by the sum of per-subspace query-to-centroid distances
+    looked up through the database codes — queries never touch raw
+    database vectors, which is the point at 100 TB (codes are the only
+    corpus-sized relation).
+
+    Shape: LUT = queries x codebook (tiny, broadcast), joined to the
+    code table on (sp, code); per (qid, id) the n_sub partial distances
+    are folded IN SUBSPACE ORDER (array_sort + left fold) so the total
+    is bit-identical to the oracle's `list_reduce(list(d ORDER BY sp))`
+    — a float sum over a hash-shuffled group would be order-dependent.
+    """
+    codes = pq_encode(vectors, codebook, dim, n_sub, id_col, vec_col)
+    from .clustering import sq_dist
+
+    qsubs = _subspace_explode(
+        vectors.filter(query_pred), dim, n_sub, id_col, vec_col, "qid"
+    )
+    lut = qsubs.join(F.broadcast(codebook), "sp").select(
+        "qid", "sp", F.col("cid").alias("code"),
+        sq_dist(F.col("sub"), F.col("ce")).alias("_d"),
+    )
+    joined = codes.join(F.broadcast(lut), ["sp", "code"]).filter(
+        F.col("qid") != F.col(id_col)
+    )
+    folded = joined.groupBy("qid", id_col).agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sp", "_d"))),
+                lambda s: s["_d"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_adist")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.round("_adist", round_digits).asc(), F.col(id_col).asc()
+    )
+    return (
+        folded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid",
+            F.col(id_col).alias("nid"),
+            F.round("_adist", round_digits).alias("adist"),
+        )
+    )

@@ -148,6 +148,132 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+_PQ_NSUB = 8
+_PQ_KSUB = 16
+_PQ_SUBDIM = _DIM // _PQ_NSUB
+_PQ_STRIDE = 31
+
+
+def _pq_shared_ctes() -> str:
+    """Shared DuckDB CTEs: vectors, subspace index table, seed-sliced
+    sub-codebooks, and the per-(vector, subspace) PQ assignment —
+    mirrors operators/similarity.pq_codebook + pq_encode exactly."""
+    from ..operators.clustering import duck_sqdist_sql
+
+    d = duck_sqdist_sql("s.sub", "c.ce", _PQ_SUBDIM)
+    return f"""
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sps AS (SELECT unnest(range(0, {_PQ_NSUB})) AS sp),
+    seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e
+        FROM (SELECT vec_id, e FROM v WHERE vec_id % {_PQ_STRIDE} = 0
+              ORDER BY vec_id LIMIT {_PQ_KSUB})
+    ),
+    cb AS (
+        SELECT sps.sp, seeds.cid,
+               list_slice(seeds.e, sps.sp * {_PQ_SUBDIM} + 1,
+                          sps.sp * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS ce
+        FROM seeds CROSS JOIN sps
+    ),
+    subs AS (
+        SELECT v.vec_id, sps.sp,
+               list_slice(v.e, sps.sp * {_PQ_SUBDIM} + 1,
+                          sps.sp * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+        FROM v CROSS JOIN sps
+    ),
+    codes AS (
+        SELECT vec_id, sp, cid AS code, d AS sub_dist FROM (
+            SELECT s.vec_id, s.sp, c.cid, {d} AS d,
+                   row_number() OVER (PARTITION BY s.vec_id, s.sp
+                                      ORDER BY {d} ASC, c.cid ASC) AS rn
+            FROM subs s JOIN cb c ON s.sp = c.sp
+        ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "q_pq_encode",
+    oracle=f"""
+    WITH {_pq_shared_ctes()}
+    SELECT vec_id, sp, code, round(sub_dist, 6) AS sub_dist FROM codes
+    """,
+)
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization encoding (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each 64-dim
+    embedding into 8 subspaces, assign each slice to its nearest of 16
+    seed-sliced sub-centroids — 8 small codes replace 64 doubles (~32x
+    compression), which is what makes billion-vector ANN memory-
+    feasible. One broadcast join against the 128-row codebook + hash
+    argmin; left-fold distances keep the assignment boundary
+    bit-identical to the oracle."""
+    from ..operators.similarity import pq_codebook, pq_encode
+
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cb = pq_codebook(
+        v, _DIM, _PQ_NSUB, _PQ_KSUB, F.col("vec_id") % _PQ_STRIDE == 0
+    )
+    enc = pq_encode(v, cb, _DIM, _PQ_NSUB)
+    return enc.select(
+        "vec_id", "sp", "code", F.round("sub_dist", 6).alias("sub_dist")
+    )
+
+
+def _pq_lut_dist() -> str:
+    from ..operators.clustering import duck_sqdist_sql
+
+    return duck_sqdist_sql("s.sub", "c.ce", _PQ_SUBDIM)
+
+
+@query(
+    "q_pq_topk",
+    oracle=f"""
+    WITH {_pq_shared_ctes()},
+    lut AS (
+        SELECT s.vec_id AS qid, s.sp, c.cid AS code,
+               {_pq_lut_dist()} AS d
+        FROM subs s JOIN cb c ON s.sp = c.sp
+        WHERE s.vec_id % 25 = 0
+    ),
+    folded AS (
+        SELECT l.qid, k.vec_id,
+               list_reduce(list(l.d ORDER BY l.sp), (x, y) -> x + y) AS adist
+        FROM codes k JOIN lut l ON k.sp = l.sp AND k.code = l.code
+        WHERE l.qid <> k.vec_id
+        GROUP BY l.qid, k.vec_id
+    )
+    SELECT qid, vec_id AS nid, round(adist, 6) AS adist FROM (
+        SELECT qid, vec_id, adist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY round(adist, 6) ASC, vec_id ASC) AS rn
+        FROM folded
+    ) WHERE rn <= 5
+    """,
+)
+def q_pq_topk(spark, sf_dir):
+    """PQ asymmetric-distance (ADC) top-k search: queries are compared
+    to database CODES through a per-query lookup table (query-slice ->
+    sub-centroid distances), never to raw database vectors — at 100 TB
+    the code table is the only corpus-sized relation (32x smaller than
+    the embeddings) and the LUT is a broadcast. Partial distances are
+    folded in subspace order (array_sort + left fold, mirroring
+    `list_reduce(list(d ORDER BY sp))`) so the float total can't
+    depend on shuffle arrival order."""
+    from ..operators.similarity import pq_adc_topk, pq_codebook
+
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cb = pq_codebook(
+        v, _DIM, _PQ_NSUB, _PQ_KSUB, F.col("vec_id") % _PQ_STRIDE == 0
+    )
+    return pq_adc_topk(
+        v, cb, _DIM, _PQ_NSUB, k=5, query_pred=F.col("vec_id") % 25 == 0
+    )
+
+
 # ------------------------------------------------------ windows / calendar
 
 @query(

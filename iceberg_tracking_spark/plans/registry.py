@@ -86,14 +86,14 @@ DRIVER_PRIORITY: list[str] = [
     "q_dup_span_fraction",
     "q_ewma",
     "q_expectations",
+    "q_pq_encode",
+    "q_pq_topk",
     # high-value reconfirmations fill the remaining window slots
     "q_asof_join",
     "q_grid_join",
     "q_islands",
     "q_mutual_argmax",
     "q_theta_argmax",
-    "q_tumbling_window",
-    "q_cumsum_window",
     "q_dedup_exact",
     "q_cosine_topk",
 ]
