@@ -485,3 +485,110 @@ def pq_adc_topk(
             F.round("_adist", round_digits).alias("adist"),
         )
     )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    n_sub: int,
+    k: int,
+    query_pred: Column,
+    centroid_pred: Column,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ search (the FAISS IVFADC layout, minus residual encoding):
+    an IVF coarse quantizer bounds WHICH vectors each query compares
+    against (nprobe clusters), and PQ codes bound WHAT is compared
+    (8 small codes instead of raw vectors, ranked by LUT'd asymmetric
+    distance). At 100 TB the corpus-sized relations are exactly two —
+    the coarse assignment and the code table, both linear and both
+    write-once reusable (sources/catalog.VersionedTable) — while every
+    per-query structure (probe list, distance LUT) is a broadcast.
+
+    Simplification vs FAISS: codes quantize raw vectors, not residuals
+    against the coarse centroid — residuals would break the shared
+    codebook contract with `pq_encode`'s oracle; the recall trade is
+    the standard IVFFlat-with-PQ-ranking layout.
+    """
+    from .clustering import sq_dist
+    from .windows import argmax_agg
+
+    vectors_n = vectors.withColumn("_nrm", norm(F.col(vec_col)))
+    cents = vectors_n.filter(centroid_pred).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("ce"),
+        F.col("_nrm").alias("_cnrm"),
+    )
+    coarse = vectors_n.crossJoin(F.broadcast(cents)).withColumn(
+        "csim",
+        cosine_prenormed(
+            F.col(vec_col), F.col("ce"), F.col("_nrm"), F.col("_cnrm")
+        ),
+    )
+    assigned = argmax_agg(
+        coarse,
+        [id_col],
+        F.struct(F.col("csim"), (-F.col("cid")).alias("_neg_cid")),
+        {"cid": F.col("cid")},
+    )
+    w_probe = Window.partitionBy(id_col).orderBy(
+        F.col("csim").desc(), F.col("cid").asc()
+    )
+    probes = (
+        vectors_n.filter(query_pred)
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "csim",
+            cosine_prenormed(
+                F.col(vec_col), F.col("ce"), F.col("_nrm"), F.col("_cnrm")
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col(id_col).alias("qid"), "cid")
+    )
+    candidates = (
+        F.broadcast(probes)
+        .join(assigned, "cid")
+        .filter(F.col("qid") != F.col(id_col))
+        .select("qid", id_col)
+    )
+    codes = pq_encode(vectors, codebook, dim, n_sub, id_col, vec_col)
+    qsubs = _subspace_explode(
+        vectors.filter(query_pred), dim, n_sub, id_col, vec_col, "qid"
+    )
+    lut = qsubs.join(F.broadcast(codebook), "sp").select(
+        "qid", "sp", F.col("cid").alias("code"),
+        sq_dist(F.col("sub"), F.col("ce")).alias("_d"),
+    )
+    folded = (
+        candidates.join(codes, id_col)
+        .join(F.broadcast(lut), ["qid", "sp", "code"])
+        .groupBy("qid", id_col)
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sp", "_d"))),
+                    lambda s: s["_d"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_adist")
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.round("_adist", round_digits).asc(), F.col(id_col).asc()
+    )
+    return (
+        folded.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid",
+            F.col(id_col).alias("nid"),
+            F.round("_adist", round_digits).alias("adist"),
+        )
+    )

@@ -274,6 +274,83 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
+def _ivfpq_oracle() -> str:
+    """IVF coarse CTEs (cosine assignment, mirrors _ann_ivf_oracle) +
+    PQ CTEs (_pq_shared_ctes) + candidate-bounded ADC ranking."""
+    cos = duck_cosine_sql("v.e", "c.ce", _DIM)
+    return f"""
+    WITH {_pq_shared_ctes()},
+    cc AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 50 = 1),
+    coarse AS (
+        SELECT v.vec_id, c.cid, {cos} AS csim
+        FROM v CROSS JOIN cc c
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY csim DESC, cid) AS rn
+            FROM coarse
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS qid, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY csim DESC, cid) AS rn
+            FROM coarse WHERE vec_id % 25 = 0
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT p.qid, a.vec_id
+        FROM probes p JOIN assigned a ON a.cid = p.cid
+        WHERE p.qid <> a.vec_id
+    ),
+    lut AS (
+        SELECT s.vec_id AS qid, s.sp, c.cid AS code, {_pq_lut_dist()} AS d
+        FROM subs s JOIN cb c ON s.sp = c.sp
+        WHERE s.vec_id % 25 = 0
+    ),
+    folded AS (
+        SELECT cd.qid, cd.vec_id,
+               list_reduce(list(l.d ORDER BY l.sp), (x, y) -> x + y) AS adist
+        FROM cand cd
+        JOIN codes k ON k.vec_id = cd.vec_id
+        JOIN lut l ON l.qid = cd.qid AND l.sp = k.sp AND l.code = k.code
+        GROUP BY cd.qid, cd.vec_id
+    )
+    SELECT qid, vec_id AS nid, round(adist, 6) AS adist FROM (
+        SELECT qid, vec_id, adist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY round(adist, 6) ASC, vec_id ASC) AS rn
+        FROM folded
+    ) WHERE rn <= 5
+    """
+
+
+@query("q_ivfpq_topk", oracle=_ivfpq_oracle())
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ search — the billion-vector production layout (FAISS
+    IVFADC shape): the IVF coarse quantizer bounds WHICH vectors each
+    query sees (nprobe=2 clusters), PQ codes bound WHAT is compared
+    (LUT'd asymmetric distance over 8 codes, never raw vectors).
+    Composes the two independently-oracle-proven pieces
+    (`operators/similarity.ivfpq_topk`); corpus-sized relations are
+    exactly the assignment and the code table, both linear."""
+    from ..operators.similarity import ivfpq_topk, pq_codebook
+
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cb = pq_codebook(
+        v, _DIM, _PQ_NSUB, _PQ_KSUB, F.col("vec_id") % _PQ_STRIDE == 0
+    )
+    return ivfpq_topk(
+        v, cb, _DIM, _PQ_NSUB, k=5,
+        query_pred=F.col("vec_id") % 25 == 0,
+        centroid_pred=F.col("vec_id") % 50 == 1,
+        nprobe=2,
+    )
+
+
 # ------------------------------------------------------ windows / calendar
 
 @query(

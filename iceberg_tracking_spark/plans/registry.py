@@ -88,13 +88,13 @@ DRIVER_PRIORITY: list[str] = [
     "q_expectations",
     "q_pq_encode",
     "q_pq_topk",
+    "q_ivfpq_topk",
     # high-value reconfirmations fill the remaining window slots
     "q_asof_join",
     "q_grid_join",
     "q_islands",
     "q_mutual_argmax",
     "q_theta_argmax",
-    "q_dedup_exact",
     "q_cosine_topk",
 ]
 
