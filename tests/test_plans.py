@@ -27,6 +27,7 @@ NESTED_LOOP_OK = {
     "q_kmeans_step",       # Lloyd assignment: same broadcast K-row pattern
     "q_kmeans",            # full Lloyd loop (same assignment core)
     "q_semdedup",          # nearest-centroid assignment: broadcast k-row seeds
+    "q_ivfpq_topk",        # IVF coarse assignment: broadcast K-row centroids
     "q_containment_antijoin",  # theta anti-join (bounded by group)
     "q_theta_argmax",      # deliberate theta join exercise
     # Single-row / tiny broadcast cross joins (scalar fan-out, not pair
