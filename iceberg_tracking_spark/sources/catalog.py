@@ -337,6 +337,25 @@ class VersionedTable:
         out = inserts.unionByName(deletes).unionByName(pre).unionByName(post)
         return out.withColumn("_commit_version", F.lit(to_v))
 
+    def tag(self, name: str, version: int | None = None) -> None:
+        """Iceberg-style named tag on a snapshot (defaults to current).
+        Tagged snapshots are pinned: `expire` never deletes them."""
+        m = self._load_manifest()
+        v = m["current"] if version is None else version
+        if v not in {e["version"] for e in m["versions"]}:
+            raise ValueError(f"unknown version {v}")
+        m.setdefault("tags", {})[name] = int(v)
+        self._commit(m)
+
+    def tags(self) -> dict[str, int]:
+        return dict(self._load_manifest().get("tags", {}))
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        t = self.tags()
+        if name not in t:
+            raise ValueError(f"unknown tag {name!r}; have {sorted(t)}")
+        return self.read(spark, version=t[name])
+
     def history(self) -> list[dict]:
         return list(self._load_manifest()["versions"])
 
@@ -378,7 +397,11 @@ class VersionedTable:
         """Delete data of all but the newest `keep_last` snapshots
         (never the current one). Returns expired version numbers."""
         m = self._load_manifest()
-        keep = {e["version"] for e in m["versions"][-keep_last:]} | {m["current"]}
+        keep = (
+            {e["version"] for e in m["versions"][-keep_last:]}
+            | {m["current"]}
+            | set(m.get("tags", {}).values())  # tagged snapshots are pinned
+        )
         expired = [e["version"] for e in m["versions"] if e["version"] not in keep]
         # Commit the pruned manifest FIRST, then delete data: a crash
         # in between leaves unreferenced directories (harmless garbage,

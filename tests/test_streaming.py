@@ -637,3 +637,75 @@ def test_incremental_rollup_equals_batch_recompute(spark, sf_dir, tmp_path):
     # A DIFFERENT stream identity gates independently: its batch 0 is
     # not blocked by this stream's token.
     assert last_merged_batch(t, "other-checkpoint") == -1
+
+
+def test_cdc_changes_maintain_rollup_incrementally(spark, tmp_path):
+    """CDC → incremental view maintenance: a (group, sum) rollup
+    maintained from `VersionedTable.changes()` signed deltas (insert
+    +v, delete -v, update_preimage -v / update_postimage +v) must equal
+    a full recompute over the new snapshot — the changelog is
+    sufficient, the rollup never rescans history."""
+    from pyspark.sql import functions as F
+
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+
+    src = VersionedTable(str(tmp_path / "src"))
+    rollup = VersionedTable(str(tmp_path / "rollup"))
+
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)],
+        "k long, grp string, val double",
+    )
+    src.write(v0)
+    rollup.write(
+        v0.groupBy("grp").agg(F.sum("val").alias("sum_val")), mode="overwrite"
+    )
+
+    # v1: insert k=5 (b, +50), delete k=1 (a, -10), update k=2 (a: 20→25)
+    v1 = spark.createDataFrame(
+        [(2, "a", 25.0), (3, "b", 30.0), (4, "b", 40.0), (5, "b", 50.0)],
+        "k long, grp string, val double",
+    )
+    src.write(v1)
+
+    cdc = src.changes(spark, 0, 1, key_cols=["k"])
+    signed = cdc.withColumn(
+        "delta",
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.col("val"),
+        ).otherwise(-F.col("val")),
+    )
+    delta = signed.groupBy("grp").agg(F.sum("delta").alias("sum_val"))
+    rollup.merge_aggregate(delta, ["grp"], ["sum_val"])
+
+    got = {
+        r["grp"]: r["sum_val"]
+        for r in rollup.read(spark).collect()
+    }
+    want = {
+        r["grp"]: r["sum_val"]
+        for r in v1.groupBy("grp").agg(F.sum("val").alias("sum_val")).collect()
+    }
+    assert got == want == {"a": 25.0, "b": 120.0}
+
+
+def test_versioned_table_tags_pin_snapshots(spark, tmp_path):
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "tagged"))
+    t.write(spark.range(0, 10).withColumnRenamed("id", "k"))
+    t.tag("baseline")                       # tags current (v0)
+    t.write(spark.range(0, 20).withColumnRenamed("id", "k"))
+    t.write(spark.range(0, 30).withColumnRenamed("id", "k"))
+    assert t.tags() == {"baseline": 0}
+    assert t.read_tag(spark, "baseline").count() == 10
+    # expire keeps the tagged snapshot but drops the untagged middle one
+    expired = t.expire(keep_last=1)
+    assert expired == [1]
+    assert t.read_tag(spark, "baseline").count() == 10
+    assert t.read(spark).count() == 30
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.read_tag(spark, "nope")
