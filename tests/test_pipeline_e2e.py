@@ -73,7 +73,11 @@ def test_track_then_eval_recovers_ground_truth(spark):
     # switches — one fragmentation, identity intact.
     assert m["s1"]["idf1"] >= 0.80
     # The metrics job is a single linear pipeline — it must leave no
-    # cached partitions behind in a long-lived session.
+    # cached partitions behind in a long-lived session. `<=`, not `==`:
+    # Spark's ContextCleaner may garbage-collect OTHER tests'
+    # localCheckpoint blocks while this test runs (observed as an
+    # intermittent full-suite-only failure), and a shrinking count is
+    # not a leak.
     n_persistent_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert n_persistent_after == n_persistent_before
+    assert n_persistent_after <= n_persistent_before
     assert m["s1"]["frag"] <= 1
