@@ -483,3 +483,50 @@ def q_bpe_pair_count(spark, sf_dir):
         .orderBy(F.desc("freq"), F.asc("pair"))
         .limit(20)
     )
+
+
+# ------------------------------------------------- character entropy
+
+@query(
+    "q_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, ch, count(*) AS c
+        FROM chars WHERE ch <> ''
+        GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS char_entropy
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str):
+    """Per-document character-level Shannon entropy (bits/char) — the
+    classic cheap gibberish/boilerplate signal (low entropy = repeated
+    filler, high = random noise; both are curation cut candidates,
+    cf. the Gopher rule family above).
+
+    Computed via the log-identity H = log2(n) − (1/n)·Σ c·log2(c) so
+    the whole thing is explode → two hash aggregates — no window, no
+    per-doc sort, and the (doc_id, ch) key space is |docs|·|alphabet|,
+    so partial aggregation collapses the exploded rows map-side. At
+    100 TB the explode never materializes: it feeds straight into the
+    partial agg inside one whole-stage-codegen span.
+    """
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
+        ).alias("char_entropy")
+    )

@@ -1,0 +1,173 @@
+"""Graph analytics over the synthetic star schema.
+
+The co-occurrence graph (suppliers sharing an order) is the relational
+shape behind recommendation graphs, citation graphs, and near-dup
+candidate graphs: a self-join inside a grouping key generates edges,
+then iterative join+aggregate rounds compute a fixpoint. Connected
+components (`operators/graph.py`) covers the dedup direction; this
+module adds PageRank — the canonical "iterative algorithm on Spark"
+whose naive implementation dies on lineage growth, not data size.
+
+Reference tie-in: the reference's track-graph post-processing
+(tracking.py:1037-1133) builds the same candidate-pair relation shape
+(pairwise scores within a frame group) before its greedy 1:1 pass.
+
+Scale design (100 TB):
+* Edge generation is a within-order self-join — bounded by order size
+  (TPC-H orders have ≤7 lineitems), so the pair explosion is linear in
+  input, never quadratic in the table.
+* Each PageRank iteration is ONE shuffle (edge ⋈ rank join keyed on the
+  node id + hash re-aggregate). Contributions use map-side partial
+  aggregation; no window, no sort.
+* The edge list and degree relation are computed once and
+  `localCheckpoint`-ed: every iteration re-reads them, and without
+  lineage truncation the plan doubles per round (the iterative-Spark
+  trap; same treatment as `operators/graph.py:connected_components`).
+* A fixed iteration count keeps the oracle exactly mirrorable (the
+  DuckDB side unrolls the same three rounds as CTEs, like q_kmeans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+_DAMPING = 0.85
+_ITERS = 3
+
+
+def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected supplier pairs co-occurring in an order.
+
+    Returned symmetrized (both directions), so a single groupBy over
+    `src` computes degrees and neighbor sums without a second union.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+_EDGE_SQL = """
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_suppkey < b.l_suppkey
+"""
+
+# One unrolled PageRank round: rank_{i+1} from rank_i over sym_edges,
+# teleport mass from the node count `n`.
+_PR_STEP = """
+    {next} AS (
+        SELECT s.dst AS node,
+               (1 - {d}) / (SELECT n FROM nn)
+               + {d} * sum(r.rank / d.deg_src) AS rank
+        FROM sym s
+        JOIN deg d ON d.src = s.src
+        JOIN {prev} r ON r.node = s.src
+        GROUP BY s.dst
+    )
+"""
+
+
+def _oracle() -> str:
+    steps = ",\n".join(
+        _PR_STEP.format(next=f"r{i + 1}", prev=f"r{i}", d=_DAMPING)
+        for i in range(_ITERS)
+    )
+    return f"""
+    WITH pairs AS ({_EDGE_SQL}),
+    sym AS (
+        SELECT src, dst FROM pairs
+        UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg_src FROM sym GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+    {steps}
+    SELECT node AS supp_key, round(rank, 9) AS pagerank
+    FROM r{_ITERS}
+    """
+
+
+@query("q_pagerank", oracle=_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier co-occurrence graph, 3 unrolled
+    iterations from a uniform start.
+
+    rank' (v) = (1−d)/N + d · Σ_{u→v} rank(u)/deg(u), d = 0.85.
+
+    Every node in the edge list has degree ≥ 1 (isolated suppliers are
+    out of the graph), so there is no dangling-mass term and total rank
+    is conserved — which also makes the result independent of join or
+    partition order up to float summation, handled by round(9).
+
+    The join attaches rank/deg to the CONTRIBUTING end (`src`) of each
+    symmetrized edge and aggregates on the receiving end (`dst`) — with
+    a symmetric edge list that is exactly Σ over neighbors, in one
+    equi-join plus one hash aggregate per round.
+    """
+    sym = _supplier_edges(spark, sf_dir).localCheckpoint()
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    n = deg.count()  # node count: k-row metadata scalar, not data-sized
+
+    ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
+    for _ in range(_ITERS):
+        contrib = (
+            sym.join(deg, "src")
+            .join(ranks, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(
+                (
+                    F.lit((1 - _DAMPING) / n) + F.lit(_DAMPING) * F.sum("c")
+                ).alias("rank")
+            )
+            .select(F.col("node").alias("src"), "rank")
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("src").alias("supp_key"), F.round("rank", 9).alias("pagerank")
+    )
+
+
+@query(
+    "q_degree_centrality",
+    oracle=f"""
+    WITH pairs AS ({_EDGE_SQL}),
+    sym AS (
+        SELECT src, dst FROM pairs
+        UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg)
+    SELECT src AS supp_key,
+           deg AS degree,
+           round(deg * 1.0 / ((SELECT n FROM nn) - 1), 6) AS centrality
+    FROM deg
+    """,
+)
+def q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree centrality per supplier: deg(v) / (N−1) on the same
+    co-occurrence graph. One hash aggregate over the symmetrized edge
+    list; the N scalar is a metadata count, not a data-sized collect."""
+    sym = _supplier_edges(spark, sf_dir)
+    deg = sym.groupBy("src").agg(F.count("*").alias("degree"))
+    n = deg.count()
+    return deg.select(
+        F.col("src").alias("supp_key"),
+        "degree",
+        F.round(F.col("degree") / F.lit(float(n - 1)), 6).alias("centrality"),
+    )

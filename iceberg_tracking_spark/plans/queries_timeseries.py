@@ -65,3 +65,63 @@ def q_ewma(spark, sf_dir):
     return ev.select(
         "event_id", "user_id", F.round(ewma, 6).alias("ewma")
     )
+
+
+_Z_WIN = 20  # trailing baseline rows (excludes the current row)
+_Z_MIN = 5  # minimum baseline size before a z-score is meaningful
+_Z_THRESH = 3.0
+
+
+@query(
+    "q_zscore_anomaly",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_id, user_id, value,
+               avg(value) OVER win AS mu,
+               stddev_samp(value) OVER win AS sigma,
+               count(*) OVER win AS n
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {_Z_WIN} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, round((value - mu) / sigma, 6) AS zscore
+    FROM w
+    WHERE n >= {_Z_MIN} AND sigma > 0
+      AND abs((value - mu) / sigma) > {_Z_THRESH}
+    """,
+)
+def q_zscore_anomaly(spark: SparkSession, sf_dir: str):
+    """Trailing-window z-score anomaly detection per user: flag events
+    whose value is > 3σ from the mean of the PRECEDING 20 events (the
+    current row is excluded from its own baseline — self-inclusion
+    shrinks the z-score of the very outliers being hunted).
+
+    The monitoring companion to q_ewma: one window pass partitioned by
+    user_id, ROWS-bounded so state per row is constant; avg/stddev are
+    native JVM window aggregates. At 100 TB this is the same single
+    shuffle as any per-user sessionization; no self-join against a
+    baseline table, because the window IS the baseline.
+    """
+    ev = scatter(load_table(spark, sf_dir, "events"))
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_WIN, -1)
+    )
+    z = (F.col("value") - F.avg("value").over(win)) / F.stddev_samp("value").over(win)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.stddev_samp("value").over(win).alias("sigma"),
+            F.count(F.lit(1)).over(win).alias("n"),
+            z.alias("z"),
+        )
+        .filter(
+            (F.col("n") >= _Z_MIN)
+            & (F.col("sigma") > 0)
+            & (F.abs("z") > _Z_THRESH)
+        )
+        .select("event_id", "user_id", F.round("z", 6).alias("zscore"))
+    )

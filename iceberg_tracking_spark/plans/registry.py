@@ -89,13 +89,14 @@ DRIVER_PRIORITY: list[str] = [
     "q_pq_encode",
     "q_pq_topk",
     "q_ivfpq_topk",
+    # (e) new this round — first driver check
+    "q_pagerank",
+    "q_degree_centrality",
+    "q_char_entropy",
+    "q_zscore_anomaly",
     # high-value reconfirmations fill the remaining window slots
     "q_asof_join",
     "q_grid_join",
-    "q_islands",
-    "q_mutual_argmax",
-    "q_theta_argmax",
-    "q_cosine_topk",
 ]
 
 
