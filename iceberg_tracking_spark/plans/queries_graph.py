@@ -171,3 +171,76 @@ def q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree",
         F.round(F.col("degree") / F.lit(float(n - 1)), 6).alias("centrality"),
     )
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
+    WITH pairs AS ({_EDGE_SQL}),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.src = e1.dst
+        JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    per_node AS (
+        SELECT node, count(*) AS triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT node AS supp_key, triangles FROM per_node
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation count on the supplier
+    co-occurrence graph (clustering-coefficient numerator — the
+    community-density signal next to PageRank's centrality).
+
+    Classic ordered-wedge enumeration: with every edge stored once as
+    (src < dst), a triangle {a<b<c} is found EXACTLY once as the wedge
+    a→b→c closed by edge a→c — two equi-joins on the deduplicated
+    half-edge list, no symmetrization, no double counting to divide
+    away. At 100 TB-scale graphs the ordering trick is the difference
+    between |E|·avg-degree and |E|·max-degree work; skewed hub nodes
+    sort last and so contribute few ordered wedges.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint()  # re-joined 3×; one scan, not three plan copies
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select("b"))
+        .union(tri.select("c"))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+        .select(F.col("node").alias("supp_key"), "triangles")
+    )

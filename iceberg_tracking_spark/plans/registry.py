@@ -92,11 +92,11 @@ DRIVER_PRIORITY: list[str] = [
     # (e) new this round — first driver check
     "q_pagerank",
     "q_degree_centrality",
+    "q_triangle_count",
     "q_char_entropy",
     "q_zscore_anomaly",
-    # high-value reconfirmations fill the remaining window slots
+    # high-value reconfirmation fills the remaining window slot
     "q_asof_join",
-    "q_grid_join",
 ]
 
 

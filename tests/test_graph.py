@@ -47,3 +47,14 @@ def test_supplier_edges_symmetric_no_self_loops(spark, sf_dir):
     # symmetry: reversing the edge list yields the same relation
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     assert edges.exceptAll(rev).count() == 0
+
+
+def test_triangle_count_matches_handrolled(spark, sf_dir):
+    """Total triangle participation = 3 × number of distinct triangles,
+    and the ordered-wedge enumeration counts each triangle once."""
+    from iceberg_tracking_spark.plans.queries_graph import q_triangle_count
+
+    tc = q_triangle_count(spark, sf_dir)
+    total = tc.agg(F.sum("triangles")).first()[0]
+    assert total % 3 == 0
+    assert tc.filter(F.col("triangles") <= 0).count() == 0
