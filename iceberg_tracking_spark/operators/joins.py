@@ -320,3 +320,58 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return probe.join(build, on=keys + ["__salt"], how=how).drop("__salt")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: int,
+) -> DataFrame:
+    """All (point, interval) pairs with start ≤ point ≤ end for the same
+    key — the temporal containment join (event→session attribution,
+    reading→maintenance-window matching).
+
+    Scale path (the 1-D sibling of grid_radius_join): each interval is
+    exploded to the fixed-width buckets it covers, each point maps to
+    exactly ONE bucket, and candidates come from an equi-join on
+    (key, bucket) with the exact containment predicate applied after.
+    Catalyst executes a plain shuffled hash join — never the
+    BroadcastNestedLoopJoin a raw BETWEEN condition degenerates to.
+    A point meets an interval in precisely one bucket (its own), so no
+    post-join dedup is needed; amplification is interval-side only,
+    bounded by ⌈len/bucket⌉ + 1. Choose `bucket` near the typical
+    interval length: big enough that explode stays ~2-3×, small enough
+    that a bucket's candidates stay selective.
+
+    `point_col`/`start_col`/`end_col` are numeric (e.g. epoch millis) —
+    callers convert timestamps first. Column names must be disjoint
+    across the two inputs (except `key`).
+    """
+    collisions = (set(points.columns) & set(intervals.columns)) - {key}
+    if collisions:
+        raise ValueError(
+            f"point/interval columns collide: {sorted(collisions)}; "
+            "rename one side before the interval join"
+        )
+    b = F.lit(int(bucket))
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / b), F.floor(F.col(end_col) / b)
+            )
+        ),
+    )
+    pt = points.withColumn("_bkt", F.floor(F.col(point_col) / b))
+    return (
+        pt.join(iv, [key, "_bkt"])
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_bkt")
+    )

@@ -740,3 +740,61 @@ def q_drift_chi2(spark, sf_dir):
             F.round(F.pow(share_cur - share_ref, 2) / share_ref, 6),
         ).alias("chi2_term"),
     )
+
+
+@query(
+    "q_interval_join",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, date_trunc('day', ts) AS day, min(ts) AS start_ts
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    m AS (
+        SELECT iv.user_id, iv.day, e.value
+        FROM iv JOIN events e ON e.user_id = iv.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_ms(e.ts) >= epoch_ms(iv.start_ts)
+          AND epoch_ms(e.ts) <= epoch_ms(iv.start_ts) + 7200000
+    )
+    SELECT user_id, day, count(*) AS n_purchases,
+           round(sum(value), 2) AS sum_value
+    FROM m GROUP BY user_id, day
+    """,
+)
+def q_interval_join(spark, sf_dir):
+    """Interval-containment join (operators/joins.interval_join): each
+    user's per-day opening window [first event, +2 h] is matched to the
+    purchases falling inside it — the session-attribution shape.
+
+    The oracle states the naive BETWEEN theta-join; the Spark plan
+    never runs it: intervals explode to their covered 1-hour buckets
+    (≤3 rows each), purchases hash to one bucket, and the containment
+    predicate filters an equi-join on (user_id, bucket). One shuffle,
+    join fan-in bounded per bucket — survives a 100× events scale-up
+    where the BETWEEN join becomes an O(|points|·|intervals|/|keys|)
+    nested loop.
+    """
+    from ..operators.joins import interval_join
+
+    ev = scatter(load_table(spark, sf_dir, "events"))
+    iv = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.min("ts").alias("start_ts"))
+        .select(
+            "user_id",
+            "day",
+            epoch_ms("start_ts").alias("start_ms"),
+            (epoch_ms("start_ts") + F.lit(7200000)).alias("end_ms"),
+        )
+    )
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", epoch_ms("ts").alias("ts_ms"), "value"
+    )
+    matched = interval_join(
+        pts, iv, key="user_id", point_col="ts_ms",
+        start_col="start_ms", end_col="end_ms", bucket=3600000,
+    )
+    return matched.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -95,8 +95,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_triangle_count",
     "q_char_entropy",
     "q_zscore_anomaly",
-    # high-value reconfirmation fills the remaining window slot
-    "q_asof_join",
+    "q_interval_join",
 ]
 
 

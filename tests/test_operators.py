@@ -763,3 +763,48 @@ def test_grid_cell_join_lossless_for_bounded_boxes(spark):
     assert key(naive) == key(pre)
     # And no pair is emitted twice by the 3x3 explode.
     assert len(pre) == len(key(pre))
+
+
+def test_interval_join_parity_with_naive_between(spark):
+    """Bucketized interval join ≡ the naive BETWEEN theta-join, including
+    intervals spanning many buckets, empty intervals, and points on the
+    closed boundaries."""
+    import random
+
+    from iceberg_tracking_spark.operators.joins import interval_join
+
+    rnd = random.Random(7)
+    pts = spark.createDataFrame(
+        [(k, rnd.randint(0, 1000), i) for i, k in enumerate(rnd.choices("abc", k=200))],
+        "key string, p long, pid long",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (k, s, s + ln, j)
+            for j, (k, s, ln) in enumerate(
+                (rnd.choice("abcd"), rnd.randint(0, 950), rnd.choice([0, 3, 40, 400]))
+                for _ in range(60)
+            )
+        ],
+        "key string, s long, e long, iid long",
+    )
+    fast = interval_join(pts, ivs, "key", "p", "s", "e", bucket=50)
+    naive = pts.join(ivs, "key").filter("p >= s AND p <= e")
+    assert fast.count() == naive.count()
+    assert (
+        fast.select("pid", "iid").exceptAll(naive.select("pid", "iid")).count() == 0
+    )
+    assert (
+        naive.select("pid", "iid").exceptAll(fast.select("pid", "iid")).count() == 0
+    )
+
+
+def test_interval_join_rejects_column_collisions(spark):
+    import pytest as _pytest
+
+    from iceberg_tracking_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame([("a", 1, 2)], "key string, p long, x long")
+    ivs = spark.createDataFrame([("a", 0, 5, 9)], "key string, s long, e long, x long")
+    with _pytest.raises(ValueError, match="collide"):
+        interval_join(pts, ivs, "key", "p", "s", "e", bucket=10)
