@@ -125,3 +125,56 @@ def q_zscore_anomaly(spark: SparkSession, sf_dir: str):
         )
         .select("event_id", "user_id", F.round("z", 6).alias("zscore"))
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.50) AS p50,
+               quantile_cont(value, 0.75) AS p75,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id,
+           e.event_type,
+           round(least(greatest(e.value, b.p05), b.p95), 6) AS winsorized,
+           round((e.value - b.p50) / nullif(b.p75 - b.p25, 0), 6) AS robust_z
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def q_winsorize(spark, sf_dir):
+    """Winsorization + robust scaling per event_type: clamp values into
+    the group's [p05, p95] band and standardize by the IQR around the
+    median — the outlier-proof feature-engineering transform (heavy
+    tails never touch the scale the model sees).
+
+    Two-pass shape like q_global_norm: pass 1 reduces each group to one
+    5-quantile row, pass 2 joins those few rows back BROADCAST — so the
+    100 TB fact table is never shuffled at all; the only wide operation
+    is the percentile aggregate itself (swap `percentile` for the
+    mergeable `percentile_approx` t-digest at scale, same plan shape).
+    """
+    ev = scatter(load_table(spark, sf_dir, "events"))
+    bounds = ev.groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"p{int(q * 100):02d}")
+            for q in (0.05, 0.25, 0.50, 0.75, 0.95)
+        ]
+    )
+    iqr = F.col("p75") - F.col("p25")
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(F.least(F.greatest("value", F.col("p05")), F.col("p95")), 6).alias(
+            "winsorized"
+        ),
+        F.round(
+            (F.col("value") - F.col("p50"))
+            / F.when(iqr != 0, iqr).otherwise(F.lit(None)),
+            6,
+        ).alias("robust_z"),
+    )
