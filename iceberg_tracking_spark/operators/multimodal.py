@@ -7,13 +7,14 @@ each partition amortizes decoder initialization — the distributed form
 of the reference's per-worker model/DataLoader setup
 (embedding.py:1358-1362).
 
-The image/audio codec libraries are not in this container, so the
-decode core is STUBBED: `decode_stub=True` (default) produces a
-deterministic fake decode derived from the bytes; passing
-`decode_stub=False` raises NotImplementedError at the exact point a
-real decoder (PIL/cv2/ffmpeg) would plug in. Everything Spark-side —
-schema, partitioning, batch shapes, UDF signatures — is real and
-tested.
+Decode is REAL for uncompressed binary PGM blobs — the pure-numpy
+codec in operators/imagecodec.py (decode, bilinear resize, crop/pad);
+the image fixture (sources/binary.ensure_image_fixture) ships genuine
+PGM files, so the whole decode → transform → feature path runs on
+actual pixels. Compressed codecs (JPEG/PNG/ffmpeg) are not in this
+container, so non-PGM blobs fall back to a deterministic stub when
+`decode_stub=True` (default) and raise NotImplementedError — at the
+exact point PIL/cv2 would plug in — when `decode_stub=False`.
 """
 
 from __future__ import annotations
@@ -90,6 +91,56 @@ def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
 
 
+def decode_media(
+    content: bytes, width: int, height: int, decode_stub: bool = True
+) -> np.ndarray:
+    """Decode one blob to a (h, w) uint8 matrix.
+
+    Binary PGM decodes FOR REAL via the numpy codec; other formats use
+    the deterministic stub (decode_stub=True) or raise at the plug-in
+    point for PIL/cv2 (decode_stub=False)."""
+    from .imagecodec import decode_pgm, is_pgm
+
+    if is_pgm(content):
+        return decode_pgm(content)
+    if not decode_stub:
+        raise NotImplementedError(
+            "compressed codecs (JPEG/PNG/...) require PIL/cv2/ffmpeg, "
+            "which are not in this container; PGM decodes natively"
+        )
+    return _fake_decode(content, width, height)
+
+
+def media_from_image_files(spark: SparkSession, path: str | None = None) -> DataFrame:
+    """REAL image scan: binaryFile over the PGM fixture with width and
+    height parsed from the ACTUAL image headers — in pure Catalyst
+    (`decode` + `regexp_extract` on the ASCII prefix), no Python. The
+    downstream decode then re-reads the same dims from the same bytes
+    on the executors."""
+    from ..sources.binary import ensure_image_fixture, read_binary_files
+
+    raw = read_binary_files(spark, path or ensure_image_fixture(), glob="*.pgm")
+    # The 20-byte prefix covers the header but bleeds into binary pixel
+    # data, which a strict UTF-8 decode rejects (Spark 4 decode() is
+    # strict) — so parse the ASCII header out of the HEX encoding
+    # instead: '50350a' = "P5\n", '3X' = digit X, '20' = space.
+    hx = F.lower(F.hex(F.substring(F.col("content"), 1, 20)))
+    width_hex = F.regexp_extract(hx, r"^50350a((?:3[0-9])+)20", 1)
+    height_hex = F.regexp_extract(hx, r"^50350a(?:3[0-9])+20((?:3[0-9])+)0a", 1)
+    media_id = F.element_at(
+        F.split(F.element_at(F.split(F.col("path"), "/"), -1), "\\."), 1
+    ).cast("long")
+    return raw.select(
+        media_id.alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.col("content"),
+        F.lit("image/x-portable-graymap").alias("mime_type"),
+        F.regexp_replace(width_hex, "3(.)", "$1").cast("int").alias("width"),
+        F.regexp_replace(height_hex, "3(.)", "$1").cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
 def extract_media_features(
     media: DataFrame, decode_stub: bool = True, batch_note: str = "decode"
 ) -> DataFrame:
@@ -99,18 +150,14 @@ def extract_media_features(
     phash) — mean/std over the decoded matrix, phash = md5 of the
     downsampled bit pattern (a perceptual-hash stand-in).
     """
-    if not decode_stub:
-        raise NotImplementedError(
-            "real media decode requires PIL/cv2/ffmpeg (not in this "
-            "container); pass decode_stub=True for the deterministic fake"
-        )
-
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Per-partition decoder init would go here (load codec/model once).
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                mat = _fake_decode(bytes(r.content), int(r.width), int(r.height))
+                mat = decode_media(
+                    bytes(r.content), int(r.width), int(r.height), decode_stub
+                )
                 small = mat[::8, ::8]
                 phash = hashlib.md5(
                     (small > small.mean()).astype(np.uint8).tobytes()
@@ -149,4 +196,47 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.explode(
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(int(every_ms)))
         ).alias("sample_ms"),
+    )
+
+
+def decode_resize_pad(
+    media: DataFrame,
+    out_h: int,
+    out_w: int,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """M3 for real: decode → bilinear-resize to (out_h, out_w) → uint8,
+    per blob, via Arrow-batched mapInPandas (the reference's
+    crop/resize/pad to the backbone input, embedding.py:280-310).
+
+    Output: (media_id, out_mean, out_std, thumb) where `thumb` is the
+    top-left 8×8 of the resized image row-major (array<int>) — small
+    enough to carry through shuffles, exact enough to pin the resample
+    math in tests. PGM blobs run the REAL pixel path end-to-end; other
+    formats follow the decode_stub contract of decode_media."""
+    from .imagecodec import resize_bilinear
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mat = decode_media(
+                    bytes(r.content), int(r.width), int(r.height), decode_stub
+                )
+                out = np.rint(resize_bilinear(mat, out_h, out_w)).astype(np.uint8)
+                rows.append(
+                    (
+                        r.media_id,
+                        float(out.mean()),
+                        float(out.std()),
+                        [int(v) for v in out[:8, :8].ravel()],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "out_mean", "out_std", "thumb"]
+            )
+
+    return media.select("media_id", "content", "width", "height").mapInPandas(
+        _resize,
+        schema="media_id long, out_mean double, out_std double, thumb array<int>",
     )

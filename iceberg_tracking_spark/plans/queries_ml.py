@@ -273,3 +273,74 @@ def q_multimodal_meta(spark, sf_dir):
         "width",
         "height",
     )
+
+
+def _image_decode_oracle() -> str:
+    """Re-derive the REAL PGM decode in SQL: parse width/height out of
+    the hex-encoded header, then fold the pixel bytes (2 hex chars
+    each) into the intensity sum — an independent re-implementation of
+    the numpy codec, byte-for-byte against the same files."""
+    from ..sources.binary import IMAGE_FIXTURE_DIR
+
+    hexpair = (
+        "((strpos('0123456789abcdef', substr(hx, 2*i + px, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(hx, 2*i + px + 1, 1)) - 1))"
+    )
+    return f"""
+    WITH b AS (
+        SELECT CAST(regexp_extract(filename, '(\\d+)\\.pgm$', 1) AS BIGINT)
+                   AS media_id,
+               octet_length(content) AS n_bytes,
+               md5(lower(hex(content))) AS content_md5,
+               lower(hex(content)) AS hx
+        FROM read_blob('{IMAGE_FIXTURE_DIR}/*.pgm')
+    ),
+    hdr AS (
+        SELECT media_id, n_bytes, content_md5, hx,
+               length(regexp_extract(hx,
+                   '^50350a(?:3[0-9])+20(?:3[0-9])+0a3235350a', 0)) + 1 AS px,
+               CAST(regexp_replace(
+                   regexp_extract(hx, '^50350a((?:3[0-9])+)20', 1),
+                   '3(.)', '\\1', 'g') AS INTEGER) AS width,
+               CAST(regexp_replace(
+                   regexp_extract(hx, '^50350a(?:3[0-9])+20((?:3[0-9])+)0a', 1),
+                   '3(.)', '\\1', 'g') AS INTEGER) AS height
+        FROM b
+    )
+    SELECT media_id, width, height, n_bytes, content_md5,
+           round(list_sum(list_transform(range(0, width * height),
+                 i -> {hexpair})) * 1.0 / (width * height), 6) AS mean_intensity
+    FROM hdr
+    """
+
+
+@query("q_image_decode", oracle=_image_decode_oracle())
+def q_image_decode(spark, sf_dir):
+    """REAL image decode, oracle-checked end-to-end: scan genuine
+    binary-PGM files (`binaryFile`), parse width/height from the actual
+    headers in pure Catalyst, decode the pixels with the numpy PGM
+    codec inside Arrow-batched mapInPandas, and emit per-image mean
+    intensity + content md5. The DuckDB oracle independently re-decodes
+    the SAME files from their hex bytes — so the decode math itself
+    (not a stub) is what the hash comparison pins.
+
+    Scale shape: binaryFile splits per file across executors; the
+    mapInPandas decode is embarrassingly parallel with per-partition
+    codec amortization (operators/multimodal.py module docstring). The
+    fixture is fixed-size by design — media decode cost scales with
+    file count, not sf.
+    """
+    from ..operators.multimodal import extract_media_features, media_from_image_files
+
+    media = media_from_image_files(spark)
+    meta = media.select(
+        "media_id", "width", "height",
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        # DuckDB's md5() takes VARCHAR only — hash the hex encoding on
+        # both sides so the binding column stays portable.
+        F.md5(F.lower(F.hex("content"))).alias("content_md5"),
+    )
+    feats = extract_media_features(media, decode_stub=False).select(
+        "media_id", F.round("mean_intensity", 6).alias("mean_intensity")
+    )
+    return meta.join(feats, "media_id")

@@ -952,20 +952,27 @@ def q_media_features(spark, sf_dir):
     relation is a UNION of a REAL `binaryFile` directory scan (S8 —
     genuine file bytes) and the sf-scaled synthesized blobs, so the
     query both exercises raw-file ingestion and grows with the corpus.
-    The decode core is a deterministic stub (no codec libs in this
-    container); partitioning, batch shapes, and schema plumbing are
-    real."""
+    PGM blobs (the real-image fixture) decode FOR REAL via the numpy
+    codec; the non-image blobs exercise the deterministic stub path
+    (no compressed-codec libs in this container). Partitioning, batch
+    shapes, and schema plumbing are shared by both."""
     from ..operators.multimodal import (
         extract_media_features,
         media_from_binary_files,
+        media_from_image_files,
         synthesize_media_table,
     )
 
     real_files = media_from_binary_files(spark).withColumn(
         "media_id", F.col("media_id") + 1_000_000  # keep ids disjoint
     )
-    media = scatter(synthesize_media_table(spark, sf_dir)).unionByName(
-        real_files
+    real_images = media_from_image_files(spark).withColumn(
+        "media_id", F.col("media_id") + 2_000_000
+    )
+    media = (
+        scatter(synthesize_media_table(spark, sf_dir))
+        .unionByName(real_files)
+        .unionByName(real_images)
     )
     return extract_media_features(media)
 

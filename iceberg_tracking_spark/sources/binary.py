@@ -63,3 +63,32 @@ def read_binary_files(
         .option("pathGlobFilter", glob)
         .load(path)
     )
+
+
+IMAGE_FIXTURE_DIR = os.path.join(_REPO_ROOT, ".image_fixture")
+IMAGE_FIXTURE_N = 24
+
+
+def ensure_image_fixture(
+    path: str = IMAGE_FIXTURE_DIR, n: int = IMAGE_FIXTURE_N
+) -> str:
+    """Idempotently write `n` REAL binary-PGM images (openable by any
+    netpbm-aware tool). Image i is a deterministic (24+i%17) ×
+    (32+i%13) gradient-plus-stripe pattern — no RNG, byte-identical
+    everywhere, and decodable by the pure-numpy codec
+    (operators/imagecodec.py) with no external libraries."""
+    import numpy as np
+
+    from ..operators.imagecodec import encode_pgm
+
+    os.makedirs(path, exist_ok=True)
+    for i in range(n):
+        h, w = 24 + i % 17, 32 + i % 13
+        yy, xx = np.mgrid[0:h, 0:w]
+        mat = ((xx * (i + 2) + yy * (i + 5) + (i * 37)) % 256).astype(np.uint8)
+        payload = encode_pgm(mat)
+        fp = os.path.join(path, f"{i:04d}.pgm")
+        if not (os.path.exists(fp) and os.path.getsize(fp) == len(payload)):
+            with open(fp, "wb") as f:
+                f.write(payload)
+    return path

@@ -76,9 +76,16 @@ def test_multimodal_features(spark, sf_dir):
 
 
 def test_multimodal_decode_stub_gate(spark, sf_dir):
+    """decode_stub=False is a per-blob contract now: PGM decodes for
+    real, anything else raises at the executor-side plug-in point."""
+    from iceberg_tracking_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError, match="PIL/cv2"):
+        decode_media(b"not-an-image", 8, 8, decode_stub=False)
+    # whole-pipeline form: the synthesized (non-PGM) blobs fail on collect
     media = synthesize_media_table(spark, sf_dir)
-    with pytest.raises(NotImplementedError):
-        extract_media_features(media, decode_stub=False)
+    with pytest.raises(Exception, match="NotImplementedError|PIL/cv2"):
+        extract_media_features(media, decode_stub=False).collect()
 
 
 def test_video_frame_sampling(spark, sf_dir):
