@@ -240,3 +240,78 @@ def decode_resize_pad(
         _resize,
         schema="media_id long, out_mean double, out_std double, thumb array<int>",
     )
+
+
+def media_from_audio_files(spark: SparkSession, path: str | None = None) -> DataFrame:
+    """REAL audio scan: binaryFile over the WAV fixture. The canonical
+    44-byte PCM header puts sample-rate and data-size at fixed offsets,
+    so both parse in pure Catalyst from the HEX encoding (little-endian
+    byte math) — the executors' decoder then re-reads the same header
+    from the same bytes."""
+    from ..sources.binary import ensure_audio_fixture, read_binary_files
+
+    raw = read_binary_files(spark, path or ensure_audio_fixture(), glob="*.wav")
+
+    def _le32(start_byte: int):  # 0-based byte offset → little-endian u32
+        hx = F.lower(F.hex(F.substring(F.col("content"), 1, 48)))
+        val = F.lit(0)
+        for k in range(3, -1, -1):
+            b = F.conv(
+                F.substring(hx, 2 * (start_byte + k) + 1, 2), 16, 10
+            ).cast("long")
+            val = val * 256 + b
+        return val
+
+    media_id = F.element_at(
+        F.split(F.element_at(F.split(F.col("path"), "/"), -1), "\\."), 1
+    ).cast("long")
+    n_samples = (_le32(40) / 2).cast("long")
+    rate = _le32(24)
+    return raw.select(
+        media_id.alias("media_id"),
+        F.lit("audio").alias("modality"),
+        F.col("content"),
+        F.lit("audio/wav").alias("mime_type"),
+        rate.cast("int").alias("sample_rate"),
+        n_samples.alias("n_samples"),
+        (n_samples * 1000 / rate).cast("long").alias("duration_ms"),
+    )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode + signal features per WAV blob via Arrow-batched
+    mapInPandas: RMS, peak, zero-crossing rate (the cheap VAD/quality
+    signals a 100 TB audio corpus is triaged by). Same partition-
+    amortized decoder pattern as the image path."""
+    from .audiocodec import audio_features, decode_wav
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                samples, rate = decode_wav(bytes(r.content))
+                f = audio_features(samples, rate)
+                rows.append(
+                    (
+                        r.media_id,
+                        int(f["n_samples"]),
+                        float(f["duration_ms"]),
+                        float(f["rms"]),
+                        float(f["peak"]),
+                        float(f["zcr"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "duration_ms", "rms", "peak", "zcr",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        _features,
+        schema=(
+            "media_id long, n_samples long, duration_ms double, "
+            "rms double, peak double, zcr double"
+        ),
+    )

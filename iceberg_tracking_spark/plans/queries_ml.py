@@ -344,3 +344,87 @@ def q_image_decode(spark, sf_dir):
         "media_id", F.round("mean_intensity", 6).alias("mean_intensity")
     )
     return meta.join(feats, "media_id")
+
+
+def _audio_decode_oracle() -> str:
+    """Re-derive the REAL WAV decode in SQL: little-endian chunk fields
+    and 16-bit signed PCM samples, all from hex-char arithmetic — an
+    independent re-implementation of the numpy audio codec against the
+    same files."""
+    from ..sources.binary import AUDIO_FIXTURE_DIR
+
+    def pair(off: str) -> str:  # unsigned byte at 0-based offset expr
+        return (
+            f"((strpos('0123456789abcdef', substr(hx, 2*({off}) + 1, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(hx, 2*({off}) + 2, 1)) - 1))"
+        )
+
+    def le32(start: int) -> str:
+        return " + ".join(
+            f"{pair(str(start + k))} * {256 ** k}" for k in range(4)
+        )
+
+    raw = f"({pair('44 + 2*i')} + 256 * {pair('45 + 2*i')})"
+    sample = f"(CASE WHEN {raw} >= 32768 THEN {raw} - 65536 ELSE {raw} END)"
+    return f"""
+    WITH b AS (
+        SELECT CAST(regexp_extract(filename, '(\\d+)\\.wav$', 1) AS BIGINT)
+                   AS media_id,
+               md5(lower(hex(content))) AS content_md5,
+               lower(hex(content)) AS hx
+        FROM read_blob('{AUDIO_FIXTURE_DIR}/*.wav')
+    ),
+    hdr AS (
+        SELECT media_id, content_md5, hx,
+               CAST(({le32(40)}) / 2 AS BIGINT) AS n,
+               ({le32(24)}) AS rate
+        FROM b
+    ),
+    dec AS (
+        SELECT media_id, content_md5, n, rate,
+               list_transform(range(0, n), i -> {sample}) AS vals
+        FROM hdr
+    )
+    SELECT media_id, n AS n_samples,
+           round(n * 1000.0 / rate, 6) AS duration_ms,
+           round(sqrt(list_sum(list_transform(vals, v -> v * v)) * 1.0 / n), 6)
+               AS rms,
+           CAST(list_max(list_transform(vals, v -> abs(v))) AS BIGINT) AS peak,
+           round(list_sum(list_transform(range(1, n),
+                 i -> CASE WHEN (vals[i] < 0) != (vals[i + 1] < 0)
+                      THEN 1 ELSE 0 END)) * 1.0 / (n - 1), 6) AS zcr,
+           content_md5
+    FROM dec
+    """
+
+
+@query("q_audio_decode", oracle=_audio_decode_oracle())
+def q_audio_decode(spark, sf_dir):
+    """REAL audio decode, oracle-checked end-to-end: scan genuine PCM
+    WAV files (`binaryFile`), walk the RIFF chunks and decode int16
+    samples with the numpy audio codec inside mapInPandas, emit
+    RMS / peak / zero-crossing-rate per clip. The DuckDB oracle
+    independently re-decodes the SAME files byte-by-byte from hex —
+    little-endian chunk fields, signed 16-bit conversion, the lot — so
+    the decode math itself is hash-pinned. (The sums are exact integer
+    arithmetic in float64, so cross-engine equality is bit-level, not
+    approximate.)
+
+    Scale shape: identical to q_image_decode — per-file splits,
+    embarrassingly parallel mapInPandas, fixture-sized by design.
+    """
+    from ..operators.multimodal import extract_audio_features, media_from_audio_files
+
+    media = media_from_audio_files(spark)
+    meta = media.select(
+        "media_id", F.md5(F.lower(F.hex("content"))).alias("content_md5")
+    )
+    feats = extract_audio_features(media).select(
+        "media_id",
+        "n_samples",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        F.round("rms", 6).alias("rms"),
+        F.col("peak").cast("long").alias("peak"),
+        F.round("zcr", 6).alias("zcr"),
+    )
+    return feats.join(meta, "media_id")

@@ -84,10 +84,11 @@ DRIVER_PRIORITY: list[str] = [
     "q_gopher_rules",
     "q_bpe_pair_count",
     "q_dup_span_fraction",
-    "q_expectations",
-    # q_ewma yields its slot to the new real-decode query: its window
-    # fold is oracle-locked at three SFs locally; rotate it into r5.
+    # q_ewma and q_expectations yield their slots to the new real-decode
+    # queries: both are oracle-locked at three SFs locally; rotate them
+    # into r5 alongside q_winsorize.
     "q_image_decode",
+    "q_audio_decode",
     "q_pq_encode",
     "q_pq_topk",
     "q_ivfpq_topk",

@@ -92,3 +92,36 @@ def ensure_image_fixture(
             with open(fp, "wb") as f:
                 f.write(payload)
     return path
+
+
+AUDIO_FIXTURE_DIR = os.path.join(_REPO_ROOT, ".audio_fixture")
+AUDIO_FIXTURE_N = 16
+
+
+def ensure_audio_fixture(
+    path: str = AUDIO_FIXTURE_DIR, n: int = AUDIO_FIXTURE_N
+) -> str:
+    """Idempotently write `n` REAL 16-bit mono PCM WAV files. Clip i is
+    a deterministic integer-sampled sinusoid-plus-ramp ((180+i*13)
+    samples at 8 kHz) — no RNG, byte-identical everywhere, playable by
+    any audio tool, decodable by operators/audiocodec.py with no
+    external libraries."""
+    import numpy as np
+
+    from ..operators.audiocodec import encode_wav
+
+    os.makedirs(path, exist_ok=True)
+    for i in range(n):
+        ns = 180 + i * 13
+        t = np.arange(ns)
+        # integer samples from integer math only: a triangle wave plus
+        # a ramp, exactly reproducible in SQL for the oracle
+        tri = np.abs((t * (i + 3)) % 2000 - 1000) - 500
+        ramp = (t * 7) % 301 - 150
+        samples = (tri * 20 + ramp * 10).astype(np.int16)
+        payload = encode_wav(samples, sample_rate=8000)
+        fp = os.path.join(path, f"{i:04d}.wav")
+        if not (os.path.exists(fp) and os.path.getsize(fp) == len(payload)):
+            with open(fp, "wb") as f:
+                f.write(payload)
+    return path

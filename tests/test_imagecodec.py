@@ -118,3 +118,57 @@ def test_image_scan_header_dims_match_decoded_shape(spark):
     for r in rows:
         mat = decode_pgm(bytes(r["content"]))
         assert (mat.shape[1], mat.shape[0]) == (r["width"], r["height"])
+
+
+# ------------------------------------------------------------- audio
+
+def test_wav_roundtrip_and_stdlib_parity(tmp_path):
+    """decode(encode(x)) == x, and the encoded bytes are a VALID wav per
+    Python's independent stdlib `wave` reader."""
+    import wave
+
+    from iceberg_tracking_spark.operators.audiocodec import decode_wav, encode_wav
+
+    s = ((np.arange(500) * 97) % 7001 - 3500).astype(np.int16)
+    enc = encode_wav(s, 8000)
+    dec, rate = decode_wav(enc)
+    assert rate == 8000 and (dec == s).all()
+    p = tmp_path / "t.wav"
+    p.write_bytes(enc)
+    with wave.open(str(p)) as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (1, 2, 8000)
+        assert np.frombuffer(w.readframes(w.getnframes()), "<i2").tolist() == s.tolist()
+
+
+def test_wav_rejects_unsupported_and_truncated():
+    from iceberg_tracking_spark.operators.audiocodec import decode_wav, encode_wav
+
+    enc = encode_wav(np.zeros(4, np.int16))
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + enc[4:])
+    stereo = bytearray(enc)
+    stereo[22] = 2  # channels field
+    with pytest.raises(ValueError, match="mono"):
+        decode_wav(bytes(stereo))
+
+
+def test_audio_features_known_signal():
+    from iceberg_tracking_spark.operators.audiocodec import audio_features
+
+    sq = np.tile([1000, -1000], 50).astype(np.int16)  # square wave
+    f = audio_features(sq, 8000)
+    assert f["rms"] == 1000.0 and f["peak"] == 1000.0
+    assert f["zcr"] == 1.0  # crosses at every step
+    assert f["duration_ms"] == 1000.0 * 100 / 8000
+
+
+def test_spark_audio_scan_header_matches_decode(spark):
+    from iceberg_tracking_spark.operators.audiocodec import decode_wav
+    from iceberg_tracking_spark.operators.multimodal import media_from_audio_files
+
+    rows = media_from_audio_files(spark).collect()
+    assert len(rows) == 16
+    for r in rows:
+        samples, rate = decode_wav(bytes(r["content"]))
+        assert r["sample_rate"] == rate
+        assert r["n_samples"] == len(samples)
