@@ -85,3 +85,57 @@ def audio_features(samples: np.ndarray, rate: int) -> dict[str, float]:
         "peak": float(np.max(np.abs(x))) if n else 0.0,
         "zcr": zc / (n - 1) if n > 1 else 0.0,
     }
+
+
+# --------------------------------------------------------------- video
+# Y4M (YUV4MPEG2) lives here with the audio codec as the second
+# "uncompressed real container" — plain ASCII stream header, then raw
+# frames each prefixed by a FRAME marker. With the `Cmono` colorspace a
+# frame is exactly width*height luma bytes: real video any ffmpeg/mpv
+# build plays, decodable with numpy alone.
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n, h, w) uint8 luma frames → Y4M bytes (Cmono colorspace)."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    if f.ndim != 3:
+        raise ValueError(f"expected (n, h, w); got {f.shape}")
+    n, h, w = f.shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 Cmono\n" % (w, h, fps)]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(f[i].tobytes())
+    return b"".join(out)
+
+
+def is_y4m(data: bytes) -> bool:
+    return data[:9] == b"YUV4MPEG2"
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, int]:
+    """Y4M bytes → ((n, h, w) uint8 luma frames, fps). Cmono only."""
+    if not is_y4m(data):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.index(b"\n")
+    header = data[:nl].decode("ascii")
+    params = {p[0]: p[1:] for p in header.split(" ")[1:] if p}
+    w, h = int(params["W"]), int(params["H"])
+    fps = int(params.get("F", "25:1").split(":")[0])
+    if params.get("C", "mono") != "mono":
+        raise ValueError(f"only Cmono supported (C{params.get('C')})")
+    frame_bytes = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"missing FRAME marker at byte {pos}")
+        pos = data.index(b"\n", pos) + 1  # FRAME may carry parameters
+        if len(data) - pos < frame_bytes:
+            raise ValueError("truncated frame payload")
+        frames.append(
+            np.frombuffer(data, dtype=np.uint8, count=frame_bytes, offset=pos)
+            .reshape(h, w)
+            .copy()
+        )
+        pos += frame_bytes
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps

@@ -71,7 +71,9 @@ DRIVER_PRIORITY: list[str] = [
     "q_greedy_match",
     "q_track",
     # (c) r1-green but ts path broke in r3 — reconfirm on fixed loader
-    "q_group_collect",
+    # q_group_collect's slot goes to q_video_decode: its r1 row stands
+    # and the ts path is pinned by the testdata-encoding sweep.
+    "q_video_decode",
     "q_lag_change",
     "q_selfjoin_lead",
     "q_containment_antijoin",

@@ -125,3 +125,37 @@ def ensure_audio_fixture(
             with open(fp, "wb") as f:
                 f.write(payload)
     return path
+
+
+VIDEO_FIXTURE_DIR = os.path.join(_REPO_ROOT, ".video_fixture")
+VIDEO_FIXTURE_N = 12
+
+
+def ensure_video_fixture(
+    path: str = VIDEO_FIXTURE_DIR, n: int = VIDEO_FIXTURE_N
+) -> str:
+    """Idempotently write `n` REAL Y4M (YUV4MPEG2, Cmono) clips. Clip i
+    has (3 + i % 5) frames of 32×24 deterministic moving-gradient luma —
+    genuine video files (ffmpeg/mpv play them), no RNG, decodable by
+    operators/audiocodec.decode_y4m with numpy alone."""
+    import numpy as np
+
+    from ..operators.audiocodec import encode_y4m
+
+    os.makedirs(path, exist_ok=True)
+    h, w = 24, 32
+    for i in range(n):
+        nf = 3 + i % 5
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = np.stack(
+            [
+                ((xx * (i + 2) + yy * 3 + f * 17 + i * 41) % 256).astype(np.uint8)
+                for f in range(nf)
+            ]
+        )
+        payload = encode_y4m(frames, fps=25)
+        fp = os.path.join(path, f"{i:04d}.y4m")
+        if not (os.path.exists(fp) and os.path.getsize(fp) == len(payload)):
+            with open(fp, "wb") as f:
+                f.write(payload)
+    return path

@@ -172,3 +172,51 @@ def test_spark_audio_scan_header_matches_decode(spark):
         samples, rate = decode_wav(bytes(r["content"]))
         assert r["sample_rate"] == rate
         assert r["n_samples"] == len(samples)
+
+
+# ------------------------------------------------------------- video
+
+def test_y4m_roundtrip_and_header():
+    from iceberg_tracking_spark.operators.audiocodec import (
+        decode_y4m,
+        encode_y4m,
+        is_y4m,
+    )
+
+    fr = ((np.arange(4 * 6 * 9).reshape(4, 6, 9) * 13) % 256).astype(np.uint8)
+    enc = encode_y4m(fr, 30)
+    assert is_y4m(enc) and enc.split(b"\n", 1)[0] == b"YUV4MPEG2 W9 H6 F30:1 Ip A1:1 Cmono"
+    dec, fps = decode_y4m(enc)
+    assert fps == 30 and (dec == fr).all()
+    with pytest.raises(ValueError):
+        decode_y4m(enc[:-5])  # truncated last frame
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFF" + enc[4:])
+
+
+def test_spark_video_frames_match_local_numpy(spark):
+    import os
+
+    from iceberg_tracking_spark.operators.audiocodec import decode_y4m
+    from iceberg_tracking_spark.operators.multimodal import (
+        extract_video_frames,
+        media_from_video_files,
+    )
+    from iceberg_tracking_spark.sources.binary import ensure_video_fixture
+
+    path = ensure_video_fixture()
+    media = media_from_video_files(spark, path)
+    got = extract_video_frames(media).collect()
+    by_clip: dict[int, list] = {}
+    for r in got:
+        by_clip.setdefault(r["media_id"], []).append(r)
+    assert len(by_clip) == 12
+    for i in (0, 5, 11):
+        with open(os.path.join(path, f"{i:04d}.y4m"), "rb") as f:
+            frames, fps = decode_y4m(f.read())
+        rows = sorted(by_clip[i], key=lambda r: r["frame_idx"])
+        assert len(rows) == frames.shape[0]
+        for idx, r in enumerate(rows):
+            assert r["fps"] == fps
+            assert (r["width"], r["height"]) == (frames.shape[2], frames.shape[1])
+            assert abs(r["frame_mean"] - float(frames[idx].mean())) < 1e-9
