@@ -504,3 +504,103 @@ def q_video_decode(spark, sf_dir):
         "height",
         F.round("frame_mean", 6).alias("frame_mean"),
     )
+
+
+def _image_embed_oracle() -> str:
+    """Visual-embedding oracle: re-decode the PGM pixels from hex,
+    mean-pool the top-left 16×16 crop into a 4×4 grid (16 exact
+    integer block sums / 16.0), then run the same rounded-cosine
+    brute-force top-k the similarity stack defines."""
+    from ..operators.similarity import duck_cosine_sql
+    from ..sources.binary import IMAGE_FIXTURE_DIR
+
+    def pair(off: str) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substr(hx, 2*({off}) + 1, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(hx, 2*({off}) + 2, 1)) - 1))"
+        )
+
+    # cell c (0..15): rows (c//4)*4..+3, cols (c%4)*4..+3; pixel (r,q)
+    # sits at byte px + r*w + q  (px = first pixel byte, 0-based)
+    cell_px = pair("px + ((c // 4) * 4 + (i // 4)) * w + (c % 4) * 4 + (i % 4)")
+    cos = duck_cosine_sql("a.emb", "b.emb", 16)
+    return f"""
+    WITH b0 AS (
+        SELECT CAST(regexp_extract(filename, '(\\d+)\\.pgm$', 1) AS BIGINT)
+                   AS media_id,
+               lower(hex(content)) AS hx
+        FROM read_blob('{IMAGE_FIXTURE_DIR}/*.pgm')
+    ),
+    hdr AS (
+        SELECT media_id, hx,
+               length(regexp_extract(hx,
+                   '^50350a(?:3[0-9])+20(?:3[0-9])+0a3235350a', 0)) // 2 AS px,
+               CAST(regexp_replace(
+                   regexp_extract(hx, '^50350a((?:3[0-9])+)20', 1),
+                   '3(.)', '\\1', 'g') AS INTEGER) AS w
+        FROM b0
+    ),
+    emb AS (
+        SELECT media_id,
+               list_transform(range(0, 16), c ->
+                   list_sum(list_transform(range(0, 16), i -> {cell_px})) / 16.0
+               ) AS emb
+        FROM hdr
+    ),
+    sims AS (
+        SELECT a.media_id AS qid, b.media_id AS nid,
+               round({cos}, 6) AS sim
+        FROM emb a JOIN emb b ON a.media_id != b.media_id
+    ),
+    ranked AS (
+        SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC)
+                   AS rn
+        FROM sims
+    )
+    SELECT qid, nid, sim FROM ranked WHERE rn <= 3
+    """
+
+
+@query("q_image_similarity", oracle=_image_embed_oracle())
+def q_image_similarity(spark, sf_dir):
+    """Visual near-dup over REAL pixels: decode each fixture image,
+    mean-pool the top-left 16×16 crop to a 4×4 grid → a 16-dim visual
+    embedding, then exact cosine top-3 neighbors per image through the
+    SAME brute_force_topk operator the text-embedding stack uses. The
+    oracle re-derives the embeddings from raw bytes in SQL and runs the
+    identical rounded-cosine ranking — pixels → embedding → similarity,
+    end-to-end, no stubs.
+
+    The multimodal × similarity crossover a training pipeline runs as
+    "image dedup": at scale the embedding stage is the same
+    embarrassingly-parallel mapInPandas, and the top-k stage swaps to
+    the LSH/IVF candidates path (q_ann_lsh / q_ann_ivf) — identical
+    relation shapes.
+    """
+    from ..operators.imagecodec import crop_pad
+    from ..operators.multimodal import decode_media, media_from_image_files
+    from ..operators.similarity import brute_force_topk
+
+    import numpy as _np
+    import pandas as _pd
+    from typing import Iterator as _Iterator
+
+    def _embed(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mat = decode_media(bytes(r.content), 0, 0, decode_stub=False)
+                crop = crop_pad(mat, 0, 0, 16, 16).astype(_np.float64)
+                pooled = crop.reshape(4, 4, 4, 4).mean(axis=(1, 3))
+                rows.append((r.media_id, [float(v) for v in pooled.ravel()]))
+            yield _pd.DataFrame(rows, columns=["media_id", "emb"])
+
+    media = media_from_image_files(spark)
+    emb = media.select("media_id", "content").mapInPandas(
+        _embed, schema="media_id long, emb array<double>"
+    )
+    q = emb.select(F.col("media_id").alias("qid"), F.col("emb").alias("qe"))
+    return brute_force_topk(
+        emb, q, k=3, corpus_id="media_id", vec_col="emb", query_vec_col="qe"
+    ).select("qid", F.col("nid"), "sim")

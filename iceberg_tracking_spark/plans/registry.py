@@ -74,7 +74,9 @@ DRIVER_PRIORITY: list[str] = [
     # q_group_collect's slot goes to q_video_decode: its r1 row stands
     # and the ts path is pinned by the testdata-encoding sweep.
     "q_video_decode",
-    "q_lag_change",
+    # q_lag_change's slot goes to the pixels→embedding→top-k crossover
+    # (r1 row stands; ts path pinned by the encoding sweep).
+    "q_image_similarity",
     "q_selfjoin_lead",
     "q_containment_antijoin",
     "q_session_window",

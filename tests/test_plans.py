@@ -22,6 +22,8 @@ from iceberg_tracking_spark.plans import QUERIES
 # scale-path replacements are q_ann_lsh / q_minhash_lsh / q_grid_join.
 NESTED_LOOP_OK = {
     "q_cosine_topk",       # broadcast queries x corpus, != condition
+    "q_image_similarity",  # fixture-sized brute_force_topk demo; scale
+                           # path is the LSH/IVF candidates (docstring)
     "q_ann_ivf",           # IVF assignment: broadcast K-row centroid table
                            # (bounded O(N*K) scoring, the IVF build cost)
     "q_kmeans_step",       # Lloyd assignment: same broadcast K-row pattern
