@@ -29,7 +29,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -173,10 +173,39 @@ def q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPK = 8  # partners kept per node in the k-NN backbone
+
+# Top-K co-occurrence backbone: keep each supplier's 8 strongest
+# partners (shared-order count desc, id asc), then de-duplicate the
+# directed picks into (src < dst) half-edges.
+_BACKBONE_SQL = f"""
+        cooc AS (
+            SELECT a.l_suppkey AS s, b.l_suppkey AS d, count(*) AS n
+            FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+            JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+              ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_suppkey <> b.l_suppkey
+            GROUP BY a.l_suppkey, b.l_suppkey
+        ),
+        picks AS (
+            SELECT s, d FROM (
+                SELECT s, d,
+                       row_number() OVER (PARTITION BY s
+                                          ORDER BY n DESC, d ASC) AS rn
+                FROM cooc
+            ) WHERE rn <= {_TOPK}
+        ),
+        pairs AS (
+            SELECT DISTINCT least(s, d) AS src, greatest(s, d) AS dst
+            FROM picks
+        )
+"""
+
+
 @query(
     "q_triangle_count",
     oracle=f"""
-    WITH pairs AS ({_EDGE_SQL}),
+    WITH {_BACKBONE_SQL},
     tri AS (
         SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
         FROM pairs e1
@@ -194,30 +223,50 @@ def q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle participation count on the supplier
-    co-occurrence graph (clustering-coefficient numerator — the
+    """Per-node triangle participation count on the top-K co-occurrence
+    BACKBONE graph (clustering-coefficient numerator — the
     community-density signal next to PageRank's centrality).
 
-    Classic ordered-wedge enumeration: with every edge stored once as
-    (src < dst), a triangle {a<b<c} is found EXACTLY once as the wedge
-    a→b→c closed by edge a→c — two equi-joins on the deduplicated
-    half-edge list, no symmetrization, no double counting to divide
-    away. At 100 TB-scale graphs the ordering trick is the difference
-    between |E|·avg-degree and |E|·max-degree work; skewed hub nodes
-    sort last and so contribute few ordered wedges.
+    Why a backbone and not the raw co-occurrence graph: co-occurrence
+    saturates — at sf0.1 the full graph is already COMPLETE (C(1000,2)
+    edges), and triangle counts on a near-complete graph are Θ(n³) no
+    matter the algorithm (this query OOM'd a 1 GB driver before the
+    backbone was introduced). Keeping each node's top-8 partners
+    (shared-order count desc, id asc — the k-NN graph every near-dup /
+    recommendation pipeline actually analyzes) bounds degree ≤ 2K by
+    construction, so wedge work is O(|V|·K²) at ANY scale — the
+    difference between a plan that survives 100× and one that cannot
+    terminate.
+
+    Triangle core: classic ordered-wedge enumeration — with every edge
+    stored once as (src < dst), a triangle {{a<b<c}} is found EXACTLY
+    once as the wedge a→b→c closed by edge a→c: two equi-joins on the
+    half-edge list, no double counting to divide away.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
     a = li.alias("a")
     b = li.alias("b")
-    edges = (
+    cooc = (
         a.join(b, "l_orderkey")
-        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("s"), F.col("b.l_suppkey").alias("d")
         )
-        .distinct()
-        .localCheckpoint()  # re-joined 3×; one scan, not three plan copies
+        .agg(F.count(F.lit(1)).alias("n"))
     )
+    w = Window.partitionBy("s").orderBy(F.col("n").desc(), F.col("d").asc())
+    picks = (
+        cooc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select(
+            F.least("s", "d").alias("src"), F.greatest("s", "d").alias("dst")
+        )
+    )
+    edges = picks.distinct().localCheckpoint()  # re-joined 3× below
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
