@@ -101,3 +101,26 @@ def crop_pad(
             src_t:src_b, src_l:src_r
         ]
     return out
+
+
+def draw_box(
+    mat: np.ndarray, left: int, top: int, width: int, height: int, value: int = 255
+) -> np.ndarray:
+    """Draw a 1-px rectangle outline (clipped to the image) — the
+    annotated-image overlay of the reference's visualize step
+    (visualize.py draws detection boxes), as pure array writes."""
+    out = mat.copy()
+    h, w = out.shape
+    t, b = max(top, 0), min(top + height - 1, h - 1)
+    l, r = max(left, 0), min(left + width - 1, w - 1)
+    if t > b or l > r:
+        return out
+    if 0 <= top < h:
+        out[top, l : r + 1] = value
+    if 0 <= top + height - 1 < h:
+        out[top + height - 1, l : r + 1] = value
+    if 0 <= left < w:
+        out[t : b + 1, left] = value
+    if 0 <= left + width - 1 < w:
+        out[t : b + 1, left + width - 1] = value
+    return out

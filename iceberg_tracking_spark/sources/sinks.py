@@ -130,3 +130,22 @@ def compact_parquet_table(
         "files_after": len(after),
         "bytes": total_bytes,
     }
+
+
+def write_media_files(media: DataFrame, out_dir: str, ext: str) -> None:
+    """Media sink (SURVEY S16-S18): write each blob row back out as a
+    real file `{media_id:08d}.{ext}` — the inverse of the binaryFile
+    scan. Runs as a foreachPartition job, so every executor writes its
+    partition's files in parallel; on a cluster `out_dir` is shared
+    storage (the same contract as any file sink). Combined with the
+    real codecs (imagecodec/audiocodec) this closes the loop: scan →
+    decode → transform → encode → write → re-scan."""
+
+    def _write(rows) -> None:
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+        for r in rows:
+            with open(os.path.join(out_dir, f"{r['media_id']:08d}.{ext}"), "wb") as f:
+                f.write(bytes(r["content"]))
+
+    media.select("media_id", "content").foreachPartition(_write)

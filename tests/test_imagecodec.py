@@ -220,3 +220,58 @@ def test_spark_video_frames_match_local_numpy(spark):
             assert r["fps"] == fps
             assert (r["width"], r["height"]) == (frames.shape[2], frames.shape[1])
             assert abs(r["frame_mean"] - float(frames[idx].mean())) < 1e-9
+
+
+# ------------------------------------------------------- sinks / viz
+
+def test_draw_box_outline_and_clipping():
+    from iceberg_tracking_spark.operators.imagecodec import draw_box
+
+    m = np.zeros((10, 12), np.uint8)
+    out = draw_box(m, 2, 3, 5, 4, value=200)
+    assert (out[3, 2:7] == 200).all() and (out[6, 2:7] == 200).all()
+    assert (out[3:7, 2] == 200).all() and (out[3:7, 6] == 200).all()
+    assert out[4, 3] == 0 and (m == 0).all()  # interior untouched, input intact
+    clipped = draw_box(m, -3, -3, 6, 6)  # box straddles the corner
+    assert (clipped[0:3, 2] == 255).all() and (clipped[2, 0:3] == 255).all()
+    assert (draw_box(m, 50, 50, 4, 4) == 0).all()  # fully outside → no-op
+
+
+def test_media_roundtrip_annotate_write_rescan(spark, tmp_path):
+    """Full media loop: scan real PGMs → decode → draw a detection box →
+    re-encode → write via the Spark sink → re-scan with binaryFile →
+    decode again and verify the annotation landed (S16-S18 for real)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from iceberg_tracking_spark.operators.imagecodec import (
+        decode_pgm,
+        draw_box,
+        encode_pgm,
+    )
+    from iceberg_tracking_spark.operators.multimodal import media_from_image_files
+    from iceberg_tracking_spark.sources.binary import read_binary_files
+    from iceberg_tracking_spark.sources.sinks import write_media_files
+
+    out_dir = str(tmp_path / "annotated")
+
+    def _annotate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mat = decode_pgm(bytes(r.content))
+                rows.append((r.media_id, encode_pgm(draw_box(mat, 4, 4, 10, 8))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = media_from_image_files(spark)
+    annotated = media.select("media_id", "content").mapInPandas(
+        _annotate, schema="media_id long, content binary"
+    )
+    write_media_files(annotated, out_dir, "pgm")
+
+    back = read_binary_files(spark, out_dir, glob="*.pgm").collect()
+    assert len(back) == 24
+    for r in back:
+        mat = decode_pgm(bytes(r["content"]))
+        assert (mat[4, 4:14] == 255).all() and (mat[4:12, 13] == 255).all()
