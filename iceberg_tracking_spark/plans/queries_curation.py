@@ -530,3 +530,98 @@ def q_char_entropy(spark: SparkSession, sf_dir: str):
             F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
         ).alias("char_entropy")
     )
+
+
+# ------------------------------------------------ governance / fuzzy
+
+@query(
+    "q_k_anonymity",
+    oracle="""
+    SELECT lang, source, n_chars // 100 AS size_band,
+           count(*) AS group_size
+    FROM documents
+    GROUP BY lang, source, n_chars // 100
+    HAVING count(*) < 5
+    """,
+)
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (lang, source, size band): emit every group small enough to
+    re-identify members — the privacy gate run before releasing a
+    curated corpus (companion to q_pii_scrub's content-level pass).
+    One hash aggregate + HAVING; embarrassingly scalable."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang",
+            "source",
+            (F.col("n_chars") / 100).cast("long").alias("size_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < 5)
+    )
+
+
+_FUZZ_BUCKET = 20  # chars per length bucket = the max length difference
+_FUZZ_PREFIX = 40
+_FUZZ_MAXDIST = 5
+
+
+@query(
+    "q_fuzzy_match",
+    oracle=f"""
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           levenshtein(substr(a.text, 1, {_FUZZ_PREFIX}),
+                       substr(b.text, 1, {_FUZZ_PREFIX})) AS dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= {_FUZZ_BUCKET}
+    WHERE levenshtein(substr(a.text, 1, {_FUZZ_PREFIX}),
+                      substr(b.text, 1, {_FUZZ_PREFIX})) <= {_FUZZ_MAXDIST}
+    """,
+)
+def q_fuzzy_match(spark, sf_dir):
+    """Edit-distance fuzzy matching (record linkage / title dedup): doc
+    pairs in the same language whose lengths differ ≤ 20 and whose
+    40-char prefixes are within Levenshtein distance 5.
+
+    The oracle states the naive same-language theta join; the Spark
+    plan blocks first — each doc hashes to one ⌊len/20⌋ bucket, the
+    probe side explodes to its 3 neighboring buckets (lossless for the
+    |Δlen| ≤ 20 predicate, the 1-D grid-join trick), and candidates
+    come from an equi-join on (lang, bucket). Each qualifying pair
+    meets in EXACTLY one bucket (the candidate's own), so no post-join
+    dedup. Levenshtein runs JVM-side on bounded 40-char prefixes —
+    O(40²) per candidate, never on full documents.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("len"),
+        F.substring("text", 1, _FUZZ_PREFIX).alias("prefix"),
+    )
+    b = F.lit(_FUZZ_BUCKET)
+    probe = d.select(
+        F.col("doc_id").alias("a_id"), "lang",
+        F.col("len").alias("a_len"), F.col("prefix").alias("a_prefix"),
+        F.explode(
+            F.array(
+                F.floor(F.col("len") / b) - 1,
+                F.floor(F.col("len") / b),
+                F.floor(F.col("len") / b) + 1,
+            )
+        ).alias("bkt"),
+    )
+    cand = d.select(
+        F.col("doc_id").alias("b_id"), "lang",
+        F.col("len").alias("b_len"), F.col("prefix").alias("b_prefix"),
+        F.floor(F.col("len") / b).alias("bkt"),
+    )
+    dist = F.levenshtein("a_prefix", "b_prefix")
+    return (
+        probe.join(cand, ["lang", "bkt"])
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_len") - F.col("b_len")) <= b)
+        )
+        .select("a_id", "b_id", dist.alias("dist"))
+        .filter(F.col("dist") <= _FUZZ_MAXDIST)
+    )
