@@ -1591,3 +1591,104 @@ def q_forward_fill(spark, sf_dir):
         F.last("day_avg", ignorenulls=True).over(w).alias("filled"),
         F.col("day_avg").isNull().alias("was_filled"),
     )
+
+
+# ----------------------------------------------------- count-min sketch
+
+_CMS_K = 4  # hash functions
+_CMS_W = 512  # buckets per row
+
+_DUCK_CMS_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+)
+
+
+def _cms_oracle() -> str:
+    """Exact mirror of the relational CMS: same md5 bucket function
+    (first 8 hex chars of md5('{fn}:{tok}') mod W, via portable
+    hex-char arithmetic — DuckDB has no strtol), same min-over-rows
+    estimate — the oracle rebuilds the identical sketch, so the
+    comparison pins the full build+query pipeline, not just a bound."""
+    from ._sqlgen import hex_int
+
+    md5_expr = "md5(CAST(fn AS VARCHAR) || ':' || tok)"
+    bucket = f"({hex_int(md5_expr, 1, 8)} % {_CMS_W})"
+    return f"""
+    WITH stream AS (
+        SELECT u.tok AS tok
+        FROM (SELECT {_DUCK_CMS_TOKS} AS l FROM documents), unnest(l) AS u(tok)
+    ),
+    hashed AS (
+        SELECT tok, fn, {bucket} AS bucket
+        FROM stream, (SELECT unnest(range(0, {_CMS_K})) AS fn)
+    ),
+    cms AS (
+        SELECT fn, bucket, count(*) AS c
+        FROM hashed GROUP BY fn, bucket
+    ),
+    top_toks AS (
+        SELECT tok, count(*) AS exact_count
+        FROM stream GROUP BY tok
+        ORDER BY exact_count DESC, tok ASC LIMIT 20
+    ),
+    probes AS (
+        SELECT tok, exact_count, fn, {bucket} AS bucket
+        FROM top_toks, (SELECT unnest(range(0, {_CMS_K})) AS fn)
+    )
+    SELECT p.tok AS token, p.exact_count,
+           min(c.c) AS cms_estimate
+    FROM probes p JOIN cms c ON c.fn = p.fn AND c.bucket = p.bucket
+    GROUP BY p.tok, p.exact_count
+    """
+
+
+@query("q_count_min", oracle=_cms_oracle())
+def q_count_min(spark, sf_dir):
+    """Count-min sketch as a composition of DataFrame ops (the "novel
+    sketch" pattern): the token stream explodes to K=4 md5-derived
+    (row, bucket) cells, one hash aggregate builds the K×512 table, and
+    a point query is an equi-join on (row, bucket) + min-over-rows.
+    Output: the 20 most frequent tokens with exact count and CMS
+    estimate (estimate ≥ exact always; equality whenever no collision).
+
+    Scale story: the sketch build is ONE map-side-combining aggregate
+    over K× the stream — the sketch itself is K·W rows (~2k) regardless
+    of corpus size, i.e. constant-size state that merges across
+    partitions, streams, and days (the same property approx_count_
+    distinct's HLL exploits, here built from first principles). At
+    100 TB the CMS table broadcasts for O(1)-per-probe lookups.
+    """
+    d = scatter(load_table(spark, sf_dir, "documents"))
+    stream = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok")
+    )
+    fns = F.explode(F.array(*[F.lit(i) for i in range(_CMS_K)])).alias("fn")
+
+    def bucket(tok: F.Column, fn: F.Column) -> F.Column:
+        key = F.concat_ws(":", fn.cast("string"), tok)
+        return (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % _CMS_W
+        )
+
+    hashed = stream.select("tok", fns).withColumn(
+        "bucket", bucket(F.col("tok"), F.col("fn"))
+    )
+    cms = hashed.groupBy("fn", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    top = (
+        stream.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("tok"))
+        .limit(20)
+    )
+    probes = top.select("tok", "exact_count", fns).withColumn(
+        "bucket", bucket(F.col("tok"), F.col("fn"))
+    )
+    return (
+        F.broadcast(probes)
+        .join(cms, ["fn", "bucket"])
+        .groupBy(F.col("tok").alias("token"), "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
