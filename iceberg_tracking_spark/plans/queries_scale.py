@@ -1692,3 +1692,138 @@ def q_count_min(spark, sf_dir):
         .groupBy(F.col("tok").alias("token"), "exact_count")
         .agg(F.min("c").alias("cms_estimate"))
     )
+
+
+# ------------------------------------------------------- bloom filter
+
+_BLOOM_K = 4
+_BLOOM_W = 2048
+
+
+def _bloom_oracle() -> str:
+    """Mirror of the relational Bloom filter, bit-for-bit: member set =
+    tokens of 'en' documents, probes = distinct tokens of all other
+    documents; same md5 cell function as the Spark side."""
+    from ._sqlgen import hex_int
+
+    md5_expr = "md5(CAST(fn AS VARCHAR) || ':' || tok)"
+    bucket = f"({hex_int(md5_expr, 1, 8)} % {_BLOOM_W})"
+    return f"""
+    WITH members AS (
+        SELECT DISTINCT u.tok AS tok
+        FROM (SELECT {_DUCK_CMS_TOKS} AS l FROM documents WHERE lang = 'en'),
+             unnest(l) AS u(tok)
+    ),
+    bits AS (
+        SELECT DISTINCT fn, {bucket} AS bucket
+        FROM members, (SELECT unnest(range(0, {_BLOOM_K})) AS fn)
+    ),
+    probes AS (
+        SELECT DISTINCT u.tok AS tok
+        FROM (SELECT {_DUCK_CMS_TOKS} AS l FROM documents WHERE lang <> 'en'),
+             unnest(l) AS u(tok)
+    ),
+    probe_hits AS (
+        SELECT p.tok,
+               count(b.fn) AS cells_set
+        FROM (SELECT tok, fn, {bucket} AS bucket
+              FROM probes, (SELECT unnest(range(0, {_BLOOM_K})) AS fn)) p
+        LEFT JOIN bits b ON b.fn = p.fn AND b.bucket = p.bucket
+        GROUP BY p.tok
+    ),
+    flagged AS (
+        SELECT h.tok,
+               h.cells_set = {_BLOOM_K} AS maybe_member,
+               m.tok IS NOT NULL AS is_member
+        FROM probe_hits h LEFT JOIN members m ON m.tok = h.tok
+    )
+    SELECT count(*) AS n_probed,
+           CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_members,
+           CAST(sum(CASE WHEN maybe_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(sum(CASE WHEN maybe_member AND NOT is_member THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN is_member AND NOT maybe_member THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_neg
+    FROM flagged
+    """
+
+
+@query("q_bloom_filter", oracle=_bloom_oracle())
+def q_bloom_filter(spark, sf_dir):
+    """Bloom filter as a composition of DataFrame ops (the membership
+    sibling of q_count_min): the member set ('en' vocabulary) maps to
+    K=4 md5-derived cells, the filter is the DISTINCT (fn, bucket)
+    relation (≤ K·2048 rows regardless of corpus size), and a probe is
+    "all K cells set" — computed as one equi-join + count-per-token.
+    Output is the audit row: probes, true members, flagged,
+    false positives, and false negatives (ALWAYS 0 — the Bloom
+    guarantee, and the DuckDB oracle proves it on real data).
+
+    Scale story: this is the join-pruning primitive — broadcast the
+    constant-size bit relation to pre-filter a 100 TB probe side down
+    to (members + ε·probes) rows before an expensive join, exactly what
+    engines do with runtime BloomFilter pushdown, built here from
+    first principles with engine-portable hashing.
+    """
+    d = scatter(load_table(spark, sf_dir, "documents"))
+
+    def toks(pred):
+        return (
+            d.filter(pred)
+            .select(
+                F.explode(
+                    F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+                ).alias("tok")
+            )
+            .distinct()
+        )
+
+    def cells(df):
+        fn = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("fn")
+        key = F.concat_ws(":", F.col("fn").cast("string"), F.col("tok"))
+        return df.select("tok", fn).withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % _BLOOM_W,
+        )
+
+    members = toks(F.col("lang") == "en")
+    bits = cells(members).select("fn", "bucket").distinct()
+    probes = toks(F.col("lang") != "en")
+
+    probe_hits = (
+        cells(probes)
+        .join(F.broadcast(bits), ["fn", "bucket"], "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cells_set"))
+    )
+    # left join back so probes with ZERO set cells (dropped by the semi
+    # join) still count — they are definite non-members.
+    flagged = (
+        probes.join(probe_hits, "tok", "left")
+        .join(
+            members.select(F.col("tok"), F.lit(True).alias("is_member")),
+            "tok",
+            "left",
+        )
+        .select(
+            "tok",
+            (F.coalesce(F.col("cells_set"), F.lit(0)) == _BLOOM_K).alias(
+                "maybe_member"
+            ),
+            F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+        )
+    )
+    t = F.lit(1)
+    return flagged.agg(
+        F.count(t).alias("n_probed"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_members"),
+        F.sum(F.when(F.col("maybe_member"), 1).otherwise(0)).alias("n_flagged"),
+        F.sum(
+            F.when(F.col("maybe_member") & ~F.col("is_member"), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when(F.col("is_member") & ~F.col("maybe_member"), 1).otherwise(0)
+        ).alias("n_false_neg"),
+    )
