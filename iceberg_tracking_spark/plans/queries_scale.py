@@ -1827,3 +1827,120 @@ def q_bloom_filter(spark, sf_dir):
             F.when(F.col("is_member") & ~F.col("maybe_member"), 1).otherwise(0)
         ).alias("n_false_neg"),
     )
+
+
+# -------------------------------------------------------- hyperloglog
+
+_HLL_M = 64  # buckets (first 6 md5 bits)
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+def _hll_rho_sql(hexpr: str) -> str:
+    """CASE chain: position of the first 1-bit in the 52 bits held by
+    hex chars 3..15 of md5 (1-based; 53 when all zero)."""
+    arms = []
+    for i in range(13):
+        nib = f"(strpos('0123456789abcdef', substr({hexpr}, {3 + i}, 1)) - 1)"
+        arms.append(
+            f"WHEN {nib} > 0 THEN {4 * i + 4} - CAST(floor(log2({nib})) AS BIGINT)"
+        )
+    return "CASE " + " ".join(arms) + " ELSE 53 END"
+
+
+def _hll_oracle() -> str:
+    """Bit-identical HLL rebuild in SQL: same md5 bucket/rho split, the
+    same alpha literal, the same small-range correction."""
+    from ._sqlgen import hex_int
+
+    bucket = f"({hex_int('h', 1, 2)} % {_HLL_M})"
+    return f"""
+    WITH stream AS (
+        SELECT md5(u.tok) AS h
+        FROM (SELECT {_DUCK_CMS_TOKS} AS l FROM documents), unnest(l) AS u(tok)
+    ),
+    regs AS (
+        SELECT {bucket} AS bucket, max({_hll_rho_sql('h')}) AS m
+        FROM stream GROUP BY {bucket}
+    ),
+    agg AS (
+        SELECT sum(power(2.0, -m)) + ({_HLL_M} - count(*)) AS denom,
+               {_HLL_M} - count(*) AS zeros
+        FROM regs
+    ),
+    est AS (
+        SELECT CASE
+            WHEN CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M} / denom <= {2.5 * _HLL_M}
+                 AND zeros > 0
+            THEN {_HLL_M} * ln({_HLL_M} * 1.0 / zeros)
+            ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M} / denom
+        END AS raw
+        FROM agg
+    )
+    SELECT round((SELECT raw FROM est), 4) AS hll_estimate,
+           (SELECT count(DISTINCT tok) FROM (
+               SELECT u.tok AS tok
+               FROM (SELECT {_DUCK_CMS_TOKS} AS l FROM documents),
+                    unnest(l) AS u(tok))) AS exact_distinct
+    """
+
+
+@query("q_hll", oracle=_hll_oracle())
+def q_hll(spark, sf_dir):
+    """HyperLogLog from first principles (the cardinality member of the
+    sketch trio: q_count_min = frequency, q_bloom_filter = membership):
+    md5 splits into a 6-bit bucket and 52 payload bits, the register
+    table is max(first-1-bit-position) per bucket — 64 rows of
+    mergeable state regardless of corpus size — and the harmonic-mean
+    estimate with small-range correction follows Flajolet et al. §4.
+    The DuckDB oracle rebuilds the identical registers (same hashes,
+    same alpha literal, same correction branch), so the comparison is
+    exact, not a tolerance band. Output: (hll_estimate,
+    exact_distinct) side by side.
+
+    This is what `approx_count_distinct` does inside the JVM — built
+    here as two hash aggregates so the mechanics (and the 64-row state
+    that makes streaming/partition merges free) are visible and
+    portable.
+    """
+    d = scatter(load_table(spark, sf_dir, "documents"))
+    stream = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok")
+    ).select(F.md5("tok").alias("h"))
+    hexd = F.lit("0123456789abcdef")
+    rho = None
+    for i in range(13):
+        nib = F.instr(hexd, F.substring("h", 3 + i, 1)) - 1
+        arm_val = F.lit(4 * i + 4) - F.floor(F.log2(nib)).cast("long")
+        rho = F.when(nib > 0, arm_val) if rho is None else rho.when(nib > 0, arm_val)
+    rho = rho.otherwise(F.lit(53))
+    bucket = (
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("long") % _HLL_M
+    ).alias("bucket")
+
+    regs = stream.select(bucket, rho.alias("rho")).groupBy("bucket").agg(
+        F.max("rho").alias("m")
+    )
+    agg = regs.agg(
+        (F.sum(F.pow(F.lit(2.0), -F.col("m"))) + (_HLL_M - F.count(F.lit(1)))).alias(
+            "denom"
+        ),
+        (_HLL_M - F.count(F.lit(1))).alias("zeros"),
+    )
+    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("denom")
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("zeros") > 0),
+        _HLL_M * F.log(_HLL_M / F.col("zeros").cast("double")),
+    ).otherwise(raw)
+    exact = (
+        d.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+            ).alias("tok")
+        )
+        .agg(F.count_distinct("tok").alias("exact_distinct"))
+    )
+    return agg.select(F.round(est, 4).alias("hll_estimate")).crossJoin(
+        F.broadcast(exact)
+    )
