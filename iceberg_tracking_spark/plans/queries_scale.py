@@ -1658,39 +1658,25 @@ def q_count_min(spark, sf_dir):
     distinct's HLL exploits, here built from first principles). At
     100 TB the CMS table broadcasts for O(1)-per-probe lookups.
     """
+    from ..operators.sketches import cms_probe, cms_table
+
     d = scatter(load_table(spark, sf_dir, "documents"))
     stream = d.select(
         F.explode(
             F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
         ).alias("tok")
     )
-    fns = F.explode(F.array(*[F.lit(i) for i in range(_CMS_K)])).alias("fn")
-
-    def bucket(tok: F.Column, fn: F.Column) -> F.Column:
-        key = F.concat_ws(":", fn.cast("string"), tok)
-        return (
-            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % _CMS_W
-        )
-
-    hashed = stream.select("tok", fns).withColumn(
-        "bucket", bucket(F.col("tok"), F.col("fn"))
-    )
-    cms = hashed.groupBy("fn", "bucket").agg(F.count(F.lit(1)).alias("c"))
-
+    cms = cms_table(stream)
     top = (
         stream.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("exact_count"))
         .orderBy(F.desc("exact_count"), F.asc("tok"))
         .limit(20)
     )
-    probes = top.select("tok", "exact_count", fns).withColumn(
-        "bucket", bucket(F.col("tok"), F.col("fn"))
-    )
     return (
-        F.broadcast(probes)
-        .join(cms, ["fn", "bucket"])
-        .groupBy(F.col("tok").alias("token"), "exact_count")
-        .agg(F.min("c").alias("cms_estimate"))
+        cms_probe(cms, top)
+        .join(F.broadcast(top), "tok")
+        .select(F.col("tok").alias("token"), "exact_count", "cms_estimate")
     )
 
 
@@ -1780,40 +1766,19 @@ def q_bloom_filter(spark, sf_dir):
             .distinct()
         )
 
-    def cells(df):
-        fn = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("fn")
-        key = F.concat_ws(":", F.col("fn").cast("string"), F.col("tok"))
-        return df.select("tok", fn).withColumn(
-            "bucket",
-            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % _BLOOM_W,
-        )
+    from ..operators.sketches import bloom_bits, bloom_maybe_member
 
     members = toks(F.col("lang") == "en")
-    bits = cells(members).select("fn", "bucket").distinct()
+    bits = bloom_bits(members)
     probes = toks(F.col("lang") != "en")
-
-    probe_hits = (
-        cells(probes)
-        .join(F.broadcast(bits), ["fn", "bucket"], "left_semi")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cells_set"))
-    )
-    # left join back so probes with ZERO set cells (dropped by the semi
-    # join) still count — they are definite non-members.
-    flagged = (
-        probes.join(probe_hits, "tok", "left")
-        .join(
-            members.select(F.col("tok"), F.lit(True).alias("is_member")),
-            "tok",
-            "left",
-        )
-        .select(
-            "tok",
-            (F.coalesce(F.col("cells_set"), F.lit(0)) == _BLOOM_K).alias(
-                "maybe_member"
-            ),
-            F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
-        )
+    flagged = bloom_maybe_member(bits, probes).join(
+        members.select(F.col("tok"), F.lit(True).alias("is_member")),
+        "tok",
+        "left",
+    ).select(
+        "tok",
+        "maybe_member",
+        F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
     )
     t = F.lit(1)
     return flagged.agg(
@@ -1907,40 +1872,9 @@ def q_hll(spark, sf_dir):
         F.explode(
             F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
         ).alias("tok")
-    ).select(F.md5("tok").alias("h"))
-    hexd = F.lit("0123456789abcdef")
-    rho = None
-    for i in range(13):
-        nib = F.instr(hexd, F.substring("h", 3 + i, 1)) - 1
-        arm_val = F.lit(4 * i + 4) - F.floor(F.log2(nib)).cast("long")
-        rho = F.when(nib > 0, arm_val) if rho is None else rho.when(nib > 0, arm_val)
-    rho = rho.otherwise(F.lit(53))
-    bucket = (
-        F.conv(F.substring("h", 1, 2), 16, 10).cast("long") % _HLL_M
-    ).alias("bucket")
+    )
+    from ..operators.sketches import hll_estimate, hll_registers
 
-    regs = stream.select(bucket, rho.alias("rho")).groupBy("bucket").agg(
-        F.max("rho").alias("m")
-    )
-    agg = regs.agg(
-        (F.sum(F.pow(F.lit(2.0), -F.col("m"))) + (_HLL_M - F.count(F.lit(1)))).alias(
-            "denom"
-        ),
-        (_HLL_M - F.count(F.lit(1))).alias("zeros"),
-    )
-    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("denom")
-    est = F.when(
-        (raw <= 2.5 * _HLL_M) & (F.col("zeros") > 0),
-        _HLL_M * F.log(_HLL_M / F.col("zeros").cast("double")),
-    ).otherwise(raw)
-    exact = (
-        d.select(
-            F.explode(
-                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-            ).alias("tok")
-        )
-        .agg(F.count_distinct("tok").alias("exact_distinct"))
-    )
-    return agg.select(F.round(est, 4).alias("hll_estimate")).crossJoin(
-        F.broadcast(exact)
-    )
+    est = hll_estimate(hll_registers(stream))
+    exact = stream.agg(F.count_distinct("tok").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact))

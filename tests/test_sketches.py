@@ -1,0 +1,66 @@
+"""Merge laws of the relational sketches: sketch(A ∪ B) must equal
+merge(sketch(A), sketch(B)) EXACTLY — the property that makes the
+constant-size state free to combine across partitions, streams, and
+days. Plus the core estimate invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_tracking_spark.operators.sketches import (
+    bloom_bits,
+    bloom_maybe_member,
+    bloom_merge,
+    cms_merge,
+    cms_probe,
+    cms_table,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _toks(spark, words):
+    return spark.createDataFrame([(w,) for w in words], "tok string")
+
+
+def _words(seed: int, n: int) -> list[str]:
+    return [f"w{(i * seed + i * i) % (n // 2 + 3)}" for i in range(n)]
+
+
+def test_cms_merge_law_and_overestimate(spark):
+    a, b = _words(7, 400), _words(11, 300)
+    whole = cms_table(_toks(spark, a + b))
+    merged = cms_merge(cms_table(_toks(spark, a)), cms_table(_toks(spark, b)))
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+    # estimate >= exact for every token (the CMS guarantee)
+    stream = _toks(spark, a + b)
+    exact = stream.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    probed = cms_probe(whole, exact.select("tok"))
+    bad = probed.join(exact, "tok").filter(F.col("cms_estimate") < F.col("n"))
+    assert bad.count() == 0
+
+
+def test_bloom_merge_law_and_no_false_negatives(spark):
+    a, b = _words(5, 200), _words(13, 150)
+    whole = bloom_bits(_toks(spark, a + b))
+    merged = bloom_merge(bloom_bits(_toks(spark, a)), bloom_bits(_toks(spark, b)))
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+    # every member probes positive
+    flags = bloom_maybe_member(whole, _toks(spark, a + b))
+    assert flags.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_hll_merge_law_and_accuracy(spark):
+    a = [f"a{i}" for i in range(800)]
+    b = [f"b{i}" for i in range(600)] + a[:100]  # overlap
+    whole = hll_registers(_toks(spark, a + b))
+    merged = hll_merge(hll_registers(_toks(spark, a)), hll_registers(_toks(spark, b)))
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+    # estimate within the ~1.04/sqrt(64) = 13% band (3 sigma ≈ 39%)
+    est = hll_estimate(whole).first()["hll_estimate"]
+    true = len(set(a + b))
+    assert abs(est - true) / true < 0.39, (est, true)
