@@ -64,3 +64,50 @@ def test_hll_merge_law_and_accuracy(spark):
     est = hll_estimate(whole).first()["hll_estimate"]
     true = len(set(a + b))
     assert abs(est - true) / true < 0.39, (est, true)
+
+
+def test_streaming_hll_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Maintain HLL registers over a document stream with foreachBatch:
+    each micro-batch's 64-row register table max-merges into a
+    VersionedTable snapshot. After all batches the stored sketch must
+    equal the from-scratch batch sketch EXACTLY (the merge law live on
+    a real stream), and so must the cardinality estimate."""
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = lambda df: df.select(  # noqa: E731
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok")
+    )
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(src)
+
+    t = VersionedTable(str(tmp_path / "hll_regs"))
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        regs = hll_registers(toks(batch_df))
+        if t.current_version() is not None:
+            regs = hll_merge(t.read(batch_df.sparkSession), regs)
+        t.write(regs.coalesce(1))
+
+    stream = (
+        spark.readStream.schema(docs.schema).parquet(src).writeStream
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    q = stream.start()
+    q.awaitTermination(120)
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    q2 = stream.start()
+    q2.awaitTermination(120)
+
+    stored = t.read(spark)
+    batch = hll_registers(toks(docs))
+    assert stored.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stored).count() == 0
+    est_stream = hll_estimate(stored).first()["hll_estimate"]
+    est_batch = hll_estimate(batch).first()["hll_estimate"]
+    assert est_stream == est_batch
