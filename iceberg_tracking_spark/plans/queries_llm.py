@@ -1243,6 +1243,19 @@ def q_bm25(spark, sf_dir):
     return ranked.filter(F.col("rn") <= 10).select("doc_id", "score")
 
 
+def _bm25_ranked(spark, sf_dir, limit: int):
+    """(doc_id, lex_rank) for the fixed query terms — the q_bm25
+    pipeline with the rank kept (shared by q_rrf_fusion)."""
+    ranked = q_bm25.__wrapped__(spark, sf_dir) if hasattr(q_bm25, "__wrapped__") \
+        else q_bm25(spark, sf_dir)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        ranked.withColumn("lex_rank", F.row_number().over(w))
+        .filter(F.col("lex_rank") <= limit)
+        .select("doc_id", "lex_rank")
+    )
+
+
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\d{3}-\d{4}"
 
@@ -1297,4 +1310,100 @@ def q_pii_scrub(spark, sf_dir):
         ).alias("redacted"),
         F.regexp_count("msg", F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
         F.regexp_count("msg", F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+    )
+
+
+_RRF_K = 60
+_RRF_TOPK = 10
+
+
+def _rrf_oracle() -> str:
+    """Both retrieval pipelines re-derived in SQL (the BM25 oracle
+    embedded verbatim as a CTE; cosine as in q_cosine_topk), fused with
+    1/(k + rank) in a FIXED branch order (lex + sem) so float addition
+    matches the Spark expression bit-for-bit."""
+    return f"""
+    WITH lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+        FROM ({_bm25_oracle()})
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    qv AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    sims AS (
+        SELECT v.vec_id AS doc_id,
+               round(list_dot_product(q.qe, v.e)
+                     / (sqrt(list_dot_product(q.qe, q.qe))
+                        * sqrt(list_dot_product(v.e, v.e))), 6) AS sim
+        FROM v CROSS JOIN qv q WHERE v.vec_id <> 0
+    ),
+    sem AS (
+        SELECT doc_id, sem_rank FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY sim DESC, doc_id) AS sem_rank
+            FROM sims
+        ) WHERE sem_rank <= {_RRF_TOPK}
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+               round(coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+                     + coalesce(1.0 / ({_RRF_K} + s.sem_rank), 0.0), 6) AS rrf
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, rrf FROM (
+        SELECT doc_id, rrf,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+        FROM fused
+    ) WHERE rn <= {_RRF_TOPK}
+    """
+
+
+@query("q_rrf_fusion", oracle=_rrf_oracle())
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): the lexical top-10 (BM25, q_bm25's exact pipeline) and the
+    semantic top-10 (cosine against the vec_id=0 anchor, q_cosine_topk's
+    exact pipeline) merge with score = Σ 1/(60 + rank) — the standard
+    hybrid-search combiner, rank-based so the two incomparable score
+    scales never touch.
+
+    Scale shape: each side is its own already-scale-safe pipeline ending
+    in a tiny top-k relation; the fusion is a full outer join of two
+    ≤10-row lists + one ranking — free. At 100 TB you swap the
+    brute-force semantic side for q_ann_lsh candidates; the fusion
+    stage is unchanged.
+    """
+    from ..operators.similarity import brute_force_topk
+
+    lex = _bm25_ranked(spark, sf_dir, _RRF_TOPK)
+
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qv = v.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    sem = (
+        brute_force_topk(v, qv, k=_RRF_TOPK, corpus_id="vec_id")
+        .withColumn(
+            "sem_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("sim").desc(), F.col("nid").asc())
+            ),
+        )
+        .select(F.col("nid").alias("doc_id"), "sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RRF_TOPK)
+        .select("doc_id", "rrf")
     )

@@ -24,6 +24,8 @@ NESTED_LOOP_OK = {
     "q_cosine_topk",       # broadcast queries x corpus, != condition
     "q_image_similarity",  # fixture-sized brute_force_topk demo; scale
                            # path is the LSH/IVF candidates (docstring)
+    "q_rrf_fusion",        # semantic side = brute_force_topk (1 anchor);
+                           # scale path swaps in q_ann_lsh candidates
     "q_ann_ivf",           # IVF assignment: broadcast K-row centroid table
                            # (bounded O(N*K) scoring, the IVF build cost)
     "q_kmeans_step",       # Lloyd assignment: same broadcast K-row pattern
