@@ -1246,8 +1246,7 @@ def q_bm25(spark, sf_dir):
 def _bm25_ranked(spark, sf_dir, limit: int):
     """(doc_id, lex_rank) for the fixed query terms — the q_bm25
     pipeline with the rank kept (shared by q_rrf_fusion)."""
-    ranked = q_bm25.__wrapped__(spark, sf_dir) if hasattr(q_bm25, "__wrapped__") \
-        else q_bm25(spark, sf_dir)
+    ranked = q_bm25(spark, sf_dir)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
         ranked.withColumn("lex_rank", F.row_number().over(w))
