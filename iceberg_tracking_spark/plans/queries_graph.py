@@ -202,6 +202,35 @@ _BACKBONE_SQL = f"""
 """
 
 
+def _backbone_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K co-occurrence backbone as (src < dst) half-edges,
+    localCheckpoint-ed (consumers re-join it several times)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    cooc = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("s"), F.col("b.l_suppkey").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("s").orderBy(F.col("n").desc(), F.col("d").asc())
+    picks = (
+        cooc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select(
+            F.least("s", "d").alias("src"), F.greatest("s", "d").alias("dst")
+        )
+    )
+    return picks.distinct().localCheckpoint()
+
+
 @query(
     "q_triangle_count",
     oracle=f"""
@@ -243,30 +272,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     once as the wedge a→b→c closed by edge a→c: two equi-joins on the
     half-edge list, no double counting to divide away.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    cooc = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
-        .groupBy(
-            F.col("a.l_suppkey").alias("s"), F.col("b.l_suppkey").alias("d")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w = Window.partitionBy("s").orderBy(F.col("n").desc(), F.col("d").asc())
-    picks = (
-        cooc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOPK)
-        .select(
-            F.least("s", "d").alias("src"), F.greatest("s", "d").alias("dst")
-        )
-    )
-    edges = picks.distinct().localCheckpoint()  # re-joined 3× below
+    edges = _backbone_edges(spark, sf_dir)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -292,4 +298,84 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes.groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
         .select(F.col("node").alias("supp_key"), "triangles")
+    )
+
+
+@query(
+    "q_clustering_coeff",
+    oracle=f"""
+    WITH {_BACKBONE_SQL},
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.src = e1.dst
+        JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    tri_per_node AS (
+        SELECT node, count(*) AS triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    ),
+    deg AS (
+        SELECT node, count(*) AS degree FROM (
+            SELECT src AS node FROM pairs
+            UNION ALL SELECT dst FROM pairs
+        ) GROUP BY node
+    )
+    SELECT d.node AS supp_key,
+           round(coalesce(t.triangles, 0) * 2.0
+                 / (d.degree * (d.degree - 1)), 6) AS clustering_coeff
+    FROM deg d LEFT JOIN tri_per_node t ON t.node = d.node
+    WHERE d.degree >= 2
+    """,
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the top-K backbone:
+    cc(v) = triangles(v) / C(deg(v), 2) — how much of a node's
+    neighborhood is itself connected (community tightness, the
+    companion signal to q_triangle_count's raw counts). Same
+    degree-bounded backbone, so the wedge work stays O(|V|·K²) at any
+    scale; the division is per-node arithmetic on two small aggregates.
+    """
+    edges = _backbone_edges(spark, sf_dir)
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    tri_nodes = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select("b"))
+        .union(tri.select("c"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri_nodes, "node", "left")
+        .select(
+            F.col("node").alias("supp_key"),
+            F.round(
+                F.coalesce(F.col("triangles"), F.lit(0)) * 2.0
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
     )
