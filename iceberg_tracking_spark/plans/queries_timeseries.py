@@ -178,3 +178,58 @@ def q_winsorize(spark, sf_dir):
             6,
         ).alias("robust_z"),
     )
+
+
+_SEAS_SIGMA = 3.0
+_SEAS_MIN_N = 10
+
+
+@query(
+    "q_seasonal_anomaly",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+               avg(value) AS mu, stddev_samp(value) AS sigma,
+               count(*) AS n
+        FROM events GROUP BY event_type, hour(ts)
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(hour(e.ts) AS BIGINT) AS hod,
+           round((e.value - b.mu) / b.sigma, 6) AS seasonal_z
+    FROM events e
+    JOIN base b ON b.event_type = e.event_type
+               AND b.hod = CAST(hour(e.ts) AS BIGINT)
+    WHERE b.n >= {_SEAS_MIN_N} AND b.sigma > 0
+      AND abs((e.value - b.mu) / b.sigma) > {_SEAS_SIGMA}
+    """,
+)
+def q_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-baseline anomaly detection: each event is scored
+    against its (event_type, hour-of-day) population — the calendar
+    companion to q_zscore_anomaly's trailing baseline (a value normal
+    at 14:00 can be a 3σ outlier at 03:00).
+
+    Same two-pass shape as q_winsorize: the baseline reduces to
+    |event_types|×24 rows and joins back BROADCAST, so the fact table
+    is never shuffled; the seasonal key is derivable from the
+    partition column at scan time, so at 100 TB the baseline pass
+    prunes to the partitions being scored.
+    """
+    ev = scatter(load_table(spark, sf_dir, "events"))
+    hod = F.hour("ts").cast("long")
+    base = ev.groupBy(F.col("event_type"), hod.alias("hod")).agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.select("event_id", "event_type", hod.alias("hod"), "value")
+        .join(F.broadcast(base), ["event_type", "hod"])
+        .filter(
+            (F.col("n") >= _SEAS_MIN_N)
+            & (F.col("sigma") > 0)
+            & (F.abs(z) > _SEAS_SIGMA)
+        )
+        .select("event_id", "event_type", "hod", F.round(z, 6).alias("seasonal_z"))
+    )
