@@ -217,6 +217,20 @@ class VersionedTable:
         merged = kept.unionByName(changes)
         return self._commit_current_layout(merged, m)
 
+    def delete_where(self, spark: SparkSession, predicate: str) -> int:
+        """Row-level DELETE (copy-on-write): commit a new snapshot
+        without the rows matching the SQL `predicate`. The deletion is
+        visible to `changes()` as `delete` rows between the two
+        snapshots, so CDC consumers see it like any other mutation.
+        Pairs with time travel: the pre-delete snapshot stays readable
+        until `expire()`."""
+        m = self._load_manifest()
+        if m["current"] is None:
+            raise ValueError("delete_where on an empty table")
+        current = spark.read.parquet(self._data_dir(m["current"]))
+        remaining = current.filter(f"NOT ({predicate})")
+        return self._commit_current_layout(remaining, m)
+
     def merge_aggregate(
         self,
         delta: DataFrame,

@@ -815,3 +815,28 @@ def test_interval_join_rejects_column_collisions(spark):
     ivs = spark.createDataFrame([("a", 0, 5, 9)], "key string, s long, e long, x long")
     with _pytest.raises(ValueError, match="collide"):
         interval_join(pts, ivs, "key", "p", "s", "e", bucket=10)
+
+
+def test_versioned_table_delete_where(spark, tmp_path):
+    """Row-level DELETE commits a snapshot; CDC shows the deleted rows;
+    time travel still reads the pre-delete state."""
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt_del"))
+    t.write(spark.range(0, 10).select(F.col("id").alias("k")))
+    v = t.delete_where(spark, "k % 3 = 0")
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == [1, 2, 4, 5, 7, 8]
+    # time travel: version 0 still has everything
+    assert t.read(spark, version=0).count() == 10
+    # CDC sees exactly the deleted multiset
+    cdc = t.changes(spark, from_version=0).toPandas()
+    dels = sorted(cdc[cdc._change_type == "delete"].k)
+    assert dels == [0, 3, 6, 9]
+    assert len(cdc[cdc._change_type == "insert"]) == 0
+    assert v == 1
+    import pytest as _pytest
+
+    empty = VersionedTable(str(tmp_path / "vt_empty"))
+    with _pytest.raises(ValueError, match="empty table"):
+        empty.delete_where(spark, "k = 1")
