@@ -1406,3 +1406,75 @@ def q_rrf_fusion(spark, sf_dir):
         .filter(F.col("rn") <= _RRF_TOPK)
         .select("doc_id", "rrf")
     )
+
+
+@query(
+    "q_bigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    uni AS (
+        SELECT u.t AS w, count(*) AS c1
+        FROM toks, unnest(toks) AS u(t) GROUP BY u.t
+    ),
+    big AS (
+        SELECT doc_id, u.bg AS bigram
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                   ELSE [] END AS bgs
+            FROM toks
+        ), unnest(bgs) AS u(bg)
+    ),
+    bfreq AS (SELECT bigram, count(*) AS c2 FROM big GROUP BY bigram)
+    SELECT b.doc_id,
+           round(-avg(ln(f.c2 * 1.0 / u.c1)), 4) AS avg_surprisal,
+           count(*) AS n_bigrams
+    FROM big b
+    JOIN bfreq f USING (bigram)
+    JOIN uni u ON u.w = string_split(b.bigram, ' ')[1]
+    GROUP BY b.doc_id
+    """,
+)
+def q_bigram_surprisal(spark, sf_dir):
+    """Bigram-LM quality proxy: mean −ln P(w₂|w₁) under the corpus's own
+    bigram MLE (P = c(w₁w₂)/c(w₁)) — one conditioning order deeper than
+    q_unigram_logprob, so templated/repetitive text (predictable
+    continuations) separates from merely common-word text. No external
+    model; every observed bigram has c₂ ≥ 1 so the MLE needs no
+    smoothing.
+
+    Shape: bigram explode (shingles_from_tokens k=2, the shared
+    tokenization contract) → two frequency hash-aggs → broadcast both
+    back onto the bigram stream → per-doc mean. Three shuffles total,
+    all map-side-combining; the frequency tables are vocabulary-sized,
+    not corpus-sized. avg() float-order differences absorbed by the
+    4dp round (the q_unigram_logprob budget).
+    """
+    from ..functions.text import shingles_from_tokens
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "toks", _spark_tokens(F.col("text"))
+    )
+    uni = d.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    big = d.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("toks"), 2)).alias("bigram")
+    )
+    bfreq = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    return (
+        big.join(F.broadcast(bfreq), "bigram")
+        .withColumn("w", F.element_at(F.split("bigram", " "), 1))
+        .join(F.broadcast(uni), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.avg(F.log(F.col("c2") / F.col("c1"))), 4).alias(
+                "avg_surprisal"
+            ),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
