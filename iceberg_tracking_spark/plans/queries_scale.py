@@ -1878,3 +1878,84 @@ def q_hll(spark, sf_dir):
     est = hll_estimate(hll_registers(stream))
     exact = stream.agg(F.count_distinct("tok").alias("exact_distinct"))
     return est.crossJoin(F.broadcast(exact))
+
+
+# --------------------------------------------- CMS join-size estimate
+
+def _join_size_oracle() -> str:
+    """Both the exact join size and the CMS inner-product estimate
+    rebuilt in SQL with the same md5 cells as operators/sketches.py."""
+    from ._sqlgen import hex_int
+
+    md5_expr = "md5(CAST(fn AS VARCHAR) || ':' || tok)"
+    bucket = f"({hex_int(md5_expr, 1, 8)} % {_CMS_W})"
+    return f"""
+    WITH ca AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS tok, count(*) AS c
+        FROM orders GROUP BY o_custkey
+    ),
+    cb AS (
+        SELECT CAST(c_custkey AS VARCHAR) AS tok, count(*) AS c
+        FROM customer GROUP BY c_custkey
+    ),
+    exact AS (
+        SELECT CAST(sum(ca.c * cb.c) AS BIGINT) AS exact_join_size
+        FROM ca JOIN cb USING (tok)
+    ),
+    cms_a AS (
+        SELECT fn, {bucket} AS bucket, sum(c) AS c
+        FROM ca, (SELECT unnest(range(0, {_CMS_K})) AS fn)
+        GROUP BY fn, {bucket}
+    ),
+    cms_b AS (
+        SELECT fn, {bucket} AS bucket, sum(c) AS c
+        FROM cb, (SELECT unnest(range(0, {_CMS_K})) AS fn)
+        GROUP BY fn, {bucket}
+    ),
+    est AS (
+        SELECT CAST(min(prod) AS BIGINT) AS cms_estimate FROM (
+            SELECT a.fn, sum(a.c * b.c) AS prod
+            FROM cms_a a JOIN cms_b b ON a.fn = b.fn AND a.bucket = b.bucket
+            GROUP BY a.fn
+        )
+    )
+    SELECT (SELECT exact_join_size FROM exact) AS exact_join_size,
+           (SELECT cms_estimate FROM est) AS cms_estimate
+    """
+
+
+@query("q_join_size_estimate", oracle=_join_size_oracle())
+def q_join_size_estimate(spark, sf_dir):
+    """Join-cardinality estimation from count-min sketches — the query-
+    planning application of q_count_min: |A ⋈ B| on a key equals
+    Σ_v c_A(v)·c_B(v), and the CMS inner product Σ_b cmsA[fn][b]·
+    cmsB[fn][b] (min over the K rows) upper-bounds it using only the
+    two constant-size sketches. This is how an optimizer sizes a
+    100 TB join WITHOUT touching either table a second time: each side
+    keeps a K×512 sketch from ingest, and the estimate is a ~2k-row
+    join. Output: exact vs estimate side by side on customer⋈orders
+    (estimate ≥ exact always; collisions only ever add).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("tok")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("tok")
+    )
+    from ..operators.sketches import cms_table
+
+    ca = o.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    cb = c.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        ca.join(cb.withColumnRenamed("c", "c2"), "tok")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("exact_join_size"))
+    )
+    cms_a = cms_table(o)
+    cms_b = cms_table(c).withColumnRenamed("c", "c2")
+    est = (
+        cms_a.join(cms_b, ["fn", "bucket"])
+        .groupBy("fn")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("prod"))
+        .agg(F.min("prod").alias("cms_estimate"))
+    )
+    return exact.crossJoin(F.broadcast(est))

@@ -233,3 +233,60 @@ def q_seasonal_anomaly(spark, sf_dir):
         )
         .select("event_id", "event_type", "hod", F.round(z, 6).alias("seasonal_z"))
     )
+
+
+_MAD_K = 5.0
+
+
+@query(
+    "q_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           round((d.value - d.med) / nullif(m.mad, 0), 6) AS mad_score
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0 AND abs(d.value - d.med) > {_MAD_K} * m.mad
+    """,
+)
+def q_mad_outliers(spark, sf_dir):
+    """Median-absolute-deviation outliers per event_type: flag events
+    with |x − median| > 5·MAD — the robust-statistics anomaly detector
+    (immune to the outliers it hunts, unlike the mean/σ of
+    q_zscore_anomaly; the third member of the robust family with
+    q_winsorize).
+
+    Two reduce-then-broadcast passes (median, then MAD), each shrinking
+    a group to one row before joining back — the fact table never
+    shuffles. `percentile` is the exact aggregate; at 100 TB swap for
+    the mergeable `percentile_approx` t-digest, same plan shape.
+    """
+    ev = scatter(load_table(spark, sf_dir, "events"))
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    score = (F.col("value") - F.col("med")) / F.when(
+        F.col("mad") != 0, F.col("mad")
+    ).otherwise(F.lit(None))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.col("adev") > _MAD_K * F.col("mad")))
+        .select("event_id", "event_type", F.round(score, 6).alias("mad_score"))
+    )

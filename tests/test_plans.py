@@ -41,6 +41,7 @@ NESTED_LOOP_OK = {
     "q_eval_metrics",      # scalar metric components combined (1-row sides)
     "q_funnel",            # three 1-row stage counts combined into one row
     "q_hll",               # 1-row estimate x 1-row exact-distinct combine
+    "q_join_size_estimate",  # 1-row exact x 1-row estimate combine
     "q_ab_test",           # two 1-row variant summaries → scalar algebra
     "q_drift_chi2",        # scalar midpoint/totals broadcast onto categories
     "q_mask_filter",       # broadcast mask-cell table, range predicate
