@@ -253,3 +253,40 @@ def test_readme_query_counts_match_registry():
     assert m and n, "README query-count sentence changed shape"
     assert int(m.group(1)) == len(get_queries())
     assert int(n.group(1)) == len(get_oracles())
+
+
+def test_broadcast_joinback_family_never_shuffles_fact(spark, sf_dir):
+    """q_winsorize / q_seasonal_anomaly / q_mad_outliers claim the fact
+    table is never shuffled: the baseline reduces to few rows and joins
+    back broadcast. Pin it — every join in these plans must be a
+    BroadcastHashJoin (a SortMergeJoin would mean the claim regressed)."""
+    for name in ("q_winsorize", "q_seasonal_anomaly", "q_mad_outliers"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: baseline not broadcast"
+        assert "SortMergeJoin" not in plan, f"{name}: fact side shuffled for a join"
+
+
+def test_interval_join_is_hash_join_on_buckets(spark, sf_dir):
+    """The interval join's containment predicate must ride on a bucket
+    equi-join, never a nested loop over the BETWEEN condition."""
+    plan = _plan(spark, sf_dir, "q_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_bkt" in plan  # the bucket key reached the join
+
+
+def test_fuzzy_match_blocks_before_levenshtein(spark, sf_dir):
+    """Levenshtein may only run on blocked candidates: the plan joins on
+    (lang, bkt) and the edit distance appears in a post-join filter or
+    projection, not in a join condition."""
+    plan = _plan(spark, sf_dir, "q_fuzzy_match")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "bkt" in plan
+
+
+def test_sketch_probe_joins_broadcast(spark, sf_dir):
+    """CMS / Bloom probes are equi-joins against a broadcast of the
+    constant-size sketch relation."""
+    for name in ("q_count_min", "q_bloom_filter"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: sketch probe not broadcast"
