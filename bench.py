@@ -8,7 +8,7 @@ Headline set: one representative per operator family — scan-agg, join,
 window/argmax, islands, spatial join, sessionization, dedup (minhash),
 similarity (cosine top-k), plus the MOT IoU-argmax. Each timing is the
 full action (fresh Catalyst plan + execute + count); the reported
-number is the min of 2 runs, which strips co-tenant load spikes and
+number is the min of 3 runs, which strips co-tenant load spikes and
 one-time whole-stage-codegen compilation while still re-planning every
 query from scratch (steady-state cost, the figure that matters for a
 repeated production workload).
@@ -45,6 +45,20 @@ HEADLINE = [
     "q_token_count",
     "q_eval_metrics",
     "q_star_join",
+]
+
+# Informational secondary set (single-run timings in the "extended"
+# key): one representative per round-4 family — graph, interval join,
+# fuzzy match, sketches, real media decode, hybrid retrieval.
+EXTENDED = [
+    "q_pagerank",
+    "q_interval_join",
+    "q_fuzzy_match",
+    "q_char_entropy",
+    "q_hll",
+    "q_count_min",
+    "q_image_decode",
+    "q_rrf_fusion",
 ]
 
 
@@ -87,12 +101,13 @@ def main() -> None:
 
     load_table(spark, sf_dir, "lineitem").limit(1000).count()
     load_table(spark, sf_dir, "events").limit(1000).count()
-    # min of 2 runs per query: this host shows 1.5-2x transient-load
-    # swings across identical code (measured 29.5->43.6s totals in one
-    # afternoon), and the min is the standard estimator for stripping
-    # co-tenant noise from a fixed workload. Both runs execute the full
-    # action from a cold plan; `runs_per_query` records the method.
-    RUNS = 2
+    # min of 3 runs per query: this host shows 1.5-2x transient-load
+    # swings across identical code (measured 12.6->19.7s totals within
+    # one hour on round 4), and the min is the standard estimator for
+    # stripping co-tenant noise from a fixed workload. Every run
+    # executes the full action from a cold plan; `runs_per_query`
+    # records the method.
+    RUNS = 3
     errors: dict[str, str] = {}
     for name in HEADLINE:
         # Per-query isolation: one failing query must never zero the
@@ -112,11 +127,24 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
+    # Secondary, NON-headline timings for the newer operator families
+    # (single run each — informational only; the headline metric and
+    # set stay fixed so round-over-round ratios remain comparable).
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        try:
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).count()
+            extended[name] = round(time.perf_counter() - t0, 3)
+            print(f"# ext {name}: {extended[name]:.3f}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     doc = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extended": extended,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": RUNS,
     }
