@@ -225,6 +225,8 @@ def test_bench_headline_queries_registered():
     spec.loader.exec_module(bench)
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not missing, f"bench HEADLINE references unknown queries: {missing}"
+    missing_ext = [n for n in bench.EXTENDED if n not in QUERIES]
+    assert not missing_ext, f"bench EXTENDED references unknown queries: {missing_ext}"
 
 
 def test_scatter_flag_disables_repartition(spark):
