@@ -840,3 +840,38 @@ def test_versioned_table_delete_where(spark, tmp_path):
     empty = VersionedTable(str(tmp_path / "vt_empty"))
     with _pytest.raises(ValueError, match="empty table"):
         empty.delete_where(spark, "k = 1")
+
+
+def test_quality_gate_blocks_bad_writes(spark, tmp_path):
+    """checked_write commits only when every expectation passes; a
+    failing batch raises with the failing rule names and the table
+    version is untouched (no write-then-rollback window)."""
+    import pytest as _pytest
+
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+    from iceberg_tracking_spark.sources.quality import (
+        QualityGateError,
+        checked_write,
+        evaluate_expectations,
+    )
+
+    t = VersionedTable(str(tmp_path / "vt_gate"))
+    good = spark.createDataFrame([(1, 5.0), (2, 6.0)], "k long, v double")
+    checks = {
+        "no_null_keys": "count_if(k IS NULL) = 0",
+        "v_in_band": "min(v) >= 0 AND max(v) <= 100",
+        "min_volume": "count(*) >= 2",
+    }
+    v = checked_write(t, good, checks)
+    assert v == 0 and t.read(spark).count() == 2
+
+    bad = spark.createDataFrame([(None, 500.0)], "k long, v double")
+    with _pytest.raises(QualityGateError) as ei:
+        checked_write(t, bad, checks)
+    assert ei.value.failures == ["min_volume", "no_null_keys", "v_in_band"]
+    assert t.current_version() == 0  # nothing committed
+
+    # one agg pass semantics + NULL-means-fail on empty input
+    empty = spark.createDataFrame([], "k long, v double")
+    res = evaluate_expectations(empty, checks)
+    assert res == {"no_null_keys": True, "v_in_band": False, "min_volume": False}
