@@ -290,3 +290,37 @@ def q_mad_outliers(spark, sf_dir):
         .filter((F.col("mad") > 0) & (F.col("adev") > _MAD_K * F.col("mad")))
         .select("event_id", "event_type", F.round(score, 6).alias("mad_score"))
     )
+
+
+@query(
+    "q_hourly_percentiles",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts) AS hour_start,
+           count(*) AS n,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def q_hourly_percentiles(spark, sf_dir):
+    """SLA-style percentile monitoring: p50/p95/p99 of `value` per
+    event_type per tumbling hour — the latency-dashboard shape every
+    operations pipeline materializes. One grouped aggregate; the
+    (event_type × hour) key space grows with time, not with volume, so
+    partial aggregation collapses the fact rows map-side. At 100 TB
+    swap `percentile` for the mergeable `percentile_approx` t-digest
+    and the same plan maintains incrementally per micro-batch
+    (streaming/materialized.py's merge pattern)."""
+    ev = scatter(load_table(spark, sf_dir, "events"))
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 4).alias(f"p{int(q * 100)}")
+            for q in (0.50, 0.95, 0.99)
+        ],
+    )
