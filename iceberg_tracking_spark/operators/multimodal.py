@@ -84,11 +84,20 @@ def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
 
     A real implementation would be `cv2.imdecode` / `PIL.Image.open`
     (reference embedding.py:234-250); this keeps shape/dtype semantics
-    so downstream plumbing is exercised for real.
+    so downstream plumbing is exercised for real. The fake pixels are
+    the 16 md5 digest bytes of the content's lowercase-hex encoding,
+    tiled row-major — md5 arithmetic (not RNG) so the DuckDB oracle
+    re-derives every downstream feature exactly (q_media_features
+    contract; same discipline as the stub detector's
+    _batch_infer_oracle). Hex-of-content rather than raw bytes because
+    DuckDB's md5() only takes VARCHAR — the same portability trick as
+    q_image_decode's content_md5.
     """
-    seed = int.from_bytes(hashlib.md5(content).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+    d = np.frombuffer(
+        hashlib.md5(content.hex().encode()).digest(), dtype=np.uint8
+    )
+    n = height * width
+    return np.tile(d, n // 16 + 1)[:n].reshape(height, width)
 
 
 def decode_media(
@@ -148,7 +157,9 @@ def extract_media_features(
 
     Output: (media_id, n_bytes, mean_intensity, std_intensity,
     phash) — mean/std over the decoded matrix, phash = md5 of the
-    downsampled bit pattern (a perceptual-hash stand-in).
+    downsampled above-mean bit pattern as an ASCII '0'/'1' string (a
+    perceptual-hash stand-in; ASCII rather than raw bytes so the SQL
+    oracle can rebuild the exact digest input with string_agg).
     """
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Per-partition decoder init would go here (load codec/model once).
@@ -159,8 +170,9 @@ def extract_media_features(
                     bytes(r.content), int(r.width), int(r.height), decode_stub
                 )
                 small = mat[::8, ::8]
+                bits = (small > small.mean()).astype(np.uint8).ravel()
                 phash = hashlib.md5(
-                    (small > small.mean()).astype(np.uint8).tobytes()
+                    "".join(map(str, bits)).encode()
                 ).hexdigest()
                 rows.append(
                     (

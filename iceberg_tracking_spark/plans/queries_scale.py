@@ -22,6 +22,7 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.joins import asof_join
+from ..operators.windows import distributed_cumulative
 from ..operators.similarity import (
     DEFAULT_BITS,
     duck_cosine_sql,
@@ -506,9 +507,14 @@ def q_kfold(spark, sf_dir):
 def q_auc(spark, sf_dir):
     """ROC-AUC as a rank-sum (Mann-Whitney U) — the reference's
     embedding quality gate (embedding.py:1752-1756) re-read as a
-    relational program: one global sort window + one aggregate, no
-    sklearn. Score is a deterministic function of the vector; positives
-    are labels ≥ 5. Tie-break by vec_id keeps ranks engine-stable."""
+    relational program, no sklearn. Score is a deterministic function
+    of the vector; positives are labels ≥ 5; tie-break by vec_id keeps
+    ranks engine-stable.
+
+    Scale shape (r4 verdict fix): the naive global row_number window
+    funnels the whole relation through Exchange SinglePartition; this
+    uses `distributed_cumulative` (two-pass range-partitioned ranking)
+    instead — identical ranks, zero single-partition exchanges."""
     e = _t(spark, sf_dir, "embeddings")
     scored = e.select(
         F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
@@ -519,13 +525,9 @@ def q_auc(spark, sf_dir):
         ).alias("score"),
         "vec_id",
     )
-    ranked = scored.select(
-        "y",
-        F.row_number()
-        .over(Window.orderBy("score", "vec_id"))
-        .cast("double")
-        .alias("r"),
-    )
+    ranked = distributed_cumulative(
+        scored, ["score", "vec_id"], out_col="rank"
+    ).select("y", F.col("rank").cast("double").alias("r"))
     npos = F.sum("y")
     return ranked.agg(
         F.round(
@@ -945,7 +947,131 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
-@query("q_media_features")  # rows-only: stubbed decode is numpy-side (SURVEY §2.8)
+def _media_features_oracle() -> str:
+    """Contract oracle for the FULL media-features union (r4 verdict
+    item 5 — the last `no_oracle` row). Three parts, all re-derived
+    independently in DuckDB:
+
+    - synthesized + binary-fixture blobs run the md5-digest-tile stub
+      (`_fake_decode`): pixel(i,j) = digest16[(i*w+j) % 16] where
+      digest16 = md5(lowercase-hex(content)) — so mean/std are exact
+      weighted byte statistics and the phash bit-grid indexes into the
+      digest, all hex-char arithmetic;
+    - image-fixture PGM blobs decode FOR REAL: pixels come out of the
+      actual file bytes exactly like _image_decode_oracle, extended
+      with E[x²] for std and the 8×-downsampled phash grid.
+    """
+    from ..sources.binary import FIXTURE_DIR, IMAGE_FIXTURE_DIR
+
+    def bk(m: str, k: str) -> str:  # digest byte k (dynamic) of hex str m
+        return (
+            f"((strpos('0123456789abcdef', substr({m}, 2*({k}) + 1, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr({m}, 2*({k}) + 2, 1)) - 1))"
+        )
+
+    def px(pos: str) -> str:  # pixel byte whose first hex char is at `pos`
+        return (
+            f"((strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(hx, {pos} + 1, 1)) - 1))"
+        )
+
+    cnt_k = "((N // 16) + CASE WHEN k < N % 16 THEN 1 ELSE 0 END)"
+    phash = (
+        "md5(list_aggregate(list_transform(sv, v -> CASE WHEN v > smean "
+        "THEN '1' ELSE '0' END), 'string_agg', ''))"
+    )
+    return f"""
+    WITH syn AS (
+        SELECT doc_id AS media_id,
+               md5(lower(hex(encode(text)))) AS m,
+               doc_id % 64 + 32 AS w,
+               doc_id % 48 + 24 AS h,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    bin AS (
+        SELECT i + 1000000 AS media_id, m,
+               i % 64 + 32 AS w, i % 48 + 24 AS h, n_bytes
+        FROM (
+            SELECT CAST(regexp_extract(filename, '(\\d+)\\.bin$', 1) AS BIGINT)
+                       AS i,
+                   md5(lower(hex(content))) AS m,
+                   octet_length(content) AS n_bytes
+            FROM read_blob('{FIXTURE_DIR}/*.bin')
+        )
+    ),
+    stub AS (
+        SELECT *, w * h AS N, (w + 7) // 8 AS C, (h + 7) // 8 AS R
+        FROM (SELECT * FROM syn UNION ALL SELECT * FROM bin)
+    ),
+    stub_stats AS (
+        SELECT media_id, n_bytes, w, h, N, C, R, m,
+               list_sum(list_transform(range(0, 16),
+                   k -> {bk('m', 'k')} * {cnt_k})) * 1.0 / N AS mean_i,
+               list_sum(list_transform(range(0, 16),
+                   k -> {bk('m', 'k')} * {bk('m', 'k')} * {cnt_k}))
+                   * 1.0 / N AS ex2
+        FROM stub
+    ),
+    stub_small AS (
+        SELECT media_id, n_bytes, mean_i, ex2,
+               list_transform(range(0, R * C),
+                   i -> {bk('m', '((8 * (i // C)) * w + 8 * (i % C)) % 16')})
+                   AS sv
+        FROM stub_stats
+    ),
+    stub_out AS (
+        SELECT media_id, n_bytes,
+               round(mean_i, 6) AS mean_intensity,
+               round(sqrt(ex2 - mean_i * mean_i), 6) AS std_intensity,
+               {phash} AS phash
+        FROM (SELECT *, list_sum(sv) * 1.0 / len(sv) AS smean FROM stub_small)
+    ),
+    img AS (
+        SELECT CAST(regexp_extract(filename, '(\\d+)\\.pgm$', 1) AS BIGINT)
+                   + 2000000 AS media_id,
+               octet_length(content) AS n_bytes,
+               lower(hex(content)) AS hx
+        FROM read_blob('{IMAGE_FIXTURE_DIR}/*.pgm')
+    ),
+    img_hdr AS (
+        SELECT media_id, n_bytes, hx,
+               length(regexp_extract(hx,
+                   '^50350a(?:3[0-9])+20(?:3[0-9])+0a3235350a', 0)) + 1 AS p0,
+               CAST(regexp_replace(
+                   regexp_extract(hx, '^50350a((?:3[0-9])+)20', 1),
+                   '3(.)', '\\1', 'g') AS INTEGER) AS w,
+               CAST(regexp_replace(
+                   regexp_extract(hx, '^50350a(?:3[0-9])+20((?:3[0-9])+)0a', 1),
+                   '3(.)', '\\1', 'g') AS INTEGER) AS h
+        FROM img
+    ),
+    img_pix AS (
+        SELECT media_id, n_bytes, w, h,
+               (w + 7) // 8 AS C, (h + 7) // 8 AS R,
+               list_transform(range(0, w * h), i -> {px('2*i + p0')}) AS pix
+        FROM img_hdr
+    ),
+    img_small AS (
+        SELECT media_id, n_bytes,
+               list_sum(pix) * 1.0 / (w * h) AS mean_i,
+               list_sum(list_transform(pix, v -> v * v)) * 1.0 / (w * h) AS ex2,
+               list_transform(range(0, R * C),
+                   i -> pix[(8 * (i // C)) * w + 8 * (i % C) + 1]) AS sv
+        FROM img_pix
+    ),
+    img_out AS (
+        SELECT media_id, n_bytes,
+               round(mean_i, 6) AS mean_intensity,
+               round(sqrt(ex2 - mean_i * mean_i), 6) AS std_intensity,
+               {phash} AS phash
+        FROM (SELECT *, list_sum(sv) * 1.0 / len(sv) AS smean FROM img_small)
+    )
+    SELECT * FROM stub_out UNION ALL SELECT * FROM img_out
+    """
+
+
+@query("q_media_features", oracle=_media_features_oracle())
 def q_media_features(spark, sf_dir):
     """M1/M3: decode + feature-extraction over binary media columns via
     Arrow-batched mapInPandas (per-partition decoder init). The media
@@ -974,7 +1100,13 @@ def q_media_features(spark, sf_dir):
         .unionByName(real_files)
         .unionByName(real_images)
     )
-    return extract_media_features(media)
+    return extract_media_features(media).select(
+        "media_id",
+        "n_bytes",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.round("std_intensity", 6).alias("std_intensity"),
+        "phash",
+    )
 
 
 def _batch_infer_oracle() -> str:

@@ -34,75 +34,43 @@ QUERIES: dict[str, QueryDef] = {}
 # positions 1-50). Every §2 operator's primary evidence query must sit
 # inside that window, so ordering is explicit: names listed here come
 # first (in this order), everything else follows in registration order.
-# Round 4 fronts (a) the 19 queries that have never had a driver row
-# across r1-r3, (b) the 8 rows that were red in r3 from the
-# TIMESTAMP_NTZ loader bug (fixed this round — need fresh green rows),
-# (c) the 5 r1-green queries whose ts code path was broken in r3, and
-# (d) q_ann_ivf, whose plan changed this round (materialized index).
-# Everything r3-green stays out of the window — its evidence stands.
+# Round 5 fronts (a) the 15 queries that have never had a driver row
+# across r1-r4 (the r4 verdict's rotation backlog — all judge-verified
+# at sf0.01 this session but still needing an official row), (b) the
+# two r1-green reconfirmations whose slots were yielded in r4
+# (q_group_collect, q_lag_change), (c) every query whose PLAN changes
+# this round (q_auc score-group rank rewrite, q_pack_sequences sharded
+# window, q_media_features new contract oracle, q_pagerank constant-
+# factor fix, q_count_min/q_join_size_estimate probe left-join fix),
+# and (d) new queries added this round. Everything r4-green stays out
+# of the window — its evidence stands.
 DRIVER_PRIORITY: list[str] = [
-    # (a) never driver-checked in any round (r2/r3 verdict backlog)
-    "q_minmax_by",
-    "q_unpivot",
-    "q_funnel",
-    "q_cohort_retention",
-    "q_ab_test",
-    "q_drift_chi2",
-    "q_repetition",
-    "q_sliding_window",
-    "q_cube",
-    "q_media_features",
-    "q_batch_infer",
-    "q_rolling_window",
-    "q_kmeans",
-    "q_forward_fill",
-    "q_weighted_sample",
+    # (a) never driver-checked in any round (r4 verdict backlog)
+    "q_count_min",
+    "q_bloom_filter",
+    "q_hll",
+    "q_join_size_estimate",
+    "q_rrf_fusion",
+    "q_bigram_surprisal",
+    "q_expectations",
+    "q_k_anonymity",
+    "q_fuzzy_match",
+    "q_ewma",
+    "q_winsorize",
+    "q_seasonal_anomaly",
+    "q_mad_outliers",
+    "q_hourly_percentiles",
+    "q_clustering_coeff",
+    # (b) r1-green reconfirmations (ts code path changed in r4's fix)
+    "q_group_collect",
+    "q_lag_change",
+    # (c) plan changed this round — need fresh green rows
+    "q_auc",
     "q_pack_sequences",
-    "q_grid_join_2d",
-    "q_remove_nested",
-    "q_gen_embeddings",
-    # (b) red in CORRECTNESS_r03 (loader bug, fixed in r4)
-    "q_eval_metrics",
-    "q_iou_argmax",
-    "q_mask_filter",
-    "q_calibration",
-    "q_gap_fill",
-    "q_nms",
-    "q_greedy_match",
-    "q_track",
-    # (c) r1-green but ts path broke in r3 — reconfirm on fixed loader
-    # q_group_collect's slot goes to q_video_decode: its r1 row stands
-    # and the ts path is pinned by the testdata-encoding sweep.
-    "q_video_decode",
-    # q_lag_change's slot goes to the pixels→embedding→top-k crossover
-    # (r1 row stands; ts path pinned by the encoding sweep).
-    "q_image_similarity",
-    "q_selfjoin_lead",
-    "q_containment_antijoin",
-    "q_session_window",
-    # (d) plan changed / new this round
-    "q_ann_ivf",
-    "q_bm25",
-    "q_pii_scrub",
-    "q_semdedup",
-    "q_gopher_rules",
-    "q_bpe_pair_count",
-    "q_dup_span_fraction",
-    # q_ewma and q_expectations yield their slots to the new real-decode
-    # queries: both are oracle-locked at three SFs locally; rotate them
-    # into r5 alongside q_winsorize.
-    "q_image_decode",
-    "q_audio_decode",
-    "q_pq_encode",
-    "q_pq_topk",
-    "q_ivfpq_topk",
-    # (e) new this round — first driver check
+    "q_media_features",
     "q_pagerank",
-    "q_degree_centrality",
-    "q_triangle_count",
-    "q_char_entropy",
-    "q_zscore_anomaly",
-    "q_interval_join",
+    # (d) new this round — first driver check
+    "q_pack_sequences_sharded",
 ]
 
 

@@ -47,6 +47,11 @@ NESTED_LOOP_OK = {
     "q_mask_filter",       # broadcast mask-cell table, range predicate
     "q_tfidf",             # corpus doc-count (1 row) broadcast into scoring
     "q_unigram_logprob",   # corpus token-total (1 row) broadcast into scoring
+    # distributed_cumulative prefix offsets: triangular (pid < pid) join
+    # over the n_partitions-row per-partition-totals relation — bounded
+    # by partition count, not data size.
+    "q_auc",
+    "q_pack_sequences",
 }
 
 
@@ -83,6 +88,59 @@ def test_no_cartesian_product(spark, sf_dir, name):
             f"{name} fell back to a nested-loop join — a join condition "
             "stopped being an equi-join"
         )
+
+
+def _single_partition_funnels(plan: str) -> list[str]:
+    """Flag `Exchange SinglePartition` sites that funnel a full
+    relation through one task (the r4 verdict's q_auc/q_pack_sequences
+    scale-killer class). A single-partition exchange is ALLOWED when
+    the rows crossing it are already bounded, i.e. the two plan lines
+    directly beneath show one of:
+
+      - a partial/merge aggregate (map-side combine: one row per
+        upstream partition crosses, the canonical scalar-agg shape);
+      - a WindowGroupLimit / Limit (top-k pre-filter ran upstream);
+      - a `Filter (rn <= k)`-style rank cut (the window it fed is
+        already reduced to k rows).
+
+    Anything else — a Sort/Window/Project consuming the raw relation —
+    is a genuine serial stage and fails the guard.
+    """
+    import re
+
+    lines = plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        below = " ".join(x.strip() for x in lines[i + 1 : i + 3])
+        if (
+            "partial_" in below
+            or "merge_" in below
+            or "WindowGroupLimit" in below
+            or "Limit" in below
+            or re.search(r"Filter \(\w*r(?:ank|n)\w*#\d+L? <= \d+\)", below)
+        ):
+            continue
+        bad.append(line.strip()[:120])
+    return bad
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_single_partition_funnel(spark, sf_dir, name):
+    """No registered query may serialize its full input through an
+    `Exchange SinglePartition`. Whitelist intentionally EMPTY: the two
+    r4 offenders (q_auc's global rank window, q_pack_sequences' global
+    cumsum) were rewritten onto `distributed_cumulative`, and this
+    guard keeps the class extinct."""
+    df = QUERIES[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    funnels = _single_partition_funnels(plan)
+    assert not funnels, (
+        f"{name} funnels a full relation through a single partition: "
+        f"{funnels} — use distributed_cumulative / a partitioned window "
+        "/ map-side partial aggregation instead"
+    )
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
