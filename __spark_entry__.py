@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; omitted for non-SQL-expressible
-    ops (greedy NMS, tracker, sketches) → rows-only checks."""
+    """DuckDB-equivalent SQL per query — since r5 EVERY registered
+    query has one (order-sensitive ops are checked through provable
+    contract inputs; the stub decode re-derives via md5 arithmetic)."""
     return get_oracles()

@@ -47,9 +47,9 @@ HEADLINE = [
     "q_star_join",
 ]
 
-# Informational secondary set (single-run timings in the "extended"
-# key): one representative per round-4 family — graph, interval join,
-# fuzzy match, sketches, real media decode, hybrid retrieval.
+# Secondary set (min-of-3 timings in the "extended" key): one
+# representative per round-4 family — graph, interval join, fuzzy
+# match, sketches, real media decode, hybrid retrieval.
 EXTENDED = [
     "q_pagerank",
     "q_interval_join",
@@ -60,6 +60,24 @@ EXTENDED = [
     "q_image_decode",
     "q_rrf_fusion",
 ]
+
+# Regression floor for the extended set: the first recorded sf0.1
+# numbers (BENCH_r04, min-of-3). A query running >2x its floor at
+# sf0.1 is flagged loudly in the JSON ("regressions") and on stderr —
+# the 2x budget absorbs the measured 1.5-2x co-tenant load swings, so
+# a flag means a real plan regression, not noise. Deliberately NOT a
+# nonzero exit: the round's numbers must still be recorded (r3 lost an
+# entire round's bench to one failure).
+EXTENDED_FLOOR_SEC = {
+    "q_pagerank": 3.785,
+    "q_interval_join": 0.884,
+    "q_fuzzy_match": 1.097,
+    "q_char_entropy": 0.619,
+    "q_hll": 0.599,
+    "q_count_min": 1.246,
+    "q_image_decode": 2.189,
+    "q_rrf_fusion": 1.999,
+}
 
 
 def _previous_bench() -> tuple[str, dict] | None:
@@ -128,15 +146,29 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     # Secondary, NON-headline timings for the newer operator families
-    # (single run each — informational only; the headline metric and
-    # set stay fixed so round-over-round ratios remain comparable).
+    # (min-of-3, same discipline as the headline set; the headline
+    # metric and set stay fixed so round-over-round ratios remain
+    # comparable). Checked against EXTENDED_FLOOR_SEC at sf0.1.
     extended: dict[str, float] = {}
+    regressions: dict[str, str] = {}
     for name in EXTENDED:
         try:
-            t0 = time.perf_counter()
-            QUERIES[name].fn(spark, sf_dir).count()
-            extended[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                QUERIES[name].fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            extended[name] = round(best, 3)
             print(f"# ext {name}: {extended[name]:.3f}s", file=sys.stderr)
+            floor = EXTENDED_FLOOR_SEC.get(name)
+            if sf == "0.1" and floor is not None and extended[name] > 2 * floor:
+                regressions[name] = (
+                    f"{extended[name]:.3f}s > 2x floor {floor:.3f}s"
+                )
+                print(
+                    f"# REGRESSION {name}: {regressions[name]}",
+                    file=sys.stderr,
+                )
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     doc = {
@@ -148,6 +180,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": RUNS,
     }
+    if regressions:
+        doc["regressions"] = regressions
     if errors:
         doc["errors"] = errors
     # Round-over-round deltas vs the latest recorded BENCH_r*.json (same

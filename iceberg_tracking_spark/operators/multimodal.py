@@ -259,13 +259,21 @@ def media_from_audio_files(spark: SparkSession, path: str | None = None) -> Data
     44-byte PCM header puts sample-rate and data-size at fixed offsets,
     so both parse in pure Catalyst from the HEX encoding (little-endian
     byte math) — the executors' decoder then re-reads the same header
-    from the same bytes."""
+    from the same bytes.
+
+    The fixed offsets are only valid for the canonical layout (fmt
+    chunk at byte 12, data chunk at byte 36) — decode_wav tolerates
+    extra chunks (LIST/INFO) by walking them, but this Catalyst parse
+    cannot, so a non-canonical WAV would silently yield wrong
+    n_samples/duration. Guard: the layout is VALIDATED in the parse
+    ('fmt ' at 12, 'data' at 36) and the metadata fields are NULLed
+    for any file that doesn't match, rather than being wrong."""
     from ..sources.binary import ensure_audio_fixture, read_binary_files
 
     raw = read_binary_files(spark, path or ensure_audio_fixture(), glob="*.wav")
+    hx = F.lower(F.hex(F.substring(F.col("content"), 1, 48)))
 
     def _le32(start_byte: int):  # 0-based byte offset → little-endian u32
-        hx = F.lower(F.hex(F.substring(F.col("content"), 1, 48)))
         val = F.lit(0)
         for k in range(3, -1, -1):
             b = F.conv(
@@ -274,11 +282,17 @@ def media_from_audio_files(spark: SparkSession, path: str | None = None) -> Data
             val = val * 256 + b
         return val
 
+    canonical = (
+        # "fmt " at byte 12 and "data" at byte 36 — hex '666d7420' /
+        # '64617461' (1-based hex positions 2*off+1).
+        (F.substring(hx, 2 * 12 + 1, 8) == "666d7420")
+        & (F.substring(hx, 2 * 36 + 1, 8) == "64617461")
+    )
     media_id = F.element_at(
         F.split(F.element_at(F.split(F.col("path"), "/"), -1), "\\."), 1
     ).cast("long")
-    n_samples = (_le32(40) / 2).cast("long")
-    rate = _le32(24)
+    n_samples = F.when(canonical, (_le32(40) / 2).cast("long"))
+    rate = F.when(canonical, _le32(24))
     return raw.select(
         media_id.alias("media_id"),
         F.lit("audio").alias("modality"),

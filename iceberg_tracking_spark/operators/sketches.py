@@ -62,12 +62,18 @@ def cms_merge(*tables: DataFrame) -> DataFrame:
 
 
 def cms_probe(cms: DataFrame, probes: DataFrame, tok_col: str = "tok") -> DataFrame:
-    """Point estimates: min over the K cells — (tok, cms_estimate)."""
+    """Point estimates: min over the K cells — (tok, cms_estimate).
+
+    LEFT join against the sketch with empty cells counting as 0, the
+    true count-min semantics: a probe token never seen in the stream
+    gets estimate 0 (not a dropped row, not an inflated min over only
+    its non-empty cells). The sketch side is the broadcast one — it is
+    the constant-size (K·W) relation."""
     return (
-        F.broadcast(_fanout(probes, tok_col, CMS_K, CMS_W))
-        .join(cms, ["fn", "bucket"])
+        _fanout(probes, tok_col, CMS_K, CMS_W)
+        .join(F.broadcast(cms), ["fn", "bucket"], "left")
         .groupBy("tok")
-        .agg(F.min("c").alias("cms_estimate"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
     )
 
 
@@ -149,3 +155,83 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
         HLL_M * F.log(HLL_M / F.col("zeros").cast("double")),
     ).otherwise(raw)
     return agg.select(F.round(est, 4).alias("hll_estimate"))
+
+
+# ------------------------------------------------ equi-width histogram
+
+HIST_BINS = 256
+
+
+def hist_table(
+    values: DataFrame,
+    value_col: str = "v",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """Equi-width histogram sketch: (bin, c) — ≤ n_bins rows.
+
+    bin = floor((v - lo) / (hi - lo) * n_bins), clamped to [0, n_bins-1]
+    (values outside [lo, hi) land in the edge bins, so mass is never
+    lost). Merge law = cell-wise sum, same additive-state family as the
+    count-min sketch — one map-side-combining aggregate builds it, and
+    partition/stream/day merges are free.
+    """
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("long")
+    b = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw))
+    return (
+        values.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def hist_merge(*tables: DataFrame) -> DataFrame:
+    """Merge law: cell-wise sum (bin counts are additive)."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bin").agg(F.sum("c").alias("c"))
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    qs: list[float],
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """Quantile estimates from the histogram: for each q, the midpoint
+    of the first bin whose cumulative count reaches q·N — the classic
+    percentile-from-histogram estimator (error ≤ bin width), fully
+    deterministic so any SQL engine reproduces it bit-for-bit.
+
+    The cumulative runs as a triangular broadcast self-join over the
+    ≤ n_bins-row relation, NOT an unpartitioned window — same
+    no-single-partition discipline as distributed_cumulative (a window
+    here would trip the plan guard even though the relation is tiny).
+    """
+    width = (hi - lo) / n_bins
+    cum = (
+        hist.alias("a")
+        .join(
+            F.broadcast(hist.alias("b")),
+            F.col("b.bin") <= F.col("a.bin"),
+            "left",
+        )
+        .groupBy(F.col("a.bin").alias("bin"))
+        .agg(F.sum("b.c").alias("cum"))
+    )
+    total = hist.agg(F.sum("c").alias("n_total"))
+    q = F.explode(F.array(*[F.lit(float(x)) for x in qs])).alias("q")
+    # per (q, bin-reaching-q·N): the smallest such bin wins
+    reach = (
+        cum.crossJoin(F.broadcast(total))
+        .select("bin", "cum", "n_total", q)
+        .filter(F.col("cum") >= F.col("q") * F.col("n_total"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = F.round(F.lit(lo) + (F.col("bin") + 0.5) * F.lit(width), 6)
+    return reach.select("q", "bin", est.alias("estimate"))

@@ -119,15 +119,23 @@ def distributed_cumulative(
     verdict's two scale-killer findings). This is the classic two-pass
     distributed ranking instead:
 
-      1. `repartitionByRange(order_cols)` → ordered, disjoint key
-         ranges per partition (partition i's keys all sort before
-         partition i+1's);
-      2. a window PARTITIONED by the range-partition id computes local
+      1. a deterministic range-bucket id: `percentile_approx` of the
+         FIRST order column yields n_parts-1 boundaries (one tiny
+         broadcast row), and each row's bucket is the count of
+         boundaries strictly below its key — so equal keys always
+         share a bucket and bucket i's keys all sort before bucket
+         i+1's. NOT `repartitionByRange` + `spark_partition_id`: the
+         range sampler is seeded by RDD id, so two consumers of the
+         same repartitionByRange can see DIFFERENT boundaries unless
+         exchange reuse happens to fire (observed for real — silent
+         rank corruption). percentile_approx is deterministic for any
+         recomputation.
+      2. a window PARTITIONED by the bucket id computes local
          row_number / running sum in parallel;
-      3. per-partition totals (n_parts rows) get exclusive prefix
+      3. per-bucket totals (n_parts rows) get exclusive prefix
          offsets via a broadcast triangular self-join — no driver
          collect, no single-partition exchange;
-      4. global value = local value + partition offset, joined back by
+      4. global value = local value + bucket offset, joined back by
          broadcast.
 
     `agg_col=None` → `out_col` is the global row_number over
@@ -135,14 +143,22 @@ def distributed_cumulative(
     key). Otherwise `out_col` is the running sum of `agg_col` in that
     order (inclusive, or exclusive-of-current-row with
     `exclusive=True`). Results are bit-identical to the bare global
-    window; both branches reuse the one range exchange (ReuseExchange),
-    so the input is shuffled once.
+    window. The first order column must be numeric and non-null (it is
+    bucketed through a double cast); heavy ties on it concentrate in
+    one bucket — give it the cardinality, leave tie-breaks to the rest.
     """
     spark = df.sparkSession
     if n_parts is None:
         n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    first = F.col(order_cols[0]).cast("double")
+    qs = [i / n_parts for i in range(1, n_parts)]
+    bounds = df.agg(
+        F.percentile_approx(first, qs, 10000).alias("_bs")
+    )
+    ranged = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_pid", F.size(F.filter("_bs", lambda b: b < first)))
+        .drop("_bs")
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     if agg_col is None:

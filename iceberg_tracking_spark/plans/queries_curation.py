@@ -625,3 +625,276 @@ def q_fuzzy_match(spark, sf_dir):
         .select("a_id", "b_id", dist.alias("dist"))
         .filter(F.col("dist") <= _FUZZ_MAXDIST)
     )
+
+
+# ------------------------------------------------- data mixing / curriculum
+
+_MIX_ALPHA = 0.3          # sampling temperature (XLM-R style, arXiv:1911.02116)
+_MIX_TOKEN_BUDGET = 10_000_000  # tokens drawn per "epoch" of the mixture
+
+
+@query(
+    "q_domain_mixture",
+    oracle=f"""
+    WITH dom AS (
+        SELECT lang, source,
+               count(*) AS n_docs,
+               CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> ''))) AS BIGINT) AS n_toks
+        FROM documents
+        GROUP BY lang, source
+    ),
+    w AS (
+        SELECT *,
+               CAST(round(pow(n_toks, {_MIX_ALPHA}), 6) AS DECIMAL(18,6))
+                 AS w_raw
+        FROM dom
+    ),
+    t AS (SELECT sum(w_raw) AS total_w FROM w)
+    SELECT lang, source, n_docs, n_toks,
+           round(CAST(w_raw AS DOUBLE) / CAST(total_w AS DOUBLE), 6)
+             AS weight,
+           round(round(CAST(w_raw AS DOUBLE) / CAST(total_w AS DOUBLE), 6)
+                 * {_MIX_TOKEN_BUDGET}, 2) AS expected_toks
+    FROM w CROSS JOIN t
+    """,
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str):
+    """Domain-mixture sampling weights — the "data mixing" step of LLM
+    pre-training (temperature sampling over domains, XLM-R
+    arXiv:1911.02116 §3.1): per (lang, source) domain, weight ∝
+    (token count)^α with α=0.3, normalized over domains, plus the
+    expected token budget each domain contributes per epoch. Low-
+    resource domains are up-sampled, dominant ones down-sampled.
+
+    Scale shape: ONE map-side-combining aggregate over the corpus
+    (domains are the grouping key), then scalar algebra on the tiny
+    domain relation with a broadcast 1-row total. Engine-portable
+    float discipline: pow() is rounded to the 1e-6 grid and summed as
+    DECIMAL so the normalizing total is exact and order-independent on
+    both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    )
+    dom = (
+        scatter(d)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_toks).alias("n_toks"),
+        )
+    )
+    w = dom.withColumn(
+        "w_raw",
+        F.round(F.pow(F.col("n_toks").cast("double"), _MIX_ALPHA), 6).cast(
+            "decimal(18,6)"
+        ),
+    )
+    total = w.agg(F.sum("w_raw").alias("total_w"))
+    weight = F.round(
+        F.col("w_raw").cast("double") / F.col("total_w").cast("double"), 6
+    )
+    return (
+        w.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_toks",
+            weight.alias("weight"),
+            F.round(weight * F.lit(_MIX_TOKEN_BUDGET), 2).alias(
+                "expected_toks"
+            ),
+        )
+    )
+
+
+@query(
+    "q_curriculum",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, n_chars AS difficulty,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+        FROM documents
+    ),
+    n AS (SELECT count(*) AS n_total FROM documents)
+    SELECT doc_id, difficulty, rank,
+           CAST(floor((rank - 1) * 10.0 / (SELECT n_total FROM n)) AS BIGINT)
+               AS bucket
+    FROM r
+    """,
+)
+def q_curriculum(spark: SparkSession, sf_dir: str):
+    """Curriculum ordering for training: every document gets a global
+    difficulty rank (difficulty proxy: document length; tie-break
+    doc_id) and a decile bucket 0-9 — the schedule a curriculum
+    data loader consumes easy-to-hard.
+
+    The global rank is the interesting part at scale: it runs on
+    `distributed_cumulative` (percentile-bucketed two-pass ranking,
+    operators/windows.py) — NO single-partition window anywhere, while
+    the DuckDB oracle uses the plain global row_number the operator is
+    proven bit-identical to."""
+    from ..operators.windows import distributed_cumulative
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("difficulty")
+    )
+    ranked = distributed_cumulative(
+        scatter(d), ["difficulty", "doc_id"], out_col="rank"
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("n_total"))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "difficulty",
+        "rank",
+        F.floor((F.col("rank") - 1) * 10.0 / F.col("n_total"))
+        .cast("long")
+        .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------- BPE merge learning
+
+_BPE_STEPS = 3
+
+
+def _bpe_learn_oracle() -> str:
+    """Unrolled-CTE mirror of the 3-step BPE merge loop (same
+    discipline as the k-means and PageRank oracles): per step, pair
+    counting over the current symbol strings, argmin/argmax top pair,
+    and the identical two-pass `replace` application."""
+    steps = []
+    for k in range(1, _BPE_STEPS + 1):
+        steps.append(f"""
+    p{k} AS (
+        SELECT pr.a AS a, pr.b AS b, weight
+        FROM (
+            SELECT unnest(list_transform(range(1, len(l)),
+                       i -> {{'a': l[i], 'b': l[i + 1]}})) AS pr,
+                   weight
+            FROM (
+                SELECT list_filter(string_split(s, ' '), x -> x <> '') AS l,
+                       weight
+                FROM s{k - 1}
+            )
+        )
+        WHERE pr.a <> pr.b
+    ),
+    t{k} AS (
+        SELECT a, b, CAST(sum(weight) AS BIGINT) AS cnt
+        FROM p{k} GROUP BY a, b
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    s{k} AS (
+        SELECT replace(replace(v.s,
+                   ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' '),
+                   ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' ')
+                   AS s,
+               v.weight
+        FROM s{k - 1} v CROSS JOIN t{k} t
+    )""")
+    outs = " UNION ALL ".join(
+        f"SELECT {k} AS step, a, b, a || b AS merged, cnt FROM t{k}"
+        for k in range(1, _BPE_STEPS + 1)
+    )
+    return f"""
+    WITH vocab AS (
+        SELECT word, count(*) AS weight
+        FROM (SELECT unnest({_DUCK_TOKS}) AS word FROM documents)
+        GROUP BY word
+    ),
+    s0 AS (
+        SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s, weight
+        FROM vocab
+    ),
+    {",".join(steps)}
+    SELECT CAST(step AS INT) AS step, a, b, merged, cnt FROM ({outs})
+    """
+
+
+@query("q_bpe_learn", oracle=_bpe_learn_oracle())
+def q_bpe_learn(spark: SparkSession, sf_dir: str):
+    """BPE vocabulary LEARNING (Sennrich et al. 2016, arXiv:1508.07909
+    algorithm 1), three unrolled merge iterations: count adjacent
+    symbol pairs across the vocabulary (weighted by word frequency),
+    adopt the most frequent pair as a merge, rewrite every word's
+    symbol sequence, repeat. Output: the learned merge table
+    (step, a, b, merged, cnt) — the artifact a BPE tokenizer ships.
+
+    Engine contracts that make this exact cross-engine:
+    * words live as separator-joined symbol strings (' a b c '); a
+      merge applies as TWO passes of plain `replace(' a b ', ' ab ')`
+      — for a ≠ b this is provably identical to the left-to-right
+      greedy scan (occurrences are token-disjoint; pass 1 takes the
+      odd ones sharing separators, pass 2 the rest), and self-pairs
+      (a = b) are excluded from merge selection so the parity edge
+      case cannot arise.
+    * top pair ties break (count DESC, a, b) — deterministic.
+
+    Scale shape: everything after the first aggregate operates on the
+    VOCABULARY relation (word, weight), not the corpus — pair counting
+    is a map-side-combining hash aggregate over vocab-sized data, the
+    winning pair is a 1-row TakeOrdered broadcast, and the rewrite is
+    a narrow projection. Exactly how production BPE trainers shard:
+    corpus → counts once, then iterate on counts."""
+    d = scatter(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    cur = vocab.select(
+        F.concat(
+            F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
+        ).alias("s"),
+        "weight",
+    )
+    outs = []
+    for step in range(1, _BPE_STEPS + 1):
+        syms = F.filter(F.split(F.col("s"), " "), lambda t: t != "")
+        prs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("a"),
+                    F.element_at(syms, i + F.lit(1)).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        top = (
+            cur.select(F.explode(prs).alias("pr"), "weight")
+            .select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"), "weight")
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("weight").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+        )
+        outs.append(
+            top.select(
+                F.lit(step).alias("step"),
+                "a",
+                "b",
+                F.concat("a", "b").alias("merged"),
+                "cnt",
+            )
+        )
+        pat = F.concat(F.lit(" "), F.col("_ma"), F.lit(" "), F.col("_mb"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("_ma"), F.col("_mb"), F.lit(" "))
+        cur = (
+            cur.crossJoin(
+                F.broadcast(
+                    top.select(
+                        F.col("a").alias("_ma"), F.col("b").alias("_mb")
+                    )
+                )
+            )
+            .select(F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"), "weight")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -2091,3 +2091,55 @@ def q_join_size_estimate(spark, sf_dir):
         .agg(F.min("prod").alias("cms_estimate"))
     )
     return exact.crossJoin(F.broadcast(est))
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 110_000.0, 256
+_HIST_W = (_HIST_HI - _HIST_LO) / _HIST_BINS  # 429.6875, binary-exact
+_HIST_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@query(
+    "q_histogram_quantiles",
+    oracle=f"""
+    WITH h AS (
+        SELECT greatest(0, least({_HIST_BINS - 1},
+                   CAST(floor(l_extendedprice / {_HIST_W}) AS BIGINT))) AS bin,
+               count(*) AS c
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT a.bin, sum(b.c) AS cum
+        FROM h a LEFT JOIN h b ON b.bin <= a.bin
+        GROUP BY a.bin
+    ),
+    t AS (SELECT sum(c) AS n_total FROM h),
+    qq AS (SELECT unnest([{", ".join(str(q) for q in _HIST_QS)}]) AS q)
+    SELECT q, min(bin) AS bin,
+           round((min(bin) + 0.5) * {_HIST_W}, 6) AS estimate
+    FROM cum CROSS JOIN t CROSS JOIN qq
+    WHERE cum >= q * n_total
+    GROUP BY q
+    """,
+)
+def q_histogram_quantiles(spark, sf_dir):
+    """Mergeable equi-width histogram sketch + quantile estimation
+    (operators/sketches.py:hist_table) — the percentile-monitoring
+    primitive at 100 TB: per-partition/per-day histograms are ≤256-row
+    additive relations (merge = cell-wise sum, exactly the CMS family),
+    and any quantile is read off the merged histogram with ≤ bin-width
+    error, without ever sorting or shuffling the raw values.
+
+    The estimator is fully deterministic (first bin whose cumulative
+    reaches q·N, midpoint estimate), so the DuckDB oracle rebuilds the
+    identical sketch and the hash check pins the whole path. The
+    cumulative runs as a triangular broadcast join over the tiny bin
+    relation — no unpartitioned window (plan-guard clean)."""
+    from ..operators.sketches import hist_quantiles, hist_table
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    h = hist_table(li, "v", lo=_HIST_LO, hi=_HIST_HI, n_bins=_HIST_BINS)
+    return hist_quantiles(
+        h, list(_HIST_QS), lo=_HIST_LO, hi=_HIST_HI, n_bins=_HIST_BINS
+    )

@@ -6,9 +6,10 @@ aliased identically on both sides (the driver sorts columns by name
 before value-hashing). Floating aggregates are rounded on BOTH sides so
 cross-engine summation-order differences cannot flip the hash.
 
-Queries whose semantics are not SQL-expressible (greedy NMS, the
-stateful tracker, approximate sketches) register with `oracle=None` →
-the driver records a rows-only check.
+Every registered query carries an oracle (since r5 the md5-tile stub
+decode re-derives exactly, so the `oracle=None` rows-only escape hatch
+is unused — order-sensitive ops are checked via provable contract
+inputs instead).
 """
 
 from __future__ import annotations
@@ -71,6 +72,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_pagerank",
     # (d) new this round — first driver check
     "q_pack_sequences_sharded",
+    "q_domain_mixture",
+    "q_curriculum",
+    "q_histogram_quantiles",
+    "q_bpe_learn",
 ]
 
 

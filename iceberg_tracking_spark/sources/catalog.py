@@ -228,7 +228,13 @@ class VersionedTable:
         if m["current"] is None:
             raise ValueError("delete_where on an empty table")
         current = spark.read.parquet(self._data_dir(m["current"]))
-        remaining = current.filter(f"NOT ({predicate})")
+        # SQL DELETE (and Iceberg/Delta row-level delete) removes only
+        # rows where the predicate is TRUE. A bare NOT(pred) would also
+        # drop rows where pred evaluates to NULL — silent data loss that
+        # CDC would then report as legitimate deletes. Keep NULLs:
+        remaining = current.filter(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
+        )
         return self._commit_current_layout(remaining, m)
 
     def merge_aggregate(
@@ -426,6 +432,49 @@ class VersionedTable:
         for v in expired:
             shutil.rmtree(self._data_dir(v), ignore_errors=True)
         return expired
+
+    def remove_orphans(self) -> list[str]:
+        """Delete data directories under the table root that NO
+        manifest version references — debris from crashed writes
+        (data landed, manifest swap never happened) or interrupted
+        `expire` runs (manifest pruned, rmtree died). The manifest is
+        the source of truth, so anything it doesn't name is garbage by
+        construction; returns the removed directory names. The
+        Iceberg `remove_orphan_files` maintenance job, on the plain-
+        parquet layout."""
+        m = self._load_manifest()
+        live = {
+            os.path.basename(self._data_dir(e["version"]))
+            for e in m["versions"]
+        }
+        removed = []
+        for name in sorted(os.listdir(self.base)):
+            p = os.path.join(self.base, name)
+            if os.path.isdir(p) and name.startswith("v=") and name not in live:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(name)
+        return removed
+
+    def evolve_partitioning(
+        self, spark: SparkSession, partition_by: list[str] | None
+    ) -> int:
+        """Partition evolution: rewrite the CURRENT snapshot under a
+        new partition layout as a new commit. Old snapshots keep their
+        own layouts (each manifest entry records `partition_by`, and
+        reads/time travel resolve per snapshot — Iceberg's spec-v2
+        evolution semantics, where layout is snapshot metadata, not
+        table DDL). Lets a table start unpartitioned and adopt e.g.
+        daily partitioning once it grows, without rewriting history."""
+        m = self._load_manifest()
+        if m["current"] is None:
+            raise FileNotFoundError("nothing to repartition")
+        df = spark.read.parquet(self._data_dir(m["current"]))
+        return self.write(
+            df,
+            mode="overwrite",
+            partition_by=partition_by,
+            expected_current=m["current"],
+        )
 
 
 # ---------------------------------------------------- write-path switch

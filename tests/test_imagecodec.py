@@ -174,6 +174,43 @@ def test_spark_audio_scan_header_matches_decode(spark):
         assert r["n_samples"] == len(samples)
 
 
+def test_audio_scan_nulls_metadata_for_noncanonical_wav(spark, tmp_path):
+    """The Catalyst header parse reads fixed offsets valid only for the
+    canonical 44-byte layout. decode_wav walks chunks, so a WAV with a
+    LIST chunk before 'data' still decodes fine — but the scan must
+    NULL its metadata (layout validation) rather than emit silently
+    wrong n_samples/duration."""
+    import struct
+
+    import numpy as np
+
+    from iceberg_tracking_spark.operators.audiocodec import decode_wav, encode_wav
+    from iceberg_tracking_spark.operators.multimodal import media_from_audio_files
+
+    samples = np.arange(-50, 50, dtype=np.int16)
+    canonical = encode_wav(samples, 8000)
+    # splice a LIST/INFO chunk between 'fmt ' and 'data'
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    shifted = (
+        canonical[:12]
+        + canonical[12:36]  # fmt chunk
+        + extra
+        + canonical[36:]  # data chunk onward
+    )
+    shifted = shifted[:4] + struct.pack("<I", len(shifted) - 8) + shifted[8:]
+    (tmp_path / "0.wav").write_bytes(canonical)
+    (tmp_path / "1.wav").write_bytes(shifted)
+
+    rows = {r["media_id"]: r for r in media_from_audio_files(spark, str(tmp_path)).collect()}
+    ok, odd = rows[0], rows[1]
+    assert ok["sample_rate"] == 8000 and ok["n_samples"] == 100
+    assert odd["sample_rate"] is None and odd["n_samples"] is None
+    assert odd["duration_ms"] is None
+    # ...while the chunk-walking decoder handles the same bytes fine
+    dec, rate = decode_wav(bytes(odd["content"]))
+    assert rate == 8000 and len(dec) == 100 and (dec == samples).all()
+
+
 # ------------------------------------------------------------- video
 
 def test_y4m_roundtrip_and_header():

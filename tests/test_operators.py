@@ -842,6 +842,27 @@ def test_versioned_table_delete_where(spark, tmp_path):
         empty.delete_where(spark, "k = 1")
 
 
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: only rows where the predicate is TRUE are
+    removed. Rows where it evaluates to NULL (e.g. `v > 5` with v IS
+    NULL) must survive — a bare NOT(pred) filter would silently drop
+    them and CDC would report phantom deletes."""
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt_null_del"))
+    t.write(
+        spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 3.0), (4, None), (5, 7.0)],
+            "k long, v double",
+        )
+    )
+    t.delete_where(spark, "v > 5")
+    kept = sorted(r["k"] for r in t.read(spark).collect())
+    assert kept == [2, 3, 4], "NULL-predicate rows must NOT be deleted"
+    cdc = t.changes(spark, from_version=0).toPandas()
+    assert sorted(cdc[cdc._change_type == "delete"].k) == [1, 5]
+
+
 def test_quality_gate_blocks_bad_writes(spark, tmp_path):
     """checked_write commits only when every expectation passes; a
     failing batch raises with the failing rule names and the table
@@ -875,3 +896,65 @@ def test_quality_gate_blocks_bad_writes(spark, tmp_path):
     empty = spark.createDataFrame([], "k long, v double")
     res = evaluate_expectations(empty, checks)
     assert res == {"no_null_keys": True, "v_in_band": False, "min_volume": False}
+
+
+def test_remove_orphans_deletes_only_unreferenced_dirs(spark, tmp_path):
+    """Orphan cleanup: directories no manifest version references
+    (crashed-write debris) are removed; every live snapshot survives
+    and re-scans identically afterward."""
+    import os
+
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt_orphan"))
+    t.write(spark.range(0, 5).select(F.col("id").alias("k")))
+    t.write(spark.range(5, 9).select(F.col("id").alias("k")))
+    # simulate a crashed write: data directory exists, manifest never
+    # learned about it
+    stray = os.path.join(t.base, "v=99")
+    spark.range(100).write.parquet(stray)
+    before = sorted(r["k"] for r in t.read(spark).collect())
+    removed = t.remove_orphans()
+    assert removed == ["v=99"] and not os.path.exists(stray)
+    # both live snapshots re-scan bit-identically
+    assert sorted(r["k"] for r in t.read(spark).collect()) == before
+    assert t.read(spark, version=0).count() == 5
+    # idempotent
+    assert t.remove_orphans() == []
+
+
+def test_partition_evolution_rewrites_layout_keeps_history(spark, tmp_path):
+    """Partition evolution: the current snapshot adopts a new layout as
+    a new commit; data is unchanged, the new layout actually prunes,
+    and time travel still reads the pre-evolution layout."""
+    import os
+
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt_evolve"))
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("bucket")
+    )
+    t.write(df)  # v0: unpartitioned
+    v = t.evolve_partitioning(spark, ["bucket"])
+    assert v == 1
+    got = sorted((r["k"], r["bucket"]) for r in t.read(spark).collect())
+    want = sorted((r["k"], r["bucket"]) for r in df.collect())
+    assert got == want
+    # the new snapshot is physically hive-partitioned (prunable dirs)
+    vdir = os.path.join(t.base, "v=1")
+    assert any(d.startswith("bucket=") for d in os.listdir(vdir))
+    # history keeps the old layout
+    assert t.read(spark, version=0).count() == 100
+    assert not any(
+        d.startswith("bucket=") for d in os.listdir(os.path.join(t.base, "v=0"))
+    )
+    # optimistic concurrency still guards the rewrite
+    import pytest as _pytest
+
+    from iceberg_tracking_spark.sources.catalog import ConcurrentWriteError
+
+    m_stale = t.current_version()
+    t.write(df, expected_current=m_stale)  # someone else lands v2
+    with _pytest.raises(ConcurrentWriteError):
+        t.write(df, expected_current=m_stale)

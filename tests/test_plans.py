@@ -49,9 +49,14 @@ NESTED_LOOP_OK = {
     "q_unigram_logprob",   # corpus token-total (1 row) broadcast into scoring
     # distributed_cumulative prefix offsets: triangular (pid < pid) join
     # over the n_partitions-row per-partition-totals relation — bounded
-    # by partition count, not data size.
+    # by partition count, not data size (plus the 1-row percentile-
+    # boundary broadcast).
     "q_auc",
     "q_pack_sequences",
+    "q_curriculum",
+    "q_domain_mixture",  # 1-row normalizing-total broadcast fan-out
+    "q_histogram_quantiles",  # triangular cumulative over ≤256-bin relation
+    "q_bpe_learn",  # 1-row winning-merge broadcast onto the vocab relation
 }
 
 

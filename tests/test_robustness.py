@@ -432,7 +432,7 @@ def test_sketches_empty_streams(spark):
     assert len(flags) == 2 and all(not r["maybe_member"] for r in flags)
 
 
-def test_fuzzy_match_handles_empty_and_short_docs(spark, tmp_path):
+def test_fuzzy_match_handles_empty_and_short_docs(spark, sf_dir):
     """Documents shorter than the prefix window and empty text must not
     break the blocked fuzzy join (substring just truncates)."""
     from iceberg_tracking_spark.plans.queries_curation import q_fuzzy_match
@@ -440,6 +440,6 @@ def test_fuzzy_match_handles_empty_and_short_docs(spark, tmp_path):
     # run on the real fixture dir — presence of short docs is fine; here
     # we assert it analyzes and executes without error and respects the
     # symmetric-pair contract a_id < b_id.
-    out = q_fuzzy_match(spark, "/root/testdata/sf0.001").collect()
+    out = q_fuzzy_match(spark, sf_dir).collect()
     assert all(r["a_id"] < r["b_id"] for r in out)
     assert all(r["dist"] <= 5 for r in out)

@@ -111,3 +111,81 @@ def test_range_clustered_write_enables_file_skipping(spark, tmp_path):
     assert all_files == 16
     assert hit_files <= 2, f"range filter touched {hit_files} of {all_files} files"
     assert back.filter((F.col("k") >= 10_000) & (F.col("k") < 15_000)).count() == 5_000
+
+
+def test_distributed_cumulative_matches_global_window(spark):
+    """Two-pass distributed ranking must be bit-identical to the bare
+    global window it replaces (q_auc / q_pack_sequences), for both
+    row_number and inclusive/exclusive running sums — and its plan must
+    contain no full-relation single-partition exchange."""
+    from pyspark.sql import Window
+
+    from iceberg_tracking_spark.operators.windows import distributed_cumulative
+
+    df = (
+        spark.range(0, 5000)
+        .select(
+            (F.col("id") * 2654435761 % 9973).alias("key"),
+            (F.col("id") % 97 + 1).alias("v"),
+            F.col("id"),
+        )
+    )
+    # global row_number
+    got = distributed_cumulative(df, ["key", "id"], out_col="r", n_parts=16)
+    w = Window.orderBy("key", "id")
+    want = df.withColumn("r", F.row_number().over(w).cast("long"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # exclusive running sum
+    got_s = distributed_cumulative(
+        df, ["key", "id"], agg_col="v", out_col="c", exclusive=True, n_parts=16
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want_s = df.withColumn("c", F.sum("v").over(wf) - F.col("v"))
+    assert got_s.exceptAll(want_s).count() == 0
+    assert want_s.exceptAll(got_s).count() == 0
+
+    # plan: every SinglePartition exchange carries only partial-agg rows
+    from tests.test_plans import _single_partition_funnels
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert not _single_partition_funnels(plan)
+
+
+def test_pack_sequences_sharded_single_shard_parity(spark, sf_dir):
+    """With n_shards=1 the sharded packer must reproduce the global
+    token tape exactly — same bins, same offsets (the production
+    variant is the general case, the global packer its special case)."""
+    from pyspark.sql import Window
+
+    from iceberg_tracking_spark.plans.queries_llm import (
+        _TOKEN_RE,
+        q_pack_sequences,
+    )
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.lit(0).alias("shard_id"),
+            F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0))
+            .cast("long")
+            .alias("n_toks"),
+        )
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("cum_before", F.sum("n_toks").over(w) - F.col("n_toks"))
+    bin_id = F.floor(F.col("cum_before") / 512.0)
+    one_shard = d.select(
+        "doc_id",
+        "n_toks",
+        bin_id.cast("long").alias("bin_id"),
+        (F.col("cum_before") - bin_id * 512).cast("long").alias("offset_in_bin"),
+    )
+    global_tape = q_pack_sequences(spark, sf_dir)
+    assert one_shard.exceptAll(global_tape).count() == 0
+    assert global_tape.exceptAll(one_shard).count() == 0

@@ -42,6 +42,23 @@ def test_cms_merge_law_and_overestimate(spark):
     assert bad.count() == 0
 
 
+def test_cms_probe_absent_token_estimates_zero(spark):
+    """True count-min semantics for never-seen probes: every empty cell
+    counts as 0, so a token absent from the stream min()s to 0 — it
+    must get a row (not vanish in an inner join) and must not inflate
+    to a min over only its colliding non-empty cells."""
+    cms = cms_table(_toks(spark, _words(7, 200)))
+    probes = spark.createDataFrame(
+        [("zz-never-seen-1",), ("zz-never-seen-2",)], "tok string"
+    )
+    rows = {r["tok"]: r["cms_estimate"] for r in cms_probe(cms, probes).collect()}
+    assert set(rows) == {"zz-never-seen-1", "zz-never-seen-2"}
+    # md5-derived cells of an unseen token may collide with real ones,
+    # but with K=4 independent rows at this fill factor at least one
+    # cell is empty → estimate exactly 0.
+    assert all(v == 0 for v in rows.values())
+
+
 def test_bloom_merge_law_and_no_false_negatives(spark):
     a, b = _words(5, 200), _words(13, 150)
     whole = bloom_bits(_toks(spark, a + b))
@@ -111,3 +128,37 @@ def test_streaming_hll_maintenance_equals_batch(spark, sf_dir, tmp_path):
     est_stream = hll_estimate(stored).first()["hll_estimate"]
     est_batch = hll_estimate(batch).first()["hll_estimate"]
     assert est_stream == est_batch
+
+
+def test_histogram_merge_law_and_quantile_bounds(spark):
+    """hist(A ∪ B) == merge(hist(A), hist(B)) exactly, and every
+    histogram-estimated quantile is within one bin width of the exact
+    percentile."""
+    from iceberg_tracking_spark.operators.sketches import (
+        hist_merge,
+        hist_quantiles,
+        hist_table,
+    )
+
+    a = spark.range(0, 4000).select(((F.col("id") * 37) % 1000 / 10.0).alias("v"))
+    b = spark.range(0, 3000).select(((F.col("id") * 91) % 1000 / 10.0).alias("v"))
+    lo, hi, bins = 0.0, 100.0, 64
+    whole = hist_table(a.unionAll(b), "v", lo, hi, bins)
+    merged = hist_merge(
+        hist_table(a, "v", lo, hi, bins), hist_table(b, "v", lo, hi, bins)
+    )
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+
+    est = {
+        r["q"]: r["estimate"]
+        for r in hist_quantiles(whole, [0.5, 0.9], lo, hi, bins).collect()
+    }
+    exact = (
+        a.unionAll(b)
+        .agg(F.expr("percentile(v, array(0.5, 0.9))").alias("p"))
+        .collect()[0]["p"]
+    )
+    width = (hi - lo) / bins
+    assert abs(est[0.5] - exact[0]) <= width
+    assert abs(est[0.9] - exact[1]) <= width
