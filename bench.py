@@ -59,6 +59,16 @@ EXTENDED = [
     "q_count_min",
     "q_image_decode",
     "q_rrf_fusion",
+    # round-5 additions (no floor yet — their first sf0.1 recording
+    # becomes the floor next round): distributed ranking, sharded
+    # packing, histogram sketch, BPE learning, data mixing
+    "q_auc",
+    "q_pack_sequences",
+    "q_pack_sequences_sharded",
+    "q_histogram_quantiles",
+    "q_bpe_learn",
+    "q_domain_mixture",
+    "q_curriculum",
 ]
 
 # Regression floor for the extended set: the first recorded sf0.1

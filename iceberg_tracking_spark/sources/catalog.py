@@ -433,6 +433,75 @@ class VersionedTable:
             shutil.rmtree(self._data_dir(v), ignore_errors=True)
         return expired
 
+    def stage(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """WAP (write-audit-publish) step 1: commit the DATA and its
+        manifest entry WITHOUT advancing `current`. Plain readers never
+        see the snapshot; auditors read it with `read(version=...)`.
+        `mode="append"` stages current ∪ df. Pair with `publish()` —
+        the Iceberg stage-commit/WAP-branch pattern on the plain-
+        parquet layout."""
+        m = self._load_manifest()
+        version = (m["versions"][-1]["version"] + 1) if m["versions"] else 0
+        if mode == "append" and m["current"] is not None:
+            prev = df.sparkSession.read.parquet(self._data_dir(m["current"]))
+            df = prev.unionByName(df)
+        elif mode not in ("overwrite", "append"):
+            raise ValueError(f"unsupported mode: {mode}")
+        target = self._data_dir(version)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
+        n_rows = df.sparkSession.read.parquet(target).count()
+        m["versions"].append(
+            {
+                "version": version,
+                "mode": mode,
+                "n_rows": n_rows,
+                "schema": df.schema.jsonValue(),
+                "partition_by": partition_by or [],
+                "staged": True,
+            }
+        )
+        # `current` deliberately unchanged — that flip is publish().
+        self._commit(m)
+        return version
+
+    def publish(
+        self,
+        version: int,
+        spark: SparkSession | None = None,
+        checks: dict[str, str] | None = None,
+    ) -> int:
+        """WAP step 3: flip `current` to an audited staged snapshot —
+        a manifest-only atomic swap, no data movement. With `checks`
+        (and `spark`), the quality gate re-runs against the staged
+        data immediately before the flip, so a snapshot that decayed
+        between stage and publish still cannot go live. Abandoned
+        staged snapshots are reclaimed by `expire()` like any other
+        old version."""
+        m = self._load_manifest()
+        entry = self._entry_for(m, version)
+        if checks:
+            if spark is None:
+                raise ValueError("publish with checks needs a SparkSession")
+            from .quality import QualityGateError, evaluate_expectations
+
+            staged_df = spark.read.parquet(self._data_dir(version))
+            results = evaluate_expectations(staged_df, checks)
+            failures = [k for k, ok in results.items() if not ok]
+            if failures:
+                raise QualityGateError(failures)
+        entry.pop("staged", None)
+        m["current"] = version
+        self._commit(m)
+        return version
+
     def remove_orphans(self) -> list[str]:
         """Delete data directories under the table root that NO
         manifest version references — debris from crashed writes

@@ -958,3 +958,45 @@ def test_partition_evolution_rewrites_layout_keeps_history(spark, tmp_path):
     t.write(df, expected_current=m_stale)  # someone else lands v2
     with _pytest.raises(ConcurrentWriteError):
         t.write(df, expected_current=m_stale)
+
+
+def test_write_audit_publish_flow(spark, tmp_path):
+    """Iceberg-style WAP: stage a snapshot (invisible to readers),
+    audit it, publish by manifest flip; a failing audit never goes
+    live; abandoned stages are expirable garbage."""
+    import pytest as _pytest
+
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+    from iceberg_tracking_spark.sources.quality import QualityGateError
+
+    t = VersionedTable(str(tmp_path / "vt_wap"))
+    t.write(
+        spark.createDataFrame([(1, 5.0), (2, 7.0)], "k long, v double")
+    )
+    # stage a good batch: readers still see v0
+    staged = t.stage(
+        spark.createDataFrame([(1, 5.0), (2, 7.0), (3, 9.0)], "k long, v double")
+    )
+    assert t.current_version() == 0 and t.read(spark).count() == 2
+    # auditors can read the staged snapshot explicitly
+    assert t.read(spark, version=staged).count() == 3
+    # publish with a passing audit → atomic flip, no data rewrite
+    t.publish(staged, spark, checks={"no_null_keys": "count_if(k IS NULL) = 0"})
+    assert t.current_version() == staged and t.read(spark).count() == 3
+    # stage a bad batch; the publish-time audit blocks the flip
+    bad = t.stage(
+        spark.createDataFrame([(None, 1.0)], "k long, v double"), mode="append"
+    )
+    with _pytest.raises(QualityGateError, match="no_null_keys"):
+        t.publish(bad, spark, checks={"no_null_keys": "count_if(k IS NULL) = 0"})
+    assert t.current_version() == staged  # still the audited snapshot
+    # a corrected batch stages and publishes past the abandoned one...
+    fixed = t.stage(
+        spark.createDataFrame([(4, 2.0)], "k long, v double"), mode="append"
+    )
+    t.publish(fixed, spark, checks={"no_null_keys": "count_if(k IS NULL) = 0"})
+    assert t.read(spark).count() == 4
+    # ...and the abandoned stage is ordinary history: expire() reclaims it
+    expired = t.expire(keep_last=1)
+    assert bad in expired
+    assert t.read(spark).count() == 4
