@@ -69,6 +69,7 @@ EXTENDED = [
     "q_bpe_learn",
     "q_domain_mixture",
     "q_curriculum",
+    "q_training_manifest",
 ]
 
 # Regression floor for the extended set: the first recorded sf0.1

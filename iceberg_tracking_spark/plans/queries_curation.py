@@ -14,8 +14,17 @@ surface, extending queries_llm):
   count the VOCABULARY once (word → weight), then explode pairs per
   distinct word — pair work scales with |vocab|, not corpus size,
   exactly how production BPE trainers shard the count step.
+* Full BPE merge LEARNING (q_bpe_learn): three unrolled
+  count→select→rewrite iterations with an engine-exact replace
+  contract.
+* Temperature domain mixture (XLM-R, arXiv:1911.02116 §3.1): sampling
+  weights ∝ tokens^α per (lang, source) — the data-mixing step.
+* Curriculum ordering (q_curriculum): global difficulty rank through
+  distributed_cumulative, decile schedule buckets.
+* The composed training manifest (q_training_manifest): gate → dedup
+  → mixture weight → sharded packing → curriculum, one plan.
 
-All three are fully oracle-checked: every expression is mirrored in
+All are fully oracle-checked: every expression is mirrored in
 DuckDB SQL with the shared fold-order/rounding contracts from
 operators/similarity.py and queries_llm.py.
 
@@ -898,3 +907,137 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@query(
+    "q_training_manifest",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, n_chars, {_DUCK_TOKS} AS toks
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, lang, source, n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               md5(array_to_string(toks, ' ')) AS fingerprint
+        FROM toks
+        WHERE len(toks) >= 5 AND n_chars >= 30
+    ),
+    kept AS (
+        SELECT doc_id, lang, source, n_chars, n_tokens FROM (
+            SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                         ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ),
+    dom AS (
+        SELECT lang, source,
+               CAST(round(pow(sum(n_tokens), 0.3), 6) AS DECIMAL(18,6))
+                 AS w_raw
+        FROM kept GROUP BY lang, source
+    ),
+    tot AS (SELECT sum(w_raw) AS total_w FROM dom),
+    packed AS (
+        SELECT doc_id, lang, source, n_chars, n_tokens,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 8 AS shard_id,
+               sum(n_tokens) OVER (
+                   PARTITION BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+                   ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+                 AS cum_before
+        FROM kept
+    )
+    SELECT p.doc_id, p.lang, p.source, p.shard_id,
+           CAST(floor(p.cum_before / 512.0) AS BIGINT) AS bin_id,
+           CAST(p.cum_before - floor(p.cum_before / 512.0) * 512 AS BIGINT)
+               AS offset_in_bin,
+           round(CAST(d.w_raw AS DOUBLE) / CAST(t.total_w AS DOUBLE), 6)
+               AS weight,
+           least(CAST(floor(p.n_chars / 400.0) AS BIGINT), 9)
+               AS difficulty_bucket
+    FROM packed p
+    JOIN dom d USING (lang, source)
+    CROSS JOIN tot t
+    """,
+)
+def q_training_manifest(spark: SparkSession, sf_dir: str):
+    """THE composed LLM-pretraining data pipeline as one declarative
+    plan — what a user of this engine actually ships to the trainer:
+
+      quality gate (token/char floors, the Gopher-rule shape)
+        → exact-dedup keep-first (normalized-token fingerprint)
+        → temperature domain-mixture weight per (lang, source)
+          (q_domain_mixture's DECIMAL-exact normalizer)
+        → hash-sharded sequence packing (q_pack_sequences_sharded's
+          per-shard token tapes — no global order anywhere)
+        → fixed-width curriculum difficulty bucket
+
+    emitting one manifest row per surviving document: where it lives
+    (shard, bin, offset), how often to sample its domain (weight), and
+    when to schedule it (difficulty_bucket).
+
+    Scale shape: one corpus scan; one dedup shuffle (fingerprint); one
+    shard-window shuffle; the domain relation reduces to a handful of
+    rows and broadcasts back. Every stage is an already-oracle-verified
+    operator — this query proves they COMPOSE without materialization
+    barriers."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.lower(F.col("text")))
+    )
+    gated = d.filter(
+        (F.size("toks") >= 5) & (F.col("n_chars") >= 30)
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("toks", " ")).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    kept = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fingerprint")
+    )
+    dom = (
+        kept.groupBy("lang", "source")
+        .agg(
+            F.round(F.pow(F.sum("n_tokens").cast("double"), 0.3), 6)
+            .cast("decimal(18,6)")
+            .alias("w_raw")
+        )
+    )
+    tot = dom.agg(F.sum("w_raw").alias("total_w"))
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 8
+    )
+    wp = Window.partitionBy("shard_id").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = kept.withColumn("shard_id", shard).withColumn(
+        "cum_before", F.sum("n_tokens").over(wp) - F.col("n_tokens")
+    )
+    bin_id = F.floor(F.col("cum_before") / 512.0)
+    weight = F.round(
+        F.col("w_raw").cast("double") / F.col("total_w").cast("double"), 6
+    )
+    return (
+        packed.join(F.broadcast(dom), ["lang", "source"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "shard_id",
+            bin_id.cast("long").alias("bin_id"),
+            (F.col("cum_before") - bin_id * 512).cast("long").alias(
+                "offset_in_bin"
+            ),
+            weight.alias("weight"),
+            F.least(F.floor(F.col("n_chars") / 400.0).cast("long"), F.lit(9))
+            .alias("difficulty_bucket"),
+        )
+    )

@@ -76,6 +76,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_curriculum",
     "q_histogram_quantiles",
     "q_bpe_learn",
+    "q_training_manifest",
 ]
 
 

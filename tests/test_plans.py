@@ -57,6 +57,7 @@ NESTED_LOOP_OK = {
     "q_domain_mixture",  # 1-row normalizing-total broadcast fan-out
     "q_histogram_quantiles",  # triangular cumulative over ≤256-bin relation
     "q_bpe_learn",  # 1-row winning-merge broadcast onto the vocab relation
+    "q_training_manifest",  # 1-row normalizing-total broadcast fan-out
 }
 
 

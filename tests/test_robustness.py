@@ -443,3 +443,34 @@ def test_fuzzy_match_handles_empty_and_short_docs(spark, sf_dir):
     out = q_fuzzy_match(spark, sf_dir).collect()
     assert all(r["a_id"] < r["b_id"] for r in out)
     assert all(r["dist"] <= 5 for r in out)
+
+
+def test_distributed_cumulative_empty_and_single_row(spark):
+    """Degenerate inputs must not crash the two-pass ranking: an empty
+    relation yields an empty result (the percentile boundaries are NULL
+    — the bucket filter must tolerate that), and a single row ranks 1."""
+    from pyspark.sql import functions as F
+
+    from iceberg_tracking_spark.operators.windows import distributed_cumulative
+
+    empty = spark.createDataFrame([], "k long, id long")
+    assert distributed_cumulative(empty, ["k", "id"], out_col="r").count() == 0
+    one = spark.createDataFrame([(7, 0)], "k long, id long")
+    got = distributed_cumulative(one, ["k", "id"], out_col="r").collect()
+    assert len(got) == 1 and got[0]["r"] == 1
+    # running sum too
+    one_v = spark.createDataFrame([(7, 0, 5)], "k long, id long, v long")
+    got = distributed_cumulative(
+        one_v, ["k", "id"], agg_col="v", out_col="c", exclusive=True
+    ).collect()
+    assert got[0]["c"] == 0
+
+
+def test_histogram_quantiles_empty_histogram(spark):
+    """hist_quantiles over an empty sketch returns no rows (never a
+    divide-by-zero or a NULL-bin estimate)."""
+    from iceberg_tracking_spark.operators.sketches import hist_quantiles, hist_table
+
+    empty = spark.createDataFrame([], "v double")
+    h = hist_table(empty, "v", 0.0, 1.0, 16)
+    assert hist_quantiles(h, [0.5], 0.0, 1.0, 16).count() == 0

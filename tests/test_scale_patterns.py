@@ -189,3 +189,42 @@ def test_pack_sequences_sharded_single_shard_parity(spark, sf_dir):
     global_tape = q_pack_sequences(spark, sf_dir)
     assert one_shard.exceptAll(global_tape).count() == 0
     assert global_tape.exceptAll(one_shard).count() == 0
+
+
+def test_distributed_cumulative_property_random_inputs(spark):
+    """Hypothesis-grade sweep without per-example Spark jobs: a batch
+    of adversarial shapes (duplicated keys, constant keys, negative and
+    fractional values, singleton) all must match the bare global window
+    exactly for both row_number and running sums."""
+    from pyspark.sql import Window
+
+    from iceberg_tracking_spark.operators.windows import distributed_cumulative
+
+    cases = [
+        # (keys, values) — keys deliberately collide heavily
+        ([1, 1, 1, 1, 1], [5, -3, 2, 2, 0]),
+        ([3, 1, 2, 1, 3, 2, 1], [1, 1, 1, 1, 1, 1, 1]),
+        ([0], [42]),
+        ([-5, -5, 7, 0, 0, 0, 7], [2, 2, 2, 2, 2, 2, 2]),
+        (list(range(100)) * 3, [((i * 7) % 13) - 6 for i in range(300)]),
+    ]
+    for n_parts in (2, 5, 16):
+        for keys, vals in cases:
+            rows = [(k, v, i) for i, (k, v) in enumerate(zip(keys, vals))]
+            df = spark.createDataFrame(rows, "key long, v long, id long")
+            w = Window.orderBy("key", "id")
+            want_rank = df.withColumn(
+                "out", F.row_number().over(w).cast("long")
+            )
+            got_rank = distributed_cumulative(
+                df, ["key", "id"], out_col="out", n_parts=n_parts
+            )
+            assert got_rank.exceptAll(want_rank).count() == 0, (n_parts, keys)
+            assert want_rank.exceptAll(got_rank).count() == 0, (n_parts, keys)
+            wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            want_sum = df.withColumn("out", F.sum("v").over(wf))
+            got_sum = distributed_cumulative(
+                df, ["key", "id"], agg_col="v", out_col="out", n_parts=n_parts
+            )
+            assert got_sum.exceptAll(want_sum).count() == 0, (n_parts, keys)
+            assert want_sum.exceptAll(got_sum).count() == 0, (n_parts, keys)

@@ -162,3 +162,53 @@ def test_histogram_merge_law_and_quantile_bounds(spark):
     width = (hi - lo) / bins
     assert abs(est[0.5] - exact[0]) <= width
     assert abs(est[0.9] - exact[1]) <= width
+
+
+def test_streaming_histogram_maintenance_equals_batch(spark, sf_dir, tmp_path):
+    """Maintain the equi-width histogram over a document stream with
+    foreachBatch: each micro-batch's ≤64-row bin table sum-merges into
+    a VersionedTable snapshot. After all batches the stored sketch and
+    its quantile reads must equal the from-scratch batch sketch EXACTLY
+    — the additive merge law live on a real stream (same harness as the
+    streaming HLL test)."""
+    from iceberg_tracking_spark.operators.sketches import (
+        hist_merge,
+        hist_quantiles,
+        hist_table,
+    )
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lo, hi, bins = 0.0, 4000.0, 64
+    vals = lambda df: df.select(F.col("n_chars").cast("double").alias("v"))  # noqa: E731
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(src)
+
+    t = VersionedTable(str(tmp_path / "hist_bins"))
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        h = hist_table(vals(batch_df), "v", lo, hi, bins)
+        if t.current_version() is not None:
+            h = hist_merge(t.read(batch_df.sparkSession), h)
+        t.write(h.coalesce(1))
+
+    stream = (
+        spark.readStream.schema(docs.schema).parquet(src).writeStream
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    q = stream.start()
+    q.awaitTermination(120)
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    q2 = stream.start()
+    q2.awaitTermination(120)
+
+    stored = t.read(spark)
+    batch = hist_table(vals(docs), "v", lo, hi, bins)
+    assert stored.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stored).count() == 0
+    qa = sorted(hist_quantiles(stored, [0.5, 0.9], lo, hi, bins).collect())
+    qb = sorted(hist_quantiles(batch, [0.5, 0.9], lo, hi, bins).collect())
+    assert qa == qb
