@@ -84,6 +84,57 @@ class VersionedTable:
 
     # ------------------------------------------------------------ write
 
+    @staticmethod
+    def _collect_file_stats(target: str, stats_cols: list[str]) -> list[dict]:
+        """Per-data-file min/max for `stats_cols`, read once from the
+        parquet footers at COMMIT time — the Iceberg manifest-entry
+        stats that let `read_pruned` eliminate files at planning time
+        without touching any footer at query time. A column whose
+        stats are absent or non-JSON-typed is recorded as unknown
+        (None) for that file: unknown is always read, never pruned."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for root, _dirs, fs in os.walk(target):
+            for fname in sorted(fs):
+                if not fname.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, fname)
+                md = pq.ParquetFile(p).metadata
+                stats: dict[str, list | None] = {c: None for c in stats_cols}
+                seen: dict[str, list] = {}
+                ok: dict[str, bool] = {c: True for c in stats_cols}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        name = col.path_in_schema
+                        if name not in ok or not ok[name]:
+                            continue
+                        s = col.statistics
+                        if s is None or not s.has_min_max:
+                            ok[name] = False
+                            continue
+                        mn, mx = s.min, s.max
+                        if isinstance(mn, bytes):
+                            mn = mn.decode("utf-8", "replace")
+                            mx = mx.decode("utf-8", "replace")
+                        if not isinstance(mn, (int, float, str)):
+                            ok[name] = False
+                            continue
+                        if name in seen:
+                            seen[name][0] = min(seen[name][0], mn)
+                            seen[name][1] = max(seen[name][1], mx)
+                        else:
+                            seen[name] = [mn, mx]
+                for c in stats_cols:
+                    if ok[c] and c in seen:
+                        stats[c] = seen[c]
+                out.append(
+                    {"path": p, "rows": md.num_rows, "stats": stats}
+                )
+        return out
+
     def write(
         self,
         df: DataFrame,
@@ -91,6 +142,7 @@ class VersionedTable:
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
         expected_current: int | None | str = "any",
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Commit a new snapshot; returns its version number.
 
@@ -131,15 +183,17 @@ class VersionedTable:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target)
         n_rows = df.sparkSession.read.parquet(target).count()
-        m["versions"].append(
-            {
-                "version": version,
-                "mode": mode,
-                "n_rows": n_rows,
-                "schema": df.schema.jsonValue(),
-                "partition_by": partition_by or [],
-            }
-        )
+        entry = {
+            "version": version,
+            "mode": mode,
+            "n_rows": n_rows,
+            "schema": df.schema.jsonValue(),
+            "partition_by": partition_by or [],
+        }
+        if stats_cols:
+            entry["stats_cols"] = list(stats_cols)
+            entry["files"] = self._collect_file_stats(target, list(stats_cols))
+        m["versions"].append(entry)
         m["current"] = version
         if txn is not None:
             app_id, batch_id = txn
@@ -294,6 +348,52 @@ class VersionedTable:
         if v not in known:
             raise ValueError(f"unknown version {v}; have {sorted(known)}")
         return spark.read.parquet(self._data_dir(v))
+
+    def prune_files(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Planning-time file selection from the manifest's min/max
+        stats: (paths whose [min, max] overlaps [lo, hi], total file
+        count). Files with unknown stats are kept — pruning is an
+        optimization, never a correctness filter. Raises if the
+        snapshot was not written with `stats_cols` covering `col`."""
+        m = self._load_manifest()
+        v = m["current"] if version is None else version
+        entry = self._entry_for(m, v)
+        if col not in (entry.get("stats_cols") or []):
+            raise ValueError(
+                f"snapshot v{v} has no manifest stats for column {col!r}; "
+                "write it with stats_cols=[...]"
+            )
+        files = entry["files"]
+        keep = []
+        for f in files:
+            s = (f.get("stats") or {}).get(col)
+            if s is None or not (s[1] < lo or s[0] > hi):
+                keep.append(f["path"])
+        return keep, len(files)
+
+    def read_pruned(
+        self, spark: SparkSession, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Range read with Iceberg-style manifest pruning: data files
+        whose recorded [min, max] cannot contain the predicate are
+        eliminated BEFORE Spark ever lists them — zero footer I/O at
+        query time (the planning-time complement of parquet row-group
+        skipping, which still opens every file). The surviving files
+        get the exact filter, so results equal `read().filter(...)`
+        always; on a range-clustered layout (sources/zorder.py) the
+        file list shrinks to the overlapping slice."""
+        m = self._load_manifest()
+        v = m["current"] if version is None else version
+        keep, _total = self.prune_files(col, lo, hi, version=v)
+        rng = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        if not keep:
+            return self.read(spark, v).filter(F.lit(False))
+        base = self._data_dir(v)
+        return (
+            spark.read.option("basePath", base).parquet(*keep).filter(rng)
+        )
 
     def changes(
         self,

@@ -1000,3 +1000,65 @@ def test_write_audit_publish_flow(spark, tmp_path):
     expired = t.expire(keep_last=1)
     assert bad in expired
     assert t.read(spark).count() == 4
+
+
+def test_manifest_stats_prune_files_and_exact_results(spark, tmp_path):
+    """Iceberg-style manifest pruning: a range-clustered write records
+    per-file min/max at commit; a range read eliminates non-overlapping
+    files at PLANNING time and still returns exactly what a full scan +
+    filter returns."""
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt_stats"))
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    # range-cluster on k so per-file [min, max] are disjoint slices
+    t.write(df.repartitionByRange(10, "k"), stats_cols=["k"])
+    keep, total = t.prune_files("k", 2_000, 2_999)
+    assert total == 10
+    assert 1 <= len(keep) <= 3, f"pruning ineffective: {len(keep)}/{total}"
+    got = sorted(r["k"] for r in t.read_pruned(spark, "k", 2_000, 2_999).collect())
+    want = sorted(
+        r["k"] for r in t.read(spark).filter("k BETWEEN 2000 AND 2999").collect()
+    )
+    assert got == want and len(got) == 1000
+    # out-of-domain range: zero files, empty-but-typed result
+    keep2, _ = t.prune_files("k", 1_000_000, 2_000_000)
+    assert keep2 == []
+    empty = t.read_pruned(spark, "k", 1_000_000, 2_000_000)
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+    # snapshots written without stats refuse to pretend they can prune
+    t.write(df)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no manifest stats"):
+        t.prune_files("k", 0, 10)
+
+
+def test_manifest_stats_prune_partitioned_layout(spark, tmp_path):
+    """Pruning composes with hive partitioning: basePath keeps the
+    partition column, and file elimination works inside partition
+    directories."""
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt_stats_part"))
+    df = spark.range(0, 4_000).select(
+        (F.col("id") % 2).cast("string").alias("seq"),
+        F.col("id").alias("k"),
+    )
+    t.write(
+        df.repartitionByRange(8, "k"),
+        partition_by=["seq"],
+        stats_cols=["k"],
+    )
+    keep, total = t.prune_files("k", 0, 499)
+    assert len(keep) < total
+    out = t.read_pruned(spark, "k", 0, 499)
+    assert set(out.columns) == {"seq", "k"}  # partition col preserved
+    assert out.count() == 500
+    # identical rows (incl. the dir-inferred partition values) as a
+    # full scan + filter through the ordinary read path
+    want = t.read(spark).filter("k BETWEEN 0 AND 499")
+    assert out.exceptAll(want).count() == 0
+    assert want.exceptAll(out).count() == 0
