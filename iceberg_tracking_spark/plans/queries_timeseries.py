@@ -324,3 +324,59 @@ def q_hourly_percentiles(spark, sf_dir):
             for q in (0.50, 0.95, 0.99)
         ],
     )
+
+
+@query(
+    "q_ohlc",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+               value, ts, event_id
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type, hour_start,
+               count(*) AS n,
+               round(min(value), 2) AS low,
+               round(max(value), 2) AS high
+        FROM b GROUP BY event_type, hour_start
+    ),
+    rk AS (
+        SELECT event_type, hour_start, value,
+               row_number() OVER (PARTITION BY event_type, hour_start
+                                  ORDER BY ts, event_id) AS ra,
+               row_number() OVER (PARTITION BY event_type, hour_start
+                                  ORDER BY ts DESC, event_id DESC) AS rd
+        FROM b
+    )
+    SELECT a.event_type, a.hour_start, a.n,
+           round(op.value, 2) AS open, a.high, a.low,
+           round(cl.value, 2) AS close
+    FROM agg a
+    JOIN rk op ON op.event_type = a.event_type
+              AND op.hour_start = a.hour_start AND op.ra = 1
+    JOIN rk cl ON cl.event_type = a.event_type
+              AND cl.hour_start = a.hour_start AND cl.rd = 1
+    """,
+)
+def q_ohlc(spark, sf_dir):
+    """OHLC resampling: open/high/low/close of `value` per event_type
+    per tumbling hour — the candlestick/time-bucket downsample every
+    metrics store materializes. Open/close are `min_by`/`max_by` over
+    the (ts, event_id) struct order (deterministic tie-break), so the
+    whole bar computes in ONE map-side-combining hash aggregate — no
+    window, no sort, the shape that turns a 100 TB tick stream into a
+    bounded (type × hour) bar relation in a single pass. The DuckDB
+    oracle derives the same endpoints via rank windows — different
+    mechanism, provably the same rows."""
+    ev = scatter(load_table(spark, sf_dir, "events"))
+    key = F.struct("ts", "event_id")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min_by("value", key), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max_by("value", key), 2).alias("close"),
+    )

@@ -77,6 +77,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_histogram_quantiles",
     "q_bpe_learn",
     "q_training_manifest",
+    "q_ohlc",
 ]
 
 

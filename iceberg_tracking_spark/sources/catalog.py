@@ -422,6 +422,17 @@ class VersionedTable:
         to_v = self.current_version() if to_version is None else to_version
         old = self.read(spark, from_version)
         new = self.read(spark, to_v)
+        # Schema evolution (Iceberg add-column semantics): a column
+        # present in only one snapshot reads as NULL in the other, so
+        # CDC spans an ALTER without erroring — an added column makes
+        # rows differ only where it is non-NULL in the new snapshot.
+        for c, t in [(f.name, f.dataType) for f in new.schema.fields]:
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(t))
+        for c, t in [(f.name, f.dataType) for f in old.schema.fields]:
+            if c not in new.columns:
+                new = new.withColumn(c, F.lit(None).cast(t))
+        new = new.select(*old.columns)
         if key_cols is None:
             ins = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
             dels = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))

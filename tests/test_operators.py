@@ -1062,3 +1062,30 @@ def test_manifest_stats_prune_partitioned_layout(spark, tmp_path):
     want = t.read(spark).filter("k BETWEEN 0 AND 499")
     assert out.exceptAll(want).count() == 0
     assert want.exceptAll(out).count() == 0
+
+
+def test_cdc_spans_schema_evolution(spark, tmp_path):
+    """changes() across an added column must not error: the old
+    snapshot reads the new column as NULL (Iceberg add-column
+    semantics), so the change feed reports exactly the rows whose
+    visible values differ."""
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt_schema_ev"))
+    t.write(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"))
+    # v1 adds column `w`, changes k=2's v, keeps k=1 untouched
+    t.write(
+        spark.createDataFrame(
+            [(1, 1.0, None), (2, 9.0, "x"), (3, 3.0, "y")],
+            "k long, v double, w string",
+        )
+    )
+    cdc = t.changes(spark, from_version=0, key_cols=["k"]).toPandas()
+    by_type = cdc.groupby("_change_type").k.apply(list).to_dict()
+    assert by_type.get("insert") == [3]
+    assert sorted(by_type.get("update_postimage", [])) == [2]
+    # k=1: only difference would be w (NULL in both views) → no change row
+    assert 1 not in set(cdc.k)
+    # row-level (un-keyed) diff across the schema change also works
+    row_cdc = t.changes(spark, from_version=0).toPandas()
+    assert set(row_cdc.columns) >= {"k", "v", "w", "_change_type"}
