@@ -1041,3 +1041,90 @@ def q_training_manifest(spark: SparkSession, sf_dir: str):
             .alias("difficulty_bucket"),
         )
     )
+
+
+@query(
+    "q_dedup_canonical",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, lang, source,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               round(CASE WHEN len(toks) > 0
+                     THEN CAST(len(list_filter(toks, x -> x IN ({_SW_LIST})))
+                          AS DOUBLE) / len(toks)
+                     ELSE 0.0 END, 6) AS quality,
+               md5(array_to_string(toks, ' ')) AS fingerprint
+        FROM (SELECT doc_id, lang, source, {_DUCK_TOKS} AS toks FROM documents)
+    ),
+    best AS (
+        SELECT doc_id, lang, source, n_tokens, quality, fingerprint, n_copies
+        FROM (
+            SELECT *,
+                   row_number() OVER (PARTITION BY fingerprint
+                                      ORDER BY quality DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY fingerprint) AS n_copies
+            FROM fp
+        ) WHERE rn = 1
+    )
+    SELECT doc_id, lang, source, n_tokens, quality,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM best
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str):
+    """Canonical-copy selection: exact-duplicate groups (normalized-
+    token fingerprint) keep the HIGHEST-QUALITY copy, not the first —
+    the curation policy that matters when duplicates differ in
+    extraction quality (quality proxy here: stopword fraction, the
+    natural-language signal; tie-break doc_id). Output: the surviving
+    document per group plus how many copies it beat.
+
+    Scale shape: keep-best is a single map-side-combining hash
+    aggregate — `max(struct(quality, -doc_id, payload...))` per
+    fingerprint (operators/windows.argmax_agg), with the copy count in
+    the SAME aggregate. No sort window touches the corpus; the shuffle
+    carries one candidate per (partition, fingerprint). Contrast with
+    q_dedup_keep_one (graph-clustered near-dups, keep-min-id) and
+    q_dedup_keep_one's window-based keep-first — this is the shape to
+    prefer at 100 TB."""
+    d = scatter(load_table(spark, sf_dir, "documents")).withColumn(
+        "toks", tokens(F.lower(F.col("text")))
+    )
+    fp = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.when(
+                F.size("toks") > 0,
+                F.size(
+                    F.filter("toks", lambda t: t.isin(*STOPWORDS))
+                ).cast("double")
+                / F.size("toks"),
+            ).otherwise(0.0),
+            6,
+        ).alias("quality"),
+        F.md5(F.array_join("toks", " ")).alias("fingerprint"),
+    )
+    best = fp.groupBy("fingerprint").agg(
+        F.max(
+            F.struct(
+                F.col("quality"),
+                (-F.col("doc_id")).alias("_neg_id"),
+                F.col("doc_id").alias("doc_id"),
+                F.col("lang").alias("lang"),
+                F.col("source").alias("source"),
+                F.col("n_tokens").alias("n_tokens"),
+            )
+        ).alias("w"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return best.select(
+        F.col("w.doc_id").alias("doc_id"),
+        F.col("w.lang").alias("lang"),
+        F.col("w.source").alias("source"),
+        F.col("w.n_tokens").alias("n_tokens"),
+        F.col("w.quality").alias("quality"),
+        "n_copies",
+    )

@@ -78,6 +78,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_bpe_learn",
     "q_training_manifest",
     "q_ohlc",
+    "q_dedup_canonical",
 ]
 
 
