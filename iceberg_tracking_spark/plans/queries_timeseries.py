@@ -380,3 +380,96 @@ def q_ohlc(spark, sf_dir):
         F.round(F.min("value"), 2).alias("low"),
         F.round(F.max_by("value", key), 2).alias("close"),
     )
+
+
+@query(
+    "q_cusum",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+               round(sum(value), 2) AS x
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    mu AS (
+        SELECT event_type, sum(x) / count(*) AS mu
+        FROM hourly GROUP BY event_type
+    ),
+    seq AS (
+        SELECT h.event_type, h.hour_start, h.x - m.mu AS adj,
+               row_number() OVER (PARTITION BY h.event_type
+                                  ORDER BY h.hour_start) AS i
+        FROM hourly h JOIN mu m USING (event_type)
+    ),
+    cs(event_type, i, s) AS (
+        SELECT event_type, i, greatest(0.0, adj) FROM seq WHERE i = 1
+        UNION ALL
+        SELECT s.event_type, s.i, greatest(0.0, c.s + s.adj)
+        FROM seq s JOIN cs c
+          ON c.event_type = s.event_type AND s.i = c.i + 1
+    )
+    SELECT s.event_type, s.hour_start, round(c.s, 4) AS cusum
+    FROM seq s JOIN cs c ON c.event_type = s.event_type AND c.i = s.i
+    """,
+)
+def q_cusum(spark, sf_dir):
+    """One-sided CUSUM change-point statistic per event_type: hourly
+    volume x_t, per-type baseline μ, S_t = max(0, S_{t-1} + x_t − μ) —
+    the classic upward-shift detector (Page 1954) behind drift alarms.
+    A sustained rise accumulates; noise resets to 0.
+
+    The recursion is a genuine sequential fold, so it runs where the
+    data is SMALL: the fact stream first reduces map-side to the
+    bounded (type × hour) relation; each type's series then folds
+    inside one `aggregate` higher-order function over its array
+    (array_sort of the collected (hour, adj) structs → deterministic
+    order). State is the time axis, not the data volume — the same
+    boundedness argument as q_ewma. The DuckDB oracle replays the
+    identical double arithmetic as a recursive CTE, so the hash check
+    pins every S_t exactly."""
+    ev = scatter(load_table(spark, sf_dir, "events"))
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.round(F.sum("value"), 2).alias("x"))
+    mu = hourly.groupBy("event_type").agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("mu")
+    )
+    adj = hourly.join(F.broadcast(mu), "event_type").select(
+        "event_type", "hour_start", (F.col("x") - F.col("mu")).alias("adj")
+    )
+    series = adj.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("hour_start", "adj"))
+        ).alias("pts")
+    )
+    cusum = F.aggregate(
+        F.col("pts"),
+        F.array().cast("array<double>"),
+        lambda acc, p: F.concat(
+            acc,
+            F.array(
+                F.greatest(
+                    F.lit(0.0),
+                    F.when(F.size(acc) > 0, F.element_at(acc, -1))
+                    .otherwise(F.lit(0.0))
+                    + p["adj"],
+                )
+            ),
+        ),
+    )
+    return (
+        series.withColumn("s", cusum)
+        .select(
+            "event_type",
+            F.explode(
+                F.arrays_zip(
+                    F.col("pts.hour_start").alias("hour_start"),
+                    F.col("s").alias("cusum"),
+                )
+            ).alias("z"),
+        )
+        .select(
+            "event_type",
+            F.col("z.hour_start").alias("hour_start"),
+            F.round("z.cusum", 4).alias("cusum"),
+        )
+    )

@@ -79,6 +79,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_training_manifest",
     "q_ohlc",
     "q_dedup_canonical",
+    "q_cusum",
 ]
 
 
