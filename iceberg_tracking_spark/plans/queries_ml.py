@@ -604,3 +604,111 @@ def q_image_similarity(spark, sf_dir):
     return brute_force_topk(
         emb, q, k=3, corpus_id="media_id", vec_col="emb", query_vec_col="qe"
     ).select("qid", F.col("nid"), "sim")
+
+
+def _image_resize_oracle() -> str:
+    """Mirror of the numpy bilinear resample (imagecodec.resize_bilinear,
+    half-pixel-center / INTER_LINEAR convention) in pure SQL: per output
+    pixel, 4 hex-pair source lookups combined with the IDENTICAL
+    multiply-add order (top lerp, bottom lerp, vertical lerp), so the
+    doubles are bit-equal before the shared 6dp round."""
+    from ..sources.binary import IMAGE_FIXTURE_DIR
+
+    def px(yexpr: str, xexpr: str) -> str:
+        pos = f"(2 * (({yexpr}) * w + ({xexpr})) + p0)"
+        return (
+            f"((strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(hx, {pos} + 1, 1)) - 1))"
+        )
+
+    return f"""
+    WITH img AS (
+        SELECT CAST(regexp_extract(filename, '(\\d+)\\.pgm$', 1) AS BIGINT)
+                   AS media_id,
+               lower(hex(content)) AS hx
+        FROM read_blob('{IMAGE_FIXTURE_DIR}/*.pgm')
+    ),
+    hdr AS (
+        SELECT media_id, hx,
+               length(regexp_extract(hx,
+                   '^50350a(?:3[0-9])+20(?:3[0-9])+0a3235350a', 0)) + 1 AS p0,
+               CAST(regexp_replace(
+                   regexp_extract(hx, '^50350a((?:3[0-9])+)20', 1),
+                   '3(.)', '\\1', 'g') AS BIGINT) AS w,
+               CAST(regexp_replace(
+                   regexp_extract(hx, '^50350a(?:3[0-9])+20((?:3[0-9])+)0a', 1),
+                   '3(.)', '\\1', 'g') AS BIGINT) AS h
+        FROM img
+    ),
+    grid AS (
+        SELECT media_id, hx, p0, w, h,
+               CAST(i // 8 AS BIGINT) AS r, CAST(i % 8 AS BIGINT) AS c
+        FROM hdr, unnest(range(0, 64)) AS u(i)
+    ),
+    coords AS (
+        SELECT media_id, hx, p0, w, h, r, c,
+               ((r + 0.5) * h) / 16.0 - 0.5 AS ys,
+               ((c + 0.5) * w) / 16.0 - 0.5 AS xs
+        FROM grid
+    ),
+    corners AS (
+        SELECT media_id, hx, p0, w, h, r, c, ys, xs,
+               greatest(least(CAST(floor(ys) AS BIGINT), h - 1), 0) AS y0,
+               greatest(least(CAST(floor(xs) AS BIGINT), w - 1), 0) AS x0
+        FROM coords
+    ),
+    weights AS (
+        SELECT media_id, hx, p0, w, h, r, c, y0, x0,
+               least(y0 + 1, h - 1) AS y1,
+               least(x0 + 1, w - 1) AS x1,
+               least(greatest(ys - y0, 0.0), 1.0) AS wy,
+               least(greatest(xs - x0, 0.0), 1.0) AS wx
+        FROM corners
+    )
+    SELECT media_id, r, c,
+           round(
+               ({px('y0', 'x0')} * (1.0 - wx) + {px('y0', 'x1')} * wx)
+                   * (1.0 - wy)
+               + ({px('y1', 'x0')} * (1.0 - wx) + {px('y1', 'x1')} * wx)
+                   * wy,
+           6) AS val
+    FROM weights
+    """
+
+
+@query("q_image_resize", oracle=_image_resize_oracle())
+def q_image_resize(spark, sf_dir):
+    """M3 for real, oracle-checked: decode genuine PGM files, bilinear-
+    resample every image to 16×16 with the numpy codec inside
+    Arrow-batched mapInPandas, and emit the top-left 8×8 of the
+    resampled float field as per-pixel rows. The DuckDB oracle
+    re-derives each output pixel from the RAW FILE BYTES with the same
+    half-pixel-center lerp chain — so the resize math itself (not a
+    parity test against the same library) is what the hash pins.
+    Per-pixel rows rather than aggregates: zero summation-order risk.
+
+    Scale shape: identical to q_image_decode — binaryFile splits per
+    file, the decode+resample is embarrassingly parallel with
+    per-partition codec amortization."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..operators.imagecodec import decode_pgm, resize_bilinear
+    from ..operators.multimodal import media_from_image_files
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                out = resize_bilinear(decode_pgm(bytes(rec.content)), 16, 16)
+                for r in range(8):
+                    for c in range(8):
+                        rows.append((rec.media_id, r, c, float(out[r, c])))
+            yield pd.DataFrame(rows, columns=["media_id", "r", "c", "val"])
+
+    media = media_from_image_files(spark).select("media_id", "content")
+    res = media.mapInPandas(
+        _resample, schema="media_id long, r long, c long, val double"
+    )
+    return res.select("media_id", "r", "c", F.round("val", 6).alias("val"))

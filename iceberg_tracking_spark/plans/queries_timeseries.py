@@ -391,7 +391,11 @@ def q_ohlc(spark, sf_dir):
         FROM events GROUP BY event_type, date_trunc('hour', ts)
     ),
     mu AS (
-        SELECT event_type, sum(x) / count(*) AS mu
+        -- x sits on the 2dp grid: sum as DECIMAL so the baseline is
+        -- exact and order-independent (a double sum varies with
+        -- Spark's partial-agg order and the recursion amplifies ulps)
+        SELECT event_type,
+               CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mu
         FROM hourly GROUP BY event_type
     ),
     seq AS (
@@ -431,7 +435,10 @@ def q_cusum(spark, sf_dir):
         "event_type", F.date_trunc("hour", "ts").alias("hour_start")
     ).agg(F.round(F.sum("value"), 2).alias("x"))
     mu = hourly.groupBy("event_type").agg(
-        (F.sum("x") / F.count(F.lit(1))).alias("mu")
+        (
+            F.sum(F.col("x").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
     )
     adj = hourly.join(F.broadcast(mu), "event_type").select(
         "event_type", "hour_start", (F.col("x") - F.col("mu")).alias("adj")

@@ -80,6 +80,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_ohlc",
     "q_dedup_canonical",
     "q_cusum",
+    "q_image_resize",
 ]
 
 
