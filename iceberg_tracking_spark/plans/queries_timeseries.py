@@ -480,3 +480,76 @@ def q_cusum(spark, sf_dir):
             F.round("z.cusum", 4).alias("cusum"),
         )
     )
+
+
+@query(
+    "q_type_correlation",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+               round(sum(value), 2) AS x
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(a.x AS DECIMAL(18,2)) AS xa,
+               CAST(b.x AS DECIMAL(18,2)) AS xb
+        FROM hourly a JOIN hourly b
+          ON a.hour_start = b.hour_start AND a.event_type < b.event_type
+    ),
+    m AS (
+        SELECT type_a, type_b,
+               count(*) AS n,
+               CAST(sum(xa) AS DOUBLE) AS sx,
+               CAST(sum(xb) AS DOUBLE) AS sy,
+               CAST(sum(xa * xb) AS DOUBLE) AS sxy,
+               CAST(sum(xa * xa) AS DOUBLE) AS sxx,
+               CAST(sum(xb * xb) AS DOUBLE) AS syy
+        FROM p GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS corr
+    FROM m
+    """,
+)
+def q_type_correlation(spark, sf_dir):
+    """Pairwise Pearson correlation of hourly volume between event
+    types — the metric-correlation matrix behind "do clicks move with
+    views?" dashboards and feature-redundancy pruning. The moment sums
+    (Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL over the 2dp volume
+    grid, so they are EXACT and order-independent on both engines; the
+    closed-form r is then one deterministic double expression (no
+    engine-native corr(), whose streaming implementations differ).
+
+    Scale shape: facts reduce map-side to the bounded (type × hour)
+    relation; the pair join is hour-keyed between a handful of types —
+    the correlation matrix costs O(hours × types²) regardless of event
+    volume."""
+    ev = scatter(load_table(spark, sf_dir, "events"))
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.round(F.sum("value"), 2).cast("decimal(18,2)").alias("x"))
+    a = hourly.select(
+        F.col("event_type").alias("type_a"), "hour_start",
+        F.col("x").alias("xa"),
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"), "hour_start",
+        F.col("x").alias("xb"),
+    )
+    p = a.join(b, "hour_start").filter(F.col("type_a") < F.col("type_b"))
+    m = p.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").cast("double").alias("sx"),
+        F.sum("xb").cast("double").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).cast("double").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("double").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("type_a", "type_b", "n", F.round(corr, 6).alias("corr"))

@@ -81,6 +81,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_dedup_canonical",
     "q_cusum",
     "q_image_resize",
+    "q_type_correlation",
 ]
 
 
