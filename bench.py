@@ -88,6 +88,15 @@ EXTENDED_FLOOR_SEC = {
     "q_count_min": 1.246,
     "q_image_decode": 2.189,
     "q_rrf_fusion": 1.999,
+    # round-5 families: first sf0.1 min-of-3 recordings (local run)
+    "q_auc": 0.594,
+    "q_pack_sequences": 0.739,
+    "q_pack_sequences_sharded": 0.260,
+    "q_histogram_quantiles": 0.445,
+    "q_bpe_learn": 1.339,
+    "q_domain_mixture": 0.495,
+    "q_curriculum": 0.771,
+    "q_training_manifest": 0.651,
 }
 
 

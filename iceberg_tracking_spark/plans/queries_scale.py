@@ -2143,3 +2143,95 @@ def q_histogram_quantiles(spark, sf_dir):
     return hist_quantiles(
         h, list(_HIST_QS), lo=_HIST_LO, hi=_HIST_HI, n_bins=_HIST_BINS
     )
+
+
+def _ann_recall_oracle() -> str:
+    planes = hyperplane_sql_literals(DEFAULT_BITS, _DIM)
+    plane_cols = ", ".join(f"{p} AS h{b}" for b, p in enumerate(planes))
+    return f"""
+    WITH p AS (SELECT {plane_cols}),
+    v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               CAST({duck_sig_sql(_DIM)} AS BIGINT) AS sig
+        FROM embeddings, p
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe, sig FROM v WHERE vec_id % 50 = 0),
+    ann AS (
+        SELECT qid, nid FROM (
+            SELECT q.qid, v.vec_id AS nid,
+                   round({duck_cosine_sql('q.qe', 'v.e', _DIM)}, 6) AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({duck_cosine_sql('q.qe', 'v.e', _DIM)}, 6)
+                                DESC, v.vec_id) AS rn
+            FROM q JOIN v ON v.sig = q.sig AND v.vec_id <> q.qid
+        ) WHERE rn <= 3
+    ),
+    exact AS (
+        SELECT qid, nid FROM (
+            SELECT q.qid, v.vec_id AS nid,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({duck_cosine_sql('q.qe', 'v.e', _DIM)}, 6)
+                                DESC, v.vec_id) AS rn
+            FROM q JOIN v ON v.vec_id <> q.qid
+        ) WHERE rn <= 3
+    ),
+    hits AS (
+        SELECT e.qid, count(*) AS n_hit
+        FROM exact e JOIN ann a ON a.qid = e.qid AND a.nid = e.nid
+        GROUP BY e.qid
+    )
+    SELECT q.qid,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n_hit, 0) / 3.0, 6) AS recall
+    FROM q LEFT JOIN hits h ON h.qid = q.qid
+    """
+
+
+@query("q_ann_recall", oracle=_ann_recall_oracle())
+def q_ann_recall(spark, sf_dir):
+    """Recall@3 of the LSH ANN path against the exact top-3 — the
+    standard quality metric every approximate index ships with (how
+    many of the TRUE nearest neighbors does the bucketed search find).
+    Both sides run the engine's own operators: lsh_bucket_topk for the
+    candidates, brute_force_topk for the ground truth, one semi-join
+    counts the overlap per query.
+
+    Scale shape: the ANN side is the production bucketed join; the
+    exact side is the EVAL harness and runs on a sampled query set
+    (vec_id % 50 — recall estimation needs a sample, not the corpus),
+    so the brute-force cost is queries × corpus with a broadcast query
+    table, bounded by the sample size. This is exactly how recall is
+    monitored on a billion-vector index."""
+    from ..operators.similarity import brute_force_topk
+
+    pred = F.col("vec_id") % 50 == 0
+    v = scatter(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    qs = v.filter(pred).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    exact = brute_force_topk(v, qs, k=3).select("qid", "nid")
+    ann = lsh_bucket_topk(v, dim=_DIM, k=3, query_pred=pred).select(
+        "qid", "nid"
+    )
+    hits = (
+        exact.join(ann, ["qid", "nid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / 3.0, 6).alias(
+                "recall"
+            ),
+        )
+    )

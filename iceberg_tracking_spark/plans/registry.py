@@ -82,6 +82,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_cusum",
     "q_image_resize",
     "q_type_correlation",
+    "q_ann_recall",
 ]
 
 

@@ -22,6 +22,8 @@ from iceberg_tracking_spark.plans import QUERIES
 # scale-path replacements are q_ann_lsh / q_minhash_lsh / q_grid_join.
 NESTED_LOOP_OK = {
     "q_cosine_topk",       # broadcast queries x corpus, != condition
+    "q_ann_recall",        # exact-side eval harness = brute_force_topk
+                           # over the sampled query set (recall ground truth)
     "q_image_similarity",  # fixture-sized brute_force_topk demo; scale
                            # path is the LSH/IVF candidates (docstring)
     "q_rrf_fusion",        # semantic side = brute_force_topk (1 anchor);
