@@ -2235,3 +2235,90 @@ def q_ann_recall(spark, sf_dir):
             ),
         )
     )
+
+
+def _ann_recall_multiprobe_oracle() -> str:
+    planes = hyperplane_sql_literals(DEFAULT_BITS, _DIM)
+    plane_cols = ", ".join(f"{p} AS h{b}" for b, p in enumerate(planes))
+    return f"""
+    WITH p AS (SELECT {plane_cols}),
+    v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               CAST({duck_sig_sql(_DIM)} AS BIGINT) AS sig
+        FROM embeddings, p
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe, sig FROM v WHERE vec_id % 50 = 0),
+    ann AS (
+        SELECT qid, nid FROM (
+            SELECT q.qid, v.vec_id AS nid,
+                   round({duck_cosine_sql('q.qe', 'v.e', _DIM)}, 6) AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({duck_cosine_sql('q.qe', 'v.e', _DIM)}, 6)
+                                DESC, v.vec_id) AS rn
+            FROM q JOIN v
+              ON v.vec_id <> q.qid
+             AND v.sig IN (q.sig, xor(q.sig, 1), xor(q.sig, 2))
+        ) WHERE rn <= 3
+    ),
+    exact AS (
+        SELECT qid, nid FROM (
+            SELECT q.qid, v.vec_id AS nid,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({duck_cosine_sql('q.qe', 'v.e', _DIM)}, 6)
+                                DESC, v.vec_id) AS rn
+            FROM q JOIN v ON v.vec_id <> q.qid
+        ) WHERE rn <= 3
+    ),
+    hits AS (
+        SELECT e.qid, count(*) AS n_hit
+        FROM exact e JOIN ann a ON a.qid = e.qid AND a.nid = e.nid
+        GROUP BY e.qid
+    )
+    SELECT q.qid,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n_hit, 0) / 3.0, 6) AS recall
+    FROM q LEFT JOIN hits h ON h.qid = q.qid
+    """
+
+
+@query("q_ann_recall_multiprobe", oracle=_ann_recall_multiprobe_oracle())
+def q_ann_recall_multiprobe(spark, sf_dir):
+    """Recall@3 with multi-probe LSH (probes=2: each query also
+    searches the two buckets at Hamming distance 1 on its first
+    signature bits) — the standard recall lever, measured: candidate
+    volume grows ~3× while the index stays single-signature, and the
+    per-query recall rows are directly comparable to q_ann_recall's
+    single-bucket baseline. Same eval harness, same oracle contract."""
+    from ..operators.similarity import brute_force_topk
+
+    pred = F.col("vec_id") % 50 == 0
+    v = scatter(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    qs = v.filter(pred).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    exact = brute_force_topk(v, qs, k=3).select("qid", "nid")
+    ann = lsh_bucket_topk(
+        v, dim=_DIM, k=3, query_pred=pred, probes=2
+    ).select("qid", "nid")
+    hits = (
+        exact.join(ann, ["qid", "nid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / 3.0, 6).alias(
+                "recall"
+            ),
+        )
+    )

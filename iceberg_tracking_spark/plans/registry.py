@@ -83,6 +83,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_image_resize",
     "q_type_correlation",
     "q_ann_recall",
+    "q_ann_recall_multiprobe",
 ]
 
 

@@ -24,6 +24,7 @@ NESTED_LOOP_OK = {
     "q_cosine_topk",       # broadcast queries x corpus, != condition
     "q_ann_recall",        # exact-side eval harness = brute_force_topk
                            # over the sampled query set (recall ground truth)
+    "q_ann_recall_multiprobe",  # same harness, multi-probe candidate side
     "q_image_similarity",  # fixture-sized brute_force_topk demo; scale
                            # path is the LSH/IVF candidates (docstring)
     "q_rrf_fusion",        # semantic side = brute_force_topk (1 anchor);
