@@ -70,6 +70,8 @@ EXTENDED = [
     "q_domain_mixture",
     "q_curriculum",
     "q_training_manifest",
+    "q_ann_recall",
+    "q_ann_recall_multiprobe",
 ]
 
 # Regression floor for the extended set: the first recorded sf0.1
