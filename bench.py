@@ -72,6 +72,12 @@ EXTENDED = [
     "q_training_manifest",
     "q_ann_recall",
     "q_ann_recall_multiprobe",
+    # round-6 additions (no floor yet — their first sf0.1 recording
+    # becomes the floor next round): AP, reference-faithful identity
+    # metrics, multi-sequence COMBINED rollup
+    "q_average_precision",
+    "q_eval_identity",
+    "q_eval_combined",
 ]
 
 # Regression floor for the extended set: the first recorded sf0.1
@@ -99,6 +105,10 @@ EXTENDED_FLOOR_SEC = {
     "q_domain_mixture": 0.495,
     "q_curriculum": 0.771,
     "q_training_manifest": 0.651,
+    # ANN recall monitors: first sf0.1 recording = BENCH_r05 (r5
+    # verdict task #2 — every extended entry regression-guarded)
+    "q_ann_recall": 0.950,
+    "q_ann_recall_multiprobe": 0.967,
 }
 
 

@@ -20,6 +20,7 @@ exact point PIL/cv2 would plug in — when `decode_stub=False`.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator
 
 import numpy as np
@@ -174,12 +175,23 @@ def extract_media_features(
                 phash = hashlib.md5(
                     "".join(map(str, bits)).encode()
                 ).hexdigest()
+                # mean/std via EXACT integer moments then the closed
+                # form sqrt(SS/N - (S/N)^2) — the same float-op
+                # sequence the SQL oracle uses (sum-of-ints * 1.0 / N).
+                # numpy's two-pass mat.std() differs by up to ~1e-13,
+                # enough to flip round(.,6) on a grid boundary.
+                m64 = mat.astype(np.int64)
+                n_px = int(m64.size)
+                s = int(m64.sum())
+                ss = int((m64 * m64).sum())
+                mean = s / n_px
+                std = math.sqrt(ss / n_px - mean * mean)
                 rows.append(
                     (
                         r.media_id,
                         len(bytes(r.content)),
-                        float(mat.mean()),
-                        float(mat.std()),
+                        mean,
+                        std,
                         phash,
                     )
                 )

@@ -34,14 +34,33 @@ DEFAULT_BITS = 8
 def hyperplane(bit: int, dim: int) -> list[int]:
     """The ±1 Rademacher hyperplane for one signature bit.
 
-    Entry i = +1 iff ((i+1)·2654435761 + (bit+1)·40503) mod 4 < 2 —
-    Knuth/Fibonacci multiplicative mixes, chosen only to be cheap,
-    deterministic, and identically computable in SQL.
+    Entry i = the low bit of a splitmix64-style avalanche of
+    (bit, i). The planes are computed HERE once and inlined as
+    LITERALS on both engines (`hyperplane_sql_literals`), so the mix
+    can be arbitrarily strong with zero SQL-expressibility cost.
+
+    Why an avalanche and not a cheap linear mod-4 mix: the previous
+    `((i+1)·2654435761 + (bit+1)·40503) mod 4 < 2` formula made every
+    plane a cyclic shift of ONE period-4 pattern — exactly 4 distinct
+    hyperplanes for ANY (n_bits, dim), so an n-bit signature had at
+    most ~16 distinct values and LSH candidate reduction was capped at
+    ~1/16th of the corpus regardless of configured bits (measured on a
+    1M-vector synthetic corpus; see
+    tests/test_scale_patterns.py::test_lsh_candidate_growth). With
+    independent planes the bucket count actually tracks 2^n_bits and
+    the reduction scales the way the 100 TB design assumes.
     """
-    return [
-        1 if ((i + 1) * 2654435761 + (bit + 1) * 40503) % 4 < 2 else -1
-        for i in range(dim)
-    ]
+    mask = (1 << 64) - 1
+    out = []
+    for i in range(dim):
+        z = ((bit + 1) * 0x9E3779B97F4A7C15 + (i + 1) * 0xBF58476D1CE4E5B9) & mask
+        z ^= z >> 30
+        z = (z * 0x94D049BB133111EB) & mask
+        z ^= z >> 27
+        z = (z * 0xFF51AFD7ED558CCD) & mask
+        z ^= z >> 31
+        out.append(1 if z & 1 else -1)
+    return out
 
 
 def hyperplane_sql_literals(n_bits: int, dim: int) -> list[str]:

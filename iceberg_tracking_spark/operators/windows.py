@@ -120,16 +120,24 @@ def distributed_cumulative(
     distributed ranking instead:
 
       1. a deterministic range-bucket id: `percentile_approx` of the
-         FIRST order column yields n_parts-1 boundaries (one tiny
-         broadcast row), and each row's bucket is the count of
+         FIRST order column yields n_parts-1 boundaries, collected to
+         the driver ONCE (a single row of n_parts-1 doubles — tiny by
+         construction) and inlined as literals in a folded comparison
+         chain, so `_pid` is a plan-constant expression. Each row's bucket is the count of
          boundaries strictly below its key — so equal keys always
          share a bucket and bucket i's keys all sort before bucket
          i+1's. NOT `repartitionByRange` + `spark_partition_id`: the
          range sampler is seeded by RDD id, so two consumers of the
          same repartitionByRange can see DIFFERENT boundaries unless
          exchange reuse happens to fire (observed for real — silent
-         rank corruption). percentile_approx is deterministic for any
-         recomputation.
+         rank corruption). And NOT a broadcast of the bounds relation
+         either: the plan has TWO consumers of the bucketed relation
+         (`local` and `totals`), and ApproximatePercentile's final
+         merge of QuantileSummaries depends on shuffle-block fetch
+         order on a multi-executor cluster — if broadcast-exchange
+         reuse doesn't fire, the two subtrees could bucket rows
+         differently, silently corrupting global ranks. Literalizing
+         makes both consumers share one physically-identical constant.
       2. a window PARTITIONED by the bucket id computes local
          row_number / running sum in parallel;
       3. per-bucket totals (n_parts rows) get exclusive prefix
@@ -152,14 +160,21 @@ def distributed_cumulative(
         n_parts = max(spark.sparkContext.defaultParallelism, 8)
     first = F.col(order_cols[0]).cast("double")
     qs = [i / n_parts for i in range(1, n_parts)]
-    bounds = df.agg(
+    row = df.agg(
         F.percentile_approx(first, qs, 10000).alias("_bs")
-    )
-    ranged = (
-        df.crossJoin(F.broadcast(bounds))
-        .withColumn("_pid", F.size(F.filter("_bs", lambda b: b < first)))
-        .drop("_bs")
-    )
+    ).collect()[0]
+    bounds = [float(b) for b in (row["_bs"] or [])]
+    if bounds:
+        # folded comparison chain (not a higher-order filter over a
+        # literal array — Catalyst mis-binds the captured column ref
+        # inside the lambda under the broadcast-join rewrite): each
+        # term is a plan constant vs the key, whole-stage-codegen'd.
+        pid = sum(
+            (F.lit(b) < first).cast("int") for b in bounds
+        )
+        ranged = df.withColumn("_pid", pid)
+    else:  # empty input: one bucket, nothing to rank
+        ranged = df.withColumn("_pid", F.lit(0))
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     if agg_col is None:
         local = ranged.withColumn("_loc", F.row_number().over(w).cast("long"))

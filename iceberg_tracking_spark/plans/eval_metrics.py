@@ -21,26 +21,19 @@ from pyspark.sql import functions as F
 from ..functions.geometry import iou
 
 
-def clear_identity_metrics(
+def matched_pairs(
     gt: DataFrame,
     tracks: DataFrame,
     iou_threshold: float = 0.5,
     prefilter_cell: float | None = None,
 ) -> DataFrame:
-    """Compute CLEAR + Identity metrics per sequence.
+    """The greedy per-GT matching shared by every metric job
+    (reference eval.py:221-254): IoU theta-join, threshold, per
+    (sequence, frame, gt) argmax with a deterministic lowest-track-id
+    tie-break. Returns (sequence, frame, gt_id, track_id, iou).
 
     gt:     (sequence, frame:long, gt_id, l, t, w, h)
     tracks: (sequence, frame:long, track_id, l, t, w, h)
-    Returns one row per sequence:
-      n_gt, n_det, tp, fn, fp, clr_re, clr_pr, loca,
-      idsw, frag, mt, pt, ml, idtp, idf1
-
-    `prefilter_cell`: when the caller can bound box extents below this
-    cell size, the per-frame GT×track pairing routes through the
-    LOSSLESS grid prefilter (operators/joins.grid_cell_join — centers
-    of overlapping boxes are within one cell), replacing the O(n²)
-    frame explosion with cell-bounded candidates. None (default) keeps
-    the exact all-pairs join for unbounded inputs.
     """
     g = gt.select(
         "sequence", "frame", "gt_id",
@@ -80,12 +73,131 @@ def clear_identity_metrics(
     # map-side combine on the pair explosion — no sort window).
     from ..operators.windows import argmax_agg
 
-    matches = argmax_agg(
+    return argmax_agg(
         pairs,
         ["sequence", "frame", "gt_id"],
         F.struct(F.col("iou"), (-F.col("track_id")).alias("_neg_tr")),
         {"track_id": F.col("track_id"), "iou": F.col("iou")},
     )
+
+
+def identity_metrics(
+    gt: DataFrame,
+    tracks: DataFrame,
+    iou_threshold: float = 0.5,
+    matches: DataFrame | None = None,
+) -> DataFrame:
+    """Reference-faithful Identity metrics (eval.py:355-424): IDTP /
+    IDFN / IDFP from the longest-segment passes, then IDR / IDP / IDF1.
+
+    Where `clear_identity_metrics` breaks an identity run on a frame
+    GAP as well as a track change (and reports the symmetric
+    2·IDTP/(|GT|+|TR|) IDF1), the reference's segment loops iterate the
+    MATCHED entries only — a run of the same track_id survives frame
+    gaps (eval.py:370-391: `current_length` increments whenever the
+    consecutive matched entry repeats the id, with no gap check). This
+    job replicates that: per GT, IDTP is the longest run of one
+    track_id in the frame-ordered matched list; per track, the dual
+    pass over gt_id runs gives IDTP_from_tracks; IDFN = CLR_TP − IDTP
+    and IDFP = CLR_TP − IDTP_from_tracks (eval.py:393-418), and the
+    ratios use the asymmetric forms (eval.py:420-423).
+
+    One reference quirk needs pinning: `track_to_gt[frame][track]` is a
+    dict store, so a track matched by SEVERAL GTs in one frame keeps
+    only the last writer in gt-dict iteration order (eval.py:247-248).
+    Relationally that order does not exist, so the largest gt_id wins —
+    a deterministic stand-in, identical on engine and oracle.
+
+    Returns one row per sequence:
+      (sequence, clr_tp, idtp, idfn, idfp, idr, idp, idf1)
+
+    Scale shape: everything after the matching is windows/aggregates
+    keyed by (sequence, gt_id) or (sequence, track_id) — shuffle-
+    bounded by id cardinality, no global window.
+    """
+    if matches is None:
+        matches = matched_pairs(gt, tracks, iou_threshold)
+
+    def _longest_runs(rel: DataFrame, part: str, run_key: str, out: str) -> DataFrame:
+        """Σ over `part` of (max run-length of identical `run_key` in
+        the frame-ordered matched list) — gaps do NOT break runs."""
+        w = Window.partitionBy("sequence", part).orderBy("frame")
+        boundary = (
+            F.lag(run_key).over(w).isNull()
+            | (F.lag(run_key).over(w) != F.col(run_key))
+        )
+        w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        runs = (
+            rel.select(
+                "sequence", part, run_key, "frame",
+                F.sum(boundary.cast("int")).over(w_run).alias("_run"),
+            )
+            .groupBy("sequence", part, "_run")
+            .agg(F.count(F.lit(1)).alias("_len"))
+        )
+        per = runs.groupBy("sequence", part).agg(F.max("_len").alias("_best"))
+        return per.groupBy("sequence").agg(F.sum("_best").alias(out))
+
+    idtp_g = _longest_runs(matches, "gt_id", "track_id", "idtp")
+    # track-side view: one gt per (frame, track), largest gt_id wins
+    # (the pinned dict-order quirk) — hash-aggregate, no window sort
+    tr_view = matches.groupBy("sequence", "frame", "track_id").agg(
+        F.max("gt_id").alias("gt_id")
+    )
+    idtp_t = _longest_runs(tr_view, "track_id", "gt_id", "idtp_tracks")
+    clr = matches.groupBy("sequence").agg(F.count(F.lit(1)).alias("clr_tp"))
+    j = clr.join(idtp_g, "sequence", "left").join(idtp_t, "sequence", "left")
+    j = j.select(
+        "sequence",
+        "clr_tp",
+        F.coalesce("idtp", F.lit(0)).alias("idtp"),
+        (F.col("clr_tp") - F.coalesce("idtp", F.lit(0))).alias("idfn"),
+        (F.col("clr_tp") - F.coalesce("idtp_tracks", F.lit(0))).alias("idfp"),
+    )
+    return j.select(
+        "sequence",
+        "clr_tp",
+        "idtp",
+        "idfn",
+        "idfp",
+        F.round(
+            F.col("idtp").cast("double") / (F.col("idtp") + F.col("idfn")), 6
+        ).alias("idr"),
+        F.round(
+            F.col("idtp").cast("double") / (F.col("idtp") + F.col("idfp")), 6
+        ).alias("idp"),
+        F.round(
+            2.0 * F.col("idtp")
+            / (2 * F.col("idtp") + F.col("idfn") + F.col("idfp")),
+            6,
+        ).alias("idf1"),
+    )
+
+
+def clear_identity_metrics(
+    gt: DataFrame,
+    tracks: DataFrame,
+    iou_threshold: float = 0.5,
+    prefilter_cell: float | None = None,
+    matches: DataFrame | None = None,
+) -> DataFrame:
+    """Compute CLEAR + Identity metrics per sequence.
+
+    gt:     (sequence, frame:long, gt_id, l, t, w, h)
+    tracks: (sequence, frame:long, track_id, l, t, w, h)
+    Returns one row per sequence:
+      n_gt, n_det, tp, fn, fp, clr_re, clr_pr, loca,
+      idsw, frag, mt, pt, ml, idtp, idf1
+
+    `prefilter_cell`: when the caller can bound box extents below this
+    cell size, the per-frame GT×track pairing routes through the
+    LOSSLESS grid prefilter (operators/joins.grid_cell_join — centers
+    of overlapping boxes are within one cell), replacing the O(n²)
+    frame explosion with cell-bounded candidates. None (default) keeps
+    the exact all-pairs join for unbounded inputs.
+    """
+    if matches is None:
+        matches = matched_pairs(gt, tracks, iou_threshold, prefilter_cell)
 
     counts = (
         gt.groupBy("sequence").agg(F.count(F.lit(1)).alias("n_gt"))

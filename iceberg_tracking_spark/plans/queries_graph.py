@@ -122,17 +122,26 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetrized edge and aggregates on the receiving end (`dst`) — with
     a symmetric edge list that is exactly Σ over neighbors, in one
     equi-join plus one hash aggregate per round.
+
+    Constant-factor shape (r5 verdict task #5): the degree-ANNOTATED
+    edge relation (src, dst, deg) is materialized ONCE and reused by
+    every unrolled round — one join per round instead of two, and no
+    per-round rank checkpoint. With the edge relation checkpointed,
+    the 3-round lineage is a linear chain of join+agg stages over a
+    constant input, which one job executes end-to-end (per-round
+    localCheckpoint barriers cost ~3 extra job submissions + disk
+    writes and bought nothing at this unroll depth; lineage truncation
+    only pays off for deep/unbounded iteration — operators/graph.py).
     """
     sym = _supplier_edges(spark, sf_dir).localCheckpoint()
-    deg = sym.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    edges = sym.join(deg, "src").select("src", "dst", "deg").localCheckpoint()
     n = deg.count()  # node count: k-row metadata scalar, not data-sized
 
     ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
     for _ in range(_ITERS):
-        contrib = (
-            sym.join(deg, "src")
-            .join(ranks, "src")
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+        contrib = edges.join(ranks, "src").select(
+            F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
         )
         ranks = (
             contrib.groupBy("node")
@@ -142,7 +151,6 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank")
             )
             .select(F.col("node").alias("src"), "rank")
-            .localCheckpoint()
         )
     return ranks.select(
         F.col("src").alias("supp_key"), F.round("rank", 9).alias("pagerank")

@@ -711,3 +711,356 @@ def q_gen_embeddings(spark, sf_dir):
         F.element_at("embedding", 1).cast("double").alias("e0"),
         F.element_at("embedding", 2).cast("double").alias("e1"),
     )
+
+
+# Shared oracle fragment: the greedy per-GT matching used by every
+# eval-metrics oracle, parameterized by the sequence expression so the
+# single-sequence and multi-sequence jobs share one faithful
+# derivation (reference eval.py:221-254; tie-break = lowest track_id).
+def _eval_match_ctes(seq_expr: str) -> str:
+    return f"""
+    picked AS (
+        SELECT * FROM (
+            SELECT b.*, row_number() OVER (PARTITION BY user_id, frame
+                                           ORDER BY event_id) AS rn
+            FROM boxes b
+        ) WHERE rn = 1
+    ),
+    seqd AS (SELECT *, {seq_expr} AS sequence FROM picked),
+    gt AS (
+        SELECT sequence, frame, user_id AS gt_id,
+               gl AS l, gt_ AS t, gw AS w, gh AS h
+        FROM seqd
+    ),
+    tr AS (
+        SELECT sequence, frame,
+               user_id + CASE WHEN frame % 50 < 2 THEN 100 ELSE 0 END AS track_id,
+               dl AS l, dt_ AS t, dw AS w, dh AS h
+        FROM seqd WHERE event_id % 10 <> 0
+    ),
+    pairs AS (
+        SELECT g.sequence, g.frame, g.gt_id, t.track_id,
+               greatest(least(g.l + g.w, t.l + t.w) - greatest(g.l, t.l), 0)
+                 * greatest(least(g.t + g.h, t.t + t.h) - greatest(g.t, t.t), 0) AS inter,
+               g.w * g.h + t.w * t.h - inter AS uni,
+               CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END AS iou
+        FROM gt g JOIN tr t ON g.sequence = t.sequence AND g.frame = t.frame
+    ),
+    matches AS (
+        SELECT sequence, frame, gt_id, track_id, iou FROM (
+            SELECT sequence, frame, gt_id, track_id, iou,
+                   row_number() OVER (PARTITION BY sequence, frame, gt_id
+                                      ORDER BY iou DESC, track_id) AS rn
+            FROM pairs WHERE iou >= 0.5
+        ) WHERE rn = 1
+    ),
+    gt_runs AS (
+        SELECT sequence, gt_id, track_id, grp, count(*) AS run_len FROM (
+            SELECT sequence, gt_id, track_id,
+                   row_number() OVER (PARTITION BY sequence, gt_id
+                                      ORDER BY frame)
+                 - row_number() OVER (PARTITION BY sequence, gt_id, track_id
+                                      ORDER BY frame) AS grp
+            FROM matches
+        ) GROUP BY sequence, gt_id, track_id, grp
+    ),
+    idtp_g AS (
+        SELECT sequence, CAST(sum(best) AS BIGINT) AS idtp FROM (
+            SELECT sequence, gt_id, max(run_len) AS best
+            FROM gt_runs GROUP BY sequence, gt_id
+        ) GROUP BY sequence
+    ),
+    tr_view AS (
+        SELECT sequence, frame, track_id, max(gt_id) AS gt_id
+        FROM matches GROUP BY sequence, frame, track_id
+    ),
+    tr_runs AS (
+        SELECT sequence, track_id, gt_id, grp, count(*) AS run_len FROM (
+            SELECT sequence, track_id, gt_id,
+                   row_number() OVER (PARTITION BY sequence, track_id
+                                      ORDER BY frame)
+                 - row_number() OVER (PARTITION BY sequence, track_id, gt_id
+                                      ORDER BY frame) AS grp
+            FROM tr_view
+        ) GROUP BY sequence, track_id, gt_id, grp
+    ),
+    idtp_t AS (
+        SELECT sequence, CAST(sum(best) AS BIGINT) AS idtp_tracks FROM (
+            SELECT sequence, track_id, max(run_len) AS best
+            FROM tr_runs GROUP BY sequence, track_id
+        ) GROUP BY sequence
+    ),
+    clr AS (SELECT sequence, count(*) AS clr_tp FROM matches GROUP BY sequence),
+    ident AS (
+        SELECT c.sequence,
+               c.clr_tp,
+               g.idtp,
+               c.clr_tp - g.idtp AS idfn,
+               c.clr_tp - t.idtp_tracks AS idfp
+        FROM clr c
+        JOIN idtp_g g ON c.sequence = g.sequence
+        JOIN idtp_t t ON c.sequence = t.sequence
+    )"""
+
+
+@query(
+    "q_eval_identity",
+    oracle=f"""
+    WITH {_DUCK_BOXES},
+    {_eval_match_ctes("'s0'")}
+    SELECT sequence,
+           clr_tp,
+           idtp,
+           idfn,
+           idfp,
+           round(CAST(idtp AS DOUBLE) / (idtp + idfn), 6) AS idr,
+           round(CAST(idtp AS DOUBLE) / (idtp + idfp), 6) AS idp,
+           round(2.0 * idtp / (2 * idtp + idfn + idfp), 6) AS idf1
+    FROM ident
+    """,
+)
+def q_eval_identity(spark, sf_dir):
+    """Reference-faithful Identity metrics (eval.py:355-424) — the
+    asymmetric IDR/IDP/IDF1 family that q_eval_metrics's symmetric
+    2·IDTP/(|GT|+|TR|) shortcut does not cover. IDTP = Σ per GT of the
+    longest same-track run over the MATCHED entries (frame gaps do NOT
+    break a run — eval.py:370-391 has no gap check); the dual
+    track-side pass (eval.py:396-418, one gt per (frame, track), the
+    dict-order quirk pinned to largest-gt_id) yields IDFP = CLR_TP −
+    IDTP_from_tracks, IDFN = CLR_TP − IDTP (eval.py:393,419), then
+    IDR/IDP/IDF1 per eval.py:420-423.
+
+    Scale shape: after the (sequence, frame)-keyed match join, every
+    pass is a window/aggregate keyed by (sequence, gt_id) or
+    (sequence, track_id) — shuffle-bounded by id cardinality."""
+    from .eval_metrics import identity_metrics, matched_pairs
+
+    b = _boxes(spark, sf_dir)
+    w = Window.partitionBy("user_id", "frame").orderBy("event_id")
+    picked = (
+        b.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .localCheckpoint()
+    )
+    gt = picked.select(
+        F.lit("s0").alias("sequence"),
+        "frame",
+        F.col("user_id").alias("gt_id"),
+        F.col("gl").alias("l"), F.col("gt_").alias("t"),
+        F.col("gw").alias("w"), F.col("gh").alias("h"),
+    )
+    tr = picked.filter(F.col("event_id") % 10 != 0).select(
+        F.lit("s0").alias("sequence"),
+        "frame",
+        (
+            F.col("user_id")
+            + F.when(F.col("frame") % 50 < 2, 100).otherwise(0)
+        ).alias("track_id"),
+        F.col("dl").alias("l"), F.col("dt_").alias("t"),
+        F.col("dw").alias("w"), F.col("dh").alias("h"),
+    )
+    # three consumers (CLR_TP count, GT-side runs, track-side runs)
+    # re-derive the pair join otherwise — materialize it once, same
+    # rationale as q_eval_metrics's `picked` checkpoint
+    matches = matched_pairs(
+        gt, tr, iou_threshold=0.5, prefilter_cell=64.0
+    ).localCheckpoint()  # extents <= 49 px -> 64 px grid is lossless
+    return identity_metrics(gt, tr, matches=matches)
+
+
+@query(
+    "q_eval_combined",
+    oracle=f"""
+    WITH {_DUCK_BOXES},
+    {_eval_match_ctes("CASE WHEN user_id % 2 = 0 THEN 's0' ELSE 's1' END")},
+    counts_gt AS (
+        SELECT sequence, count(*) AS n_gt,
+               count(DISTINCT gt_id) AS gt_ids
+        FROM gt GROUP BY sequence
+    ),
+    counts_tr AS (
+        SELECT sequence, count(*) AS n_det,
+               count(DISTINCT track_id) AS ids
+        FROM tr GROUP BY sequence
+    ),
+    m_agg AS (
+        SELECT sequence, count(*) AS tp, round(avg(iou), 6) AS loca
+        FROM matches GROUP BY sequence
+    ),
+    lagged AS (
+        SELECT sequence, gt_id, frame, track_id,
+               lag(track_id) OVER (PARTITION BY sequence, gt_id
+                                   ORDER BY frame) AS prev_track,
+               lag(frame) OVER (PARTITION BY sequence, gt_id
+                                ORDER BY frame) AS prev_frame
+        FROM matches
+    ),
+    sw AS (
+        SELECT sequence,
+               CAST(sum(CASE WHEN prev_track IS NOT NULL
+                             AND prev_track <> track_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS idsw,
+               CAST(sum(CASE WHEN prev_frame IS NOT NULL
+                             AND frame > prev_frame + 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS frag
+        FROM lagged GROUP BY sequence
+    ),
+    coverage AS (
+        SELECT g.sequence, g.gt_id, g.n_frames,
+               CAST(coalesce(m.n_matched, 0) AS DOUBLE) / g.n_frames AS ratio
+        FROM (SELECT sequence, gt_id, count(*) AS n_frames
+              FROM gt GROUP BY sequence, gt_id) g
+        LEFT JOIN (SELECT sequence, gt_id, count(*) AS n_matched
+                   FROM matches GROUP BY sequence, gt_id) m
+          ON g.sequence = m.sequence AND g.gt_id = m.gt_id
+    ),
+    cov AS (
+        SELECT sequence,
+               CAST(sum(CASE WHEN ratio >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS mt,
+               CAST(sum(CASE WHEN ratio >= 0.2 AND ratio < 0.8
+                        THEN 1 ELSE 0 END) AS BIGINT) AS pt,
+               CAST(sum(CASE WHEN ratio < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS ml
+        FROM coverage GROUP BY sequence
+    ),
+    per AS (
+        SELECT c.sequence,
+               c.n_gt, c.gt_ids, d.n_det, d.ids,
+               m.tp, c.n_gt - m.tp AS fn, m.loca,
+               s.idsw, s.frag, v.mt, v.pt, v.ml,
+               i.idtp, i.idfn, i.idfp
+        FROM counts_gt c
+        JOIN counts_tr d ON c.sequence = d.sequence
+        JOIN m_agg m ON c.sequence = m.sequence
+        JOIN sw s ON c.sequence = s.sequence
+        JOIN cov v ON c.sequence = v.sequence
+        JOIN ident i ON c.sequence = i.sequence
+    ),
+    both_rows AS (
+        SELECT sequence, n_gt, gt_ids, n_det, ids, tp, fn, idsw, frag,
+               mt, pt, ml, idtp, idfn, idfp, loca
+        FROM per
+        UNION ALL
+        SELECT 'COMBINED',
+               CAST(sum(n_gt) AS BIGINT), CAST(sum(gt_ids) AS BIGINT),
+               CAST(sum(n_det) AS BIGINT), CAST(sum(ids) AS BIGINT),
+               CAST(sum(tp) AS BIGINT), CAST(sum(fn) AS BIGINT),
+               CAST(sum(idsw) AS BIGINT), CAST(sum(frag) AS BIGINT),
+               CAST(sum(mt) AS BIGINT), CAST(sum(pt) AS BIGINT),
+               CAST(sum(ml) AS BIGINT),
+               CAST(sum(idtp) AS BIGINT), CAST(sum(idfn) AS BIGINT),
+               CAST(sum(idfp) AS BIGINT),
+               round(sum(loca * tp) / sum(tp), 6)
+        FROM per
+    )
+    SELECT sequence, n_gt, gt_ids, n_det, ids, tp, fn, idsw, frag,
+           mt, pt, ml, idtp, idfn, idfp,
+           round(CAST(tp AS DOUBLE) / n_gt, 6) AS clr_re,
+           loca,
+           round(CAST(mt AS DOUBLE) / gt_ids, 6) AS mtr,
+           round(CAST(pt AS DOUBLE) / gt_ids, 6) AS ptr,
+           round(CAST(ml AS DOUBLE) / gt_ids, 6) AS mlr,
+           round(CAST(idtp AS DOUBLE) / (idtp + idfn), 6) AS idr,
+           round(CAST(idtp AS DOUBLE) / (idtp + idfp), 6) AS idp,
+           round(2.0 * idtp / (2 * idtp + idfn + idfp), 6) AS idf1
+    FROM both_rows
+    """,
+)
+def q_eval_combined(spark, sf_dir):
+    """Multi-sequence metrics + the reference's COMBINED rollup
+    (eval.py:460-508): two sequences (user_id parity split), per-
+    sequence CLEAR + Identity rows, and a COMBINED row that SUMS every
+    count metric and RECOMPUTES the ratios from the summed counts —
+    including the TP-weighted LocA average (eval.py:494-499,
+    Σ LocA·CLR_TP / Σ CLR_TP over the per-sequence rounded values; the
+    weighted sum is over exactly two addends, so IEEE commutativity
+    makes it order-safe). Identity counts are the reference-faithful
+    asymmetric family (see q_eval_identity); the per-sequence LocA /
+    IDSW / Frag / coverage buckets come from the same relational
+    pipeline as q_eval_metrics, here keyed by the sequence column.
+
+    Scale shape: one matching join keyed by (sequence, frame) feeds
+    every branch from a single materialization; per-sequence rollups
+    are tiny; the COMBINED aggregate runs over the per-sequence
+    relation (rows = #sequences)."""
+    from .eval_metrics import (
+        clear_identity_metrics,
+        identity_metrics,
+        matched_pairs,
+    )
+
+    b = _boxes(spark, sf_dir)
+    w = Window.partitionBy("user_id", "frame").orderBy("event_id")
+    picked = (
+        b.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .localCheckpoint()
+    )
+    seq = F.when(F.col("user_id") % 2 == 0, F.lit("s0")).otherwise(F.lit("s1"))
+    gt = picked.select(
+        seq.alias("sequence"),
+        "frame",
+        F.col("user_id").alias("gt_id"),
+        F.col("gl").alias("l"), F.col("gt_").alias("t"),
+        F.col("gw").alias("w"), F.col("gh").alias("h"),
+    )
+    tr = picked.filter(F.col("event_id") % 10 != 0).select(
+        seq.alias("sequence"),
+        "frame",
+        (
+            F.col("user_id")
+            + F.when(F.col("frame") % 50 < 2, 100).otherwise(0)
+        ).alias("track_id"),
+        F.col("dl").alias("l"), F.col("dt_").alias("t"),
+        F.col("dw").alias("w"), F.col("dh").alias("h"),
+    )
+    matches = matched_pairs(
+        gt, tr, iou_threshold=0.5, prefilter_cell=64.0
+    ).localCheckpoint()  # extents <= 49 px -> 64 px grid is lossless
+    clear = clear_identity_metrics(gt, tr, matches=matches).select(
+        "sequence", "n_gt", "n_det", "tp", "fn",
+        "idsw", "frag", "mt", "pt", "ml", "loca",
+    )
+    ident = identity_metrics(gt, tr, matches=matches).select(
+        "sequence", "idtp", "idfn", "idfp"
+    )
+    idc = (
+        gt.groupBy("sequence")
+        .agg(F.countDistinct("gt_id").alias("gt_ids"))
+        .join(
+            tr.groupBy("sequence").agg(
+                F.countDistinct("track_id").alias("ids")
+            ),
+            "sequence",
+        )
+    )
+    per = clear.join(ident, "sequence").join(idc, "sequence")
+    counts = [
+        "n_gt", "gt_ids", "n_det", "ids", "tp", "fn", "idsw", "frag",
+        "mt", "pt", "ml", "idtp", "idfn", "idfp",
+    ]
+    comb = per.agg(
+        *[F.sum(c).alias(c) for c in counts],
+        F.round(
+            F.sum(F.col("loca") * F.col("tp")) / F.sum("tp"), 6
+        ).alias("loca"),
+    ).select(F.lit("COMBINED").alias("sequence"), *counts, "loca")
+    rows = per.select("sequence", *counts, "loca").unionByName(comb)
+    return rows.select(
+        "sequence", *counts,
+        F.round(F.col("tp").cast("double") / F.col("n_gt"), 6).alias("clr_re"),
+        "loca",
+        F.round(F.col("mt").cast("double") / F.col("gt_ids"), 6).alias("mtr"),
+        F.round(F.col("pt").cast("double") / F.col("gt_ids"), 6).alias("ptr"),
+        F.round(F.col("ml").cast("double") / F.col("gt_ids"), 6).alias("mlr"),
+        F.round(
+            F.col("idtp").cast("double") / (F.col("idtp") + F.col("idfn")), 6
+        ).alias("idr"),
+        F.round(
+            F.col("idtp").cast("double") / (F.col("idtp") + F.col("idfp")), 6
+        ).alias("idp"),
+        F.round(
+            2.0 * F.col("idtp")
+            / (2 * F.col("idtp") + F.col("idfn") + F.col("idfp")),
+            6,
+        ).alias("idf1"),
+    )

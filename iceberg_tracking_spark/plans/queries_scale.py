@@ -539,6 +539,82 @@ def q_auc(spark, sf_dir):
     )
 
 
+@query(
+    "q_average_precision",
+    oracle="""
+    WITH scored AS (
+        SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+               round(embedding[1] + embedding[2] * 0.5, 9) AS score
+        FROM embeddings
+    ),
+    g AS (
+        SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS np
+        FROM scored GROUP BY score
+    ),
+    c AS (
+        SELECT score, n, np,
+               CAST(sum(np) OVER (ORDER BY score DESC) AS BIGINT) AS ctp,
+               CAST(sum(n) OVER (ORDER BY score DESC) AS BIGINT) AS cn
+        FROM g
+    ),
+    terms AS (
+        SELECT CAST(round(np * ctp * 1.0 / cn, 12) AS DECIMAL(38,12)) AS term
+        FROM c WHERE np > 0
+    )
+    SELECT round(CAST(sum(term) AS DOUBLE)
+                 / (SELECT CAST(sum(np) AS BIGINT) FROM g), 6) AS ap
+    FROM terms
+    """,
+)
+def q_average_precision(spark, sf_dir):
+    """Average Precision — area under the precision-recall curve with
+    sklearn's step-interpolation, the metric the reference reports
+    beside ROC-AUC in its embedding eval (embedding.py:1799-1800,
+    `average_precision_score`; documented embedding.py:1763-1776). Same
+    scored relation as q_auc. AP = Σ_t (R_t − R_{t-1})·P_t over
+    DESCENDING distinct score thresholds, i.e. (1/P)·Σ_t np_t·ctp_t/cn_t
+    where np_t = positives AT score t, ctp_t/cn_t = cumulative
+    positives/total at-or-above t (ties grouped, as sklearn does).
+
+    Determinism: scores round to a 9dp grid → exact group keys; every
+    cumulative is an integer; the only float op per term is one IEEE
+    division (bit-identical cross-engine), rounded to 12dp and summed
+    as DECIMAL so the total is order-independent.
+
+    Scale shape: group-by-score bounds the cumulative relation to
+    distinct thresholds; the running totals use distributed_cumulative
+    (two-pass range-partitioned prefix sums) — no global window, no
+    single-partition exchange."""
+    e = _t(spark, sf_dir, "embeddings")
+    scored = e.select(
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        F.round(
+            F.element_at("embedding", 1).cast("double")
+            + F.element_at("embedding", 2).cast("double") * 0.5,
+            9,
+        ).alias("score"),
+    )
+    g = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("np")
+    ).withColumn("negs", -F.col("score"))
+    # cumulative at-or-above each threshold = running sums in
+    # DESCENDING score order (negs ascending; distinct scores → the
+    # order is total, so the running sums are well-defined)
+    c = distributed_cumulative(g, ["negs"], agg_col="np", out_col="ctp")
+    c = distributed_cumulative(c, ["negs"], agg_col="n", out_col="cn")
+    terms = c.filter(F.col("np") > 0).select(
+        F.round(
+            (F.col("np") * F.col("ctp")).cast("double") / F.col("cn"), 12
+        ).cast("decimal(38,12)").alias("term"),
+        "np",
+    )
+    return terms.agg(
+        F.round(
+            F.sum("term").cast("double") / F.sum("np"), 6
+        ).alias("ap")
+    )
+
+
 # ------------------------------------------------------- text accounting
 
 _TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

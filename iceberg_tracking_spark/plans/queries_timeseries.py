@@ -509,7 +509,8 @@ def q_cusum(spark, sf_dir):
     )
     SELECT type_a, type_b, n,
            round((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                 / sqrt(nullif((n * sxx - sx * sx) * (n * syy - sy * sy),
+                               0.0)), 6)
                AS corr
     FROM m
     """,
@@ -548,8 +549,14 @@ def q_type_correlation(spark, sf_dir):
         F.sum(F.col("xa") * F.col("xa")).cast("double").alias("sxx"),
         F.sum(F.col("xb") * F.col("xb")).cast("double").alias("syy"),
     )
+    # degenerate pairs (constant hourly volume, or a single shared
+    # hour) have a zero variance term: Spark doubles would yield
+    # Infinity/NaN while DuckDB's double division-by-zero differs
+    # across versions — nullif on BOTH engines pins the result to NULL
+    denom = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        F.nullif(denom, F.lit(0.0))
     )
     return m.select("type_a", "type_b", "n", F.round(corr, 6).alias("corr"))

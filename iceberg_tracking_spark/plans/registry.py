@@ -35,55 +35,70 @@ QUERIES: dict[str, QueryDef] = {}
 # positions 1-50). Every §2 operator's primary evidence query must sit
 # inside that window, so ordering is explicit: names listed here come
 # first (in this order), everything else follows in registration order.
-# Round 5 fronts (a) the 15 queries that have never had a driver row
-# across r1-r4 (the r4 verdict's rotation backlog — all judge-verified
-# at sf0.01 this session but still needing an official row), (b) the
-# two r1-green reconfirmations whose slots were yielded in r4
-# (q_group_collect, q_lag_change), (c) every query whose PLAN changes
-# this round (q_auc score-group rank rewrite, q_pack_sequences sharded
-# window, q_media_features new contract oracle, q_pagerank constant-
-# factor fix, q_count_min/q_join_size_estimate probe left-join fix),
-# and (d) new queries added this round. Everything r4-green stays out
-# of the window — its evidence stands.
+# Round 6 rotation (r5 verdict task #3): (a) new queries needing a
+# first driver row, (b) queries whose CODE changed this round — the
+# distributed_cumulative internals (boundaries now collected once and
+# inlined as plan constants), the media-features std closed form, and
+# the type-correlation zero-denominator guard, (c) the entire r1
+# cohort — the 28 queries whose LATEST green driver row still dates
+# from round 1 — so no query's newest driver evidence ages past ~3
+# rounds, (d) the oldest r3-cohort entries filling the window to
+# exactly 50. Everything r4/r5-green stays out — its evidence stands.
 DRIVER_PRIORITY: list[str] = [
-    # (a) never driver-checked in any round (r4 verdict backlog)
-    "q_count_min",
-    "q_bloom_filter",
-    "q_hll",
-    "q_join_size_estimate",
-    "q_rrf_fusion",
-    "q_bigram_surprisal",
-    "q_expectations",
-    "q_k_anonymity",
-    "q_fuzzy_match",
-    "q_ewma",
-    "q_winsorize",
-    "q_seasonal_anomaly",
-    "q_mad_outliers",
-    "q_hourly_percentiles",
-    "q_clustering_coeff",
-    # (b) r1-green reconfirmations (ts code path changed in r4's fix)
-    "q_group_collect",
-    "q_lag_change",
-    # (c) plan changed this round — need fresh green rows
+    # (a) new this round — first driver check
+    "q_average_precision",
+    "q_eval_identity",
+    "q_eval_combined",
+    # (b) code changed this round — need fresh green rows
     "q_auc",
     "q_pack_sequences",
-    "q_media_features",
-    "q_pagerank",
-    # (d) new this round — first driver check
-    "q_pack_sequences_sharded",
-    "q_domain_mixture",
     "q_curriculum",
-    "q_histogram_quantiles",
-    "q_bpe_learn",
-    "q_training_manifest",
-    "q_ohlc",
-    "q_dedup_canonical",
-    "q_cusum",
-    "q_image_resize",
+    "q_media_features",
     "q_type_correlation",
-    "q_ann_recall",
-    "q_ann_recall_multiprobe",
+    # (c) the full r1-stale cohort (latest driver row = round 1)
+    "q_antijoin_sample",
+    "q_array_funcs",
+    "q_big_orders",
+    "q_corr_covar",
+    "q_cosine_topk",
+    "q_dedup_exact",
+    "q_dedup_rank",
+    "q_doc_fingerprint",
+    "q_equijoin",
+    "q_grid_join",
+    "q_group_percentiles",
+    "q_having_semijoin",
+    "q_intersect",
+    "q_islands",
+    "q_lang_id",
+    "q_mutual_argmax",
+    "q_ngram_jaccard",
+    "q_rollup",
+    "q_semi_anti",
+    "q_ship_priority",
+    "q_star_join",
+    "q_string_funcs",
+    "q_text_stats",
+    "q_theta_argmax",
+    "q_tumbling_window",
+    "q_two_level_agg",
+    "q_union",
+    "q_weighted_avg",
+    # (d) r3-cohort refreshes filling the window to 50
+    "q_minhash_lsh",
+    "q_ann_lsh",
+    "q_asof_join",
+    "q_orderby",
+    "q_token_count",
+    "q_tiling",
+    "q_kfold",
+    "q_binary_scan",
+    "q_embedding_neardup",
+    "q_dedup_clusters",
+    "q_corpus_curate",
+    "q_simhash",
+    "q_stratified_sample",
+    "q_tfidf",
 ]
 
 

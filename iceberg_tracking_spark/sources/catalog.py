@@ -31,6 +31,7 @@ import json
 import math
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -251,7 +252,12 @@ class VersionedTable:
             expected_current=m["current"],
         )
 
-    def upsert(self, changes: DataFrame, key_cols: list[str]) -> int:
+    def upsert(
+        self,
+        changes: DataFrame,
+        key_cols: list[str],
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """MERGE: rows in `changes` replace current rows with the same
         key; unmatched keys are inserted. Commits a new snapshot.
 
@@ -260,16 +266,23 @@ class VersionedTable:
         case); no full-table rewrite logic lives caller-side. This is
         the plain-parquet analog of Iceberg/Delta `MERGE INTO` in
         copy-on-write mode.
+
+        `txn` = (app_id, batch_id): same idempotency token as `write`
+        — replaying streaming maintainers (streaming/materialized.py)
+        gate on `last_txn` so a redelivered micro-batch is a no-op.
+        Upsert itself is idempotent per batch CONTENT, but the token
+        spares the replay a full merge commit and keeps the version
+        history one-entry-per-batch.
         """
         self._validate_merge_keys(changes, key_cols, "upsert")
         m = self._load_manifest()
         if m["current"] is None:
-            return self.write(changes, expected_current=None)
+            return self.write(changes, txn=txn, expected_current=None)
         spark = changes.sparkSession
         current = spark.read.parquet(self._data_dir(m["current"]))
         kept = current.join(changes.select(*key_cols), key_cols, "left_anti")
         merged = kept.unionByName(changes)
-        return self._commit_current_layout(merged, m)
+        return self._commit_current_layout(merged, m, txn=txn)
 
     def delete_where(self, spark: SparkSession, predicate: str) -> int:
         """Row-level DELETE (copy-on-write): commit a new snapshot
@@ -549,14 +562,31 @@ class VersionedTable:
         df: DataFrame,
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
+        expected_current: int | None | str = "any",
     ) -> int:
         """WAP (write-audit-publish) step 1: commit the DATA and its
         manifest entry WITHOUT advancing `current`. Plain readers never
         see the snapshot; auditors read it with `read(version=...)`.
         `mode="append"` stages current ∪ df. Pair with `publish()` —
         the Iceberg stage-commit/WAP-branch pattern on the plain-
-        parquet layout."""
+        parquet layout.
+
+        `expected_current` is the same optimistic-concurrency token as
+        `write()`: stage() is a read-modify-write of the manifest too
+        (it appends a version entry computed from the versions it read),
+        so without the check two concurrent stagers — or a stage racing
+        a write — would compute the same version number and the later
+        `_commit` would drop the earlier manifest entry, orphaning its
+        data. Pass the version the stage was planned against (None for
+        "table was empty"); the default "any" preserves the single-
+        writer convenience path."""
         m = self._load_manifest()
+        if expected_current != "any" and m["current"] != expected_current:
+            raise ConcurrentWriteError(
+                f"table advanced to version {m['current']} since this "
+                f"stage was planned against {expected_current}; re-read "
+                "and retry"
+            )
         version = (m["versions"][-1]["version"] + 1) if m["versions"] else 0
         if mode == "append" and m["current"] is not None:
             prev = df.sparkSession.read.parquet(self._data_dir(m["current"]))
@@ -613,24 +643,40 @@ class VersionedTable:
         self._commit(m)
         return version
 
-    def remove_orphans(self) -> list[str]:
+    def remove_orphans(self, older_than_seconds: float = 3 * 86400) -> list[str]:
         """Delete data directories under the table root that NO
         manifest version references — debris from crashed writes
         (data landed, manifest swap never happened) or interrupted
-        `expire` runs (manifest pruned, rmtree died). The manifest is
-        the source of truth, so anything it doesn't name is garbage by
-        construction; returns the removed directory names. The
-        Iceberg `remove_orphan_files` maintenance job, on the plain-
-        parquet layout."""
+        `expire` runs (manifest pruned, rmtree died). Returns the
+        removed directory names. The Iceberg `remove_orphan_files`
+        maintenance job, on the plain-parquet layout.
+
+        "Unreferenced" alone is NOT sufficient to reclaim: write() and
+        stage() land data in v=<n> BEFORE their manifest commit, so an
+        in-flight writer's target directory is indistinguishable from
+        a crashed write's debris at the moment of the scan — reclaiming
+        it would let the writer commit a manifest entry pointing at
+        deleted/partial data (a corrupted snapshot). `older_than_seconds`
+        is the same safety valve as Iceberg's `remove_orphan_files`
+        `older_than` (default ~3 days): a directory younger than the
+        cutoff (by mtime) is never reclaimed, bounding the race to
+        writes that stall longer than the cutoff. Tests pass 0 for
+        immediate reclamation of known-dead debris."""
         m = self._load_manifest()
         live = {
             os.path.basename(self._data_dir(e["version"]))
             for e in m["versions"]
         }
+        cutoff = time.time() - older_than_seconds
         removed = []
         for name in sorted(os.listdir(self.base)):
             p = os.path.join(self.base, name)
-            if os.path.isdir(p) and name.startswith("v=") and name not in live:
+            if (
+                os.path.isdir(p)
+                and name.startswith("v=")
+                and name not in live
+                and os.path.getmtime(p) <= cutoff
+            ):
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(name)
         return removed

@@ -494,21 +494,26 @@ def test_multiprobe_lsh_improves_recall(spark, sf_dir):
     }
 
     def recall(probes):
-        got = lsh_bucket_topk(v, dim=64, k=3, query_pred=pred, probes=probes)
+        # bits sized to the corpus: 2^4 = 16 buckets over 500 vectors
+        # (~31 per bucket). The default 8 bits would over-partition a
+        # corpus this small — bucket count is the corpus-size lever.
+        got = lsh_bucket_topk(
+            v, dim=64, k=3, query_pred=pred, probes=probes, n_bits=4
+        )
         rows = got.collect()
         pairs = {(r["qid"], r["nid"]) for r in rows}
         assert len(pairs) == len(rows)  # no duplicate candidates
         return len(pairs & truth) / len(truth)
 
     r0, r4, r8 = recall(0), recall(4), recall(8)
-    # Candidate widening is monotone. Strict improvement is NOT asserted:
-    # on this synthetic corpus the label clusters align with the
-    # hyperplanes so true neighbors sit at Hamming distance {0, 4, 8}
-    # from their query (measured) — there is nothing at distance 1 for
-    # the probes to find. The bucket-only recall floor is what the
-    # exact/ANN trade is priced at.
+    # Candidate widening is monotone (each probe set is a superset of
+    # the previous); measured values with the avalanche hyperplanes:
+    # 0.133 / 0.533 / 0.533 — probing Hamming-1 buckets quadruples
+    # recall, the standard multi-probe trade. Deterministic (fixed
+    # planes, fixed fixture), so the floors are stable.
     assert r0 <= r4 <= r8
-    assert r0 >= 0.3
+    assert r0 >= 0.1
+    assert r4 >= 0.4
 
 
 def test_minhash_hot_band_guard(spark, tmp_path):
@@ -914,13 +919,17 @@ def test_remove_orphans_deletes_only_unreferenced_dirs(spark, tmp_path):
     stray = os.path.join(t.base, "v=99")
     spark.range(100).write.parquet(stray)
     before = sorted(r["k"] for r in t.read(spark).collect())
-    removed = t.remove_orphans()
+    # default age cutoff (~3 days) refuses the freshly-written stray —
+    # it is indistinguishable from an in-flight writer's target dir,
+    # and reclaiming it would corrupt that writer's snapshot-to-be
+    assert t.remove_orphans() == [] and os.path.exists(stray)
+    removed = t.remove_orphans(older_than_seconds=0)
     assert removed == ["v=99"] and not os.path.exists(stray)
     # both live snapshots re-scan bit-identically
     assert sorted(r["k"] for r in t.read(spark).collect()) == before
     assert t.read(spark, version=0).count() == 5
     # idempotent
-    assert t.remove_orphans() == []
+    assert t.remove_orphans(older_than_seconds=0) == []
 
 
 def test_partition_evolution_rewrites_layout_keeps_history(spark, tmp_path):

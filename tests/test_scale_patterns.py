@@ -228,3 +228,134 @@ def test_distributed_cumulative_property_random_inputs(spark):
             )
             assert got_sum.exceptAll(want_sum).count() == 0, (n_parts, keys)
             assert want_sum.exceptAll(got_sum).count() == 0, (n_parts, keys)
+
+
+def _synth_vectors(spark, n: int, dim: int):
+    """n deterministic pseudo-random vectors in [-1, 1]^dim, generated
+    IN-ENGINE (xxhash64 avalanche per component — no fixture, no
+    driver-side data). Used to measure index behavior at corpus sizes
+    the 500-row embeddings fixture cannot exercise."""
+    comps = [
+        (
+            F.pmod(
+                F.xxhash64(F.col("id") * dim + j), F.lit(10000)
+            ).cast("double")
+            / 5000.0
+            - 1.0
+        )
+        for j in range(dim)
+    ]
+    return spark.range(1, n + 1).select(
+        F.col("id").alias("vec_id"), F.array(*comps).alias("e")
+    )
+
+
+def test_lsh_candidate_growth(spark):
+    """ANN at synthetic scale (r5 verdict task #4): the LSH bucket
+    layout must actually *reduce* candidates on a large corpus — the
+    100 TB claim for `lsh_bucket_topk` is that the per-query candidate
+    set is its query-bucket size, so the measured quantities are the
+    bucket statistics of a 1M-vector corpus:
+
+    * avg candidates per query = Σ bucket² / N must be a small
+      FRACTION of the corpus (vs N for brute force) — with 12
+      avalanche planes, measured ~0.4% (the pre-fix mod-4 planes gave
+      25%: only 4 distinct hyperplanes existed, see
+      operators/similarity.hyperplane);
+    * the fraction must hold steady as the corpus grows 8x at fixed
+      bits (bucketing scales linearly, never quadratically);
+    * max bucket stays bounded (no degenerate mega-bucket);
+    * more bits -> strictly smaller fraction (the corpus-size lever:
+      pick n_bits ~ log2(N / target_bucket)).
+
+    The reference's grid index makes the same candidate-reduction
+    argument for spatial matching (tracking.py:455-459).
+    """
+    from iceberg_tracking_spark.operators.similarity import signature_lsh
+
+    dim, bits = 8, 12
+
+    def bucket_stats(n: int, n_bits: int = bits):
+        v = _synth_vectors(spark, n, dim)
+        signed = signature_lsh(v, "e", dim, n_bits=n_bits)
+        row = (
+            signed.groupBy("sig")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.count(F.lit(1)).alias("buckets"),
+                F.max("c").alias("max_bucket"),
+                F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+            )
+            .collect()[0]
+        )
+        avg_cand = row["sum_sq"] / n
+        return row["buckets"], row["max_bucket"], avg_cand
+
+    n_small, n_big = 125_000, 1_000_000
+    b_s, mx_s, cand_s = bucket_stats(n_small)
+    b_b, mx_b, cand_b = bucket_stats(n_big)
+    frac_s, frac_b = cand_s / n_small, cand_b / n_big
+    print(
+        f"LSH@{bits}bits: {n_small}: buckets={b_s} max={mx_s} "
+        f"avg_cand={cand_s:.0f} ({frac_s:.4%}); "
+        f"{n_big}: buckets={b_b} max={mx_b} "
+        f"avg_cand={cand_b:.0f} ({frac_b:.4%})"
+    )
+    # candidate fraction small and scale-stable; buckets plentiful
+    assert frac_b < 0.02, f"avg candidate fraction {frac_b:.4%} too big"
+    assert frac_b < 1.5 * frac_s, "candidate fraction grew with corpus"
+    assert mx_b < 0.05 * n_big, f"degenerate mega-bucket: {mx_b}"
+    assert b_b > 500
+    # the bits lever: fewer bits -> coarser buckets -> more candidates
+    _, _, cand_coarse = bucket_stats(n_small, n_bits=8)
+    assert cand_coarse > 2 * cand_s, (
+        "n_bits stopped controlling candidate volume"
+    )
+
+
+def test_ivf_cluster_occupancy_bounded(spark):
+    """IVF coarse quantizer at synthetic scale: assignment of a 250k
+    corpus to 32 deterministic centroids must spread — the nprobe
+    candidate bound is (sum of the nprobe largest clusters), so a
+    degenerate assignment (one mega-cluster) would silently turn
+    `ivf_topk` into brute force. Asserts max cluster <= 6x the uniform
+    share and the nprobe=2 worst-case candidate set < 25% of the
+    corpus. Measured occupancy is printed for the record."""
+    from iceberg_tracking_spark.operators.similarity import (
+        cosine_prenormed,
+        norm,
+    )
+    from iceberg_tracking_spark.operators.windows import argmax_agg
+
+    n, k = 250_000, 32
+    v = _synth_vectors(spark, n, 8).withColumn("_nrm", norm(F.col("e")))
+    cents = v.filter(F.col("vec_id") <= k).select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("ce"),
+        F.col("_nrm").alias("_cnrm"),
+    )
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "csim",
+        cosine_prenormed(F.col("e"), F.col("ce"), F.col("_nrm"), F.col("_cnrm")),
+    )
+    assigned = argmax_agg(
+        scored,
+        ["vec_id"],
+        F.struct(F.col("csim"), (-F.col("cid")).alias("_neg")),
+        {"cid": F.col("cid")},
+    )
+    occ = sorted(
+        r["c"]
+        for r in assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    top2 = occ[-1] + occ[-2]
+    print(
+        f"IVF {n} vectors -> {len(occ)} clusters; "
+        f"max={occ[-1]} ({occ[-1] / n:.2%}), nprobe=2 bound={top2} "
+        f"({top2 / n:.2%}), min={occ[0]}"
+    )
+    assert occ[-1] <= 6 * n / k, f"mega-cluster: {occ[-1]}"
+    assert top2 < 0.25 * n
+    assert len(occ) == k  # every centroid attracts members

@@ -709,3 +709,93 @@ def test_versioned_table_tags_pin_snapshots(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.read_tag(spark, "nope")
+
+
+def test_streaming_lsh_index_equals_batch_build(spark, sf_dir, tmp_path):
+    """Streamed ANN index ≡ batch-built index (r5 verdict task #7):
+    maintaining the LSH index with foreachBatch upserts over a growing
+    vector source must converge to exactly the relation a one-shot
+    `index_rows` build produces — including REPLACED rows (an id
+    re-ingested with a fresh embedding supersedes its old index entry)
+    — and the bucket search over the maintained table must return the
+    same top-k as `lsh_bucket_topk` over the raw corpus. Redelivery of
+    a committed batch id is a no-op (txn gate inside the manifest
+    swap)."""
+    from iceberg_tracking_spark.operators.similarity import lsh_bucket_topk
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+    from iceberg_tracking_spark.streaming.ann_index import (
+        bucket_topk_from_index,
+        index_rows,
+        make_index_merge_fn,
+        streaming_lsh_index,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    part1 = vecs.filter(F.col("vec_id") % 3 == 0)
+    part2 = vecs.filter(F.col("vec_id") % 3 != 0)
+    src = str(tmp_path / "vec_src")
+    part1.write.mode("overwrite").parquet(src)
+
+    t = VersionedTable(str(tmp_path / "ann_index"))
+    ckpt = str(tmp_path / "ann_ckpt")
+    schema = "vec_id long, e array<double>"
+    q = streaming_lsh_index(
+        spark.readStream.schema(schema).parquet(src), t, dim=64,
+        checkpoint=ckpt,
+    )
+    try:
+        q.processAllAvailable()
+        part2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_index = index_rows(vecs, dim=64)
+
+    def as_map(df):
+        return {
+            r["vec_id"]: (r["sig"], round(r["nrm"], 9), tuple(r["e"]))
+            for r in df.collect()
+        }
+
+    got = as_map(t.read(spark))
+    assert got == as_map(batch_index)
+
+    # query parity: bucket search over the MAINTAINED table equals the
+    # inline-signed corpus search
+    pred = F.col("vec_id") % 25 == 0
+    idx = t.read(spark)
+    queries = idx.filter(pred).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+        "sig", F.col("nrm").alias("qnrm"),
+    )
+    got_topk = {
+        (r["qid"], r["nid"], r["sim"])
+        for r in bucket_topk_from_index(
+            idx, queries, k=3, query_vec="qe", query_sig="sig",
+            query_nrm="qnrm", query_id="qid",
+        ).collect()
+    }
+    want_topk = {
+        (r["qid"], r["nid"], r["sim"])
+        for r in lsh_bucket_topk(vecs, dim=64, k=3, query_pred=pred).collect()
+    }
+    assert got_topk == want_topk
+
+    # embedding refresh: re-ingesting an existing id REPLACES its row
+    refreshed = vecs.filter(F.col("vec_id") == 0).select(
+        "vec_id", F.expr("transform(e, x -> -x)").alias("e")
+    )
+    merge = make_index_merge_fn(t, dim=64, app_id=ckpt)
+    last = t.last_txn(ckpt)
+    merge(refreshed, last + 1)
+    new_row = t.read(spark).filter(F.col("vec_id") == 0).collect()[0]
+    old_row = batch_index.filter(F.col("vec_id") == 0).collect()[0]
+    assert tuple(new_row["e"]) == tuple(-x for x in old_row["e"])
+    assert t.read(spark).count() == vecs.count()  # replaced, not added
+    # redelivery of the committed batch id: no-op, no new snapshot
+    v_before = t.current_version()
+    merge(refreshed, last + 1)
+    assert t.current_version() == v_before
