@@ -96,14 +96,20 @@ EXTENDED_FLOOR_SEC = {
     "q_count_min": 1.246,
     "q_image_decode": 2.189,
     "q_rrf_fusion": 1.999,
-    # round-5 families: first sf0.1 min-of-3 recordings (local run)
-    "q_auc": 0.594,
-    "q_pack_sequences": 0.739,
+    # round-5 families: first sf0.1 min-of-3 recordings (local run).
+    # q_auc / q_pack_sequences / q_curriculum re-floored in r6: the
+    # r5 ADVICE fix makes distributed_cumulative collect its percentile
+    # boundaries as a separate (column-pruned, 1-row-output) job so the
+    # bucket ids are plan constants — correctness at multi-executor
+    # scale, bought with one extra job submission per call, which at
+    # sf0.1 is mostly fixed scheduling overhead.
+    "q_auc": 1.210,
+    "q_pack_sequences": 1.090,
     "q_pack_sequences_sharded": 0.260,
     "q_histogram_quantiles": 0.445,
     "q_bpe_learn": 1.339,
     "q_domain_mixture": 0.495,
-    "q_curriculum": 0.771,
+    "q_curriculum": 1.222,
     "q_training_manifest": 0.651,
     # ANN recall monitors: first sf0.1 recording = BENCH_r05 (r5
     # verdict task #2 — every extended entry regression-guarded)

@@ -107,8 +107,8 @@ def islands_longest_streak(
 def distributed_cumulative(
     df: DataFrame,
     order_cols: list[str],
-    agg_col: str | None = None,
-    out_col: str = "_gcum",
+    agg_col: str | list[str] | None = None,
+    out_col: str | list[str] = "_gcum",
     exclusive: bool = False,
     n_parts: int | None = None,
 ) -> DataFrame:
@@ -150,18 +150,36 @@ def distributed_cumulative(
     `order_cols` (which must be a total order: include a tie-break
     key). Otherwise `out_col` is the running sum of `agg_col` in that
     order (inclusive, or exclusive-of-current-row with
-    `exclusive=True`). Results are bit-identical to the bare global
-    window. The first order column must be numeric and non-null (it is
-    bucketed through a double cast); heavy ties on it concentrate in
-    one bucket — give it the cardinality, leave tie-breaks to the rest.
+    `exclusive=True`). Several running sums share ONE pass (one bounds
+    job, one window, one offsets join) by passing lists:
+    `agg_col=["a", "b"], out_col=["cum_a", "cum_b"]`. Results are
+    bit-identical to the bare global window. The first order column
+    must be numeric and non-null (it is bucketed through a double
+    cast); heavy ties on it concentrate in one bucket — give it the
+    cardinality, leave tie-breaks to the rest.
+
+    Cost note: the boundary collect is one extra column-pruned job per
+    call (the price of plan-constant boundaries). At bench scale that
+    job is dominated by fixed scheduling overhead (~0.2-0.4 s); at
+    100 TB it is one narrow pass over one column, amortized against
+    the shuffled two-window main job.
     """
     spark = df.sparkSession
     if n_parts is None:
         n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    agg_cols = (
+        [agg_col] if isinstance(agg_col, str) else list(agg_col or [])
+    )
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if agg_cols and len(agg_cols) != len(out_cols):
+        raise ValueError("agg_col and out_col lists must align")
     first = F.col(order_cols[0]).cast("double")
     qs = [i / n_parts for i in range(1, n_parts)]
+    # accuracy ~100x the boundary count: boundaries only steer BALANCE
+    # (correctness never depends on where they fall), so the cheaper
+    # sketch state is free accuracy-wise and trims the extra job.
     row = df.agg(
-        F.percentile_approx(first, qs, 10000).alias("_bs")
+        F.percentile_approx(first, qs, max(100 * n_parts, 1000)).alias("_bs")
     ).collect()[0]
     bounds = [float(b) for b in (row["_bs"] or [])]
     if bounds:
@@ -176,17 +194,25 @@ def distributed_cumulative(
     else:  # empty input: one bucket, nothing to rank
         ranged = df.withColumn("_pid", F.lit(0))
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    if agg_col is None:
-        local = ranged.withColumn("_loc", F.row_number().over(w).cast("long"))
+    if not agg_cols:
+        local = ranged.withColumn("_loc0", F.row_number().over(w).cast("long"))
         if exclusive:
-            local = local.withColumn("_loc", F.col("_loc") - F.lit(1))
-        totals = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_tot"))
+            local = local.withColumn("_loc0", F.col("_loc0") - F.lit(1))
+        totals = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_tot0"))
+        n_sums = 1
     else:
         wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        local = ranged.withColumn("_loc", F.sum(agg_col).over(wf))
-        if exclusive:
-            local = local.withColumn("_loc", F.col("_loc") - F.col(agg_col))
-        totals = ranged.groupBy("_pid").agg(F.sum(agg_col).alias("_tot"))
+        local = ranged
+        for i, c in enumerate(agg_cols):
+            local = local.withColumn(f"_loc{i}", F.sum(c).over(wf))
+            if exclusive:
+                local = local.withColumn(
+                    f"_loc{i}", F.col(f"_loc{i}") - F.col(c)
+                )
+        totals = ranged.groupBy("_pid").agg(
+            *[F.sum(c).alias(f"_tot{i}") for i, c in enumerate(agg_cols)]
+        )
+        n_sums = len(agg_cols)
     offsets = (
         totals.alias("a")
         .join(
@@ -195,10 +221,16 @@ def distributed_cumulative(
             "left",
         )
         .groupBy(F.col("a._pid").alias("_pid"))
-        .agg(F.coalesce(F.sum("b._tot"), F.lit(0)).alias("_off"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b._tot{i}"), F.lit(0)).alias(f"_off{i}")
+                for i in range(n_sums)
+            ]
+        )
     )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, F.col("_loc") + F.col("_off"))
-        .drop("_pid", "_loc", "_off")
-    )
+    out = local.join(F.broadcast(offsets), "_pid")
+    drop = ["_pid"]
+    for i, oc in enumerate(out_cols):
+        out = out.withColumn(oc, F.col(f"_loc{i}") + F.col(f"_off{i}"))
+        drop += [f"_loc{i}", f"_off{i}"]
+    return out.drop(*drop)

@@ -837,6 +837,10 @@ def q_eval_identity(spark, sf_dir):
 
     b = _boxes(spark, sf_dir)
     w = Window.partitionBy("user_id", "frame").orderBy("event_id")
+    # `picked` checkpoints even though its only consumers are the two
+    # sides of one matching join: measured at sf0.1, re-deriving the
+    # scan+window per join side costs ~+0.9s vs the materialization
+    # (same finding as q_eval_metrics's 5-consumer case, smaller N)
     picked = (
         b.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -599,9 +599,11 @@ def q_average_precision(spark, sf_dir):
     ).withColumn("negs", -F.col("score"))
     # cumulative at-or-above each threshold = running sums in
     # DESCENDING score order (negs ascending; distinct scores → the
-    # order is total, so the running sums are well-defined)
-    c = distributed_cumulative(g, ["negs"], agg_col="np", out_col="ctp")
-    c = distributed_cumulative(c, ["negs"], agg_col="n", out_col="cn")
+    # order is total, so the running sums are well-defined); both
+    # cumulatives share ONE two-pass ranking (one bounds job)
+    c = distributed_cumulative(
+        g, ["negs"], agg_col=["np", "n"], out_col=["ctp", "cn"]
+    )
     terms = c.filter(F.col("np") > 0).select(
         F.round(
             (F.col("np") * F.col("ctp")).cast("double") / F.col("cn"), 12
