@@ -257,6 +257,7 @@ class VersionedTable:
         changes: DataFrame,
         key_cols: list[str],
         txn: tuple[str, int] | None = None,
+        partition_by_on_create: list[str] | None = None,
     ) -> int:
         """MERGE: rows in `changes` replace current rows with the same
         key; unmatched keys are inserted. Commits a new snapshot.
@@ -273,11 +274,21 @@ class VersionedTable:
         Upsert itself is idempotent per batch CONTENT, but the token
         spares the replay a full merge commit and keeps the version
         history one-entry-per-batch.
+
+        `partition_by_on_create` sets the partition layout when this
+        upsert CREATES the table (first commit); later upserts inherit
+        the current snapshot's layout like every MERGE path, so the
+        layout is declared once at table birth and sticks.
         """
         self._validate_merge_keys(changes, key_cols, "upsert")
         m = self._load_manifest()
         if m["current"] is None:
-            return self.write(changes, txn=txn, expected_current=None)
+            return self.write(
+                changes,
+                txn=txn,
+                expected_current=None,
+                partition_by=partition_by_on_create,
+            )
         spark = changes.sparkSession
         current = spark.read.parquet(self._data_dir(m["current"]))
         kept = current.join(changes.select(*key_cols), key_cols, "left_anti")

@@ -24,8 +24,11 @@ inside the same atomic manifest swap), mirroring make_merge_fn.
 
 At 100 TB: the upsert's anti-join is keyed by vec_id — one shuffle of
 index ∪ delta, where the delta side is micro-batch-sized and broadcast;
-the table is partitioned by a sig prefix via `partition_by` so query-
-time bucket probes prune files (manifest min/max stats on `sig`).
+the table is hive-partitioned by `sig_pfx` (the low `pfx_bits` of the
+signature, declared at table creation and inherited by every later
+merge), so a query-time bucket probe that filters on sig_pfx reads
+only its own partition directories — partition pruning at the
+listing level, before any parquet footer is touched.
 """
 
 from __future__ import annotations
@@ -37,22 +40,30 @@ from ..operators.similarity import DEFAULT_BITS, norm, signature_lsh
 from ..sources.catalog import VersionedTable
 
 
+PFX_BITS = 4  # sig_pfx = sig mod 2^PFX_BITS → 16 partition directories
+
+
 def index_rows(
     vectors: DataFrame,
     dim: int,
     n_bits: int = DEFAULT_BITS,
     id_col: str = "vec_id",
     vec_col: str = "e",
+    pfx_bits: int = PFX_BITS,
 ) -> DataFrame:
     """The index relation for a (batch or micro-batch of) vectors:
-    (id, vec, sig, nrm). Pure per-row Catalyst expressions — the
-    signature and norm are the only two things the query-time bucket
+    (id, vec, sig, sig_pfx, nrm). Pure per-row Catalyst expressions —
+    the signature and norm are the only things the query-time bucket
     join needs, precomputed at write time (the standard index trade:
-    pay once on ingest, never per query)."""
+    pay once on ingest, never per query). `sig_pfx` is the partition
+    key: coarse enough (2^pfx_bits dirs) to avoid small files, fine
+    enough that a single-bucket probe reads 1/2^pfx_bits of the
+    table's files."""
     return signature_lsh(vectors, vec_col, dim, n_bits).select(
         F.col(id_col),
         F.col(vec_col),
         "sig",
+        F.pmod(F.col("sig"), F.lit(1 << pfx_bits)).alias("sig_pfx"),
         norm(F.col(vec_col)).alias("nrm"),
     )
 
@@ -75,7 +86,13 @@ def make_index_merge_fn(
         if batch_id <= table.last_txn(app_id):
             return  # redelivered batch: already committed, skip
         delta = index_rows(batch_df, dim, n_bits, id_col, vec_col)
-        table.upsert(delta, [id_col], txn=(app_id, int(batch_id)))
+        table.upsert(
+            delta,
+            [id_col],
+            txn=(app_id, int(batch_id)),
+            # declared once at table birth, inherited by later merges
+            partition_by_on_create=["sig_pfx"],
+        )
         if expire_keep is not None:
             table.expire(keep_last=expire_keep)
 
@@ -121,9 +138,15 @@ def bucket_topk_from_index(
     round_digits: int = 6,
 ) -> DataFrame:
     """lsh_bucket_topk's search stage over a MAINTAINED index relation
-    (vec_id, e, sig, nrm) instead of signing the corpus inline — the
-    read path of the streamed index. Identical semantics: bucket
-    equi-join on sig, exact cosine re-rank, top-k per query."""
+    (vec_id, e, sig[, sig_pfx], nrm) instead of signing the corpus
+    inline — the read path of the streamed index. Identical semantics:
+    bucket equi-join on sig, exact cosine re-rank, top-k per query.
+
+    When the index carries the `sig_pfx` partition column, it joins as
+    a SECOND equi-key (derived from sig, so semantics-preserving):
+    joining on the partition column lets Spark's dynamic partition
+    pruning skip every partition directory no query signature maps to
+    — the broadcast query side becomes the pruning subquery."""
     from ..operators.similarity import cosine_prenormed
 
     q = queries.select(
@@ -132,11 +155,17 @@ def bucket_topk_from_index(
         F.col(query_sig).alias("sig"),
         F.col(query_nrm).alias("_qnrm"),
     )
+    join_keys = ["sig"]
+    if "sig_pfx" in index.columns:
+        q = q.withColumn(
+            "sig_pfx", F.pmod(F.col("sig"), F.lit(1 << PFX_BITS))
+        )
+        join_keys = ["sig_pfx", "sig"]
     from pyspark.sql import Window
 
     sims = (
         F.broadcast(q)
-        .join(index, "sig")
+        .join(index, join_keys)
         .filter(F.col(id_col) != F.col("qid"))
         .select(
             "qid",

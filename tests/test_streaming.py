@@ -784,6 +784,23 @@ def test_streaming_lsh_index_equals_batch_build(spark, sf_dir, tmp_path):
     }
     assert got_topk == want_topk
 
+    # the sig_pfx layout is real: hive partition dirs on disk, and a
+    # single-prefix probe plans a PartitionFilter (directory-level
+    # pruning — no parquet footer of other prefixes is ever opened)
+    import os as _os
+
+    vdir = t._data_dir(t.current_version())
+    assert any(d.startswith("sig_pfx=") for d in _os.listdir(vdir))
+    pruned_plan = (
+        t.read(spark)
+        .filter(F.col("sig_pfx") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    flt = [l for l in pruned_plan.splitlines() if "PartitionFilters" in l]
+    assert flt and "sig_pfx" in flt[0], pruned_plan[:2000]
+
     # embedding refresh: re-ingesting an existing id REPLACES its row
     refreshed = vecs.filter(F.col("vec_id") == 0).select(
         "vec_id", F.expr("transform(e, x -> -x)").alias("e")
