@@ -6,6 +6,8 @@ A sketch here is just a SMALL RELATION with a merge law:
 * count-min:  (fn, bucket) → count      merge = sum per cell
 * bloom:      (fn, bucket) present      merge = set union (DISTINCT)
 * hyperloglog:(bucket) → max rho        merge = max per bucket
+* heavy hitters (Misra-Gries): (tok) → counter
+                                        merge = sum per tok, re-reduce
 
 That's what makes them the scale primitives — the state is constant-
 size no matter the input, every law is a commutative hash aggregate
@@ -113,6 +115,26 @@ def bloom_maybe_member(
     )
 
 
+def bloom_prune(facts: DataFrame, key: Column, bits: DataFrame) -> DataFrame:
+    """Runtime-filter pruning: keep only `facts` rows whose `key`
+    passes the bloom filter `bits` — K chained broadcast LEFT-SEMI
+    joins, one per hash function, each on that function's computed
+    cell. All map-side (the bit relation is ≤ K·W rows, broadcast), so
+    the fact table is pruned BEFORE any shuffle. No false negatives:
+    a row whose key is in the member set passes all K tests. False
+    positives pass too — callers follow with the real join, which
+    removes them, so pruning is semantics-preserving by construction."""
+    pruned = facts
+    for fn in range(BLOOM_K):
+        cell = bits.filter(F.col("fn") == fn).select(
+            F.col("bucket").alias("_cell")
+        )
+        pruned = pruned.withColumn(
+            "_cell", _cell_bucket(key, F.lit(fn), BLOOM_W)
+        ).join(F.broadcast(cell), "_cell", "left_semi")
+    return pruned.drop("_cell")
+
+
 def hll_registers(stream: DataFrame, tok_col: str = "tok") -> DataFrame:
     """HLL register table: (bucket, m) with m = max first-1-bit
     position over the 52 payload bits — ≤ 64 rows."""
@@ -155,6 +177,84 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
         HLL_M * F.log(HLL_M / F.col("zeros").cast("double")),
     ).otherwise(raw)
     return agg.select(F.round(est, 4).alias("hll_estimate"))
+
+
+# ------------------------------------- Misra-Gries heavy hitters
+
+HH_K = 16
+
+
+def _hh_reduce(counts: DataFrame, k: int) -> DataFrame:
+    """Reduce an exact (tok, c) count relation to the ≤ k-row canonical
+    Misra-Gries summary: subtract the (k+1)-th largest count from every
+    counter, keep the positive ones. Deterministic — the rank order
+    (c desc, tok asc) is total — so any SQL engine rebuilds it
+    bit-for-bit, unlike the classic streaming MG whose result depends
+    on arrival order (the GUARANTEE is the same either way).
+
+    Plan shape: the rank cut compiles to a WindowGroupLimit (each
+    upstream partition forwards only its own top-(k+1) rows before the
+    exchange), so the single-partition window stage sees ≤ (k+1) rows
+    per partition, never the full count relation. The delta is a 1-row
+    scalar aggregate broadcast back over the ≤ k kept rows."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    # two consumers (delta scalar, kept rows) re-derive the ≤(k+1)-row
+    # rank; safe without materialization because the order is total
+    # (deterministic on any recomputation) and the WindowGroupLimit
+    # subtree is cheap — Catalyst's exchange reuse typically shares it
+    ranked = counts.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k + 1
+    )
+    delta = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_rn") == k + 1, F.col("c"))), F.lit(0)
+        ).alias("_delta")
+    )
+    return (
+        ranked.filter(F.col("_rn") <= k)
+        .crossJoin(F.broadcast(delta))
+        .select("tok", (F.col("c") - F.col("_delta")).alias("c"))
+        .filter(F.col("c") > 0)
+    )
+
+
+def hh_table(stream: DataFrame, k: int = HH_K, tok_col: str = "tok") -> DataFrame:
+    """Misra-Gries heavy-hitter summary: ≤ k rows (tok, c).
+
+    Canonical order-independent construction (Agarwal et al.,
+    "Mergeable Summaries", PODS 2012 §3: the MG summary is exactly
+    "exact counts minus the smallest uniform decrement leaving ≤ k
+    positive counters"). Guarantees, N = stream length:
+      c(x) − N/(k+1)  ≤  c_hat(x)  ≤  c(x)   for every token x,
+    and every x with c(x) > N/(k+1) is RETAINED (a true heavy hitter
+    can never be evicted). tests/test_sketches.py pins both, plus the
+    merge law.
+
+    Scale story: the exact-count stage is one map-side-combining
+    aggregate (same cost class as any groupBy); what the sketch buys
+    is the CONSTANT-SIZE state that ships across days/streams/tables —
+    daily ≤ k-row summaries merge into a window summary without ever
+    reprocessing the raw streams, with errors adding linearly."""
+    counts = stream.groupBy(F.col(tok_col).alias("tok")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return _hh_reduce(counts, k)
+
+
+def hh_merge(*tables: DataFrame, k: int = HH_K) -> DataFrame:
+    """Merge law (PODS 2012 §3.1): sum counters per token across
+    summaries, then re-reduce to k. Error bounds ADD (δ ≤ Σ Nᵢ/(k+1)),
+    so the merged summary keeps the heavy-hitter guarantee at constant
+    size. In the exact regime (k ≥ distinct tokens of the union) the
+    reduce is a no-op and the law is exact: merge(sketch(A), sketch(B))
+    == sketch(A ∪ B)."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    summed = out.groupBy("tok").agg(F.sum("c").alias("c"))
+    return _hh_reduce(summed, k)
 
 
 # ------------------------------------------------ equi-width histogram

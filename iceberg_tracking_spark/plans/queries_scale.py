@@ -2004,6 +2004,145 @@ def q_bloom_filter(spark, sf_dir):
     )
 
 
+# ------------------------------------- Misra-Gries heavy hitters
+
+_HH_K = 16
+
+
+def _hh_oracle() -> str:
+    """Exact mirror of the canonical Misra-Gries reduction: exact
+    counts → rank by (c desc, tok asc) → subtract the (k+1)-th largest
+    count from the kept top-k → keep positive counters. Deterministic
+    because the rank order is total, so the hash compare pins the full
+    construction — including the approximate regime where counters are
+    genuinely decremented (the documents vocabulary is far larger than
+    k=16, so delta > 0 on every fixture)."""
+    return f"""
+    WITH stream AS (
+        SELECT u.tok AS tok
+        FROM (SELECT {_DUCK_CMS_TOKS} AS l FROM documents), unnest(l) AS u(tok)
+    ),
+    counts AS (SELECT tok, count(*) AS c FROM stream GROUP BY tok),
+    ranked AS (
+        SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn
+        FROM counts
+    ),
+    delta AS (
+        SELECT coalesce(max(CASE WHEN rn = {_HH_K + 1} THEN c END), 0) AS d
+        FROM ranked WHERE rn <= {_HH_K + 1}
+    )
+    SELECT r.tok AS token,
+           r.c AS exact_count,
+           r.c - d.d AS hh_count
+    FROM ranked r, delta d
+    WHERE r.rn <= {_HH_K} AND r.c - d.d > 0
+    """
+
+
+@query("q_heavy_hitters", oracle=_hh_oracle())
+def q_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy-hitter summary over the document token stream
+    (`operators/sketches.py:hh_table`) — the frequent-items sketch
+    beside count-min/bloom/HLL/histogram, k=16 counters. Output joins
+    the exact count so the MG guarantee is visible in the checked
+    values: hh_count ≤ exact_count ≤ hh_count + N/(k+1), and every
+    token with exact_count > N/(k+1) appears.
+
+    vs q_vocab_topk: top-k reports the k most frequent with EXACT
+    counts but cannot be merged after the fact; the MG summary is the
+    MERGEABLE form — constant-size daily summaries sum per token and
+    re-reduce (`hh_merge`), errors adding linearly, without ever
+    reprocessing the raw streams (Agarwal et al., PODS 2012 §3). The
+    merge law and both guarantees are pinned in tests/test_sketches.py.
+
+    Scale shape: one map-side-combining count aggregate; the rank cut
+    compiles to a WindowGroupLimit so only k+1 rows per partition reach
+    the final stage; the delta is a 1-row broadcast scalar."""
+    from ..operators.sketches import hh_table
+
+    d = scatter(load_table(spark, sf_dir, "documents"))
+    stream = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok")
+    )
+    summary = hh_table(stream, k=_HH_K)
+    exact = stream.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        summary.join(exact, "tok")
+        .select(
+            F.col("tok").alias("token"),
+            "exact_count",
+            F.col("c").alias("hh_count"),
+        )
+    )
+
+
+# ------------------------------------- bloom-pruned join (runtime filter)
+
+
+def _bloom_prune_oracle() -> str:
+    """The oracle is the PLAIN join — the bloom prefilter is
+    semantics-preserving by construction (no false negatives, and the
+    final equi-join eliminates every false positive), so the sketch
+    side needs no mirroring at all. That IS the property being checked:
+    pruning must never change the answer."""
+    return """
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size = 1
+    GROUP BY p.p_brand
+    """
+
+
+@query("q_bloom_pruned_join", oracle=_bloom_prune_oracle())
+def q_bloom_pruned_join(spark, sf_dir):
+    """Runtime-filter join pruning built from the relational bloom
+    sketch: the dim side (parts with p_size = 1, ~2% of parts) builds
+    the constant-size bit relation once, and the fact scan is
+    pre-filtered MAP-SIDE — K chained broadcast left-semi joins, one
+    per hash function, each on that function's computed cell — before
+    any shuffle or the real join runs. No false negatives means no
+    lost rows; false positives survive the prefilter but die in the
+    real equi-join, so the result is bit-identical to the plain join
+    (which is exactly what the oracle runs).
+
+    This is the engine-internal `runtime bloom filter pushdown`
+    pattern (Spark's spark.sql.optimizer.runtime.bloomFilter, Iceberg
+    row-group bloom skipping) built from first principles: at 100 TB
+    the shuffle after pruning carries ~(selectivity + ε) of the fact
+    table instead of all of it — the ε is the bloom false-positive
+    rate, measured and bounded in tests/test_sketches.py.
+
+    Plan shape: 4 BroadcastHashJoin(LeftSemi) over the ≤ K·W-row bit
+    relation, then one broadcast join to the small dim — zero extra
+    shuffles (tests/test_plans.py pins it)."""
+    from ..operators.sketches import bloom_bits, bloom_prune
+
+    part = load_table(spark, sf_dir, "part")
+    dim = part.filter(F.col("p_size") == 1).select("p_partkey", "p_brand")
+    bits = bloom_bits(
+        dim.select(F.col("p_partkey").cast("string").alias("tok"))
+    ).localCheckpoint()  # K consumers; the bit relation is ≤ K·W rows
+    li = scatter(load_table(spark, sf_dir, "lineitem")).select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    pruned = bloom_prune(li, F.col("l_partkey").cast("string"), bits)
+    return (
+        pruned.join(F.broadcast(dim), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
 # -------------------------------------------------------- hyperloglog
 
 _HLL_M = 64  # buckets (first 6 md5 bits)

@@ -49,6 +49,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_average_precision",
     "q_eval_identity",
     "q_eval_combined",
+    "q_heavy_hitters",
+    "q_bloom_pruned_join",
     # (b) code changed this round — need fresh green rows
     "q_auc",
     "q_pack_sequences",
@@ -97,8 +99,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_dedup_clusters",
     "q_corpus_curate",
     "q_simhash",
-    "q_stratified_sample",
-    "q_tfidf",
 ]
 
 

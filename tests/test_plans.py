@@ -55,11 +55,13 @@ NESTED_LOOP_OK = {
     # by partition count, not data size (plus the 1-row percentile-
     # boundary broadcast).
     "q_auc",
+    "q_average_precision",  # same distributed_cumulative offsets join
     "q_pack_sequences",
     "q_curriculum",
     "q_domain_mixture",  # 1-row normalizing-total broadcast fan-out
     "q_histogram_quantiles",  # triangular cumulative over ≤256-bin relation
     "q_bpe_learn",  # 1-row winning-merge broadcast onto the vocab relation
+    "q_heavy_hitters",  # 1-row MG delta broadcast onto the ≤k kept counters
     "q_training_manifest",  # 1-row normalizing-total broadcast fan-out
 }
 
@@ -186,6 +188,18 @@ def test_embedding_neardup_is_banded_equi_join(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_bloom_pruned_join_prefilters_map_side(spark, sf_dir):
+    """The runtime-filter query must prune the fact scan with broadcast
+    LEFT-SEMI hash joins (one per bloom hash function) and join the dim
+    side broadcast — no sort-merge join, no shuffle of the unpruned
+    fact table, no nested loop."""
+    plan = _plan(spark, sf_dir, "q_bloom_pruned_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin LeftSemi") == 4, plan[:2000]
 
 
 def test_minhash_band_join_is_equi_join(spark, sf_dir):
