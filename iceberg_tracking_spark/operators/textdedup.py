@@ -1,0 +1,156 @@
+"""MinHash+LSH band signatures as a reusable relation — the shared core
+of batch near-dedup (plans/queries_llm.py:q_minhash_lsh), the
+first-arrival-wins gate (q_neardup_gate), and the incremental streaming
+gate (streaming/dedup_gate.py).
+
+The signature relation is (doc_id, band, band_key): N_BANDS rows per
+document, each band_key an md5 over BAND_SIZE 32-bit minhash lanes.
+Two documents are near-dup CANDIDATES iff they share a (band, band_key)
+— the banding trades Jaccard similarity for an equi-join key, so
+candidate generation is a hash join, never an all-pairs comparison.
+
+All hashing is md5-derived (lexicographic min over hex chunks), so any
+SQL engine rebuilds the identical signatures — the DuckDB oracles
+mirror this relation expression-for-expression.
+
+Reference tie-in: the reference dedups detections by IoU-greedy NMS
+(detection.py:1223-1261); this is the text-corpus analog the 100 TB
+training-data pipeline needs (Broder resemblance sketches; Lee et al.
+2022 "Deduplicating Training Data Makes Language Models Better").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles_from_tokens, tokens
+
+N_PERM = 8
+BAND_SIZE = 2  # → 4 bands
+
+
+def minhash_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_band_cap: int | None = None,
+) -> DataFrame:
+    """The (doc_id, band, band_key) LSH signature relation.
+
+    Pipeline (one shuffle, everything else map-side): explode DISTINCT
+    3-word shingles → 8 minhash lanes as plain `min(substring(md5,…))`
+    aggregates (two md5 calls per shingle carve out four 32-bit chunks
+    each; non-lambda md5 stays in whole-stage codegen) → 4 band keys as
+    md5 over lane pairs, exploded to rows. Documents with fewer than 3
+    tokens have no shingles and produce NO rows — they can never be
+    near-dup candidates.
+
+    `hot_band_cap`: drop buckets holding more than this many docs (the
+    pair-enumeration guard — a k-doc bucket yields k² candidate pairs
+    in one reducer). Needed by PAIR-generating consumers; EXISTS-style
+    consumers (the dedup gate) probe buckets without enumerating pairs,
+    so they pass None.
+    """
+    sh = docs.withColumn("toks", tokens(F.lower(F.col(text_col)))).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("toks")))
+        ).alias("shingle"),
+    )
+    h1 = F.md5(F.col("shingle"))
+    h2 = F.md5(F.concat(F.lit("x"), F.col("shingle")))
+    lanes = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(h1 if s < 4 else h2, (s % 4) * 8 + 1, 8)
+            ).alias(f"m{s}")
+            for s in range(N_PERM)
+        ]
+    )
+    n_bands = N_PERM // BAND_SIZE
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[
+                            F.col(f"m{b * BAND_SIZE + j}")
+                            for j in range(BAND_SIZE)
+                        ]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = lanes.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    if hot_band_cap is not None:
+        w_bucket = Window.partitionBy("band", "band_key")
+        bands = (
+            bands.withColumn("bn", F.count(F.lit(1)).over(w_bucket))
+            .filter(F.col("bn") <= hot_band_cap)
+            .drop("bn")
+        )
+    return bands
+
+
+def rejected_by_earlier(
+    bands: DataFrame, prior_bands: DataFrame | None = None
+) -> DataFrame:
+    """First-arrival-wins rejection: the DISTINCT doc_ids of `bands`
+    that share a (band, band_key) bucket with a SMALLER doc_id in
+    `bands`, or (when `prior_bands` is given) with ANY previously-seen
+    document.
+
+    Within-batch: one window min per bucket — the same (band, band_key)
+    partitioning every consumer shuffles on; a doc is rejected when any
+    of its buckets holds a smaller id. This is an EXISTS probe, not a
+    pair enumeration, so no hot-bucket cap is needed: the per-doc work
+    is bounded by its own band count regardless of bucket size.
+
+    Cross-batch: a broadcast-able left-semi join against the prior
+    signature index — the index side carries only (band, band_key),
+    deduplicated.
+    """
+    w = Window.partitionBy("band", "band_key")
+    hit_batch = (
+        bands.withColumn("_mn", F.min("doc_id").over(w))
+        .filter(F.col("_mn") < F.col("doc_id"))
+        .select("doc_id")
+    )
+    if prior_bands is None:
+        return hit_batch.distinct()
+    hit_prior = bands.join(
+        prior_bands.select("band", "band_key").distinct(),
+        ["band", "band_key"],
+        "left_semi",
+    ).select("doc_id")
+    return hit_batch.unionByName(hit_prior).distinct()
+
+
+def first_wins_keepers(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The near-dup gate in batch form: the doc_ids that survive
+    first-arrival-wins LSH dedup — a document is dropped iff it shares
+    a band bucket with ANY smaller doc_id (arrival order = doc_id; the
+    earlier doc is kept even if it was itself dropped, matching the
+    streaming gate's "seen-similar-before" index of ALL seen docs, so
+    batch and streamed results coincide exactly).
+
+    Shingle-less documents (< 3 tokens) have no bands and are always
+    kept. Returns the 1-column (doc_id) keeper relation."""
+    bands = minhash_bands(docs, text_col=text_col, id_col=id_col)
+    rejected = rejected_by_earlier(bands)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(rejected, "doc_id", "left_anti")
+    )

@@ -342,66 +342,16 @@ def q_minhash_lsh(spark, sf_dir):
     groupBy is the only shuffle; no all-pairs comparison ever happens,
     and buckets over _HOT_BAND_CAP docs are dropped (hot-band guard:
     k² pairs in one reducer; see test_minhash_hot_band_guard)."""
-    d = _t(spark, sf_dir, "documents")
-    # Explode shingles to rows and compute each minhash lane as a plain
-    # `min(substring(md5, …))` aggregate: non-lambda md5 stays in
-    # whole-stage codegen, the shingle array is built exactly once per
-    # doc, and 8 independent 32-bit lanes come from just TWO md5 calls
-    # per shingle — 4 hex chunks each of md5(s) and md5('x'||s).
-    # (8 salted full-md5 lanes were ~2× slower; 8 higher-order array
-    # transforms ~30× — interpreted per element.)
-    # array_distinct before the explode: min over the distinct shingle
-    # set == min over the multiset, so lanes are unchanged while md5
-    # work drops by the duplicate-shingle fraction (measured ~20-30%
-    # wall on this corpus; see q_repetition for how repetitive it is).
-    sh = d.withColumn("toks", _spark_tokens(F.col("text"))).select(
-        "doc_id",
-        F.explode(F.array_distinct(_spark_shingles(F.col("toks")))).alias(
-            "shingle"
-        ),
-    )
-    h1 = F.md5(F.col("shingle"))
-    h2 = F.md5(F.concat(F.lit("x"), F.col("shingle")))
-    docs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(h1 if s < 4 else h2, (s % 4) * 8 + 1, 8)
-            ).alias(f"m{s}")
-            for s in range(_N_PERM)
-        ]
-    )
-    n_bands = _N_PERM // _BAND_SIZE
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat(
-                        *[F.col(f"m{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)]
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = docs.select(
-        "doc_id", F.explode(band_structs).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    # Hot-band guard: a bucket of k docs yields k² candidate pairs in a
-    # single reducer, so a degenerate corpus (thousands of identical
-    # docs) would melt one task at 100 TB. Buckets over the cap are
-    # dropped — their members are near-identical by construction and
-    # belong to the exact-dup path (q_dedup_exact), not pairwise LSH.
-    # Expressed as a count window over the SAME (band, band_key)
-    # partitioning the self-join shuffles on — one lineage, no second
-    # computation of the minhash pipeline (a separate agg + anti-join
-    # re-executed the shingle explode and cost +50% wall-clock), and a
-    # bit-exact mirror of the oracle's windowed form.
-    w_bucket = Window.partitionBy("band", "band_key")
-    bands = (
-        bands.withColumn("bn", F.count(F.lit(1)).over(w_bucket))
-        .filter(F.col("bn") <= _HOT_BAND_CAP)
-        .drop("bn")
+    # Signature pipeline shared with the dedup gate — see
+    # operators/textdedup.py:minhash_bands for the lane/band design
+    # notes (two md5 calls per shingle carve 8 lanes; array_distinct
+    # cuts md5 work ~20-30%; the hot-band cap runs as a count window
+    # over the SAME (band, band_key) partitioning the self-join
+    # shuffles on — a separate agg + anti-join cost +50% wall-clock).
+    from ..operators.textdedup import minhash_bands
+
+    bands = minhash_bands(
+        _t(spark, sf_dir, "documents"), hot_band_cap=_HOT_BAND_CAP
     )
     # The self-join consumes `bands` on both sides; without
     # materialization Catalyst compiles the whole shingle-explode +
@@ -422,6 +372,70 @@ def q_minhash_lsh(spark, sf_dir):
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.countDistinct(F.col("a.band")).alias("n_shared_bands"))
     )
+
+
+def _neardup_gate_oracle() -> str:
+    """Mirror of first_wins_keepers: the same band relation (no hot cap
+    — the gate probes buckets, it never enumerates pairs), rejection =
+    sharing any bucket with a smaller doc_id, keepers = everything
+    else (shingle-less docs included: no bands, no collisions)."""
+    mh = ",\n".join(_minhash_chunk_sql(s) for s in range(_N_PERM))
+    n_bands = _N_PERM // _BAND_SIZE
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM mh".format(
+            b=b,
+            key=" || ".join(f"m{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents
+    ),
+    mh AS (
+        SELECT doc_id, {mh} FROM docs WHERE len(shingles) > 0
+    ),
+    bands AS ({band_rows}),
+    rejected AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY band, band_key) AS mn
+            FROM bands
+        ) WHERE mn < doc_id
+    )
+    SELECT d.doc_id
+    FROM documents d
+    LEFT JOIN (SELECT DISTINCT doc_id FROM rejected) r
+      ON r.doc_id = d.doc_id
+    WHERE r.doc_id IS NULL
+    """
+
+
+@query("q_neardup_gate", oracle=_neardup_gate_oracle())
+def q_neardup_gate(spark, sf_dir):
+    """First-arrival-wins near-dup GATE (the ingestion-time form of
+    near-dedup): a document is dropped iff it shares an LSH band bucket
+    with ANY smaller doc_id — the earlier doc wins even if it was
+    itself dropped ("seen-similar-before" semantics, the index of ALL
+    seen signatures). Where q_minhash_lsh ENUMERATES candidate pairs
+    (the audit/analysis shape, hot-bucket-capped because a k-doc bucket
+    is k² pairs), the gate only asks EXISTS per bucket — one window min
+    over the same (band, band_key) partitioning — so per-doc work is
+    bounded by its own band count and no cap is needed.
+
+    This batch form is the exact contract for the INCREMENTAL streamed
+    gate (streaming/dedup_gate.py): batches arriving in doc_id order
+    produce the identical keeper set (parity-tested), because
+    seen-similar-before makes rejection depend only on earlier docs,
+    never on whether those docs themselves survived.
+
+    Scale shape: signature build is one shuffle (shingle-explode →
+    minhash agg); the gate adds one shuffle on (band, band_key) + one
+    anti-join keyed by doc_id. At 100 TB the signature index is the
+    relation you persist; each new batch probes it with a semi-join."""
+    from ..operators.textdedup import first_wins_keepers
+
+    return first_wins_keepers(_t(spark, sf_dir, "documents"))
 
 
 # -------------------------------------------------------- similarity search

@@ -51,6 +51,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_eval_combined",
     "q_heavy_hitters",
     "q_bloom_pruned_join",
+    "q_neardup_gate",
     # (b) code changed this round — need fresh green rows
     "q_auc",
     "q_pack_sequences",
@@ -98,7 +99,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_embedding_neardup",
     "q_dedup_clusters",
     "q_corpus_curate",
-    "q_simhash",
 ]
 
 

@@ -550,6 +550,54 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir, events_stream_dir):
     pd.testing.assert_frame_equal(got, batch, check_dtype=False)
 
 
+def test_streaming_neardup_gate_equals_batch(spark, sf_dir, tmp_path):
+    """The incremental near-dup gate equals its batch contract: stream
+    the documents table in two doc_id-ordered micro-batches through
+    streaming/dedup_gate.py; the accepted set must equal
+    q_neardup_gate's batch keeper set exactly (seen-similar-before
+    makes rejection depend only on earlier docs, never on whether those
+    docs survived — so chopping the stream into batches cannot change
+    the result). Also proves replaying a batch is a no-op (txn gate)."""
+    from iceberg_tracking_spark.operators.textdedup import first_wins_keepers
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+    from iceberg_tracking_spark.streaming.dedup_gate import make_neardup_gate_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = 250
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") < cutoff).write.mode("overwrite").parquet(src)
+
+    index = VersionedTable(str(tmp_path / "neardup_index"))
+    accepted = VersionedTable(str(tmp_path / "neardup_accepted"))
+    gate = make_neardup_gate_fn(index, accepted, app_id="gate-test")
+
+    stream = (
+        spark.readStream.schema(docs.schema).parquet(src).writeStream
+        .foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    q = stream.start()
+    q.awaitTermination(120)
+    docs.filter(F.col("doc_id") >= cutoff).write.mode("append").parquet(src)
+    q2 = stream.start()
+    q2.awaitTermination(120)
+
+    got = {r["doc_id"] for r in accepted.read(spark).select("doc_id").collect()}
+    want = {r["doc_id"] for r in first_wins_keepers(docs).collect()}
+    assert got == want
+    # sanity: the gate genuinely rejected something on this corpus
+    n_docs = docs.count()
+    assert 0 < len(got) < n_docs, (len(got), n_docs)
+
+    # replaying a committed batch is a no-op for both tables
+    v_index, v_acc = index.current_version(), accepted.current_version()
+    batch1 = spark.read.parquet(src).filter(F.col("doc_id") >= cutoff)
+    gate(batch1, 1)
+    assert index.current_version() == v_index
+    assert accepted.current_version() == v_acc
+
+
 def test_merge_aggregate_adds_and_inserts(spark, tmp_path):
     from iceberg_tracking_spark.sources.catalog import VersionedTable
 
