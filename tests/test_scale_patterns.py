@@ -313,6 +313,92 @@ def test_lsh_candidate_growth(spark):
     )
 
 
+def _synth_docs(spark, n: int, n_toks: int = 16, vocab: int = 5000):
+    """n deterministic pseudo-random documents generated IN-ENGINE:
+    `n_toks` tokens drawn from a `vocab`-word vocabulary via xxhash64.
+    Every 100th doc (doc_id % 100 == 7) is a PLANTED NEAR-DUPLICATE of
+    its predecessor — same tokens except the last (Jaccard ≈ 0.75 on
+    3-shingles), the ground truth for measuring LSH dedup recall at
+    corpus sizes the 556-row documents fixture cannot exercise."""
+    tok = lambda src, j: F.concat(  # noqa: E731
+        F.lit("w"),
+        F.pmod(F.xxhash64(src * n_toks + j), F.lit(vocab)).cast("string"),
+    )
+    is_dup = F.col("id") % 100 == 7
+    src_id = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
+    toks = [tok(src_id, j) for j in range(n_toks - 1)]
+    last = F.when(is_dup, F.lit("zzz-dup-marker")).otherwise(
+        tok(src_id, n_toks - 1)
+    )
+    return spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *toks, last).alias("text"),
+    )
+
+
+def test_minhash_band_bucket_growth_and_dedup_recall(spark):
+    """Near-dedup at synthetic scale (the dedup analog of
+    test_lsh_candidate_growth): the banded MinHash layout must keep
+    candidate volume sublinear on a large corpus while still CATCHING
+    planted near-duplicates.
+
+    * avg band-bucket candidate fraction = Σ bucket² / N per band stays
+      a tiny fraction of the corpus and does NOT grow as the corpus
+      scales 8× (bucketing is linear, never quadratic);
+    * max bucket stays bounded (no degenerate mega-bucket even with 1%
+      planted duplicates — dup pairs make 2-doc buckets, not hubs);
+    * RECALL: a planted pair (Jaccard ≈ 0.75) shares a band with
+      probability 1−(1−s²)⁴ ≈ 0.96 for 4 bands × 2 lanes; the measured
+      band-collision recall over thousands of planted pairs must clear
+      0.85 — the quality half of the speed/quality trade the banding
+      makes.
+    """
+    from iceberg_tracking_spark.operators.textdedup import minhash_bands
+
+    def bucket_stats(n: int):
+        bands = minhash_bands(_synth_docs(spark, n)).localCheckpoint()
+        row = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.max("c").alias("max_bucket"),
+                F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+            )
+            .collect()[0]
+        )
+        # planted-pair band-collision recall: predecessor in same bucket
+        a, b = bands.alias("a"), bands.alias("b")
+        dup_hits = (
+            a.filter(F.col("a.doc_id") % 100 == 7)
+            .join(
+                b,
+                (F.col("b.doc_id") == F.col("a.doc_id") - 1)
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key")),
+            )
+            .select(F.col("a.doc_id"))
+            .distinct()
+            .count()
+        )
+        n_planted = n // 100
+        return row["max_bucket"], row["sum_sq"] / n, dup_hits / n_planted
+
+    n_small, n_big = 50_000, 400_000
+    mx_s, cand_s, rec_s = bucket_stats(n_small)
+    mx_b, cand_b, rec_b = bucket_stats(n_big)
+    frac_s, frac_b = cand_s / n_small, cand_b / n_big
+    print(
+        f"minhash bands: {n_small}: max_bucket={mx_s} "
+        f"cand_frac={frac_s:.5%} recall={rec_s:.3f}; "
+        f"{n_big}: max_bucket={mx_b} cand_frac={frac_b:.5%} "
+        f"recall={rec_b:.3f}"
+    )
+    assert frac_b < 0.001, f"candidate fraction {frac_b:.5%} too big"
+    assert frac_b < 1.5 * frac_s + 1e-6, "candidate fraction grew with corpus"
+    assert mx_b < 200, f"degenerate mega-bucket: {mx_b}"
+    assert rec_s > 0.85 and rec_b > 0.85, (rec_s, rec_b)
+
+
 def test_ivf_cluster_occupancy_bounded(spark):
     """IVF coarse quantizer at synthetic scale: assignment of a 250k
     corpus to 32 deterministic centroids must spread — the nprobe
