@@ -77,6 +77,12 @@ EXTENDED = [
     "q_average_precision",
     "q_eval_identity",
     "q_eval_combined",
+    # round-6 second wave: sketch/gate/curation families
+    "q_heavy_hitters",
+    "q_bloom_pruned_join",
+    "q_neardup_gate",
+    "q_classifier_score",
+    "q_chunk_documents",
 ]
 
 # Regression floor for the extended set: the first recorded sf0.1
@@ -122,6 +128,13 @@ EXTENDED_FLOOR_SEC = {
     "q_average_precision": 0.989,
     "q_eval_identity": 2.739,
     "q_eval_combined": 3.556,
+    # round-6 second wave: first solo sf0.1 min-of-3 recordings
+    # (bloom_pruned_join floored at its post-xxhash-family number)
+    "q_heavy_hitters": 0.773,
+    "q_bloom_pruned_join": 1.380,
+    "q_neardup_gate": 1.054,
+    "q_classifier_score": 0.535,
+    "q_chunk_documents": 0.341,
 }
 
 

@@ -1128,3 +1128,185 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str):
         F.col("w.quality").alias("quality"),
         "n_copies",
     )
+
+
+# ----------------------------------- learned quality classifier (linear)
+
+_CLF_VOCAB = 500  # model vocabulary: top-N corpus tokens
+_CLF_BIAS = -40  # integer bias on the 1/1000 weight grid
+
+
+def _clf_oracle() -> str:
+    from ._sqlgen import hex_int
+
+    w_int = f"({hex_int('md5(tok)', 1, 8)} % 2001 - 1000)"
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, u.tok AS tok
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS l FROM documents),
+             unnest(l) AS u(tok)
+    ),
+    vocab AS (
+        SELECT tok, {w_int} AS w_int FROM (
+            SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+            FROM tok GROUP BY tok
+        ) WHERE rn <= {_CLF_VOCAB}
+    ),
+    doc_len AS (
+        SELECT doc_id, count(*) AS n_toks FROM tok GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT t.doc_id, CAST(sum(v.w_int) AS BIGINT) AS dot_int
+        FROM tok t JOIN vocab v ON v.tok = t.tok
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(o.dot_int, 0) + {_CLF_BIAS} * d.n_toks AS DOUBLE)
+               / (1000 * d.n_toks) AS logit,
+           (coalesce(o.dot_int, 0) + {_CLF_BIAS} * d.n_toks) > 0 AS accepted
+    FROM doc_len d LEFT JOIN dots o ON o.doc_id = d.doc_id
+    """
+
+
+@query("q_classifier_score", oracle=_clf_oracle())
+def q_classifier_score(spark, sf_dir):
+    """Learned quality filter as a relational op — the fasttext-style
+    linear classifier every production curation pipeline runs after the
+    heuristic gates (CCNet, arXiv:1911.00359 §4.3; GPT-3's quality
+    classifier, arXiv:2005.14165 §A): score each document with a
+    broadcast (term, weight) model table and threshold.
+
+    Model = top-500 corpus tokens with md5-derived INTEGER weights on a
+    1/1000 grid (a deterministic stand-in for trained weights — the
+    relational shape is identical: at 100 TB the model table is a
+    ~vocab-row broadcast, the scoring one explode + broadcast join +
+    map-side-combined sum per doc). logit = (Σ w_int·tf + bias·n_toks)
+    / (1000·n_toks): everything up to the last step is exact integer
+    arithmetic, and the one float op is a single correctly-rounded IEEE
+    division of identical operands — bit-identical cross-engine with NO
+    round() call (a round(·, 6) here hit a live half-tie where Spark's
+    BigDecimal HALF_UP and DuckDB's multiply-based rounding disagreed;
+    the acceptance flag is likewise a pure integer sign test). The
+    output is the logit, not sigmoid(logit):
+    sigmoid is monotone, so the accept threshold is equivalent, and no
+    transcendental function (whose last-ulp rounding differs across
+    engines) ever touches the checked values.
+
+    Output: (doc_id, logit, accepted) for every document — tokens
+    outside the model vocabulary contribute 0 (the left join)."""
+    d = scatter(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    # WindowGroupLimit: each partition forwards only its top-500 counts
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.col("_n").desc(), F.col("tok").asc())))
+        .filter(F.col("rn") <= _CLF_VOCAB)
+        .select(
+            "tok",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+                % 2001
+                - 1000
+            ).alias("w_int"),
+        )
+    )
+    doc_len = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    dots = (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("w_int").alias("dot_int"))
+    )
+    num = F.coalesce(F.col("dot_int"), F.lit(0)) + F.lit(_CLF_BIAS) * F.col(
+        "n_toks"
+    )
+    return doc_len.join(dots, "doc_id", "left").select(
+        "doc_id",
+        (num.cast("double") / (1000 * F.col("n_toks"))).alias("logit"),
+        (num > 0).alias("accepted"),
+    )
+
+
+# ------------------------------------- context-window chunking
+
+_CHUNK_LEN = 128  # tokens per chunk
+_CHUNK_STRIDE = 96  # overlap = 32 tokens
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_DUCK_TOKS} AS l FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, l, len(l) AS n_toks FROM toks WHERE len(l) > 0
+    ),
+    chunks AS (
+        SELECT doc_id, n_toks, u.start AS start_tok
+        FROM sized, unnest(range(0, n_toks, {_CHUNK_STRIDE})) AS u(start)
+    )
+    SELECT c.doc_id,
+           CAST(c.start_tok / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           c.start_tok,
+           CAST(least({_CHUNK_LEN}, c.n_toks - c.start_tok) AS BIGINT)
+               AS chunk_len,
+           md5(array_to_string(
+               list_slice(s.l, c.start_tok + 1,
+                          c.start_tok + least({_CHUNK_LEN},
+                                              c.n_toks - c.start_tok)),
+               ' ')) AS chunk_digest
+    FROM chunks c JOIN sized s ON s.doc_id = c.doc_id
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking — the preprocessing step that turns
+    variable-length documents into model-sized training windows:
+    {_CHUNK_LEN}-token chunks every {_CHUNK_STRIDE} tokens (32-token
+    overlap so no span is ever split across a boundary without also
+    appearing whole in a neighbor; the RAG/pretraining sliding-window
+    standard). The final chunk is short (n_toks − start), never padded
+    here — padding policy belongs to the packer (q_pack_sequences).
+
+    Checked values include the md5 of each chunk's reassembled text, so
+    the hash compare pins the exact token SLICES, not just the offsets.
+
+    Scale shape: embarrassingly parallel — one generator expression
+    (sequence + explode) per document, no shuffle at all; the chunk
+    relation is the input to the packing/dedup stages downstream."""
+    d = scatter(load_table(spark, sf_dir, "documents"))
+    sized = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias(
+            "l"
+        ),
+    ).withColumn("n_toks", F.size("l")).filter(F.col("n_toks") > 0)
+    chunks = sized.select(
+        "doc_id",
+        "l",
+        "n_toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.col("n_toks") - 1,
+                F.lit(_CHUNK_STRIDE),
+            )
+        ).alias("start_tok"),
+    )
+    chunk_len = F.least(F.lit(_CHUNK_LEN), F.col("n_toks") - F.col("start_tok"))
+    return chunks.select(
+        "doc_id",
+        (F.col("start_tok") / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        "start_tok",
+        chunk_len.cast("long").alias("chunk_len"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("l"), F.col("start_tok") + 1, chunk_len)
+            )
+        ).alias("chunk_digest"),
+    )

@@ -2119,18 +2119,22 @@ def q_bloom_pruned_join(spark, sf_dir):
 
     Plan shape: 4 BroadcastHashJoin(LeftSemi) over the ≤ K·W-row bit
     relation, then one broadcast join to the small dim — zero extra
-    shuffles (tests/test_plans.py pins it)."""
-    from ..operators.sketches import bloom_bits, bloom_prune
+    shuffles (tests/test_plans.py pins it). Hash family: the
+    engine-native xxhash64 cells (2.3× faster than the md5 family,
+    measured min-of-3 at sf0.1: 1.4s vs 3.2s) — portability of the
+    CELLS is irrelevant here precisely because the oracle is the plain
+    join; q_bloom_filter keeps the md5 family its oracle rebuilds."""
+    from ..operators.sketches import bloom_bits_fast, bloom_prune
 
     part = load_table(spark, sf_dir, "part")
     dim = part.filter(F.col("p_size") == 1).select("p_partkey", "p_brand")
-    bits = bloom_bits(
-        dim.select(F.col("p_partkey").cast("string").alias("tok"))
+    bits = bloom_bits_fast(
+        dim.select(F.col("p_partkey").alias("tok"))
     ).localCheckpoint()  # K consumers; the bit relation is ≤ K·W rows
     li = scatter(load_table(spark, sf_dir, "lineitem")).select(
         "l_partkey", "l_extendedprice", "l_discount"
     )
-    pruned = bloom_prune(li, F.col("l_partkey").cast("string"), bits)
+    pruned = bloom_prune(li, F.col("l_partkey"), bits)
     return (
         pruned.join(F.broadcast(dim), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))

@@ -52,6 +52,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_heavy_hitters",
     "q_bloom_pruned_join",
     "q_neardup_gate",
+    "q_classifier_score",
+    "q_chunk_documents",
     # (b) code changed this round — need fresh green rows
     "q_auc",
     "q_pack_sequences",
@@ -97,8 +99,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_kfold",
     "q_binary_scan",
     "q_embedding_neardup",
-    "q_dedup_clusters",
-    "q_corpus_curate",
 ]
 
 

@@ -161,18 +161,31 @@ def test_bloom_prune_preserves_join_and_prunes(spark, sf_dir):
     key is lost — the bloom no-false-negative guarantee) and actually
     prunes (the surviving fraction is bounded by selectivity + the
     false-positive rate, far below 1)."""
-    from iceberg_tracking_spark.operators.sketches import bloom_bits, bloom_prune
+    from iceberg_tracking_spark.operators.sketches import (
+        bloom_bits,
+        bloom_bits_fast,
+        bloom_prune,
+    )
     from iceberg_tracking_spark.sources.tables import load_table
 
     part = load_table(spark, sf_dir, "part")
     dim = part.filter(F.col("p_size") == 1).select("p_partkey", "p_brand")
-    bits = bloom_bits(
-        dim.select(F.col("p_partkey").cast("string").alias("tok"))
-    )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice"
     )
-    pruned = bloom_prune(li, F.col("l_partkey").cast("string"), bits)
+    # default engine-native xxhash family
+    bits = bloom_bits_fast(dim.select(F.col("p_partkey").alias("tok")))
+    pruned = bloom_prune(li, F.col("l_partkey"), bits)
+    # the md5 (oracle-portable) family must satisfy the same contract
+    bits_md5 = bloom_bits(
+        dim.select(F.col("p_partkey").cast("string").alias("tok"))
+    )
+    pruned_md5 = bloom_prune(
+        li, F.col("l_partkey").cast("string"), bits_md5, family="md5"
+    )
+    n_match_md5 = pruned_md5.join(
+        dim, F.col("l_partkey") == F.col("p_partkey")
+    ).count()
     n_total = li.count()
     n_pruned = pruned.count()
     n_match = li.join(dim, F.col("l_partkey") == F.col("p_partkey")).count()
@@ -193,6 +206,9 @@ def test_bloom_prune_preserves_join_and_prunes(spark, sf_dir):
     # far below the full scan (30% is a very loose cap on fill-factor
     # drift across sf fixtures)
     assert n_pruned < 0.3 * n_total, (n_pruned, n_total, n_match)
+    # md5 family: same no-false-negative contract (post-join row count
+    # equals the unpruned join's)
+    assert n_match_md5 == n_match
 
 
 def test_hll_merge_law_and_accuracy(spark):
