@@ -2543,3 +2543,150 @@ def q_ann_recall_multiprobe(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------- retrieval quality: MRR + NDCG@5
+
+# Exact-arithmetic NDCG: log2 is transcendental (last-ulp rounding can
+# differ across engines), so the per-rank discounts are INTEGER
+# micro-unit literals round(1e6/log2(i+1)) computed ONCE here and
+# embedded identically in the Spark expressions and the oracle SQL —
+# DCG/IDCG become exact integer sums and NDCG one IEEE division.
+import math as _math  # noqa: E402
+
+_NDCG_K = 5
+_NDCG_W = [round(1e6 / _math.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+_NDCG_PREFIX = [0]
+for _w in _NDCG_W:
+    _NDCG_PREFIX.append(_NDCG_PREFIX[-1] + _w)
+
+
+def _retrieval_metrics_oracle() -> str:
+    w_case = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+    )
+    p_case = " ".join(
+        f"WHEN {m} THEN {p}" for m, p in enumerate(_NDCG_PREFIX)
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, e AS qe, label AS qlabel
+        FROM v WHERE vec_id % 25 = 0
+    ),
+    ranked AS (
+        SELECT qid, qlabel, nid, nlabel, rn FROM (
+            SELECT q.qid, q.qlabel, v.vec_id AS nid, v.label AS nlabel,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({duck_cosine_sql('q.qe', 'v.e', _DIM)}, 6)
+                                DESC, v.vec_id) AS rn
+            FROM q JOIN v ON v.vec_id <> q.qid
+        ) WHERE rn <= {_NDCG_K}
+    ),
+    per_q AS (
+        SELECT qid,
+               CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rel_topk,
+               CAST(sum(CASE WHEN nlabel = qlabel
+                        THEN CASE rn {w_case} ELSE 0 END
+                        ELSE 0 END) AS BIGINT) AS dcg_int,
+               min(CASE WHEN nlabel = qlabel THEN rn END) AS first_rel
+        FROM ranked GROUP BY qid
+    ),
+    rel_corpus AS (
+        SELECT q.qid,
+               least({_NDCG_K},
+                     (SELECT count(*) FROM v
+                      WHERE v.label = q.qlabel AND v.vec_id <> q.qid)) AS m
+        FROM q
+    )
+    SELECT p.qid,
+           p.n_rel_topk,
+           CASE WHEN p.first_rel IS NULL THEN 0.0
+                ELSE CAST(1 AS DOUBLE) / p.first_rel END AS mrr,
+           CASE WHEN (CASE r.m {p_case} ELSE 0 END) = 0 THEN 0.0
+                ELSE CAST(p.dcg_int AS DOUBLE)
+                     / (CASE r.m {p_case} ELSE 0 END) END AS ndcg
+    FROM per_q p JOIN rel_corpus r ON r.qid = p.qid
+    """
+
+
+@query("q_retrieval_metrics", oracle=_retrieval_metrics_oracle())
+def q_retrieval_metrics(spark, sf_dir):
+    """Graded retrieval quality — MRR and NDCG@5 per query, the ranking
+    metrics that complete the retrieval-eval family next to recall@k
+    (q_ann_recall) and AP/AUC (q_average_precision/q_auc). Relevance is
+    label match (a query's relevant set = same-label vectors), ranking
+    is the engine's exact cosine top-5.
+
+    Exact-arithmetic discipline: rank discounts 1/log2(rank+1) are
+    integer micro-unit LITERALS shared between the Spark plan and the
+    oracle SQL, so DCG and IDCG are exact integer sums (order-free) and
+    each metric is one IEEE division — no transcendental ever touches
+    checked values. IDCG uses the standard ideal: prefix-sum of
+    discounts over min(k, #relevant-in-corpus).
+
+    Scale shape: the ranking side is the eval harness (broadcast
+    sampled queries × corpus — same exemption as q_ann_recall); the
+    per-label corpus counts are a broadcast ≤|labels|-row aggregate."""
+    from ..operators.similarity import brute_force_topk
+
+    v = scatter(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+        )
+    )
+    qs = v.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    top = brute_force_topk(
+        v.select("vec_id", "e"), qs.select("qid", "qe"), k=_NDCG_K
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    ranked = (
+        top.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(qs.select("qid", "qlabel")), "qid")
+        .join(
+            v.select(F.col("vec_id").alias("nid"), F.col("label").alias("nlabel")),
+            "nid",
+        )
+    )
+    rel = (F.col("nlabel") == F.col("qlabel")).cast("int")
+    w_arr = F.array(*[F.lit(x) for x in _NDCG_W])
+    per_q = ranked.groupBy("qid").agg(
+        F.sum(rel).alias("n_rel_topk"),
+        F.sum(rel * F.element_at(w_arr, F.col("rn"))).alias("dcg_int"),
+        F.min(F.when(rel == 1, F.col("rn"))).alias("first_rel"),
+    )
+    label_counts = v.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))
+    prefix_arr = F.array(*[F.lit(x) for x in _NDCG_PREFIX])
+    rel_corpus = (
+        qs.select("qid", "qlabel")
+        .join(
+            F.broadcast(label_counts),
+            F.col("qlabel") == F.col("label"),
+            "left",
+        )
+        .select(
+            "qid",
+            F.least(
+                F.lit(_NDCG_K), F.coalesce(F.col("n_lab"), F.lit(1)) - 1
+            ).alias("m"),
+        )
+    )
+    idcg = F.element_at(prefix_arr, (F.col("m") + 1).cast("int"))
+    return per_q.join(rel_corpus, "qid").select(
+        "qid",
+        "n_rel_topk",
+        F.when(F.col("first_rel").isNull(), F.lit(0.0))
+        .otherwise(F.lit(1.0) / F.col("first_rel"))
+        .alias("mrr"),
+        F.when(idcg == 0, F.lit(0.0))
+        .otherwise(F.col("dcg_int").cast("double") / idcg)
+        .alias("ndcg"),
+    )

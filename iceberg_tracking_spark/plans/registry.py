@@ -54,6 +54,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_neardup_gate",
     "q_classifier_score",
     "q_chunk_documents",
+    "q_retrieval_metrics",
     # (b) code changed this round — need fresh green rows
     "q_auc",
     "q_pack_sequences",
@@ -97,7 +98,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_token_count",
     "q_tiling",
     "q_kfold",
-    "q_binary_scan",
     "q_embedding_neardup",
 ]
 

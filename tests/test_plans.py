@@ -25,6 +25,8 @@ NESTED_LOOP_OK = {
     "q_ann_recall",        # exact-side eval harness = brute_force_topk
                            # over the sampled query set (recall ground truth)
     "q_ann_recall_multiprobe",  # same harness, multi-probe candidate side
+    "q_retrieval_metrics",  # same harness: graded metrics need the exact
+                            # ranking as ground truth (sampled queries)
     "q_image_similarity",  # fixture-sized brute_force_topk demo; scale
                            # path is the LSH/IVF candidates (docstring)
     "q_rrf_fusion",        # semantic side = brute_force_topk (1 anchor);
