@@ -145,7 +145,7 @@ def bloom_bits_fast(members: DataFrame, tok_col: str = "tok") -> DataFrame:
 
 
 def bloom_prune(
-    facts: DataFrame, key: Column, bits: DataFrame, family: str = "xxhash"
+    facts: DataFrame, key: Column, bits: DataFrame, family: str
 ) -> DataFrame:
     """Runtime-filter pruning: keep only `facts` rows whose `key`
     passes the bloom filter `bits` — K chained broadcast LEFT-SEMI
@@ -156,10 +156,15 @@ def bloom_prune(
     positives pass too — callers follow with the real join, which
     removes them, so pruning is semantics-preserving by construction.
 
-    `family` must match how `bits` was built: "xxhash" (default, the
-    fast engine-native family — build with `bloom_bits_fast`) or "md5"
-    (the oracle-portable family — build with `bloom_bits`, and cast
-    the key to string to match its token hashing)."""
+    `family` is REQUIRED and must match how `bits` was built: "xxhash"
+    (the fast engine-native family — build with `bloom_bits_fast`) or
+    "md5" (the oracle-portable family — build with `bloom_bits`, and
+    cast the key to string to match its token hashing). A mismatch
+    would not error — it would silently drop matching rows (false
+    negatives, the one thing a bloom filter must never do), which is
+    why there is no default."""
+    if family not in ("xxhash", "md5"):
+        raise ValueError(f"unknown bloom family: {family!r}")
     cell = _xx_cell if family == "xxhash" else (
         lambda k, fn: _cell_bucket(k, F.lit(fn), BLOOM_W)
     )

@@ -2134,7 +2134,7 @@ def q_bloom_pruned_join(spark, sf_dir):
     li = scatter(load_table(spark, sf_dir, "lineitem")).select(
         "l_partkey", "l_extendedprice", "l_discount"
     )
-    pruned = bloom_prune(li, F.col("l_partkey"), bits)
+    pruned = bloom_prune(li, F.col("l_partkey"), bits, family="xxhash")
     return (
         pruned.join(F.broadcast(dim), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
@@ -2689,4 +2689,114 @@ def q_retrieval_metrics(spark, sf_dir):
         F.when(idcg == 0, F.lit(0.0))
         .otherwise(F.col("dcg_int").cast("double") / idcg)
         .alias("ndcg"),
+    )
+
+
+def _ann_ivf_recall_oracle() -> str:
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 50 = 1),
+    scored AS (
+        SELECT v.vec_id, v.e, c.cid,
+               {duck_cosine_sql('v.e', 'c.ce', _DIM)} AS csim
+        FROM v, c
+    ),
+    assigned AS (
+        SELECT vec_id, cid, e FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY csim DESC, cid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS qid, e AS qe, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY csim DESC, cid) AS rn
+            FROM scored WHERE vec_id % 50 = 0
+        ) WHERE rn <= 2
+    ),
+    ann AS (
+        SELECT qid, nid FROM (
+            SELECT p.qid, a.vec_id AS nid,
+                   row_number() OVER (
+                       PARTITION BY p.qid
+                       ORDER BY round({duck_cosine_sql('p.qe', 'a.e', _DIM)}, 6)
+                                DESC, a.vec_id) AS rn
+            FROM probes p JOIN assigned a
+              ON a.cid = p.cid AND a.vec_id <> p.qid
+        ) WHERE rn <= 3
+    ),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 50 = 0),
+    exact AS (
+        SELECT qid, nid FROM (
+            SELECT q.qid, v.vec_id AS nid,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({duck_cosine_sql('q.qe', 'v.e', _DIM)}, 6)
+                                DESC, v.vec_id) AS rn
+            FROM q JOIN v ON v.vec_id <> q.qid
+        ) WHERE rn <= 3
+    ),
+    hits AS (
+        SELECT e.qid, count(*) AS n_hit
+        FROM exact e JOIN ann a ON a.qid = e.qid AND a.nid = e.nid
+        GROUP BY e.qid
+    )
+    SELECT q.qid,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n_hit, 0) / 3.0, 6) AS recall
+    FROM q LEFT JOIN hits h ON h.qid = q.qid
+    """
+
+
+@query("q_ann_ivf_recall", oracle=_ann_ivf_recall_oracle())
+def q_ann_ivf_recall(spark, sf_dir):
+    """Recall@3 of the IVF path against the exact top-3 — the quality
+    monitor for the SECOND index family (q_ann_recall covers the LSH
+    one; a production shop monitors every index it serves). Candidates
+    come from `ivf_topk` (nprobe=2 coarse clusters), ground truth from
+    `brute_force_topk` on the sampled query set, one semi-join counts
+    overlap per query. The nprobe knob is the recall lever here the way
+    multi-probe Hamming-1 buckets are for LSH
+    (q_ann_recall_multiprobe).
+
+    Scale shape: identical to q_ann_recall — the IVF side is the
+    production cluster-bounded join; the exact side is the eval
+    harness over sampled queries (vec_id % 50)."""
+    from ..operators.similarity import brute_force_topk, ivf_topk
+
+    pred = F.col("vec_id") % 50 == 0
+    v = scatter(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    qs = v.filter(pred).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    exact = brute_force_topk(v, qs, k=3).select("qid", "nid")
+    ann = ivf_topk(
+        v,
+        k=3,
+        query_pred=pred,
+        centroid_pred=F.col("vec_id") % 50 == 1,
+        nprobe=2,
+    ).select("qid", "nid")
+    hits = (
+        exact.join(ann, ["qid", "nid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / 3.0, 6).alias(
+                "recall"
+            ),
+        )
     )

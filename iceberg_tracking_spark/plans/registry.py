@@ -55,6 +55,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_classifier_score",
     "q_chunk_documents",
     "q_retrieval_metrics",
+    "q_ann_ivf_recall",
     # (b) code changed this round — need fresh green rows
     "q_auc",
     "q_pack_sequences",
@@ -97,7 +98,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_orderby",
     "q_token_count",
     "q_tiling",
-    "q_kfold",
     "q_embedding_neardup",
 ]
 

@@ -27,6 +27,8 @@ NESTED_LOOP_OK = {
     "q_ann_recall_multiprobe",  # same harness, multi-probe candidate side
     "q_retrieval_metrics",  # same harness: graded metrics need the exact
                             # ranking as ground truth (sampled queries)
+    "q_ann_ivf_recall",     # same harness for the IVF family (exact side
+                            # + broadcast centroid assignment)
     "q_image_similarity",  # fixture-sized brute_force_topk demo; scale
                            # path is the LSH/IVF candidates (docstring)
     "q_rrf_fusion",        # semantic side = brute_force_topk (1 anchor);

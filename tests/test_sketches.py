@@ -175,7 +175,7 @@ def test_bloom_prune_preserves_join_and_prunes(spark, sf_dir):
     )
     # default engine-native xxhash family
     bits = bloom_bits_fast(dim.select(F.col("p_partkey").alias("tok")))
-    pruned = bloom_prune(li, F.col("l_partkey"), bits)
+    pruned = bloom_prune(li, F.col("l_partkey"), bits, family="xxhash")
     # the md5 (oracle-portable) family must satisfy the same contract
     bits_md5 = bloom_bits(
         dim.select(F.col("p_partkey").cast("string").alias("tok"))
