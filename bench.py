@@ -83,6 +83,8 @@ EXTENDED = [
     "q_neardup_gate",
     "q_classifier_score",
     "q_chunk_documents",
+    "q_retrieval_metrics",
+    "q_ann_ivf_recall",
 ]
 
 # Regression floor for the extended set: the first recorded sf0.1
@@ -135,6 +137,8 @@ EXTENDED_FLOOR_SEC = {
     "q_neardup_gate": 1.054,
     "q_classifier_score": 0.535,
     "q_chunk_documents": 0.341,
+    "q_retrieval_metrics": 0.992,
+    "q_ann_ivf_recall": 0.709,
 }
 
 
