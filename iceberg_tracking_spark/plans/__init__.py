@@ -8,3 +8,4 @@ from . import queries_scale  # noqa: F401
 from . import queries_curation  # noqa: F401
 from . import queries_timeseries  # noqa: F401
 from . import queries_graph  # noqa: F401
+from . import queries_features  # noqa: F401

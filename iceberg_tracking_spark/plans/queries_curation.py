@@ -1310,3 +1310,45 @@ def q_chunk_documents(spark, sf_dir):
             )
         ).alias("chunk_digest"),
     )
+
+
+# ----------------------------------------------------------- l-diversity
+
+_LDIV_MIN = 3  # required distinct sensitive values per QI group
+
+
+@query(
+    "q_l_diversity",
+    oracle=f"""
+    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(DISTINCT event_type) AS l,
+           count(*) AS group_size
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+    HAVING count(DISTINCT event_type) < {_LDIV_MIN}
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str):
+    """l-diversity audit (Machanavajjhala et al., ICDE'06) — the
+    companion privacy gate to q_k_anonymity: a quasi-identifier group
+    can be large (k-anonymous) yet still leak if every member shares
+    the same SENSITIVE value. Here the QI tuple is (user, day) and the
+    sensitive attribute is the event type; groups carrying fewer than
+    l=3 distinct sensitive values are emitted for suppression before a
+    behavioral dataset is released.
+
+    One hash aggregate with an exact distinct count + HAVING — the
+    same embarrassingly-scalable shape as q_k_anonymity (distinct
+    counting within a group is a two-level hash aggregate; at 100 TB
+    swap in approx_count_distinct per q_approx_count_distinct if the
+    sensitive domain is unbounded).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.to_date("ts").cast("string").alias("day"))
+        .agg(
+            F.countDistinct("event_type").alias("l"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("l") < _LDIV_MIN)
+    )

@@ -1,0 +1,534 @@
+"""ML feature-engineering and model-eval relational programs.
+
+The reference's training loop consumes hand-built feature tensors
+(embedding.py's pair features, detection.py's calibration scores); a
+production pipeline derives those features relationally so they stay
+declarative, pushdown-friendly, and re-runnable at corpus scale. This
+module adds the canonical feature-engineering operators every
+training-data pipeline needs — target encoding, the hashing trick,
+lag/rolling feature matrices, co-occurrence statistics — plus the
+reliability-diagram eval (ECE) that sits beside q_auc /
+q_average_precision, and the MERGE upsert shape that maintains a
+feature store.
+
+Cross-engine determinism strategy (the house style): every emitted
+float is either (a) an exact integer-arithmetic result, or (b) ONE
+IEEE-754 division of two exactly-derived integers — no float sums
+across rows, no round() on values that can sit on a half-tie. Where a
+mean over rows is needed, values are first lifted onto an exact
+integer grid (2-decimal money/values, 9-decimal scores) so the SUM is
+integer-exact and the final division is bit-identical in Spark and
+DuckDB.
+
+Scale design (100 TB):
+* Category/global statistics reduce to bounded relations (|categories|
+  rows, 1 row) and re-join BROADCAST — the fact table is never
+  shuffled for an encoding join-back.
+* The hashing trick is a pure projection + hash aggregate: one shuffle
+  keyed on (entity, bucket), map-side combined.
+* Lag/rolling features ride one hash-partitioned window per entity —
+  no global ordering anywhere.
+* Co-occurrence explodes pairs WITHIN an order group (TPC-H orders
+  hold ≤7 lineitems → the explosion is linear in input, never
+  quadratic in the table), then hash-aggregates pair counts; the
+  item-frequency join-back is broadcast (|parts| ≪ |lineitem|).
+* The MERGE upsert is the standard source⟕target equi-join; at scale
+  it shuffles on the merge key (or broadcasts the delta batch when
+  small — the common case for incremental feature refresh).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.keys import stable_id_hash
+from ..operators.windows import distributed_cumulative
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------------- target encoding
+
+_TE_SMOOTH = 10  # pseudo-count weight toward the global prior
+
+
+@query(
+    "q_target_encoding",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority AS prio,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    cat AS (
+        SELECT prio, count(*) AS n, CAST(sum(y) AS BIGINT) AS s
+        FROM base GROUP BY prio
+    ),
+    gstat AS (
+        SELECT count(*) AS big_n, CAST(sum(y) AS BIGINT) AS big_s FROM base
+    )
+    SELECT b.o_orderkey, b.prio, b.y,
+           CAST(c.s - b.y AS DOUBLE) / CAST(c.n - 1 AS DOUBLE) AS te_loo,
+           CAST((c.s - b.y) * g.big_n + {_TE_SMOOTH} * g.big_s AS DOUBLE)
+             / CAST(g.big_n * (c.n - 1 + {_TE_SMOOTH}) AS DOUBLE) AS te_smooth
+    FROM base b JOIN cat c ON b.prio = c.prio CROSS JOIN gstat g
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature — the
+    standard high-cardinality-categorical encoder for GBDT/linear
+    training data. For each row, the category's target mean is
+    computed EXCLUDING the row itself (prevents target leakage), plus
+    a smoothed variant shrunk toward the global prior with m=10
+    pseudo-counts (the sklearn/category_encoders formulation).
+
+    Exactness: te_loo = (s−y)/(n−1) is one integer-ratio division.
+    The smoothed encoding algebraically clears the prior's division:
+    (s−y + m·S/N)/(n−1+m) = ((s−y)·N + m·S) / (N·(n−1+m)) — integer
+    numerator, integer denominator, ONE division. Bit-identical
+    cross-engine with no rounding anywhere.
+
+    Scale: category stats (|categories| rows) and the global prior
+    (1 row) reduce map-side and broadcast back onto the fact — the
+    orders relation is never shuffled.
+    """
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    cat = base.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).alias("big_n"), F.sum("y").alias("big_s")
+    )
+    m = F.lit(_TE_SMOOTH)
+    return (
+        base.join(F.broadcast(cat), "prio")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            "prio",
+            "y",
+            (
+                (F.col("s") - F.col("y")).cast("double")
+                / (F.col("n") - 1).cast("double")
+            ).alias("te_loo"),
+            (
+                (
+                    (F.col("s") - F.col("y")) * F.col("big_n")
+                    + m * F.col("big_s")
+                ).cast("double")
+                / (F.col("big_n") * (F.col("n") - 1 + m)).cast("double")
+            ).alias("te_smooth"),
+        )
+    )
+
+
+# -------------------------------------------------------- hashing trick
+
+_FH_DIM = 64  # hashed feature-vector dimensionality
+
+
+@query(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+        SELECT user_id, 'type:' || event_type AS token, value FROM events
+        UNION ALL
+        SELECT user_id,
+               'k:' || json_extract_string(props, '$.k') AS token, value
+        FROM events
+    )
+    SELECT user_id,
+           ('0x' || substr(md5(token), 1, 7))::BIGINT % {_FH_DIM} AS bucket,
+           count(*) AS f_n,
+           round(sum(value), 2) AS f_sum
+    FROM tok
+    GROUP BY user_id, ('0x' || substr(md5(token), 1, 7))::BIGINT % {_FH_DIM}
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML'09): project sparse
+    categorical features into a fixed D=64-dim vector by hashing each
+    token to a bucket — collisions are accepted by design (105 distinct
+    tokens over 64 buckets here), which is exactly what makes the
+    encoder stateless and vocabulary-free at 100 TB (no dictionary to
+    build, ship, or version). Output is the sparse feature matrix
+    (entity, bucket) → (count, summed value).
+
+    Each event contributes two tokens (its type and its JSON `k`
+    property) via a 2-way unioned projection — the multi-feature fan-in
+    that produces genuine bucket collisions. Hashing uses the
+    md5-derived 28-bit `stable_id_hash` (functions/keys.py) so Spark
+    and the oracle agree bit-for-bit; `sum(value)` is exact on the
+    2-decimal grid, so round(·,2) re-lands it losslessly.
+
+    Scale: projection + ONE hash aggregate keyed (user, bucket), map-
+    side combined; no joins, no windows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    tok = ev.select(
+        "user_id",
+        F.concat(F.lit("type:"), F.col("event_type")).alias("token"),
+        "value",
+    ).unionAll(
+        ev.select(
+            "user_id",
+            F.concat(
+                F.lit("k:"), F.get_json_object("props", "$.k")
+            ).alias("token"),
+            "value",
+        )
+    )
+    return (
+        tok.withColumn("bucket", stable_id_hash(F.col("token")) % _FH_DIM)
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("f_n"),
+            F.round(F.sum("value"), 2).alias("f_sum"),
+        )
+    )
+
+
+# ------------------------------------------------------ lag feature matrix
+
+@query(
+    "q_lag_features",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value) OVER w AS lag1,
+           value - lag(value) OVER w AS delta1,
+           round(sum(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 2) AS rsum3,
+           CAST(extract(hour FROM ts) AS INTEGER) AS hr,
+           CAST(isodow(ts) AS INTEGER) AS dow
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity lag/rolling feature matrix — the standard temporal
+    feature block for churn/forecast training sets: previous value,
+    first difference, 3-row rolling sum, and calendar features, one
+    feature row per event.
+
+    Exactness: lag1 and delta1 are raw double copies/subtractions of
+    the same parquet doubles (bit-identical, no rounding); rsum3 sums
+    ≤3 values from the 2-decimal grid, so round(·,2) re-lands the
+    mathematically exact result; calendar parts are integers (ISO
+    day-of-week: Monday=1).
+
+    Scale: ONE hash-partitioned window keyed by user — partition count
+    scales with entities, no global sort, no single-partition funnel.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    roll = w.rowsBetween(-2, Window.currentRow)
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("lag1"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta1"),
+        F.round(F.sum("value").over(roll), 2).alias("rsum3"),
+        F.hour("ts").alias("hr"),
+        (F.expr("weekday(ts)") + 1).alias("dow"),
+    )
+
+
+# --------------------------------------------------- co-occurrence / lift
+
+_CO_MIN_PAIR = 2  # minimum pair support
+_CO_TOPK = 100
+
+
+@query(
+    "q_item_cooccurrence",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS pair_n
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {_CO_MIN_PAIR}
+    ),
+    freq AS (
+        SELECT l_partkey, count(DISTINCT l_orderkey) AS n_ord
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT count(*) AS n_orders FROM orders)
+    SELECT p.pa, p.pb, p.pair_n,
+           CAST(p.pair_n * t.n_orders AS DOUBLE)
+             / CAST(fa.n_ord * fb.n_ord AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.l_partkey = p.pa
+    JOIN freq fb ON fb.l_partkey = p.pb
+    CROSS JOIN tot t
+    ORDER BY lift DESC, p.pa, p.pb
+    LIMIT {_CO_TOPK}
+    """,
+)
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift — the association-rule
+    statistic behind "users who bought X also bought Y" and behind
+    co-occurrence-based embedding pretraining data. Part pairs sharing
+    an order are counted (support), then scored by lift =
+    P(a,b)/(P(a)·P(b)) = pair_n·N / (n_a·n_b) — ONE integer-ratio
+    division. Top-100 by lift, deterministic (pa, pb) tie-break.
+
+    Scale: the pair explosion is WITHIN an order group (≤7 lineitems
+    per TPC-H order → ≤21 pairs, linear in input); pair support is one
+    hash aggregate; the item-frequency join-back is broadcast
+    (|parts| ≪ |lineitem|); top-k is TakeOrderedAndProject, never a
+    global sort.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= _CO_MIN_PAIR)
+    )
+    freq = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("n_ord")
+    )
+    tot = _t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    fa = freq.select(
+        F.col("l_partkey").alias("pa"), F.col("n_ord").alias("na")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("pb"), F.col("n_ord").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "pa")
+        .join(F.broadcast(fb), "pb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pa",
+            "pb",
+            "pair_n",
+            (
+                (F.col("pair_n") * F.col("n_orders")).cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(_CO_TOPK)
+    )
+
+
+# ------------------------------------------------- reliability diagram
+
+_ECE_BINS = 10
+_SCORE_SCALE = 1_000_000_000  # 9-decimal score grid → exact integers
+
+
+@query(
+    "q_reliability_ece",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+               CAST(round((CAST(embedding[1] AS DOUBLE)
+                           + CAST(embedding[2] AS DOUBLE) * 0.5)
+                          * {_SCORE_SCALE}) AS BIGINT) AS si,
+               vec_id
+        FROM embeddings
+    ),
+    nn AS (SELECT count(*) AS big_n FROM scored),
+    ranked AS (
+        SELECT y, si, row_number() OVER (ORDER BY si, vec_id) AS rnk
+        FROM scored
+    ),
+    binned AS (
+        SELECT ((rnk - 1) * {_ECE_BINS}) // (SELECT big_n FROM nn) AS bin,
+               y, si
+        FROM ranked
+    ),
+    per_bin AS (
+        SELECT bin, count(*) AS n,
+               CAST(sum(y) AS BIGINT) AS s_y,
+               CAST(sum(si) AS BIGINT) AS s_si
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(sum(abs(s_y * {_SCORE_SCALE} - s_si)) AS BIGINT)
+               AS ece_num
+        FROM per_bin
+    )
+    SELECT b.bin, b.n,
+           CAST(b.s_si AS DOUBLE)
+             / CAST(b.n * {_SCORE_SCALE} AS DOUBLE) AS mean_score,
+           CAST(b.s_y AS DOUBLE) / CAST(b.n AS DOUBLE) AS frac_pos,
+           CAST(t.ece_num AS DOUBLE)
+             / CAST((SELECT big_n FROM nn) * {_SCORE_SCALE} AS DOUBLE) AS ece
+    FROM per_bin b CROSS JOIN tot t
+    """,
+)
+def q_reliability_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error — the third
+    member of the model-eval family beside q_auc and
+    q_average_precision (the reference calibrates score thresholds in
+    detection.py's calibration pass; ECE is the standard audit that the
+    scores it thresholds are themselves calibrated). Scores are split
+    into 10 equal-count bins (rank deciles, ties broken by vec_id);
+    each bin reports mean predicted score vs observed positive rate,
+    and ECE = Σ_b (n_b/N)·|acc_b − conf_b|.
+
+    Exactness: the raw double score is quantized ONCE onto an integer
+    1e-9 grid (si = round(score·1e9): one IEEE multiply + round over
+    identical doubles — the oracle casts the float32 embedding slots
+    to DOUBLE explicitly, or DuckDB would score in single precision),
+    so every per-bin sum is integer-exact. The n_b factors CANCEL
+    algebraically: ECE = Σ_b |s_y·1e9 − s_si| / (N·1e9)
+    — an integer numerator summed exactly, then ONE division. mean
+    score / positive rate are likewise single divisions of integers.
+
+    Scale: ranking is `distributed_cumulative` (two-pass, range-
+    partitioned — no single-partition window), then one ≤10-row
+    aggregate; the 1-row N and ECE relations broadcast back.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    scored = e.select(
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        F.round(
+            (
+                F.element_at("embedding", 1).cast("double")
+                + F.element_at("embedding", 2).cast("double") * 0.5
+            )
+            * _SCORE_SCALE
+        )
+        .cast("long")
+        .alias("si"),
+        "vec_id",
+    )
+    nn = scored.agg(F.count(F.lit(1)).alias("big_n"))
+    ranked = distributed_cumulative(
+        scored, ["si", "vec_id"], out_col="rnk"
+    )
+    binned = ranked.crossJoin(F.broadcast(nn)).select(
+        F.expr(f"((rnk - 1) * {_ECE_BINS}) div big_n").alias("bin"),
+        "y",
+        "si",
+        "big_n",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s_y"),
+        F.sum("si").alias("s_si"),
+        F.max("big_n").alias("big_n"),
+    )
+    tot = per_bin.agg(
+        F.sum(
+            F.abs(F.col("s_y") * _SCORE_SCALE - F.col("s_si"))
+        ).alias("ece_num"),
+        F.max("big_n").alias("big_n"),
+    )
+    return (
+        per_bin.drop("big_n")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            (
+                F.col("s_si").cast("double")
+                / (F.col("n") * _SCORE_SCALE).cast("double")
+            ).alias("mean_score"),
+            (F.col("s_y").cast("double") / F.col("n").cast("double")).alias(
+                "frac_pos"
+            ),
+            (
+                F.col("ece_num").cast("double")
+                / (F.col("big_n") * F.lit(_SCORE_SCALE)).cast("double")
+            ).alias("ece"),
+        )
+    )
+
+
+# ------------------------------------------------------------ MERGE upsert
+
+_MERGE_NEW_KEY_OFFSET = 10_000_000
+_MERGE_NEW_MOD = 97  # deterministic subset of spenders becomes "new" rows
+
+
+@query(
+    "q_merge_upsert",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS spend
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_custkey
+    ),
+    source AS (
+        SELECT custkey, spend FROM spend
+        UNION ALL
+        SELECT custkey + {_MERGE_NEW_KEY_OFFSET} AS custkey, spend
+        FROM spend WHERE custkey % {_MERGE_NEW_MOD} = 0
+    )
+    SELECT s.custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert' ELSE 'update' END
+             AS action,
+           c.c_acctbal AS old_bal,
+           CASE WHEN c.c_custkey IS NULL THEN s.spend
+                ELSE round(c.c_acctbal + s.spend, 2) END AS new_bal
+    FROM source s LEFT JOIN customer c ON c.c_custkey = s.custkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the lakehouse upsert): a delta batch of
+    per-customer urgent-order spend merges into the customer dimension
+    — WHEN MATCHED THEN UPDATE (balance += spend), WHEN NOT MATCHED
+    THEN INSERT. Emits the touched rows with their action tag, i.e.
+    exactly the row-level effect a MERGE writer would commit (the
+    write-side machinery — snapshots, OCC, CDC — lives in
+    sources/catalog.py; this is the relational core). A deterministic
+    subset of the batch (custkey ≡ 0 mod 97, offset by 10M) plays the
+    not-matched role so both branches are exercised.
+
+    Exactness: spend is a 2-decimal-grid sum re-landed by round(·,2);
+    balance+spend stays on the grid, so the second round is likewise
+    tie-free.
+
+    Scale: the classic source⟕target equi-join — broadcast when the
+    delta batch is small (the incremental case), hash-shuffled on the
+    merge key otherwise; either way one join, no windows.
+    """
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    source = spend.unionAll(
+        spend.filter(F.col("custkey") % _MERGE_NEW_MOD == 0).select(
+            (F.col("custkey") + _MERGE_NEW_KEY_OFFSET).alias("custkey"),
+            "spend",
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    matched = F.col("c_custkey").isNotNull()
+    return (
+        source.join(cust, source.custkey == cust.c_custkey, "left")
+        .select(
+            "custkey",
+            F.when(matched, "update").otherwise("insert").alias("action"),
+            F.col("c_acctbal").alias("old_bal"),
+            F.when(
+                matched, F.round(F.col("c_acctbal") + F.col("spend"), 2)
+            )
+            .otherwise(F.col("spend"))
+            .alias("new_bal"),
+        )
+    )

@@ -56,6 +56,14 @@ DRIVER_PRIORITY: list[str] = [
     "q_chunk_documents",
     "q_retrieval_metrics",
     "q_ann_ivf_recall",
+    "q_target_encoding",
+    "q_feature_hashing",
+    "q_lag_features",
+    "q_item_cooccurrence",
+    "q_reliability_ece",
+    "q_merge_upsert",
+    "q_shortest_path",
+    "q_l_diversity",
     # (b) code changed this round — need fresh green rows
     "q_auc",
     "q_pack_sequences",
@@ -90,16 +98,13 @@ DRIVER_PRIORITY: list[str] = [
     "q_tumbling_window",
     "q_two_level_agg",
     "q_union",
-    "q_weighted_avg",
-    # (d) r3-cohort refreshes filling the window to 50
-    "q_minhash_lsh",
-    "q_ann_lsh",
-    "q_asof_join",
-    "q_orderby",
-    "q_token_count",
-    "q_tiling",
-    "q_embedding_neardup",
 ]
+# The 8 feature/eval queries added later in round 6 take the slots the
+# r3-cohort refreshes (q_minhash_lsh, q_ann_lsh, q_asof_join, q_orderby,
+# q_token_count, q_tiling, q_embedding_neardup) would have used, plus
+# one r1 slot (q_weighted_avg) — a query with NO driver row yet
+# outranks refreshing an already-green one; the displaced cohort
+# rotates back in next round. Window stays at exactly 50.
 
 
 def query(name: str, oracle: str | None = None):

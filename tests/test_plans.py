@@ -67,6 +67,10 @@ NESTED_LOOP_OK = {
     "q_bpe_learn",  # 1-row winning-merge broadcast onto the vocab relation
     "q_heavy_hitters",  # 1-row MG delta broadcast onto the ≤k kept counters
     "q_training_manifest",  # 1-row normalizing-total broadcast fan-out
+    "q_target_encoding",   # 1-row global-prior broadcast onto the fact
+    "q_item_cooccurrence",  # 1-row order-count broadcast into lift scoring
+    "q_reliability_ece",   # 1-row N + 1-row ECE broadcast onto ≤10 bins
+                           # (plus distributed_cumulative offsets join)
 }
 
 
