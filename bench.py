@@ -85,6 +85,15 @@ EXTENDED = [
     "q_chunk_documents",
     "q_retrieval_metrics",
     "q_ann_ivf_recall",
+    # round-6 third wave: feature-engineering / eval / graph family
+    "q_target_encoding",
+    "q_feature_hashing",
+    "q_lag_features",
+    "q_item_cooccurrence",
+    "q_reliability_ece",
+    "q_merge_upsert",
+    "q_shortest_path",
+    "q_l_diversity",
 ]
 
 # Regression floor for the extended set: the first recorded sf0.1
@@ -139,6 +148,15 @@ EXTENDED_FLOOR_SEC = {
     "q_chunk_documents": 0.341,
     "q_retrieval_metrics": 0.992,
     "q_ann_ivf_recall": 0.709,
+    # round-6 third wave (first solo sf0.1 recording, min-of-3)
+    "q_target_encoding": 0.254,
+    "q_feature_hashing": 0.463,
+    "q_lag_features": 0.125,
+    "q_item_cooccurrence": 2.048,
+    "q_reliability_ece": 1.201,
+    "q_merge_upsert": 0.278,
+    "q_shortest_path": 2.359,
+    "q_l_diversity": 0.664,
 }
 
 

@@ -494,7 +494,10 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(_BFS_SRC, 0)], "node long, dist int"
     )
     for _ in range(_BFS_HOPS):
-        relaxed = dist.join(sym, dist.node == sym.s).select(
+        # The distance relation is bounded by |V| (≪ |E|): broadcast it
+        # into the edge scan — without the hint the unknown-stats
+        # checkpoint side demotes every round to a sort-merge join.
+        relaxed = F.broadcast(dist).join(sym, dist.node == sym.s).select(
             F.col("d").alias("node"), (F.col("dist") + 1).alias("dist")
         )
         dist = (
