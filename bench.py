@@ -94,6 +94,9 @@ EXTENDED = [
     "q_merge_upsert",
     "q_shortest_path",
     "q_l_diversity",
+    "q_item_similarity",
+    "q_seasonal_decompose",
+    "q_bpe_encode",
 ]
 
 # Regression floor for the extended set: the first recorded sf0.1
@@ -157,6 +160,9 @@ EXTENDED_FLOOR_SEC = {
     "q_merge_upsert": 0.278,
     "q_shortest_path": 2.359,
     "q_l_diversity": 0.664,
+    "q_item_similarity": 1.837,
+    "q_seasonal_decompose": 0.338,
+    "q_bpe_encode": 1.385,
 }
 
 

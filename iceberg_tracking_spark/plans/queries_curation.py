@@ -1352,3 +1352,153 @@ def q_l_diversity(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("l") < _LDIV_MIN)
     )
+
+
+# -------------------------------------------------- BPE application
+
+def _bpe_encode_oracle() -> str:
+    """The learn chain with `word` carried through the rewrite CTEs,
+    then token counts joined back onto the per-doc word stream."""
+    steps = []
+    for k in range(1, _BPE_STEPS + 1):
+        steps.append(f"""
+    p{k} AS (
+        SELECT pr.a AS a, pr.b AS b, weight
+        FROM (
+            SELECT unnest(list_transform(range(1, len(l)),
+                       i -> {{'a': l[i], 'b': l[i + 1]}})) AS pr,
+                   weight
+            FROM (
+                SELECT list_filter(string_split(s, ' '), x -> x <> '') AS l,
+                       weight
+                FROM s{k - 1}
+            )
+        )
+        WHERE pr.a <> pr.b
+    ),
+    t{k} AS (
+        SELECT a, b, CAST(sum(weight) AS BIGINT) AS cnt
+        FROM p{k} GROUP BY a, b
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    s{k} AS (
+        SELECT v.word,
+               replace(replace(v.s,
+                   ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' '),
+                   ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' ')
+                   AS s,
+               v.weight
+        FROM s{k - 1} v CROSS JOIN t{k} t
+    )""")
+    return f"""
+    WITH vocab AS (
+        SELECT word, count(*) AS weight
+        FROM (SELECT unnest({_DUCK_TOKS}) AS word FROM documents)
+        GROUP BY word
+    ),
+    s0 AS (
+        SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s,
+               weight
+        FROM vocab
+    ),
+    {",".join(steps)},
+    wtok AS (
+        SELECT word,
+               CAST(len(list_filter(string_split(s, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tok
+        FROM s{_BPE_STEPS}
+    ),
+    docw AS (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS word FROM documents
+    )
+    SELECT d.doc_id, count(*) AS n_words,
+           CAST(sum(w.n_tok) AS BIGINT) AS n_tokens
+    FROM docw d JOIN wtok w ON w.word = d.word
+    GROUP BY d.doc_id
+    """
+
+
+@query("q_bpe_encode", oracle=_bpe_encode_oracle())
+def q_bpe_encode(spark: SparkSession, sf_dir: str):
+    """BPE tokenizer APPLICATION — the other half of q_bpe_learn's
+    learn/apply pair (Sennrich et al., arXiv:1508.07909): learn the
+    3-merge table from the corpus, apply it, and emit each document's
+    post-merge token count — the number a training-data pipeline packs
+    sequences and prices compute by (q_pack_sequences consumes
+    whitespace tokens; this is the subword count the tokenizer would
+    actually produce).
+
+    The apply step runs over the VOCABULARY, not the corpus: each
+    distinct word is rewritten through the learned merges once
+    (identical two-pass replace contract as q_bpe_learn — provably the
+    greedy scan for a ≠ b merges), then per-word subword counts join
+    back onto the per-doc word stream and sum. Work scales with
+    |vocab| + |corpus tokens|, never |vocab|·|merges|·|corpus|.
+
+    Scale: merge selection is a 1-row TakeOrdered broadcast per step
+    (whitelisted scalar pattern); the word→count join is a broadcast
+    of the vocab-sized relation (at 100 TB: still vocab-sized — the
+    point of subword vocabularies is that |vocab| is fixed).
+    """
+    d = scatter(load_table(spark, sf_dir, "documents"))
+    doc_words = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    )
+    vocab = doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("weight"))
+    cur = vocab.select(
+        "word",
+        F.concat(
+            F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
+        ).alias("s"),
+        "weight",
+    )
+    for _ in range(_BPE_STEPS):
+        syms = F.filter(F.split(F.col("s"), " "), lambda t: t != "")
+        prs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("a"),
+                    F.element_at(syms, i + F.lit(1)).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        top = (
+            cur.select(F.explode(prs).alias("pr"), "weight")
+            .select(
+                F.col("pr.a").alias("a"), F.col("pr.b").alias("b"), "weight"
+            )
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("weight").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+        )
+        pat = F.concat(
+            F.lit(" "), F.col("_ma"), F.lit(" "), F.col("_mb"), F.lit(" ")
+        )
+        rep = F.concat(F.lit(" "), F.col("_ma"), F.col("_mb"), F.lit(" "))
+        cur = cur.crossJoin(
+            F.broadcast(
+                top.select(F.col("a").alias("_ma"), F.col("b").alias("_mb"))
+            )
+        ).select(
+            "word",
+            F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"),
+            "weight",
+        )
+    wtok = cur.select(
+        "word",
+        F.size(
+            F.filter(F.split(F.col("s"), " "), lambda t: t != "")
+        ).cast("long").alias("n_tok"),
+    )
+    return (
+        doc_words.join(F.broadcast(wtok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )

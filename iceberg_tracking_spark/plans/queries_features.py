@@ -532,3 +532,113 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("new_bal"),
         )
     )
+
+
+# ---------------------------------------------- item-item similarity (CF)
+
+_SIM_MIN_PAIR = 2  # minimum co-occurrence support
+_SIM_TOPK = 3      # neighbors kept per item
+
+
+@query(
+    "q_item_similarity",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS pair_n
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {_SIM_MIN_PAIR}
+    ),
+    sym AS (
+        SELECT pa AS item, pb AS neighbor, pair_n FROM pairs
+        UNION ALL
+        SELECT pb AS item, pa AS neighbor, pair_n FROM pairs
+    ),
+    freq AS (
+        SELECT l_partkey, count(DISTINCT l_orderkey) AS n_ord
+        FROM lineitem GROUP BY l_partkey
+    ),
+    scored AS (
+        SELECT s.item, s.neighbor, s.pair_n,
+               CAST(s.pair_n AS DOUBLE)
+                 / sqrt(CAST(fi.n_ord * fn.n_ord AS DOUBLE)) AS cos_sim
+        FROM sym s
+        JOIN freq fi ON fi.l_partkey = s.item
+        JOIN freq fn ON fn.l_partkey = s.neighbor
+    )
+    SELECT item, neighbor, pair_n, cos_sim, rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY item ORDER BY cos_sim DESC, neighbor
+        ) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_SIM_TOPK}
+    """,
+)
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al., WWW'01 /
+    Amazon item-to-item): each part's top-3 most-similar parts by
+    binary-incidence cosine over order baskets — cos(a,b) =
+    co(a,b)/√(n_a·n_b). The similarity table IS the recommendation
+    model; serving is a broadcast lookup.
+
+    Exactness: IEEE-754 sqrt is correctly rounded, so
+    pair_n / sqrt(na·nb) is two deterministic float ops over exact
+    integers — bit-identical cross-engine, no rounding anywhere.
+
+    Scale: candidate pairs come from the within-order explosion (≤21
+    per order, linear in input) with a support floor, NOT an all-pairs
+    item join; per-item top-k is a hash-partitioned window over the
+    (item-bounded) candidate relation; item frequencies broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= _SIM_MIN_PAIR)
+    )
+    sym = pairs.select(
+        F.col("pa").alias("item"),
+        F.col("pb").alias("neighbor"),
+        "pair_n",
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("item"),
+            F.col("pa").alias("neighbor"),
+            "pair_n",
+        )
+    )
+    freq = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("n_ord")
+    )
+    fi = freq.select(F.col("l_partkey").alias("item"), F.col("n_ord").alias("ni"))
+    fn = freq.select(
+        F.col("l_partkey").alias("neighbor"), F.col("n_ord").alias("nn")
+    )
+    scored = (
+        sym.join(F.broadcast(fi), "item")
+        .join(F.broadcast(fn), "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            "pair_n",
+            (
+                F.col("pair_n").cast("double")
+                / F.sqrt((F.col("ni") * F.col("nn")).cast("double"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SIM_TOPK)
+        .select("item", "neighbor", "pair_n", "cos_sim", "rnk")
+    )

@@ -560,3 +560,121 @@ def q_type_correlation(spark, sf_dir):
         F.nullif(denom, F.lit(0.0))
     )
     return m.select("type_a", "type_b", "n", F.round(corr, 6).alias("corr"))
+
+
+# --------------------------------------------- seasonal decomposition
+
+_DEC_HALF = 12  # centered moving-average half-width → 25-hour window
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle=f"""
+    WITH series AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               count(*) AS y
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    win AS (
+        SELECT event_type, hr, y,
+               CAST(sum(y) OVER w AS BIGINT) AS s_w,
+               count(*) OVER w AS c_w
+        FROM series
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN {_DEC_HALF} PRECEDING
+                              AND {_DEC_HALF} FOLLOWING)
+    ),
+    full_win AS (
+        SELECT * FROM win WHERE c_w = {2 * _DEC_HALF + 1}
+    ),
+    seas AS (
+        SELECT event_type, CAST(hour(hr) AS BIGINT) AS hod,
+               CAST(sum(y * {2 * _DEC_HALF + 1} - s_w) AS BIGINT) AS num_g,
+               count(*) AS n_g
+        FROM full_win GROUP BY event_type, hour(hr)
+    )
+    SELECT f.event_type, f.hr, f.y,
+           CAST(f.s_w AS DOUBLE) / CAST({2 * _DEC_HALF + 1} AS DOUBLE)
+             AS trend,
+           CAST(g.num_g AS DOUBLE)
+             / CAST({2 * _DEC_HALF + 1} * g.n_g AS DOUBLE) AS seasonal,
+           CAST(f.y * {2 * _DEC_HALF + 1} * g.n_g
+                - f.s_w * g.n_g - g.num_g AS DOUBLE)
+             / CAST({2 * _DEC_HALF + 1} * g.n_g AS DOUBLE) AS resid
+    FROM full_win f
+    JOIN seas g ON g.event_type = f.event_type
+               AND g.hod = CAST(hour(f.hr) AS BIGINT)
+    """,
+)
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition (the moving-average
+    core of STL / statsmodels `seasonal_decompose`): per event type,
+    the hourly volume series splits into trend (centered 25-hour
+    moving average), seasonal (hour-of-day mean of the detrended
+    series), and residual — the decomposition that feeds capacity
+    planning and anomaly baselines (q_seasonal_anomaly scores against
+    the raw hourly population; this isolates WHY: trend vs season).
+
+    Series edges without a full 25-row window are excluded (c_w = 25
+    filter), which makes every emitted float exact: trend = s_w/25,
+    seasonal = Σ(y·25 − s_w) / (25·n_g), resid clears both inner
+    divisions to a single integer-ratio division — no float sums, no
+    rounding, bit-identical cross-engine.
+
+    Scale: the series relation is TIME-bounded (one row per type×hour
+    regardless of input size), built by one map-side-combined count
+    aggregate; the window partitions by type; the seasonal relation is
+    ≤ |types|·24 rows and broadcasts back.
+    """
+    span = 2 * _DEC_HALF + 1
+    series = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-_DEC_HALF, _DEC_HALF)
+    )
+    full_win = (
+        series.select(
+            "event_type",
+            "hr",
+            "y",
+            F.sum("y").over(w).alias("s_w"),
+            F.count(F.lit(1)).over(w).alias("c_w"),
+        )
+        .filter(F.col("c_w") == span)
+        .drop("c_w")
+    )
+    seas = full_win.groupBy(
+        "event_type", F.hour("hr").cast("long").alias("hod")
+    ).agg(
+        F.sum(F.col("y") * span - F.col("s_w")).alias("num_g"),
+        F.count(F.lit(1)).alias("n_g"),
+    )
+    return (
+        full_win.withColumn("hod", F.hour("hr").cast("long"))
+        .join(F.broadcast(seas), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hr",
+            "y",
+            (F.col("s_w").cast("double") / F.lit(float(span))).alias(
+                "trend"
+            ),
+            (
+                F.col("num_g").cast("double")
+                / (F.lit(span) * F.col("n_g")).cast("double")
+            ).alias("seasonal"),
+            (
+                (
+                    F.col("y") * span * F.col("n_g")
+                    - F.col("s_w") * F.col("n_g")
+                    - F.col("num_g")
+                ).cast("double")
+                / (F.lit(span) * F.col("n_g")).cast("double")
+            ).alias("resid"),
+        )
+    )

@@ -64,6 +64,9 @@ DRIVER_PRIORITY: list[str] = [
     "q_merge_upsert",
     "q_shortest_path",
     "q_l_diversity",
+    "q_item_similarity",
+    "q_seasonal_decompose",
+    "q_bpe_encode",
     # (b) code changed this round — need fresh green rows
     "q_auc",
     "q_pack_sequences",
@@ -95,16 +98,15 @@ DRIVER_PRIORITY: list[str] = [
     "q_string_funcs",
     "q_text_stats",
     "q_theta_argmax",
-    "q_tumbling_window",
-    "q_two_level_agg",
-    "q_union",
 ]
-# The 8 feature/eval queries added later in round 6 take the slots the
-# r3-cohort refreshes (q_minhash_lsh, q_ann_lsh, q_asof_join, q_orderby,
-# q_token_count, q_tiling, q_embedding_neardup) would have used, plus
-# one r1 slot (q_weighted_avg) — a query with NO driver row yet
-# outranks refreshing an already-green one; the displaced cohort
-# rotates back in next round. Window stays at exactly 50.
+# The 11 feature/eval/decomposition queries added later in round 6 take
+# the slots the r3-cohort refreshes (q_minhash_lsh, q_ann_lsh,
+# q_asof_join, q_orderby, q_token_count, q_tiling, q_embedding_neardup)
+# and four r1 refreshes (q_weighted_avg, q_tumbling_window,
+# q_two_level_agg, q_union — each with alternate green coverage in the
+# rollup / set-op / streaming-parity families) would have used — a
+# query with NO driver row yet outranks refreshing an already-green
+# one; the displaced cohort rotates back in next round. Window = 50.
 
 
 def query(name: str, oracle: str | None = None):

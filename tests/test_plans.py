@@ -65,6 +65,7 @@ NESTED_LOOP_OK = {
     "q_domain_mixture",  # 1-row normalizing-total broadcast fan-out
     "q_histogram_quantiles",  # triangular cumulative over ≤256-bin relation
     "q_bpe_learn",  # 1-row winning-merge broadcast onto the vocab relation
+    "q_bpe_encode",  # same 1-row winning-merge broadcast chain (apply side)
     "q_heavy_hitters",  # 1-row MG delta broadcast onto the ≤k kept counters
     "q_training_manifest",  # 1-row normalizing-total broadcast fan-out
     "q_target_encoding",   # 1-row global-prior broadcast onto the fact
