@@ -97,6 +97,17 @@ EXTENDED = [
     "q_item_similarity",
     "q_seasonal_decompose",
     "q_bpe_encode",
+    # round-6 fourth wave: grouped OLS, information-theoretic feature
+    # selection, quantile binning, skew diagnostic, conformal calibration
+    "q_linear_fit",
+    "q_mutual_information",
+    "q_quantile_binning",
+    "q_gini_skew",
+    "q_conformal",
+    "q_ks_test",
+    "q_psi",
+    "q_markov_transitions",
+    "q_attribution",
 ]
 
 # Regression floor for the extended set: the first recorded sf0.1

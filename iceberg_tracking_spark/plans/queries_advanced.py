@@ -798,3 +798,369 @@ def q_interval_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_purchases"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "q_ks_test",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    cells AS (
+        SELECT cents,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+        FROM s GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents,
+               CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS f1,
+               CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS f2
+        FROM cells
+    ),
+    tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2
+        FROM cells
+    )
+    SELECT n1, n2, max(abs(f1 * n2 - f2 * n1)) AS d_num,
+           CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat,
+           1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                        / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+             AS ks_crit,
+           (CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+              / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+             > (1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))))
+             AS reject
+    FROM cum CROSS JOIN tot
+    GROUP BY n1, n2
+    """,
+)
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test between the value
+    distributions of two event types — the CONTINUOUS-feature drift
+    monitor beside q_drift_chi2's categorical one. D = max |F1 - F2|
+    over the pooled support, with the asymptotic alpha=0.05 decision
+    c(a)*sqrt((n1+n2)/(n1*n2)), c(0.05)=1.358.
+
+    Exactness: values sit on the cents grid; both empirical CDFs are
+    integer counts, and D's numerator max|F1*n2 - F2*n1| is computed
+    entirely in integers (the division by n1*n2 happens ONCE on the
+    scalar max). The critical value is the identical literal*sqrt
+    IEEE sequence on both engines (sqrt is correctly rounded), so the
+    reject boolean cannot diverge.
+
+    Scale: one hash aggregate to the distinct-value relation, both
+    running counts in ONE `distributed_cumulative` pass (shared
+    boundaries job), scalar reduction at the end — no global sort, no
+    single-partition exchange.
+    """
+    from ..operators.windows import distributed_cumulative
+
+    s = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    cells = s.groupBy("cents").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
+    )
+    cum = distributed_cumulative(
+        cells, ["cents"], agg_col=["c1", "c2"], out_col=["f1", "f2"]
+    )
+    tot = cells.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    diff = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    d_stat = F.col("d_num").cast("double") / (n1d * n2d)
+    crit = F.lit(1.358) * F.sqrt((n1d + n2d) / (n1d * n2d))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(F.max(diff).alias("d_num"))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            d_stat.alias("d_stat"),
+            crit.alias("ks_crit"),
+            (d_stat > crit).alias("reject"),
+        )
+    )
+
+
+@query(
+    "q_psi",
+    oracle="""
+    WITH ref AS (
+        SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_id % 2 = 0
+    ),
+    cur AS (
+        SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_id % 2 = 1
+    ),
+    r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, event_id) AS rn,
+               count(*) OVER () AS n
+        FROM ref
+    ),
+    edges AS (
+        SELECT max(cents) AS edge
+        FROM (SELECT cents, ((rn - 1) * 10) // n AS b FROM r)
+        WHERE b <= 8 GROUP BY b
+    ),
+    cr AS (
+        SELECT (SELECT count(*) FROM edges e WHERE ref.cents > e.edge)
+                 AS bin,
+               count(*) AS c
+        FROM ref GROUP BY 1
+    ),
+    cc AS (
+        SELECT (SELECT count(*) FROM edges e WHERE cur.cents > e.edge)
+                 AS bin,
+               count(*) AS c
+        FROM cur GROUP BY 1
+    ),
+    tot AS (
+        SELECT (SELECT count(*) FROM ref) AS nr,
+               (SELECT count(*) FROM cur) AS nq
+    )
+    SELECT coalesce(cr.bin, cc.bin) AS bin,
+           coalesce(cr.c, 0) AS n_ref,
+           coalesce(cc.c, 0) AS n_cur,
+           CASE WHEN coalesce(cr.c, 0) = 0 OR coalesce(cc.c, 0) = 0
+                THEN NULL
+                ELSE round((CAST(cr.c AS DOUBLE) / nr
+                            - CAST(cc.c AS DOUBLE) / nq)
+                           * ln(CAST(cr.c * nq AS DOUBLE)
+                                / CAST(cc.c * nr AS DOUBLE)), 6)
+           END AS psi_contrib
+    FROM cr FULL OUTER JOIN cc ON cr.bin = cc.bin
+    CROSS JOIN tot
+    """,
+)
+def q_psi(spark, sf_dir):
+    """Population stability index — the standard production drift
+    metric for a CONTINUOUS model feature: decile bins are fixed from
+    the reference population (even event_ids), both populations are
+    re-bucketed by those edges, and PSI = sum (p_i - q_i) ln(p_i/q_i)
+    (>0.2 conventionally triggers retraining). Emits the per-bin
+    decomposition; the total is the sum of psi_contrib.
+
+    Determinism: bin EDGES are exact order statistics (max cents of
+    each reference rank-decile, ranks from `distributed_cumulative`),
+    not approximate percentiles, so both engines derive identical
+    edges; each ln argument is one division of two exactly-derived
+    integers; a bin empty on either side yields NULL by explicit
+    contract on both engines (no 0-division / ln(0) divergence).
+
+    Scale: ranks are the two-pass distributed ranking; the 9-row edge
+    relation broadcast-joins onto each population (bin = count of
+    edges below — a bounded fan-in theta join); everything downstream
+    is ≤10-row algebra.
+    """
+    from ..operators.windows import distributed_cumulative
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    ranked = distributed_cumulative(ref, ["cents", "event_id"], out_col="rn")
+    n = ref.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        ranked.crossJoin(F.broadcast(n))
+        .select("cents", F.expr("CAST(((rn - 1) * 10) div n AS INT)").alias("b"))
+        .filter(F.col("b") <= 8)
+        .groupBy("b")
+        .agg(F.max("cents").alias("edge"))
+        .select("edge")
+    )
+
+    def _binned(df, out):
+        # bin = how many edges sit strictly below the value: a bounded
+        # (≤9 match) broadcast theta join counted per row (event_id is
+        # the row key) — rows below every edge keep bin 0 through the
+        # left join's count(NULL)=0.
+        return (
+            df.join(F.broadcast(edges), F.col("cents") > F.col("edge"), "left")
+            .groupBy("event_id")
+            .agg(F.count("edge").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    cr = _binned(ref, "n_ref")
+    cc = _binned(cur, "n_cur")
+    tot = ref.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
+        cur.agg(F.count(F.lit(1)).alias("nq"))
+    )
+    joined = (
+        cr.join(cc, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return joined.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.round(
+                (
+                    F.col("n_ref").cast("double") / F.col("nr")
+                    - F.col("n_cur").cast("double") / F.col("nq")
+                )
+                * F.log(
+                    (F.col("n_ref") * F.col("nq")).cast("double")
+                    / (F.col("n_cur") * F.col("nr")).cast("double")
+                ),
+                6,
+            ),
+        ).alias("psi_contrib"),
+    )
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events WHERE ts IS NOT NULL
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS c
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    rt AS (
+        SELECT from_type, CAST(sum(c) AS BIGINT) AS row_n
+        FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.c,
+           CAST(t.c AS DOUBLE) / CAST(r.row_n AS DOUBLE) AS prob
+    FROM trans t JOIN rt r USING (from_type)
+    """,
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral model a synthetic-data generator or
+    next-event predictor is fit from. Each user's events are ordered
+    by (ts, event_id); consecutive pairs are counted into the
+    |types|x|types| transition relation with row-normalized
+    probabilities (one integer-ratio division).
+
+    NULL-ts rows are excluded on both sides (engines disagree on NULL
+    sort position: Spark NULLS FIRST asc, DuckDB NULLS LAST).
+
+    Scale: ONE hash-partitioned window per user (no global order),
+    then a map-side-combined aggregate to a bounded matrix; row
+    totals re-derive from the matrix itself and join back broadcast.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+        )
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rt = trans.groupBy("from_type").agg(F.sum("c").alias("row_n"))
+    return trans.join(F.broadcast(rt), "from_type").select(
+        "from_type",
+        "to_type",
+        "c",
+        (F.col("c").cast("double") / F.col("row_n").cast("double")).alias(
+            "prob"
+        ),
+    )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH touched AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS channel
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT coalesce(channel, '(direct)') AS channel,
+           count(*) AS n_purchases,
+           round(sum(value), 2) AS revenue
+    FROM touched WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase is credited to the most
+    recent PRIOR non-purchase event of the same user (its "channel");
+    purchases with no prior touch fall to '(direct)'. The classic
+    marketing/conversion attribution shape — an as-of lookup expressed
+    as a running last-non-null (LOCF) window, NOT a per-purchase
+    backward join.
+
+    Revenue sums on the 2-decimal grid re-land exactly under
+    round(.,2) (the house money rule); NULL-ts rows are excluded on
+    both engines (NULL sort-position divergence).
+
+    Scale: one hash-partitioned window per user, then a map-side-
+    combined aggregate to |channels| rows. No self-join — at 100 TB
+    the per-purchase backward theta-join this replaces would fan out
+    quadratically within hot users.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn(
+            "channel",
+            F.last(
+                F.when(F.col("event_type") != "purchase", F.col("event_type")),
+                ignorenulls=True,
+            ).over(w),
+        )
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("(direct)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )

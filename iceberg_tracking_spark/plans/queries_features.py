@@ -642,3 +642,387 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _SIM_TOPK)
         .select("item", "neighbor", "pair_n", "cos_sim", "rnk")
     )
+
+
+# ------------------------------------------------------ grouped OLS fit
+
+
+@query(
+    "q_linear_fit",
+    oracle="""
+    WITH pt AS (
+        SELECT p_brand,
+               CAST(p_size AS BIGINT) AS x,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) AS y
+        FROM part
+    ),
+    s AS (
+        SELECT p_brand,
+               count(*) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x * x) AS HUGEINT) AS sxx,
+               CAST(sum(x * y) AS HUGEINT) AS sxy,
+               CAST(sum(y * y) AS HUGEINT) AS syy
+        FROM pt GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(nullif(n * sxx - sx * sx, 0) AS DOUBLE) AS slope_cents,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(nullif(n * sxx - sx * sx, 0) AS DOUBLE) AS icept_cents,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                THEN NULL
+                ELSE (CAST(n * sxy - sx * sy AS DOUBLE)
+                      * CAST(n * sxy - sx * sy AS DOUBLE))
+                   / (CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE))
+           END AS r2
+    FROM s
+    """,
+)
+def q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit (slope, intercept, R^2) of
+    retail price on part size — the grouped `regr_slope`/`regr_r2`
+    family, i.e. one tiny linear model per category, a standard
+    feature-drift / pricing-curve diagnostic.
+
+    Exactness: x is an integer, y is lifted to the cents grid, and all
+    five moment sums (Sx, Sy, Sxx, Sxy, Syy) are accumulated as
+    DECIMAL(38,0) / HUGEINT — integer-exact at any scale and any
+    summation order. The closed forms
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        icept = (Sy*Sxx - Sx*Sxy) / (n*Sxx - Sx^2)
+        r2    = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2)(n*Syy - Sy^2))
+    evaluate numerator and denominator exactly in integer arithmetic,
+    then perform the SAME single/double IEEE ops on both engines
+    (decimal->double casts are round-to-nearest in both). Degenerate
+    groups (constant x or constant y) yield NULL via an explicit
+    zero-denominator guard on both sides — the q_type_correlation
+    lesson (ADVICE r5).
+
+    Scale: one map-side-combined hash aggregate to |brands| rows; the
+    fact table is scanned once, never joined or shuffled wide.
+    """
+    pt = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_size").cast("long").alias("x"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = pt.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return s.select(
+        "p_brand",
+        "n",
+        F.when(denx != 0, num.cast("double") / denx.cast("double")).alias(
+            "slope_cents"
+        ),
+        F.when(denx != 0, inum.cast("double") / denx.cast("double")).alias(
+            "icept_cents"
+        ),
+        F.when(
+            (denx != 0) & (deny != 0),
+            (num.cast("double") * num.cast("double"))
+            / (denx.cast("double") * deny.cast("double")),
+        ).alias("r2"),
+    )
+
+
+# -------------------------------------------------- mutual information
+
+
+@query(
+    "q_mutual_information",
+    oracle="""
+    WITH cell AS (
+        SELECT o_orderpriority AS prio, o_orderstatus AS status,
+               count(*) AS c
+        FROM orders GROUP BY 1, 2
+    ),
+    rx AS (SELECT prio, CAST(sum(c) AS BIGINT) AS r FROM cell GROUP BY prio),
+    cy AS (
+        SELECT status, CAST(sum(c) AS BIGINT) AS s FROM cell GROUP BY status
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell)
+    SELECT cell.prio, cell.status, cell.c,
+           round(ln(CAST(cell.c * t.n AS DOUBLE)
+                    / CAST(r.r * c2.s AS DOUBLE)), 6) AS pmi,
+           round((CAST(cell.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 * ln(CAST(cell.c * t.n AS DOUBLE)
+                      / CAST(r.r * c2.s AS DOUBLE)), 6) AS mi_contrib
+    FROM cell
+    JOIN rx r USING (prio)
+    JOIN cy c2 USING (status)
+    CROSS JOIN tot t
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information decomposition between two
+    categorical columns (order priority x order status) — the standard
+    feature-selection / association diagnostic. Emits the full
+    contingency decomposition: per cell, its count, PMI
+    = ln(p(x,y) / (p(x)p(y))), and its contribution p(x,y)*PMI to the
+    total mutual information (sum of mi_contrib = MI(X;Y)).
+
+    Determinism: the log's argument is ONE division of two exactly-
+    derived integers (c*N and r_x*c_y), so both engines feed ln the
+    bit-identical double; round(.,6) follows the house log convention
+    (q_char_entropy / q_bigram_surprisal precedent).
+
+    Scale: the contingency table is |X|*|Y| rows (15 here) — one
+    map-side-combined aggregate; the marginals re-derive FROM the cell
+    relation (never rescanning the fact table) and join back broadcast.
+    """
+    cell = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .groupBy("prio", "status")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rx = cell.groupBy("prio").agg(F.sum("c").alias("r"))
+    cy = cell.groupBy("status").agg(F.sum("c").alias("s"))
+    tot = cell.agg(F.sum("c").alias("n"))
+    ratio = (F.col("c") * F.col("n")).cast("double") / (
+        F.col("r") * F.col("s")
+    ).cast("double")
+    return (
+        cell.join(F.broadcast(rx), "prio")
+        .join(F.broadcast(cy), "status")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prio",
+            "status",
+            "c",
+            F.round(F.log(ratio), 6).alias("pmi"),
+            F.round(
+                (F.col("c").cast("double") / F.col("n").cast("double"))
+                * F.log(ratio),
+                6,
+            ).alias("mi_contrib"),
+        )
+    )
+
+
+# ---------------------------------------------- equal-frequency binning
+
+_QBIN_K = 8  # number of equal-frequency bins
+
+
+@query(
+    "q_quantile_binning",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    r AS (
+        SELECT o_orderkey, cents,
+               row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+               count(*) OVER () AS n
+        FROM o
+    )
+    SELECT o_orderkey, cents,
+           CAST(((rn - 1) * {_QBIN_K}) // n AS INT) AS bin
+    FROM r
+    """,
+)
+def q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quantile) discretization of a continuous
+    feature into k=8 bins — the standard preprocessing step for
+    monotonic-feature bucketing and WOE encoding. Each row's bin is
+    floor((rank-1)*k/N) over the (cents, key)-ordered relation, so bin
+    populations differ by at most one row and the assignment is a pure
+    function of the global rank (no approximate quantile drift between
+    the bin EDGES and the rows assigned to them — the failure mode of
+    cut-points-then-join binning).
+
+    Exactness: price is lifted to the cents grid; rank and bin are
+    integer arithmetic end to end (Spark `div` = DuckDB `//`).
+
+    Scale: the global rank comes from operators/windows.py
+    `distributed_cumulative` — range-bucketed two-pass ranking, NO
+    `Exchange SinglePartition`; N joins back as a broadcast 1-row
+    relation. The oracle's `row_number() OVER (ORDER BY ...)` is the
+    semantic spec, not the plan.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    ranked = distributed_cumulative(o, ["cents", "o_orderkey"], out_col="rn")
+    n = o.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "o_orderkey",
+            "cents",
+            F.expr(f"CAST(((rn - 1) * {_QBIN_K}) div n AS INT)").alias("bin"),
+        )
+    )
+
+
+# -------------------------------------------------- skew / concentration
+
+
+@query(
+    "q_gini_skew",
+    oracle="""
+    WITH act AS (
+        SELECT user_id, count(*) AS y FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT user_id, y,
+               row_number() OVER (ORDER BY y, user_id) AS rn
+        FROM act
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(y) AS BIGINT) AS total_events,
+           CAST(2 * sum(CAST(rn AS HUGEINT) * y)
+                - (count(*) + 1) * CAST(sum(y) AS HUGEINT) AS DOUBLE)
+             / CAST(count(*) * CAST(sum(y) AS HUGEINT) AS DOUBLE) AS gini
+    FROM r
+    """,
+)
+def q_gini_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-key activity — THE skew diagnostic that
+    decides whether a key needs salting before a 100 TB shuffle (G=0:
+    uniform keys; G→1: one hot key owns the table). Uses the exact
+    rank formulation over ascending activity:
+        G = (2*sum(i*y_i) - (n+1)*sum(y_i)) / (n*sum(y_i)).
+
+    Exactness: activity counts and ranks are integers; both moment
+    sums accumulate as DECIMAL(38,0)/HUGEINT (overflow-proof at any
+    corpus size), and the result is ONE double division of two
+    exactly-derived integers — no rounding needed.
+
+    Scale: per-key counts are one map-side-combined aggregate; the
+    global rank is `distributed_cumulative` (range-bucketed two-pass,
+    no single-partition exchange); the final reduction is scalar.
+    """
+    act = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    ranked = distributed_cumulative(act, ["y", "user_id"], out_col="rn")
+    dec = "decimal(38,0)"
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("y").alias("total_events"),
+        F.sum((F.col("rn") * F.col("y")).cast(dec)).alias("siy"),
+    )
+    num = (
+        F.lit(2) * F.col("siy")
+        - (F.col("n_users") + 1) * F.col("total_events").cast(dec)
+    )
+    den = F.col("n_users") * F.col("total_events").cast(dec)
+    return s.select(
+        "n_users",
+        "total_events",
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    )
+
+
+# ------------------------------------------------- conformal calibration
+
+_CONF_ALPHA_NUM = 9  # 1 - alpha = 9/10 target coverage
+
+
+@query(
+    "q_conformal",
+    oracle=f"""
+    WITH cal AS (
+        SELECT event_id,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_id % 2 = 0
+    ),
+    tst AS (
+        SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_id % 2 = 1
+    ),
+    n_cal AS (SELECT count(*) AS nc FROM cal),
+    k AS (
+        SELECT nc, ((nc + 1) * {_CONF_ALPHA_NUM} + 9) // 10 AS kk FROM n_cal
+    ),
+    thr AS (
+        SELECT k.nc, k.kk, r.cents AS threshold
+        FROM k JOIN (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents, event_id) AS rn
+            FROM cal
+        ) r ON r.rn = k.kk
+    )
+    SELECT t.nc AS n_cal, t.kk AS k, t.threshold,
+           count(*) AS n_test,
+           CAST(sum(CASE WHEN tst.cents <= t.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(sum(CASE WHEN tst.cents <= t.threshold THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+    FROM tst CROSS JOIN thr t
+    GROUP BY t.nc, t.kk, t.threshold
+    """,
+)
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction calibration (Vovk et al.; the
+    distribution-free coverage guarantee used to put prediction
+    intervals on any scorer): on a calibration split, the threshold is
+    the k-th smallest nonconformity score with k = ceil((n+1)(1-a))
+    for a=0.1; the held-out split then empirically verifies ~90%
+    coverage. Scores are the events' value column on the cents grid;
+    the splits are the deterministic even/odd event_id halves.
+
+    Exactness: k is integer arithmetic (ceil via (m*9+9)//10); the
+    threshold is an EXACT order statistic — the row whose global rank
+    equals k under the total order (cents, event_id) — not an
+    approximate percentile, so both engines pick the identical row;
+    coverage is one integer-ratio division.
+
+    Scale: the global rank is `distributed_cumulative`; the k-th-row
+    filter reduces to ONE row that broadcasts onto the test side's
+    scalar aggregate. No sort, no single-partition exchange.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    cal = ev.filter(F.col("event_id") % 2 == 0)
+    tst = ev.filter(F.col("event_id") % 2 == 1)
+    nc = cal.agg(F.count(F.lit(1)).alias("nc")).select(
+        "nc",
+        F.expr(f"CAST(((nc + 1) * {_CONF_ALPHA_NUM} + 9) div 10 AS BIGINT)")
+        .alias("kk"),
+    )
+    ranked = distributed_cumulative(cal, ["cents", "event_id"], out_col="rn")
+    thr = (
+        ranked.join(F.broadcast(nc), F.col("rn") == F.col("kk"))
+        .select("nc", "kk", F.col("cents").alias("threshold"))
+    )
+    return (
+        tst.crossJoin(F.broadcast(thr))
+        .groupBy(F.col("nc").alias("n_cal"), F.col("kk").alias("k"), "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("threshold"), 1).otherwise(0)
+            ).alias("n_covered"),
+        )
+        .withColumn(
+            "coverage",
+            F.col("n_covered").cast("double") / F.col("n_test").cast("double"),
+        )
+    )

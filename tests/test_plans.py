@@ -72,6 +72,17 @@ NESTED_LOOP_OK = {
     "q_item_cooccurrence",  # 1-row order-count broadcast into lift scoring
     "q_reliability_ece",   # 1-row N + 1-row ECE broadcast onto ≤10 bins
                            # (plus distributed_cumulative offsets join)
+    "q_mutual_information",  # 1-row contingency total broadcast onto the
+                             # |X|*|Y|-cell relation
+    "q_quantile_binning",  # 1-row N broadcast onto ranked rows (plus
+                           # distributed_cumulative offsets join)
+    "q_gini_skew",   # distributed_cumulative offsets join (n_parts rows)
+    "q_conformal",   # 1-row threshold broadcast onto the test-side agg
+                     # (plus distributed_cumulative offsets join)
+    "q_ks_test",     # 1-row (n1,n2) totals broadcast onto the CDF relation
+                     # (plus distributed_cumulative offsets join)
+    "q_psi",         # 9-row decile-edge broadcast theta join (bin = count
+                     # of edges below, fan-in ≤ 9) + 1-row totals
 }
 
 
