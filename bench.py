@@ -108,6 +108,7 @@ EXTENDED = [
     "q_psi",
     "q_markov_transitions",
     "q_attribution",
+    "q_dsir_weights",
 ]
 
 # Regression floor for the extended set: the first recorded sf0.1
@@ -174,6 +175,19 @@ EXTENDED_FLOOR_SEC = {
     "q_item_similarity": 1.837,
     "q_seasonal_decompose": 0.338,
     "q_bpe_encode": 1.385,
+    # round-6 fourth wave: min over two sf0.1 min-of-3 recordings (the
+    # rank-based entries re-measured AFTER the distributed_cumulative
+    # binary-search bucket fix — the flat fold was ~linear in n_parts)
+    "q_linear_fit": 0.293,
+    "q_mutual_information": 0.309,
+    "q_quantile_binning": 1.472,
+    "q_gini_skew": 0.716,
+    "q_conformal": 1.517,
+    "q_ks_test": 1.185,
+    "q_psi": 1.914,
+    "q_markov_transitions": 0.529,
+    "q_attribution": 0.446,
+    "q_dsir_weights": 1.314,
 }
 
 

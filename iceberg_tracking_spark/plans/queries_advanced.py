@@ -967,9 +967,12 @@ def q_psi(spark, sf_dir):
     Scale: ranks are the two-pass distributed ranking; the 9-row edge
     relation broadcast-joins onto each population (bin = count of
     edges below — a bounded fan-in theta join); everything downstream
-    is ≤10-row algebra.
+    is ≤10-row algebra. Edge derivation and bucket assignment live in
+    operators/binning.py, SHARED with the incremental monitor
+    (streaming/drift.py) so the streamed and batch drift numbers can
+    never disagree on boundary semantics.
     """
-    from ..operators.windows import distributed_cumulative
+    from ..operators.binning import bin_counts_by_edges, reference_edges
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -977,32 +980,9 @@ def q_psi(spark, sf_dir):
     )
     ref = ev.filter(F.col("event_id") % 2 == 0)
     cur = ev.filter(F.col("event_id") % 2 == 1)
-    ranked = distributed_cumulative(ref, ["cents", "event_id"], out_col="rn")
-    n = ref.agg(F.count(F.lit(1)).alias("n"))
-    edges = (
-        ranked.crossJoin(F.broadcast(n))
-        .select("cents", F.expr("CAST(((rn - 1) * 10) div n AS INT)").alias("b"))
-        .filter(F.col("b") <= 8)
-        .groupBy("b")
-        .agg(F.max("cents").alias("edge"))
-        .select("edge")
-    )
-
-    def _binned(df, out):
-        # bin = how many edges sit strictly below the value: a bounded
-        # (≤9 match) broadcast theta join counted per row (event_id is
-        # the row key) — rows below every edge keep bin 0 through the
-        # left join's count(NULL)=0.
-        return (
-            df.join(F.broadcast(edges), F.col("cents") > F.col("edge"), "left")
-            .groupBy("event_id")
-            .agg(F.count("edge").alias("bin"))
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias(out))
-        )
-
-    cr = _binned(ref, "n_ref")
-    cc = _binned(cur, "n_cur")
+    edges = reference_edges(ref, "cents", "event_id", n_bins=10)
+    cr = bin_counts_by_edges(ref, edges, "cents", "event_id", out="n_ref")
+    cc = bin_counts_by_edges(cur, edges, "cents", "event_id", out="n_cur")
     tot = ref.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
         cur.agg(F.count(F.lit(1)).alias("nq"))
     )

@@ -1502,3 +1502,125 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str):
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+# ----------------------------------------------------------- DSIR
+
+_DSIR_B = 128  # hashed-unigram feature buckets
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang = 'en' AS is_t,
+               unnest({_DUCK_TOKS}) AS token
+        FROM documents
+    ),
+    hb AS (
+        SELECT doc_id, is_t,
+               ('0x' || substr(md5(token), 1, 7))::BIGINT % {_DSIR_B} AS b
+        FROM tok
+    ),
+    bc AS (
+        SELECT b, count(*) AS cr,
+               sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+        FROM hb GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(sum(cr) AS BIGINT) AS r, CAST(sum(ct) AS BIGINT) AS t
+        FROM bc
+    ),
+    w AS (
+        SELECT b,
+               CAST(round(ln(CAST((ct + 1) * (r + {_DSIR_B}) AS DOUBLE)
+                             / CAST((cr + 1) * (t + {_DSIR_B}) AS DOUBLE))
+                          * 1e6, 0) AS BIGINT) AS w_micro
+        FROM bc CROSS JOIN tot
+    ),
+    db AS (
+        SELECT doc_id, b, count(*) AS c FROM hb GROUP BY doc_id, b
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+           CAST(sum(c * w_micro) AS BIGINT) AS weight_micro,
+           CAST(sum(c * w_micro) AS DOUBLE) / 1e6 AS weight
+    FROM db JOIN w USING (b)
+    GROUP BY doc_id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw document by how much its
+    hashed-unigram profile looks like the TARGET domain (here lang
+    'en'), weight = sum over tokens of ln(p_target(b)/p_raw(b)) with
+    Laplace-smoothed bucket distributions over B=128 hashed features.
+    Resampling raw data by these weights is the published recipe for
+    target-matched pretraining corpora.
+
+    Determinism: each bucket's log-ratio argument is ONE division of
+    two exactly-derived integers ((ct+1)(R+B) / (cr+1)(T+B), products
+    in DECIMAL/HUGEINT so no overflow at any corpus size); the
+    per-bucket contribution is then frozen onto an integer micro-unit
+    grid (round(ln·1e6), the q_retrieval_metrics trick), so each
+    document's weight is an ORDER-INDEPENDENT integer sum — no float
+    accumulation across tokens — and the emitted double is one final
+    division by the 1e6 literal.
+
+    Scale: token explode → ONE hash aggregate to the B-row bucket
+    relation; the ≤B-row weight table joins back BROADCAST onto the
+    per-doc bucket counts (one map-side-combined aggregate keyed
+    (doc, bucket)). The corpus is never self-joined; importance
+    estimation is O(tokens) + O(B).
+    """
+    from ..functions.keys import stable_id_hash
+
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (F.col("lang") == "en").alias("is_t"),
+            F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+        )
+        .select(
+            "doc_id",
+            "is_t",
+            (stable_id_hash(F.col("token")) % _DSIR_B).alias("b"),
+        )
+    )
+    bc = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+    )
+    tot = bc.agg(F.sum("cr").alias("r"), F.sum("ct").alias("t"))
+    dec = "decimal(38,0)"
+    w = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                (
+                    (F.col("ct") + 1).cast(dec)
+                    * (F.col("r") + _DSIR_B).cast(dec)
+                ).cast("double")
+                / (
+                    (F.col("cr") + 1).cast(dec)
+                    * (F.col("t") + _DSIR_B).cast(dec)
+                ).cast("double")
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    db = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        db.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.sum(F.col("c") * F.col("w_micro")).alias("weight_micro"),
+        )
+        .withColumn(
+            "weight", F.col("weight_micro").cast("double") / F.lit(1e6)
+        )
+    )

@@ -76,6 +76,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_psi",
     "q_markov_transitions",
     "q_attribution",
+    "q_dsir_weights",
     # (b) code changed this round — need fresh green rows
     "q_auc",
     "q_pack_sequences",
@@ -97,13 +98,12 @@ DRIVER_PRIORITY: list[str] = [
     "q_having_semijoin",
     "q_intersect",
     "q_islands",
-    "q_lang_id",
 ]
-# Displaced by the nine late-round-6 additions (q_linear_fit,
+# Displaced by the ten late-round-6 additions (q_linear_fit,
 # q_mutual_information, q_quantile_binning, q_gini_skew, q_conformal,
-# q_ks_test, q_psi, q_markov_transitions, q_attribution — a query with
-# NO driver row outranks refreshing an already-green one):
-# q_mutual_argmax, q_ngram_jaccard, q_rollup, q_semi_anti,
+# q_ks_test, q_psi, q_markov_transitions, q_attribution, q_dsir_weights
+# — a query with NO driver row outranks refreshing an already-green one):
+# q_lang_id, q_mutual_argmax, q_ngram_jaccard, q_rollup, q_semi_anti,
 # q_ship_priority, q_star_join, q_string_funcs, q_text_stats,
 # q_theta_argmax. Each keeps its r1 green row (and q_rollup /
 # q_star_join / q_theta_argmax run in every bench); they rotate back

@@ -83,6 +83,8 @@ NESTED_LOOP_OK = {
                      # (plus distributed_cumulative offsets join)
     "q_psi",         # 9-row decile-edge broadcast theta join (bin = count
                      # of edges below, fan-in ≤ 9) + 1-row totals
+    "q_dsir_weights",  # 1-row (R,T) token totals broadcast onto the
+                       # ≤128-row bucket relation
 }
 
 

@@ -864,3 +864,82 @@ def test_streaming_lsh_index_equals_batch_build(spark, sf_dir, tmp_path):
     v_before = t.current_version()
     merge(refreshed, last + 1)
     assert t.current_version() == v_before
+
+
+def test_streaming_drift_monitor_equals_batch_psi(spark, sf_dir, tmp_path):
+    """The incrementally-maintained drift histogram equals the batch
+    q_psi relation exactly: freeze decile edges from the reference
+    half (even event_ids), stream the current half (odd event_ids) in
+    TWO micro-batches through streaming/drift.py, and the maintained
+    (bin, n_cur) table + psi_from_counts must reproduce q_psi's
+    (bin, n_ref, n_cur, psi_contrib) rows bit-for-bit — binning and
+    PSI arithmetic are shared code (operators/binning.py), so chopping
+    the stream into batches cannot move a row across a boundary tie.
+    Also proves a replayed batch is a no-op (txn gate)."""
+    from iceberg_tracking_spark.operators.binning import (
+        bin_counts_by_edges,
+        reference_edges,
+    )
+    from iceberg_tracking_spark.plans import QUERIES
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+    from iceberg_tracking_spark.streaming.drift import (
+        make_drift_merge_fn,
+        psi_from_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    edges = reference_edges(ref, "cents", "event_id", n_bins=10)
+    ref_counts = bin_counts_by_edges(ref, edges, "cents", "event_id", "n_ref")
+
+    # stream the current half in two availableNow passes
+    src = str(tmp_path / "src")
+    mid = 5000
+    cur.filter(F.col("event_id") < mid).write.mode("overwrite").parquet(src)
+    table = VersionedTable(str(tmp_path / "drift_counts"))
+    merge = make_drift_merge_fn(
+        table, edges, app_id="drift-test", value_col="cents", key_col="event_id"
+    )
+    stream = (
+        spark.readStream.schema(cur.schema).parquet(src).writeStream
+        .foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    q = stream.start()
+    q.awaitTermination(120)
+    cur.filter(F.col("event_id") >= mid).write.mode("append").parquet(src)
+    q2 = stream.start()
+    q2.awaitTermination(120)
+
+    # maintained histogram == batch histogram
+    got_counts = {
+        r["bin"]: r["n_cur"] for r in table.read(spark).collect()
+    }
+    want_counts = {
+        r["bin"]: r["n_cur"]
+        for r in bin_counts_by_edges(
+            cur, edges, "cents", "event_id", "n_cur"
+        ).collect()
+    }
+    assert got_counts == want_counts and sum(got_counts.values()) == cur.count()
+
+    # PSI from the maintained table == the batch q_psi query
+    got_psi = {
+        r["bin"]: (r["n_ref"], r["n_cur"], r["psi_contrib"])
+        for r in psi_from_counts(ref_counts, table.read(spark)).collect()
+    }
+    want_psi = {
+        r["bin"]: (r["n_ref"], r["n_cur"], r["psi_contrib"])
+        for r in QUERIES["q_psi"].fn(spark, sf_dir).collect()
+    }
+    assert got_psi == want_psi
+
+    # replaying a committed batch id is a no-op
+    v = table.current_version()
+    merge(spark.read.parquet(src), 0)
+    assert table.current_version() == v
