@@ -109,6 +109,8 @@ EXTENDED = [
     "q_markov_transitions",
     "q_attribution",
     "q_dsir_weights",
+    "q_rfm",
+    "q_kaplan_meier",
 ]
 
 # Regression floor for the extended set: the first recorded sf0.1
@@ -136,13 +138,13 @@ EXTENDED_FLOOR_SEC = {
     # bucket ids are plan constants — correctness at multi-executor
     # scale, bought with one extra job submission per call, which at
     # sf0.1 is mostly fixed scheduling overhead.
-    "q_auc": 1.210,
-    "q_pack_sequences": 1.090,
+    "q_auc": 0.755,
+    "q_pack_sequences": 0.885,
     "q_pack_sequences_sharded": 0.260,
     "q_histogram_quantiles": 0.445,
     "q_bpe_learn": 1.339,
     "q_domain_mixture": 0.495,
-    "q_curriculum": 1.222,
+    "q_curriculum": 1.21,
     "q_training_manifest": 0.651,
     # ANN recall monitors: first sf0.1 recording = BENCH_r05 (r5
     # verdict task #2 — every extended entry regression-guarded)
@@ -175,19 +177,25 @@ EXTENDED_FLOOR_SEC = {
     "q_item_similarity": 1.837,
     "q_seasonal_decompose": 0.338,
     "q_bpe_encode": 1.385,
-    # round-6 fourth wave: min over two sf0.1 min-of-3 recordings (the
-    # rank-based entries re-measured AFTER the distributed_cumulative
-    # binary-search bucket fix — the flat fold was ~linear in n_parts)
-    "q_linear_fit": 0.293,
-    "q_mutual_information": 0.309,
-    "q_quantile_binning": 1.472,
-    "q_gini_skew": 0.716,
-    "q_conformal": 1.517,
-    "q_ks_test": 1.185,
-    "q_psi": 1.914,
-    "q_markov_transitions": 0.529,
-    "q_attribution": 0.446,
-    "q_dsir_weights": 1.314,
+    # round-6 fourth wave: min over three sf0.1 min-of-3 recordings,
+    # the last a full solo bench AFTER the distributed_cumulative
+    # binary-search bucket fix (the flat fold was ~linear in n_parts:
+    # q_quantile_binning 3.58s -> 0.63s)
+    "q_linear_fit": 0.272,
+    "q_mutual_information": 0.271,
+    "q_quantile_binning": 0.628,
+    "q_gini_skew": 0.606,
+    "q_conformal": 0.869,
+    "q_ks_test": 0.802,
+    "q_psi": 1.295,
+    "q_markov_transitions": 0.482,
+    "q_attribution": 0.427,
+    "q_dsir_weights": 1.267,
+    # RFM + Kaplan-Meier: first solo sf0.1 min-of-3 recordings (three
+    # resp. two distributed_cumulative passes over bounded relations —
+    # the cost is fixed job overhead, not data volume)
+    "q_rfm": 2.682,
+    "q_kaplan_meier": 2.688,
 }
 
 

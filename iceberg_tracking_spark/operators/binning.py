@@ -48,6 +48,26 @@ def reference_edges(
     )
 
 
+def assign_bin_by_edges(
+    df: DataFrame,
+    edges: DataFrame,
+    value_col: str,
+    out: str = "bin",
+) -> DataFrame:
+    """Per-row bucket assignment by the frozen edges: a row's bin is
+    the number of edges STRICTLY below its value — a bounded
+    (≤ n_bins-1 match) broadcast theta join counted per row, so rows
+    below every edge keep bin 0 via the left join's count(NULL)=0.
+    Rows of `df` must be distinct (they are grouped back by all their
+    columns to fold the edge fan-out).
+    """
+    return (
+        df.join(F.broadcast(edges), F.col(value_col) > F.col("edge"), "left")
+        .groupBy(*df.columns)
+        .agg(F.count("edge").alias(out))
+    )
+
+
 def bin_counts_by_edges(
     df: DataFrame,
     edges: DataFrame,
@@ -55,12 +75,9 @@ def bin_counts_by_edges(
     key_col: str,
     out: str = "n",
 ) -> DataFrame:
-    """Bucket every row by the frozen edges and count per bin. A row's
-    bin is the number of edges STRICTLY below its value — a bounded
-    (≤ n_bins-1 match) broadcast theta join counted per row key, so
-    rows below every edge keep bin 0 via the left join's
-    count(NULL)=0. Returns (bin, `out`) with one row per occupied bin.
-    """
+    """Bucket every row by the frozen edges and count per bin (same
+    strictly-below rule as `assign_bin_by_edges`, keyed per row by
+    `key_col`). Returns (bin, `out`) with one row per occupied bin."""
     return (
         df.join(F.broadcast(edges), F.col(value_col) > F.col("edge"), "left")
         .groupBy(key_col)

@@ -1026,3 +1026,109 @@ def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_covered").cast("double") / F.col("n_test").cast("double"),
         )
     )
+
+
+# ----------------------------------------------------- RFM segmentation
+
+
+@query(
+    "q_rfm",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, epoch_ms(o_orderdate) AS ms,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    g AS (SELECT max(ms) AS gmax FROM o),
+    cust AS (
+        SELECT o_custkey,
+               CAST((g.gmax - max(ms)) // 86400000 AS BIGINT) AS r_days,
+               count(*) AS freq,
+               CAST(sum(cents) AS BIGINT) AS monetary
+        FROM o CROSS JOIN g GROUP BY o_custkey, g.gmax
+    ),
+    er AS (
+        SELECT max(r_days) AS edge FROM (
+            SELECT r_days,
+                   ((row_number() OVER (ORDER BY r_days, o_custkey) - 1) * 5)
+                     // (count(*) OVER ()) AS b
+            FROM cust
+        ) WHERE b <= 3 GROUP BY b
+    ),
+    ef AS (
+        SELECT max(freq) AS edge FROM (
+            SELECT freq,
+                   ((row_number() OVER (ORDER BY freq, o_custkey) - 1) * 5)
+                     // (count(*) OVER ()) AS b
+            FROM cust
+        ) WHERE b <= 3 GROUP BY b
+    ),
+    em AS (
+        SELECT max(monetary) AS edge FROM (
+            SELECT monetary,
+                   ((row_number() OVER (ORDER BY monetary, o_custkey) - 1) * 5)
+                     // (count(*) OVER ()) AS b
+            FROM cust
+        ) WHERE b <= 3 GROUP BY b
+    )
+    SELECT c.o_custkey, c.r_days, c.freq, c.monetary,
+           (SELECT count(*) FROM er e WHERE c.r_days > e.edge) AS r_bin,
+           (SELECT count(*) FROM ef e WHERE c.freq > e.edge) AS f_bin,
+           (SELECT count(*) FROM em e WHERE c.monetary > e.edge) AS m_bin
+    FROM cust c
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value model: per
+    customer, Recency (days since last order), Frequency (order
+    count), Monetary (lifetime spend), each discretized into quintile
+    bins by the SAME exact-order-statistic edge machinery as the drift
+    family (operators/binning.py). Downstream marketing segments are
+    string-concats of the three bins; the bins are the checkable core.
+
+    Determinism: recency is integer day arithmetic from epoch-ms
+    (Spark `div` = DuckDB `//`), spend sits on the cents grid, and all
+    three edge sets are exact rank-derived order statistics — no
+    approximate percentile anywhere, so both engines bin identically
+    including boundary ties (strictly-greater rule).
+
+    Scale: one hash aggregate to |customers| rows; each metric's edge
+    derivation is a `distributed_cumulative` rank over that bounded
+    relation; the three ≤4-row edge tables broadcast back. The orders
+    fact is scanned once.
+    """
+    from ..functions.time import epoch_ms
+    from ..operators.binning import assign_bin_by_edges, reference_edges
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        epoch_ms("o_orderdate").alias("ms"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    g = o.agg(F.max("ms").alias("gmax"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("ms").alias("last_ms"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("cents").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_custkey",
+            F.expr("CAST((gmax - last_ms) div 86400000 AS BIGINT)").alias(
+                "r_days"
+            ),
+            "freq",
+            "monetary",
+        )
+    )
+    er = reference_edges(cust, "r_days", "o_custkey", n_bins=5)
+    ef = reference_edges(cust, "freq", "o_custkey", n_bins=5)
+    em = reference_edges(cust, "monetary", "o_custkey", n_bins=5)
+    out = assign_bin_by_edges(cust, er, "r_days", out="r_bin")
+    out = assign_bin_by_edges(out, ef, "freq", out="f_bin")
+    out = assign_bin_by_edges(out, em, "monetary", out="m_bin")
+    return out.select(
+        "o_custkey", "r_days", "freq", "monetary", "r_bin", "f_bin", "m_bin"
+    )

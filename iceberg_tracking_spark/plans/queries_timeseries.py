@@ -678,3 +678,125 @@ def q_seasonal_decompose(spark, sf_dir):
             ).alias("resid"),
         )
     )
+
+
+@query(
+    "q_kaplan_meier",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, epoch_ms(o_orderdate) AS ms FROM orders
+    ),
+    g AS (SELECT max(ms) AS gmax FROM o),
+    u AS (
+        SELECT o_custkey,
+               CAST((max(ms) - min(ms)) // 86400000 AS BIGINT) AS t,
+               CASE WHEN max(ms) < g.gmax - 7776000000 THEN 1 ELSE 0 END
+                 AS ev
+        FROM o CROSS JOIN g GROUP BY o_custkey, g.gmax
+    ),
+    tot AS (SELECT count(*) AS n FROM u),
+    pts AS (
+        SELECT t, count(*) AS cnt, CAST(sum(ev) AS BIGINT) AS d
+        FROM u GROUP BY t
+    ),
+    r AS (
+        SELECT t, d,
+               n - CAST(coalesce(sum(cnt) OVER (
+                     ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS n_risk
+        FROM pts CROSS JOIN tot
+    ),
+    f AS (
+        SELECT t, n_risk, d,
+               CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                             / CAST(n_risk AS DOUBLE)) * 1e6, 0)
+                    AS BIGINT) AS fm
+        FROM r WHERE d > 0 AND n_risk > d
+    )
+    SELECT t, n_risk, d,
+           round(exp(CAST(sum(fm) OVER (ORDER BY t) AS DOUBLE) / 1e6), 6)
+             AS survival
+    FROM f
+    """,
+)
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier product-limit survival curve over customer
+    lifetimes — THE censoring-aware churn/retention estimator. Subject
+    = customer; duration = days between first and last order; event =
+    churned (last order > 90 days before the corpus's final order),
+    still-active customers are right-censored. At each event time t:
+    S(t) = prod_{t' <= t} (n_risk - d)/n_risk.
+
+    Determinism: durations are integer day arithmetic; at-risk counts
+    come from an EXCLUSIVE running count over the bounded
+    distinct-duration relation; each hazard factor's log argument is
+    one division of two exact integers, frozen onto the integer
+    micro-grid (round(ln*1e6) — the order-independent-sum trick), so
+    the cumulative sum is exact integer addition and the final
+    exp/round is the identical IEEE sequence on both engines. Points
+    with d=0 (censoring-only) don't change S and are omitted; n_risk=d
+    total-extinction points would make S=0 and are excluded by the
+    same explicit predicate on both engines.
+
+    Scale: one hash aggregate per customer, one to the distinct-
+    duration relation (bounded by the calendar, not the corpus), then
+    BOTH running quantities ride `distributed_cumulative` — no global
+    sort, no single-partition exchange, O(corpus) + O(|durations|).
+    """
+    from ..functions.time import epoch_ms
+    from ..operators.windows import distributed_cumulative
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", epoch_ms("o_orderdate").alias("ms")
+    )
+    g = o.agg(F.max("ms").alias("gmax"))
+    u = (
+        o.groupBy("o_custkey")
+        .agg(F.min("ms").alias("first_ms"), F.max("ms").alias("last_ms"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.expr(
+                "CAST((last_ms - first_ms) div 86400000 AS BIGINT)"
+            ).alias("t"),
+            F.when(
+                F.col("last_ms") < F.col("gmax") - F.lit(7776000000), 1
+            ).otherwise(0).alias("ev"),
+        )
+    )
+    tot = u.agg(F.count(F.lit(1)).alias("n"))
+    pts = u.groupBy("t").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("ev").alias("d")
+    )
+    r = (
+        distributed_cumulative(
+            pts, ["t"], agg_col="cnt", out_col="cum_excl", exclusive=True
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("t", "d", (F.col("n") - F.col("cum_excl")).alias("n_risk"))
+    )
+    f = r.filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d"))).select(
+        "t",
+        "n_risk",
+        "d",
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("fm"),
+    )
+    return distributed_cumulative(
+        f, ["t"], agg_col="fm", out_col="cum_fm"
+    ).select(
+        "t",
+        "n_risk",
+        "d",
+        F.round(F.exp(F.col("cum_fm").cast("double") / F.lit(1e6)), 6).alias(
+            "survival"
+        ),
+    )

@@ -77,6 +77,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_markov_transitions",
     "q_attribution",
     "q_dsir_weights",
+    "q_rfm",
+    "q_kaplan_meier",
     # (b) code changed this round — need fresh green rows
     "q_auc",
     "q_pack_sequences",
@@ -96,18 +98,17 @@ DRIVER_PRIORITY: list[str] = [
     "q_grid_join",
     "q_group_percentiles",
     "q_having_semijoin",
-    "q_intersect",
-    "q_islands",
 ]
-# Displaced by the ten late-round-6 additions (q_linear_fit,
+# Displaced by the twelve late-round-6 additions (q_linear_fit,
 # q_mutual_information, q_quantile_binning, q_gini_skew, q_conformal,
-# q_ks_test, q_psi, q_markov_transitions, q_attribution, q_dsir_weights
-# — a query with NO driver row outranks refreshing an already-green one):
+# q_ks_test, q_psi, q_markov_transitions, q_attribution,
+# q_dsir_weights, q_rfm, q_kaplan_meier — a query with NO driver row
+# outranks refreshing an already-green one): q_intersect, q_islands,
 # q_lang_id, q_mutual_argmax, q_ngram_jaccard, q_rollup, q_semi_anti,
 # q_ship_priority, q_star_join, q_string_funcs, q_text_stats,
-# q_theta_argmax. Each keeps its r1 green row (and q_rollup /
-# q_star_join / q_theta_argmax run in every bench); they rotate back
-# next round.
+# q_theta_argmax. Each keeps its r1 green row (and q_islands /
+# q_rollup / q_star_join / q_theta_argmax run in every bench); they
+# rotate back next round.
 # The 11 feature/eval/decomposition queries added later in round 6 take
 # the slots the r3-cohort refreshes (q_minhash_lsh, q_ann_lsh,
 # q_asof_join, q_orderby, q_token_count, q_tiling, q_embedding_neardup)

@@ -85,6 +85,11 @@ NESTED_LOOP_OK = {
                      # of edges below, fan-in ≤ 9) + 1-row totals
     "q_dsir_weights",  # 1-row (R,T) token totals broadcast onto the
                        # ≤128-row bucket relation
+    "q_rfm",           # three ≤4-row quintile-edge broadcast theta joins
+                       # (fan-in ≤ 4) + 1-row global-max broadcast
+    "q_kaplan_meier",  # 1-row totals broadcast onto the bounded
+                       # distinct-duration relation (plus
+                       # distributed_cumulative offsets joins)
 }
 
 
@@ -153,6 +158,15 @@ def _single_partition_funnels(plan: str) -> list[str]:
             or "WindowGroupLimit" in below
             or "Limit" in below
             or re.search(r"Filter \(\w*r(?:ank|n)\w*#\d+L? <= \d+\)", below)
+            # zero-column global count(1): Spark plans the map side as
+            # HashAggregate(keys=[], functions=[], output=[]) (no
+            # "partial_" text when the scan reads no columns) — one
+            # empty row per upstream partition crosses, bounded by
+            # construction like any scalar-agg partial.
+            or (
+                i + 1 < len(lines)
+                and re.search(r"HashAggregate\(keys=\[\],", lines[i + 1])
+            )
         ):
             continue
         bad.append(line.strip()[:120])
