@@ -29,9 +29,13 @@ def reference_edges(
     bins: rank every reference row with `distributed_cumulative`
     (total order = (value, key), no single-partition exchange), assign
     rank-bins floor((rank-1)*n_bins/N), and take each non-final bin's
-    max value. Returns a 1-column `edge` relation with ≤ n_bins-1 rows
-    (duplicate edges collapse when one value spans several rank-bins —
-    both populations then agree the affected bins are empty).
+    max value. Returns a 1-column `edge` relation with ≤ n_bins-1 rows.
+    When one value spans several rank-bins the same edge value appears
+    ONCE PER RANK-BIN — the repeats are load-bearing, do not dedupe
+    them: a value above a twice-repeated edge must count it twice
+    (bin = number of edge ROWS strictly below), which is what skips
+    the rank-bins the tie swallowed and keeps bin ids aligned with the
+    rank formula (and with every SQL oracle that mirrors it).
     """
     ranked = distributed_cumulative(ref, [value_col, key_col], out_col="_rn")
     n = ref.agg(F.count(F.lit(1)).alias("_n"))
@@ -45,6 +49,56 @@ def reference_edges(
         .groupBy("_b")
         .agg(F.max(value_col).alias("edge"))
         .select("edge")
+    )
+
+
+def psi_from_counts(ref_counts: DataFrame, cur_counts: DataFrame) -> DataFrame:
+    """PSI decomposition from a reference histogram (bin, n_ref) and a
+    current histogram (bin, n_cur) — sum(psi_contrib) is the PSI. The
+    single shared implementation behind the batch q_psi query and the
+    streaming drift monitor, so their arithmetic cannot diverge. Each
+    bin's log argument is ONE division of two exactly-derived integers
+    (products widened to DECIMAL(38,0) before multiplying — counts can
+    pass 2^63 at corpus scale); bins empty on either side contribute
+    NULL by explicit contract (no 0-division / ln(0) divergence
+    between engines). Population totals re-derive from the histograms
+    themselves: every row lands in exactly one bin, so the sums equal
+    the population counts."""
+    dec = "decimal(38,0)"
+    tot = ref_counts.agg(F.sum("n_ref").alias("nr")).crossJoin(
+        cur_counts.agg(F.sum("n_cur").alias("nq"))
+    )
+    return (
+        ref_counts.join(cur_counts, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.round(
+                    (
+                        F.col("n_ref").cast("double") / F.col("nr")
+                        - F.col("n_cur").cast("double") / F.col("nq")
+                    )
+                    * F.log(
+                        (
+                            F.col("n_ref").cast(dec) * F.col("nq").cast(dec)
+                        ).cast("double")
+                        / (
+                            F.col("n_cur").cast(dec) * F.col("nr").cast(dec)
+                        ).cast("double")
+                    ),
+                    6,
+                ),
+            ).alias("psi_contrib"),
+        )
     )
 
 

@@ -825,13 +825,17 @@ def q_interval_join(spark, sf_dir):
                CAST(sum(c2) AS BIGINT) AS n2
         FROM cells
     )
-    SELECT n1, n2, max(abs(f1 * n2 - f2 * n1)) AS d_num,
-           CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+    SELECT n1, n2,
+           CAST(max(abs(CAST(f1 AS HUGEINT) * n2
+                        - CAST(f2 AS HUGEINT) * n1)) AS BIGINT) AS d_num,
+           CAST(max(abs(CAST(f1 AS HUGEINT) * n2
+                        - CAST(f2 AS HUGEINT) * n1)) AS DOUBLE)
              / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat,
            1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
                         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
              AS ks_crit,
-           (CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+           (CAST(max(abs(CAST(f1 AS HUGEINT) * n2
+                         - CAST(f2 AS HUGEINT) * n1)) AS DOUBLE)
               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
              > (1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
                              / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))))
@@ -877,15 +881,24 @@ def q_ks_test(spark, sf_dir):
         cells, ["cents"], agg_col=["c1", "c2"], out_col=["f1", "f2"]
     )
     tot = cells.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    diff = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    # products widen to DECIMAL(38,0) BEFORE multiplying (F*n passes
+    # 2^63 around 3e9 rows/side); the emitted d_num casts back to long
+    # for schema parity with the oracle's BIGINT (exact far past any
+    # driver-tested scale; d_stat derives from the wide value)
+    dec = "decimal(38,0)"
+    diff = F.abs(
+        F.col("f1").cast(dec) * F.col("n2").cast(dec)
+        - F.col("f2").cast(dec) * F.col("n1").cast(dec)
+    )
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
-    d_stat = F.col("d_num").cast("double") / (n1d * n2d)
+    d_stat = F.col("d_wide").cast("double") / (n1d * n2d)
     crit = F.lit(1.358) * F.sqrt((n1d + n2d) / (n1d * n2d))
     return (
         cum.crossJoin(F.broadcast(tot))
         .groupBy("n1", "n2")
-        .agg(F.max(diff).alias("d_num"))
+        .agg(F.max(diff).alias("d_wide"))
+        .withColumn("d_num", F.col("d_wide").cast("long"))
         .select(
             "n1",
             "n2",
@@ -942,8 +955,9 @@ def q_ks_test(spark, sf_dir):
                 THEN NULL
                 ELSE round((CAST(cr.c AS DOUBLE) / nr
                             - CAST(cc.c AS DOUBLE) / nq)
-                           * ln(CAST(cr.c * nq AS DOUBLE)
-                                / CAST(cc.c * nr AS DOUBLE)), 6)
+                           * ln(CAST(CAST(cr.c AS HUGEINT) * nq AS DOUBLE)
+                                / CAST(CAST(cc.c AS HUGEINT) * nr
+                                       AS DOUBLE)), 6)
            END AS psi_contrib
     FROM cr FULL OUTER JOIN cc ON cr.bin = cc.bin
     CROSS JOIN tot
@@ -972,7 +986,11 @@ def q_psi(spark, sf_dir):
     (streaming/drift.py) so the streamed and batch drift numbers can
     never disagree on boundary semantics.
     """
-    from ..operators.binning import bin_counts_by_edges, reference_edges
+    from ..operators.binning import (
+        bin_counts_by_edges,
+        psi_from_counts,
+        reference_edges,
+    )
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -983,37 +1001,10 @@ def q_psi(spark, sf_dir):
     edges = reference_edges(ref, "cents", "event_id", n_bins=10)
     cr = bin_counts_by_edges(ref, edges, "cents", "event_id", out="n_ref")
     cc = bin_counts_by_edges(cur, edges, "cents", "event_id", out="n_cur")
-    tot = ref.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
-        cur.agg(F.count(F.lit(1)).alias("nq"))
-    )
-    joined = (
-        cr.join(cc, "bin", "full_outer")
-        .select(
-            "bin",
-            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
-        )
-        .crossJoin(F.broadcast(tot))
-    )
-    return joined.select(
-        "bin",
-        "n_ref",
-        "n_cur",
-        F.when(
-            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
-            F.round(
-                (
-                    F.col("n_ref").cast("double") / F.col("nr")
-                    - F.col("n_cur").cast("double") / F.col("nq")
-                )
-                * F.log(
-                    (F.col("n_ref") * F.col("nq")).cast("double")
-                    / (F.col("n_cur") * F.col("nr")).cast("double")
-                ),
-                6,
-            ),
-        ).alias("psi_contrib"),
-    )
+    # ONE shared implementation with the streaming monitor — the
+    # population totals re-derive from the histograms (every row gets
+    # exactly one bin, so the sums equal the population counts)
+    return psi_from_counts(cr, cc)
 
 
 @query(

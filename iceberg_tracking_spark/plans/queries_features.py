@@ -756,11 +756,13 @@ def q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell)
     SELECT cell.prio, cell.status, cell.c,
-           round(ln(CAST(cell.c * t.n AS DOUBLE)
-                    / CAST(r.r * c2.s AS DOUBLE)), 6) AS pmi,
+           round(ln(CAST(CAST(cell.c AS HUGEINT) * t.n AS DOUBLE)
+                    / CAST(CAST(r.r AS HUGEINT) * c2.s AS DOUBLE)), 6)
+             AS pmi,
            round((CAST(cell.c AS DOUBLE) / CAST(t.n AS DOUBLE))
-                 * ln(CAST(cell.c * t.n AS DOUBLE)
-                      / CAST(r.r * c2.s AS DOUBLE)), 6) AS mi_contrib
+                 * ln(CAST(CAST(cell.c AS HUGEINT) * t.n AS DOUBLE)
+                      / CAST(CAST(r.r AS HUGEINT) * c2.s AS DOUBLE)), 6)
+             AS mi_contrib
     FROM cell
     JOIN rx r USING (prio)
     JOIN cy c2 USING (status)
@@ -796,8 +798,11 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     rx = cell.groupBy("prio").agg(F.sum("c").alias("r"))
     cy = cell.groupBy("status").agg(F.sum("c").alias("s"))
     tot = cell.agg(F.sum("c").alias("n"))
-    ratio = (F.col("c") * F.col("n")).cast("double") / (
-        F.col("r") * F.col("s")
+    # products widen BEFORE multiplying (cell*total passes 2^63 at
+    # corpus scale; the oracle mirrors with HUGEINT)
+    _dec = "decimal(38,0)"
+    ratio = (F.col("c").cast(_dec) * F.col("n").cast(_dec)).cast("double") / (
+        F.col("r").cast(_dec) * F.col("s").cast(_dec)
     ).cast("double")
     return (
         cell.join(F.broadcast(rx), "prio")
@@ -924,7 +929,9 @@ def q_gini_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ranked.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("y").alias("total_events"),
-        F.sum((F.col("rn") * F.col("y")).cast(dec)).alias("siy"),
+        # operands widen BEFORE the product (rank*count can pass 2^63
+        # long before the decimal sum would)
+        F.sum(F.col("rn").cast(dec) * F.col("y").cast(dec)).alias("siy"),
     )
     num = (
         F.lit(2) * F.col("siy")

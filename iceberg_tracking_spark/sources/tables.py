@@ -29,13 +29,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - timestamp[us] isAdjustedToUTC=false: read as TIMESTAMP_NTZ, cast
       under a UTC session tz.
     """
+    # Runtime SQL confs — set here so the engine works under ANY
+    # caller-provided SparkSession (the driver builds its own).
+    # NTZ→TIMESTAMP casting goes through the session tz; EVERY date
+    # column in the testdata is parquet timestamp[us] with
+    # isAdjustedToUTC=false (orders.o_orderdate, lineitem.l_shipdate,
+    # events.ts), so epoch math through `_as_ts`'s cast would shift by
+    # the caller's zone offset (and across DST) under a non-UTC
+    # session while DuckDB reads naive-as-UTC. Pin UTC unconditionally
+    # — not only for events — so q_rfm / q_kaplan_meier / any
+    # order-date arithmetic is caller-tz-independent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Runtime SQL confs — set here so the engine works under ANY
-        # caller-provided SparkSession (the driver builds its own).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # NTZ→TIMESTAMP casting goes through the session tz; pin UTC so
-        # epoch math (unix_millis) matches DuckDB's naive-as-UTC reading.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")

@@ -19,10 +19,11 @@ token inside the same atomic manifest swap as the data
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
-from ..operators.binning import bin_counts_by_edges
+from ..operators.binning import bin_counts_by_edges, psi_from_counts
 from ..sources.catalog import VersionedTable
+
+__all__ = ["make_drift_merge_fn", "psi_from_counts"]
 
 
 def make_drift_merge_fn(
@@ -36,54 +37,29 @@ def make_drift_merge_fn(
     """The foreachBatch callable: bucket one micro-batch by the frozen
     `edges` and fold its per-bin counts into `table` (schema:
     bin, n_cur), gated on the manifest's (app_id, batch_id) token for
-    replay idempotency."""
+    replay idempotency.
+
+    The edges are MATERIALIZED here, once: `edges` is usually the lazy
+    `reference_edges` plan (a distributed rank over the whole
+    reference population), and capturing the plan would re-execute
+    that rank on EVERY micro-batch — a full reference scan to bucket a
+    1-row delta. The edge list is ≤ n_bins-1 values by construction,
+    so collecting it and re-emitting a literal relation keeps each
+    batch O(delta)."""
+
+    edge_vals = [r["edge"] for r in edges.select("edge").collect()]
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= table.last_txn(app_id):
             return  # redelivered batch: already committed, skip
+        frozen = batch_df.sparkSession.createDataFrame(
+            [(v,) for v in edge_vals], "edge BIGINT"
+        )
         delta = bin_counts_by_edges(
-            batch_df, edges, value_col, key_col, out="n_cur"
+            batch_df, frozen, value_col, key_col, out="n_cur"
         )
         table.merge_aggregate(delta, ["bin"], ["n_cur"], txn=(app_id, batch_id))
         if expire_keep is not None:
             table.expire(keep_last=expire_keep)
 
     return _merge
-
-
-def psi_from_counts(ref_counts: DataFrame, cur_counts: DataFrame) -> DataFrame:
-    """PSI decomposition from a frozen reference histogram (bin, n_ref)
-    and the maintained current histogram (bin, n_cur) — the identical
-    arithmetic contract as the batch q_psi query: one integer-ratio
-    log argument per bin, empty-on-either-side bins contribute NULL."""
-    tot = ref_counts.agg(F.sum("n_ref").alias("nr")).crossJoin(
-        cur_counts.agg(F.sum("n_cur").alias("nq"))
-    )
-    return (
-        ref_counts.join(cur_counts, "bin", "full_outer")
-        .select(
-            "bin",
-            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
-        )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bin",
-            "n_ref",
-            "n_cur",
-            F.when(
-                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
-                F.round(
-                    (
-                        F.col("n_ref").cast("double") / F.col("nr")
-                        - F.col("n_cur").cast("double") / F.col("nq")
-                    )
-                    * F.log(
-                        (F.col("n_ref") * F.col("nq")).cast("double")
-                        / (F.col("n_cur") * F.col("nr")).cast("double")
-                    ),
-                    6,
-                ),
-            ).alias("psi_contrib"),
-        )
-    )

@@ -1098,3 +1098,65 @@ def test_cdc_spans_schema_evolution(spark, tmp_path):
     # row-level (un-keyed) diff across the schema change also works
     row_cdc = t.changes(spark, from_version=0).toPandas()
     assert set(row_cdc.columns) >= {"k", "v", "w", "_change_type"}
+
+
+def test_binning_edges_and_assignment_invariants(spark):
+    """operators/binning.py invariants on an adversarial input (heavy
+    ties, duplicates spanning rank-bins): (1) edges are strictly
+    increasing after duplicate collapse and number ≤ n_bins-1;
+    (2) per-row bins agree with the rank formula they were derived
+    from on tie-free data; (3) bin populations differ by ≤ 1 on
+    tie-free data; (4) assign ≡ counts (the streamed monitor and the
+    per-row assigner can never disagree)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_tracking_spark.operators.binning import (
+        assign_bin_by_edges,
+        bin_counts_by_edges,
+        reference_edges,
+    )
+
+    # tie-free: values are a shuffled permutation of 0..999
+    df = spark.range(1000).select(
+        ((F.col("id") * 7919) % 1000).alias("v"), F.col("id").alias("k")
+    )
+    edges = reference_edges(df, "v", "k", n_bins=10)
+    es = [r["edge"] for r in edges.orderBy("edge").collect()]
+    assert len(es) == 9 and es == sorted(set(es))
+    counts = {
+        r["bin"]: r["n"]
+        for r in bin_counts_by_edges(df, edges, "v", "k", "n").collect()
+    }
+    assert sorted(counts) == list(range(10))
+    assert max(counts.values()) - min(counts.values()) <= 1
+    # per-row assignment is consistent with the aggregated counts
+    assigned = assign_bin_by_edges(df.select("v", "k"), edges, "v", out="bin")
+    re_counts = {
+        r["bin"]: r["cnt"]
+        for r in assigned.groupBy("bin").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    assert re_counts == counts
+
+    # heavy ties: one value owns 60% of rows — its rank-bins collapse
+    # into ONE occupied bin on both the edge and the assignment side
+    tied = spark.range(1000).select(
+        F.when(F.col("id") < 600, 5).otherwise(F.col("id")).alias("v"),
+        F.col("id").alias("k"),
+    )
+    t_edges = reference_edges(tied, "v", "k", n_bins=10)
+    t_counts = {
+        r["bin"]: r["n"]
+        for r in bin_counts_by_edges(tied, t_edges, "v", "k", "n").collect()
+    }
+    # every row with v=5 lands in the same bin (strictly-below rule)
+    five_bin = [
+        r["bin"]
+        for r in assign_bin_by_edges(
+            tied.filter(F.col("v") == 5).distinct(), t_edges, "v"
+        ).collect()
+    ]
+    assert len(set(five_bin)) == 1
+    assert t_counts[five_bin[0]] >= 600
+    assert sum(t_counts.values()) == 1000

@@ -474,3 +474,48 @@ def test_histogram_quantiles_empty_histogram(spark):
     empty = spark.createDataFrame([], "v double")
     h = hist_table(empty, "v", 0.0, 1.0, 16)
     assert hist_quantiles(h, [0.5], 0.0, 1.0, 16).count() == 0
+
+
+def test_order_date_math_is_caller_timezone_independent(spark, sf_dir):
+    """Every date column in the testdata is parquet timestamp[us]
+    isAdjustedToUTC=false (NTZ in Spark 4), and NTZ→TIMESTAMP casting
+    goes through the session timezone — so q_rfm / q_kaplan_meier day
+    arithmetic would shift by the caller's zone offset (and across DST)
+    under a non-UTC session while DuckDB reads naive-as-UTC.
+    load_table pins the session tz to UTC on EVERY load (not only for
+    events); this proves the pin by poisoning the session tz first."""
+    from pyspark.sql import functions as F
+
+    from iceberg_tracking_spark.plans import QUERIES
+
+    before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = (
+            QUERIES["q_kaplan_meier"].fn(spark, sf_dir)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_risk").alias("risk_sum"),
+            )
+            .collect()[0]
+        )
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        rfm = (
+            QUERIES["q_rfm"].fn(spark, sf_dir)
+            .agg(F.sum("r_days").alias("rd"), F.sum("r_bin").alias("rb"))
+            .collect()[0]
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)
+    utc_km = (
+        QUERIES["q_kaplan_meier"].fn(spark, sf_dir)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_risk").alias("risk_sum"))
+        .collect()[0]
+    )
+    utc_rfm = (
+        QUERIES["q_rfm"].fn(spark, sf_dir)
+        .agg(F.sum("r_days").alias("rd"), F.sum("r_bin").alias("rb"))
+        .collect()[0]
+    )
+    assert (got["n"], got["risk_sum"]) == (utc_km["n"], utc_km["risk_sum"])
+    assert (rfm["rd"], rfm["rb"]) == (utc_rfm["rd"], utc_rfm["rb"])

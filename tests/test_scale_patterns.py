@@ -451,10 +451,12 @@ def test_distributed_rank_matches_bare_window_at_5m(spark):
     """Scale evidence for the ranking backbone (r6): at 5M synthetic
     rows with realistic key duplication (~5 rows/key), the two-pass
     distributed rank must (a) be bit-identical to the bare global
-    window, and (b) finish in distributed time (the bare window is the
-    deliberately-serial gold standard here, test-only). Also pins the
-    binary-search bucket expression at a bucket count (64) where the
-    old linear fold measurably degraded."""
+    window (the deliberately-serial gold standard, test-only), and
+    (b) keep the log-depth binary-search bucket expression — asserted
+    structurally on the executed plan at a bucket count (64) where the
+    old linear fold measurably degraded (0.9s→6.0s from 8→64 buckets
+    on a 150k-row rank); wall time is printed for the record, not
+    asserted (shared-box timing is too noisy to gate on)."""
     import time
 
     from pyspark.sql import Window
@@ -471,6 +473,17 @@ def test_distributed_rank_matches_bare_window_at_5m(spark):
     t_fast = time.perf_counter() - t0
     assert cnt == n
     print(f"\n5M distributed rank: {t_fast:.2f}s (n_parts=64)")
+    # structural guard on (b): the bucket id must be the log-depth
+    # branch tree, not the flat sum-of-comparisons fold (the fold's
+    # plan signature is an arithmetic chain of `+ cast((bound < key`
+    # terms; the tree's is nested CASE WHEN). Timing asserts are too
+    # flaky on this shared box — the plan shape is the invariant.
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "CASE WHEN" in plan, "bucket-id expression lost its branch tree"
+    assert "+ cast((" not in plan, (
+        "bucket id regressed to the flat comparison fold — "
+        "n_parts-linear per-row cost"
+    )
 
     gold = df.withColumn(
         "rn2", F.row_number().over(Window.orderBy("k", "id")).cast("long")
