@@ -111,6 +111,8 @@ EXTENDED = [
     "q_dsir_weights",
     "q_rfm",
     "q_kaplan_meier",
+    "q_cuped",
+    "q_poisson_bootstrap",
 ]
 
 # Regression floor for the extended set: the first recorded sf0.1
@@ -196,6 +198,9 @@ EXTENDED_FLOOR_SEC = {
     # the cost is fixed job overhead, not data volume)
     "q_rfm": 2.682,
     "q_kaplan_meier": 2.688,
+    # experimentation stats (first solo sf0.1 min-of-3 recordings)
+    "q_cuped": 0.871,
+    "q_poisson_bootstrap": 0.365,
 }
 
 

@@ -1135,3 +1135,225 @@ def q_attribution(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "q_cuped",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE ts IS NOT NULL
+    ),
+    mid AS (
+        SELECT (CAST(min(ms) AS DOUBLE) + CAST(max(ms) AS DOUBLE)) / 2.0
+                 AS mid
+        FROM e
+    ),
+    u AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(sum(CASE WHEN ms < m.mid THEN cents ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN ms >= m.mid THEN cents ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM e CROSS JOIN mid m GROUP BY user_id, m.mid
+    ),
+    pooled AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM u
+    ),
+    th AS (
+        SELECT n, sx,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(nullif(n * sxx - sx * sx, 0) AS DOUBLE) AS theta
+        FROM pooled
+    ),
+    v AS (
+        SELECT variant, count(*) AS n_users,
+               CAST(sum(x) AS BIGINT) AS sx_v,
+               CAST(sum(y) AS BIGINT) AS sy_v
+        FROM u GROUP BY variant
+    )
+    SELECT v.variant, v.n_users,
+           CAST(v.sy_v AS DOUBLE) / CAST(v.n_users AS DOUBLE) AS mean_y,
+           CAST(v.sy_v AS DOUBLE) / CAST(v.n_users AS DOUBLE)
+             - t.theta * (CAST(v.sx_v AS DOUBLE) / CAST(v.n_users AS DOUBLE)
+                          - CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE))
+             AS adj_mean,
+           t.theta
+    FROM v CROSS JOIN th t
+    """,
+)
+def q_cuped(spark, sf_dir):
+    """CUPED variance reduction (Deng et al., WSDM 2013) — the standard
+    experimentation-platform adjustment: each unit's post-period metric
+    Y is shifted by theta*(X - mean(X)) using its PRE-period covariate
+    X, with theta = cov(X,Y)/var(X) pooled across variants. The
+    adjusted variant means keep the same expectation but shed the
+    pre-existing between-user variance (often 40-60% tighter CIs).
+    Periods split at the stream's time midpoint; variants by user
+    parity.
+
+    Determinism: X/Y are exact cents sums; the four pooled moments
+    accumulate as HUGEINT/DECIMAL(38,0) so theta's numerator and
+    denominator are exact integers and theta is ONE IEEE division
+    (degenerate var(X)=0 yields NULL on both engines). The adjusted
+    mean is the identical fixed sequence of IEEE ops on
+    integer-exact ratios — algebraically rearranged to per-variant
+    SUMS (mean(Y_v) - theta*(mean(X_v) - mean(X)) ), so no float is
+    ever summed across rows.
+
+    Scale: two hash aggregates (per-user, then per-variant) plus a
+    1-row pooled-moments relation broadcast back — the classic
+    map-side-combine shape; nothing is ever sorted or windowed.
+    """
+    from ..functions.time import epoch_ms
+
+    dec = "decimal(38,0)"
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            epoch_ms("ts").alias("ms"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    mid = e.agg(
+        (
+            (F.min("ms").cast("double") + F.max("ms").cast("double")) / 2.0
+        ).alias("mid")
+    )
+    u = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("user_id", (F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.sum(
+                F.when(F.col("ms") < F.col("mid"), F.col("cents")).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("ms") >= F.col("mid"), F.col("cents")).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    pooled = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    th = pooled.select(
+        "n",
+        "sx",
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "theta"
+        ),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("sx_v"),
+        F.sum("y").alias("sy_v"),
+    )
+    yv = F.col("sy_v").cast("double") / F.col("n_users").cast("double")
+    xv = F.col("sx_v").cast("double") / F.col("n_users").cast("double")
+    xg = F.col("sx").cast("double") / F.col("n").cast("double")
+    return v.crossJoin(F.broadcast(th)).select(
+        "variant",
+        "n_users",
+        yv.alias("mean_y"),
+        (yv - F.col("theta") * (xv - xg)).alias("adj_mean"),
+        "theta",
+    )
+
+
+# Poisson(1) CDF thresholds on the 2^28 grid of the md5-derived hash:
+# floor(cum_k * 2^28) for k = 0..5 (k>=6 keeps the ELSE weight 6).
+# Integer comparisons only — no float anywhere in the weight draw.
+_POIS_T = [98751885, 197503771, 246879713, 263338361, 267453023, 268275955]
+_BOOT_R = 32  # bootstrap replicates
+
+
+@query(
+    "q_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(0, {_BOOT_R})) AS r),
+    w AS (
+        SELECT r,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents,
+               CASE
+                 WHEN ('0x' || substr(md5(event_id || '_' || r), 1, 7))::BIGINT
+                      < {_POIS_T[0]} THEN 0
+                 WHEN ('0x' || substr(md5(event_id || '_' || r), 1, 7))::BIGINT
+                      < {_POIS_T[1]} THEN 1
+                 WHEN ('0x' || substr(md5(event_id || '_' || r), 1, 7))::BIGINT
+                      < {_POIS_T[2]} THEN 2
+                 WHEN ('0x' || substr(md5(event_id || '_' || r), 1, 7))::BIGINT
+                      < {_POIS_T[3]} THEN 3
+                 WHEN ('0x' || substr(md5(event_id || '_' || r), 1, 7))::BIGINT
+                      < {_POIS_T[4]} THEN 4
+                 WHEN ('0x' || substr(md5(event_id || '_' || r), 1, 7))::BIGINT
+                      < {_POIS_T[5]} THEN 5
+                 ELSE 6
+               END AS w
+        FROM events CROSS JOIN reps
+    )
+    SELECT r AS replicate,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * cents) AS BIGINT) AS sum_cents,
+           CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+             AS mean_cents
+    FROM w GROUP BY r
+    """,
+)
+def q_poisson_bootstrap(spark, sf_dir):
+    """Poisson bootstrap (Hanley & MacGibbon 2006; the streaming-scale
+    resampling used for massive-data confidence intervals): instead of
+    multinomial resampling — impossible without knowing N up front —
+    each row enters replicate r with weight ~ Poisson(1), drawn
+    DETERMINISTICALLY from the md5 hash of (event_id, r) via integer
+    CDF thresholds on the 2^28 grid. The 32 replicate means' spread is
+    the bootstrap SE of the mean; the replicate relation (32 rows of
+    exact integer sums + one division each) is the checkable core.
+
+    Determinism: the weight draw is pure integer comparison (no float
+    RNG), weighted sums sit on the cents grid, each replicate mean is
+    ONE division of two exact integers.
+
+    Scale: a 32-way row explosion (pure projection) followed by ONE
+    map-side-combined hash aggregate keyed by replicate —
+    embarrassingly parallel, no joins, no windows, no resample
+    materialization. This is exactly why Poisson beats multinomial
+    bootstrap on unbounded data.
+    """
+    from ..functions.keys import stable_id_hash
+
+    reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r")
+    base = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        reps,
+    )
+    h = stable_id_hash(F.col("event_id"), F.col("r"))
+    w = F.when(h < _POIS_T[0], 0)
+    for k, t in enumerate(_POIS_T[1:], start=1):
+        w = w.when(h < t, k)
+    w = w.otherwise(6)
+    return (
+        base.select(F.col("r").alias("replicate"), "cents", w.alias("w"))
+        .groupBy("replicate")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents")).alias("sum_cents"),
+        )
+        .withColumn(
+            "mean_cents",
+            F.col("sum_cents").cast("double") / F.col("n_eff").cast("double"),
+        )
+    )

@@ -79,6 +79,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_dsir_weights",
     "q_rfm",
     "q_kaplan_meier",
+    "q_cuped",
+    "q_poisson_bootstrap",
     # (b) code changed this round — need fresh green rows
     "q_auc",
     "q_pack_sequences",
@@ -96,14 +98,13 @@ DRIVER_PRIORITY: list[str] = [
     "q_doc_fingerprint",
     "q_equijoin",
     "q_grid_join",
-    "q_group_percentiles",
-    "q_having_semijoin",
 ]
-# Displaced by the twelve late-round-6 additions (q_linear_fit,
+# Displaced by the fourteen late-round-6 additions (q_linear_fit,
 # q_mutual_information, q_quantile_binning, q_gini_skew, q_conformal,
 # q_ks_test, q_psi, q_markov_transitions, q_attribution,
-# q_dsir_weights, q_rfm, q_kaplan_meier — a query with NO driver row
-# outranks refreshing an already-green one): q_intersect, q_islands,
+# q_dsir_weights, q_rfm, q_kaplan_meier, q_cuped, q_poisson_bootstrap —
+# a query with NO driver row outranks refreshing an already-green one):
+# q_group_percentiles, q_having_semijoin, q_intersect, q_islands,
 # q_lang_id, q_mutual_argmax, q_ngram_jaccard, q_rollup, q_semi_anti,
 # q_ship_priority, q_star_join, q_string_funcs, q_text_stats,
 # q_theta_argmax. Each keeps its r1 green row (and q_islands /

@@ -90,6 +90,8 @@ NESTED_LOOP_OK = {
     "q_kaplan_meier",  # 1-row totals broadcast onto the bounded
                        # distinct-duration relation (plus
                        # distributed_cumulative offsets joins)
+    "q_cuped",         # 1-row midpoint + 1-row pooled-moments (theta)
+                       # broadcasts onto users / the 2-variant relation
 }
 
 
