@@ -1129,6 +1129,14 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
             "monetary",
         )
+        # SEVEN consumers (3 edge derivations x 2 internal passes each
+        # + the assignment chain) re-run the orders scan + per-customer
+        # aggregate otherwise — materialize the |customers|-row
+        # relation once. At sf0.1 the wall time is unchanged (the query
+        # is bound by ~7 sequential job submissions, not compute), but
+        # at scale this converts 7 fact scans into 1 + 6 reads of a
+        # bounded relation (same rationale as q_eval_metrics's `picked`)
+        .localCheckpoint()
     )
     er = reference_edges(cust, "r_days", "o_custkey", n_bins=5)
     ef = reference_edges(cust, "freq", "o_custkey", n_bins=5)

@@ -763,6 +763,10 @@ def q_kaplan_meier(spark, sf_dir):
                 F.col("last_ms") < F.col("gmax") - F.lit(7776000000), 1
             ).otherwise(0).alias("ev"),
         )
+        # consumed by tot + pts (and pts by two distributed_cumulative
+        # passes) — materialize the per-customer relation once instead
+        # of re-running the orders scan + aggregate per consumer
+        .localCheckpoint()
     )
     tot = u.agg(F.count(F.lit(1)).alias("n"))
     pts = u.groupBy("t").agg(

@@ -494,3 +494,72 @@ def test_distributed_rank_matches_bare_window_at_5m(spark):
         .count()
     )
     assert mismatches == 0
+
+
+def test_grid_join_candidate_growth_and_exactness(spark):
+    """Spatial grid join at synthetic scale — the same candidate-
+    reduction argument the reference makes for its grid index
+    (tracking.py:455-459), measured for `grid_radius_join_1d`:
+
+    * exactness at 5k points against the brute-force theta join
+      (identical pair set);
+    * at constant spatial density (domain grows with N), the grid
+      join's examined-candidate count grows LINEARLY with N while
+      naive pairs grow quadratically — the candidate FRACTION of N^2/2
+      must fall by ~the corpus growth factor when N grows 8x.
+    """
+    from iceberg_tracking_spark.operators.joins import grid_radius_join_1d
+
+    radius = 8.0
+
+    def points(n: int):
+        # deterministic pseudo-uniform positions over [0, n): constant
+        # density ~1 point per unit regardless of corpus size
+        return spark.range(n).select(
+            F.col("id").alias("event_id"),
+            ((F.col("id") * 2654435761) % n).cast("double").alias("v"),
+        )
+
+    # exactness vs brute force at 5k
+    small = points(5_000)
+    got = grid_radius_join_1d(small, "v", radius).count()
+    a, b = small.alias("a"), small.alias("b")
+    want = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.abs(F.col("a.v") - F.col("b.v")) <= radius),
+        )
+        .count()
+    )
+    assert got == want and got > 0
+
+    # candidate growth at constant density: replicate the operator's
+    # pre-filter equi-join fan-in (cell size = radius, 3-cell reach)
+    def candidates(n: int) -> float:
+        df = points(n)
+        cell = F.floor(F.col("v") / radius).cast("long")
+        per_cell = df.select(cell.alias("c")).groupBy("c").agg(
+            F.count(F.lit(1)).alias("k")
+        )
+        # each point probes its own + 2 neighbor cells: fan-in =
+        # sum over cells of k_c * (k_{c-1} + k_c + k_{c+1})
+        w = per_cell.alias("x").join(
+            per_cell.alias("y"),
+            F.abs(F.col("x.c") - F.col("y.c")) <= 1,
+        )
+        row = w.agg(F.sum(F.col("x.k") * F.col("y.k")).alias("cand")).collect()[0]
+        return float(row["cand"])
+
+    n_small, n_big = 125_000, 1_000_000
+    c_s, c_b = candidates(n_small), candidates(n_big)
+    frac_s = c_s / (n_small * (n_small - 1) / 2)
+    frac_b = c_b / (n_big * (n_big - 1) / 2)
+    print(
+        f"\ngrid join: {n_small}: cand={c_s:.0f} ({frac_s:.5%} of naive); "
+        f"{n_big}: cand={c_b:.0f} ({frac_b:.6%})"
+    )
+    # linear growth: candidates per point stay ~constant (within 2x)
+    assert c_b / n_big < 2 * (c_s / n_small)
+    # quadratic denominator: the naive fraction must fall ~8x; allow 4x
+    assert frac_b < frac_s / 4
