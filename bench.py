@@ -113,6 +113,8 @@ EXTENDED = [
     "q_kaplan_meier",
     "q_cuped",
     "q_poisson_bootstrap",
+    "q_anova",
+    "q_chi2_independence",
 ]
 
 # Regression floor for the extended set: the first recorded sf0.1
@@ -201,6 +203,8 @@ EXTENDED_FLOOR_SEC = {
     # experimentation stats (first solo sf0.1 min-of-3 recordings)
     "q_cuped": 0.871,
     "q_poisson_bootstrap": 0.365,
+    "q_anova": 0.540,
+    "q_chi2_independence": 0.754,
 }
 
 

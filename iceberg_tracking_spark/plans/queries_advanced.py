@@ -1357,3 +1357,206 @@ def q_poisson_bootstrap(spark, sf_dir):
             F.col("sum_cents").cast("double") / F.col("n_eff").cast("double"),
         )
     )
+
+
+@query(
+    "q_anova",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(cents) AS HUGEINT) AS sx,
+               CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sxx
+        FROM s GROUP BY event_type
+    ),
+    arr AS (
+        SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS big_n,
+               CAST(sum(sx) AS HUGEINT) AS gx,
+               CAST(sum(sxx) AS HUGEINT) AS gxx,
+               list_reduce(
+                   list_prepend(0.0,
+                       list_transform(
+                           list_sort(list(struct_pack(
+                               event_type := event_type,
+                               sx := sx, n := n))),
+                           x -> CAST(x.sx AS DOUBLE) * CAST(x.sx AS DOUBLE)
+                                / CAST(x.n AS DOUBLE))),
+                   (a, b) -> a + b) AS between_raw
+        FROM g
+    ),
+    parts AS (
+        SELECT k, big_n,
+               between_raw
+                 - CAST(gx AS DOUBLE) * CAST(gx AS DOUBLE)
+                   / CAST(big_n AS DOUBLE) AS ssb,
+               CAST(gxx AS DOUBLE) - between_raw AS ssw
+        FROM arr
+    )
+    SELECT k, big_n, round(ssb, 4) AS ssb, round(ssw, 4) AS ssw,
+           round((ssb / (k - 1)) / (ssw / (big_n - k)), 6) AS f_stat
+    FROM parts
+    """,
+)
+def q_anova(spark, sf_dir):
+    """One-way ANOVA F-statistic across the five event types — does
+    mean value differ by group? SSB/SSW from per-group moments:
+    SSB = Σ S_g²/n_g − G²/N, SSW = ΣΣx² − Σ S_g²/n_g, F = (SSB/(k−1))
+    / (SSW/(N−k)). Completes the hypothesis-test family beside the
+    two-sample t (q_ab_test), KS (q_ks_test), and χ²-drift.
+
+    Determinism: all moments are exact HUGEINT/DECIMAL integers on the
+    cents grid; S_g²/n_g is one IEEE division per GROUP, and the only
+    cross-group float sum folds over the event_type-SORTED group list
+    (F.aggregate ↔ list_reduce, 0.0-seeded — the q_ewma idiom), so the
+    addition sequence is identical on both engines regardless of
+    partitioning; emitted sums round at 4dp, F at 6.
+
+    Scale: one map-side-combined aggregate to k rows; everything after
+    is k-row algebra.
+    """
+    dec = "decimal(38,0)"
+    s = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    g = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast(dec)).alias("sx"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents").cast(dec)).alias(
+            "sxx"
+        ),
+    )
+    # the only cross-group FLOAT reduction (Σ S_g²/n_g) rides the
+    # house deterministic-fold idiom (F.aggregate ↔ DuckDB list_reduce
+    # over the event_type-sorted group list, 0.0-seeded) — a plain
+    # SUM's combine order varies with partitioning, and at these
+    # magnitudes the ulp exceeds the 4dp rounding grid
+    arr = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("big_n"),
+        F.sum("sx").alias("gx"),
+        F.sum("sxx").alias("gxx"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("event_type", "sx", "n"))
+                ),
+                lambda x: x["sx"].cast("double")
+                * x["sx"].cast("double")
+                / x["n"].cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("between_raw"),
+    )
+    parts = arr.select(
+        "k",
+        "big_n",
+        (
+            F.col("between_raw")
+            - F.col("gx").cast("double")
+            * F.col("gx").cast("double")
+            / F.col("big_n").cast("double")
+        ).alias("ssb"),
+        (F.col("gxx").cast("double") - F.col("between_raw")).alias("ssw"),
+    )
+    return parts.select(
+        "k",
+        "big_n",
+        F.round("ssb", 4).alias("ssb"),
+        F.round("ssw", 4).alias("ssw"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("big_n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "q_chi2_independence",
+    oracle="""
+    WITH cell AS (
+        SELECT o_orderpriority AS prio, o_orderstatus AS status,
+               count(*) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    rx AS (SELECT prio, CAST(sum(o) AS BIGINT) AS r FROM cell GROUP BY prio),
+    cy AS (
+        SELECT status, CAST(sum(o) AS BIGINT) AS s FROM cell GROUP BY status
+    ),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cell)
+    SELECT cell.prio, cell.status, cell.o,
+           round(CAST(CAST(r.r AS HUGEINT) * c2.s AS DOUBLE)
+                 / CAST(t.n AS DOUBLE), 6) AS expected,
+           round(CAST((CAST(cell.o AS HUGEINT) * t.n
+                       - CAST(r.r AS HUGEINT) * c2.s) AS DOUBLE)
+                 * CAST((CAST(cell.o AS HUGEINT) * t.n
+                         - CAST(r.r AS HUGEINT) * c2.s) AS DOUBLE)
+                 / (CAST(CAST(r.r AS HUGEINT) * c2.s AS DOUBLE)
+                    * CAST(CAST(t.n AS HUGEINT) * t.n AS DOUBLE)
+                    / CAST(t.n AS DOUBLE)), 6) AS chi2_term
+    FROM cell
+    JOIN rx r USING (prio)
+    JOIN cy c2 USING (status)
+    CROSS JOIN tot t
+    """,
+)
+def q_chi2_independence(spark, sf_dir):
+    """Pearson chi-squared test of independence over the (priority x
+    status) contingency table — the frequency-domain dual of
+    q_mutual_information's information-theoretic view. Per cell:
+    expected E = r*s/N and the term (O−E)²/E, algebraically cleared to
+    (O*N − r*s)² / (r*s*N) so numerator and denominator are EXACT
+    integers (widened to DECIMAL/HUGEINT); sum of chi2_term = the χ²
+    statistic with (|prio|−1)(|status|−1) dof.
+
+    Scale: identical shape to q_mutual_information — one hash
+    aggregate to the bounded contingency table, marginals re-derived
+    from it, broadcast join-backs.
+    """
+    dec = "decimal(38,0)"
+    cell = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .groupBy("prio", "status")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rx = cell.groupBy("prio").agg(F.sum("o").alias("r"))
+    cy = cell.groupBy("status").agg(F.sum("o").alias("s"))
+    tot = cell.agg(F.sum("o").alias("n"))
+    rs = F.col("r").cast(dec) * F.col("s").cast(dec)
+    on = F.col("o").cast(dec) * F.col("n").cast(dec)
+    num = on - rs
+    return (
+        cell.join(F.broadcast(rx), "prio")
+        .join(F.broadcast(cy), "status")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prio",
+            "status",
+            "o",
+            F.round(
+                rs.cast("double") / F.col("n").cast("double"), 6
+            ).alias("expected"),
+            F.round(
+                num.cast("double")
+                * num.cast("double")
+                / (
+                    rs.cast("double")
+                    * (F.col("n").cast(dec) * F.col("n").cast(dec)).cast(
+                        "double"
+                    )
+                    / F.col("n").cast("double")
+                ),
+                6,
+            ).alias("chi2_term"),
+        )
+    )

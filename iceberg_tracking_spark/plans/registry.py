@@ -81,6 +81,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_kaplan_meier",
     "q_cuped",
     "q_poisson_bootstrap",
+    "q_anova",
+    "q_chi2_independence",
     # (b) code changed this round — need fresh green rows
     "q_auc",
     "q_pack_sequences",
@@ -96,20 +98,19 @@ DRIVER_PRIORITY: list[str] = [
     "q_dedup_exact",
     "q_dedup_rank",
     "q_doc_fingerprint",
-    "q_equijoin",
-    "q_grid_join",
 ]
-# Displaced by the fourteen late-round-6 additions (q_linear_fit,
+# Displaced by the sixteen late-round-6 additions (q_linear_fit,
 # q_mutual_information, q_quantile_binning, q_gini_skew, q_conformal,
 # q_ks_test, q_psi, q_markov_transitions, q_attribution,
-# q_dsir_weights, q_rfm, q_kaplan_meier, q_cuped, q_poisson_bootstrap —
-# a query with NO driver row outranks refreshing an already-green one):
+# q_dsir_weights, q_rfm, q_kaplan_meier, q_cuped, q_poisson_bootstrap,
+# q_anova, q_chi2_independence — a query with NO driver row outranks
+# refreshing an already-green one): q_equijoin, q_grid_join,
 # q_group_percentiles, q_having_semijoin, q_intersect, q_islands,
 # q_lang_id, q_mutual_argmax, q_ngram_jaccard, q_rollup, q_semi_anti,
 # q_ship_priority, q_star_join, q_string_funcs, q_text_stats,
-# q_theta_argmax. Each keeps its r1 green row (and q_islands /
-# q_rollup / q_star_join / q_theta_argmax run in every bench); they
-# rotate back next round.
+# q_theta_argmax. Each keeps its r1 green row (and q_equijoin /
+# q_grid_join / q_islands / q_rollup / q_star_join / q_theta_argmax
+# run in every bench); they rotate back next round.
 # The 11 feature/eval/decomposition queries added later in round 6 take
 # the slots the r3-cohort refreshes (q_minhash_lsh, q_ann_lsh,
 # q_asof_join, q_orderby, q_token_count, q_tiling, q_embedding_neardup)

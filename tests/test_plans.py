@@ -92,6 +92,9 @@ NESTED_LOOP_OK = {
                        # distributed_cumulative offsets joins)
     "q_cuped",         # 1-row midpoint + 1-row pooled-moments (theta)
                        # broadcasts onto users / the 2-variant relation
+    "q_chi2_independence",  # 1-row contingency total broadcast onto the
+                            # |X|*|Y|-cell relation (q_mutual_information
+                            # twin)
 }
 
 
