@@ -129,11 +129,11 @@ EXTENDED_FLOOR_SEC = {
     # reshape (min-of-5 solo recording)
     "q_pagerank": 3.456,
     "q_interval_join": 0.884,
-    "q_fuzzy_match": 1.097,
-    "q_char_entropy": 0.619,
-    "q_hll": 0.599,
-    "q_count_min": 1.246,
-    "q_image_decode": 2.189,
+    "q_fuzzy_match": 0.521,
+    "q_char_entropy": 0.592,
+    "q_hll": 0.501,
+    "q_count_min": 0.866,
+    "q_image_decode": 0.478,
     "q_rrf_fusion": 1.999,
     # round-5 families: first sf0.1 min-of-3 recordings (local run).
     # q_auc / q_pack_sequences / q_curriculum re-floored in r6: the
@@ -142,7 +142,7 @@ EXTENDED_FLOOR_SEC = {
     # bucket ids are plan constants — correctness at multi-executor
     # scale, bought with one extra job submission per call, which at
     # sf0.1 is mostly fixed scheduling overhead.
-    "q_auc": 0.755,
+    "q_auc": 0.669,
     "q_pack_sequences": 0.885,
     "q_pack_sequences_sharded": 0.260,
     "q_histogram_quantiles": 0.445,
@@ -157,7 +157,7 @@ EXTENDED_FLOOR_SEC = {
     # round-6 metric family: first sf0.1 min-of-3 recordings (solo,
     # min over two back-to-back bench runs that themselves spanned a
     # 23% environment swing — see README "Performance")
-    "q_average_precision": 0.989,
+    "q_average_precision": 0.842,
     "q_eval_identity": 2.739,
     "q_eval_combined": 3.556,
     # round-6 second wave: first solo sf0.1 min-of-3 recordings
@@ -166,7 +166,7 @@ EXTENDED_FLOOR_SEC = {
     "q_bloom_pruned_join": 1.380,
     "q_neardup_gate": 1.054,
     "q_classifier_score": 0.535,
-    "q_chunk_documents": 0.341,
+    "q_chunk_documents": 0.321,
     "q_retrieval_metrics": 0.992,
     "q_ann_ivf_recall": 0.709,
     # round-6 third wave (first solo sf0.1 recording, min-of-3)
@@ -174,7 +174,7 @@ EXTENDED_FLOOR_SEC = {
     "q_feature_hashing": 0.463,
     "q_lag_features": 0.125,
     "q_item_cooccurrence": 2.048,
-    "q_reliability_ece": 1.201,
+    "q_reliability_ece": 0.916,
     "q_merge_upsert": 0.278,
     "q_shortest_path": 2.359,
     "q_l_diversity": 0.664,
@@ -192,19 +192,19 @@ EXTENDED_FLOOR_SEC = {
     "q_conformal": 0.869,
     "q_ks_test": 0.802,
     "q_psi": 1.295,
-    "q_markov_transitions": 0.482,
-    "q_attribution": 0.427,
-    "q_dsir_weights": 1.267,
+    "q_markov_transitions": 0.45,
+    "q_attribution": 0.418,
+    "q_dsir_weights": 1.088,
     # RFM + Kaplan-Meier: first solo sf0.1 min-of-3 recordings (three
     # resp. two distributed_cumulative passes over bounded relations —
     # the cost is fixed job overhead, not data volume)
-    "q_rfm": 2.682,
-    "q_kaplan_meier": 2.688,
+    "q_rfm": 1.432,
+    "q_kaplan_meier": 1.759,
     # experimentation stats (first solo sf0.1 min-of-3 recordings)
-    "q_cuped": 0.871,
-    "q_poisson_bootstrap": 0.365,
-    "q_anova": 0.540,
-    "q_chi2_independence": 0.754,
+    "q_cuped": 0.461,
+    "q_poisson_bootstrap": 0.316,
+    "q_anova": 0.262,
+    "q_chi2_independence": 0.326,
 }
 
 

@@ -36,14 +36,16 @@ QUERIES: dict[str, QueryDef] = {}
 # inside that window, so ordering is explicit: names listed here come
 # first (in this order), everything else follows in registration order.
 # Round 6 rotation (r5 verdict task #3): (a) new queries needing a
-# first driver row, (b) queries whose CODE changed this round — the
-# distributed_cumulative internals (boundaries now collected once and
-# inlined as plan constants), the media-features std closed form, and
-# the type-correlation zero-denominator guard, (c) the entire r1
-# cohort — the 28 queries whose LATEST green driver row still dates
-# from round 1 — so no query's newest driver evidence ages past ~3
-# rounds, (d) the oldest r3-cohort entries filling the window to
-# exactly 50. Everything r4/r5-green stays out — its evidence stands.
+# first driver row — 50 of the round's additions, which by the "no
+# driver row outranks refreshing a green one" rule consumed most of
+# the window as the round added operators, (b) queries whose CODE
+# changed this round — the distributed_cumulative internals (boundary
+# literalization, then the log-depth bucket tree: every rank-based
+# query in (a)/(b) covers that change), the media-features std closed
+# form, and the type-correlation zero-denominator guard, (c) whatever
+# part of the r1-stale cohort still fit. Displaced refreshes are
+# enumerated below; they rotate back next round. Everything
+# r4/r5-green stays out — its evidence stands.
 DRIVER_PRIORITY: list[str] = [
     # (a) new this round — first driver check
     "q_average_precision",
