@@ -876,7 +876,7 @@ def q_ks_test(spark, sf_dir):
     cells = s.groupBy("cents").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
-    )
+    ).localCheckpoint()  # consumed by the rank pass (x2 internally) + tot
     cum = distributed_cumulative(
         cells, ["cents"], agg_col=["c1", "c2"], out_col=["f1", "f2"]
     )
@@ -1239,6 +1239,10 @@ def q_cuped(spark, sf_dir):
                 F.when(F.col("ms") >= F.col("mid"), F.col("cents")).otherwise(0)
             ).alias("y"),
         )
+        # consumed by `pooled` AND `v` — materialize the bounded
+        # per-user relation once instead of re-scanning the events
+        # fact per consumer (house multi-consumer rule)
+        .localCheckpoint()
     )
     pooled = u.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1528,6 +1532,9 @@ def q_chi2_independence(spark, sf_dir):
         )
         .groupBy("prio", "status")
         .agg(F.count(F.lit(1)).alias("o"))
+        # four consumers (marginals x2, total, final join) — one scan
+        # of the fact, then reads of the |prio|x|status|-row relation
+        .localCheckpoint()
     )
     rx = cell.groupBy("prio").agg(F.sum("o").alias("r"))
     cy = cell.groupBy("status").agg(F.sum("o").alias("s"))

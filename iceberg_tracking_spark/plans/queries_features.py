@@ -794,6 +794,9 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("prio", "status")
         .agg(F.count(F.lit(1)).alias("c"))
+        # four consumers (marginals x2, total, final join) — one scan
+        # of the fact, then reads of the |prio|x|status|-row relation
+        .localCheckpoint()
     )
     rx = cell.groupBy("prio").agg(F.sum("c").alias("r"))
     cy = cell.groupBy("status").agg(F.sum("c").alias("s"))

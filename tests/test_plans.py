@@ -114,11 +114,40 @@ def test_driver_priority_queries_in_checked_window():
     assert not outside, f"priority queries pushed past the checked window: {outside}"
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _transparent_checkpoints():
+    """Make localCheckpoint a no-op while building plans under test.
+
+    Several queries materialize bounded multi-consumer relations with
+    `.localCheckpoint()` (q_eval_metrics's `picked`, the per-customer
+    aggregates in q_rfm / q_kaplan_meier / q_cuped, the contingency
+    cells in q_chi2_independence / q_mutual_information / q_ks_test).
+    A checkpoint truncates the physical plan to `Scan ExistingRDD`, so
+    the guards would silently stop seeing the upstream scan + join +
+    aggregate shape — a future regression there (a dropped broadcast
+    hint degrading to CartesianProduct, a new single-partition funnel)
+    could no longer fail CI. Patching the checkpoint to identity keeps
+    the FULL lineage visible to every plan assertion (and skips the
+    eager materialization jobs, making plan tests cheaper)."""
+    from pyspark.sql import DataFrame
+
+    orig = DataFrame.localCheckpoint
+    DataFrame.localCheckpoint = lambda self, eager=True: self
+    try:
+        yield
+    finally:
+        DataFrame.localCheckpoint = orig
+
+
 def _plan(spark, sf_dir, name: str) -> str:
-    df = QUERIES[name].fn(spark, sf_dir)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
+    with _transparent_checkpoints():
+        df = QUERIES[name].fn(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
     return buf.getvalue()
 
 
@@ -185,8 +214,9 @@ def test_no_single_partition_funnel(spark, sf_dir, name):
     r4 offenders (q_auc's global rank window, q_pack_sequences' global
     cumsum) were rewritten onto `distributed_cumulative`, and this
     guard keeps the class extinct."""
-    df = QUERIES[name].fn(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    with _transparent_checkpoints():
+        df = QUERIES[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
     funnels = _single_partition_funnels(plan)
     assert not funnels, (
         f"{name} funnels a full relation through a single partition: "

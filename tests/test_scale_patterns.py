@@ -543,12 +543,21 @@ def test_grid_join_candidate_growth_and_exactness(spark):
             F.count(F.lit(1)).alias("k")
         )
         # each point probes its own + 2 neighbor cells: fan-in =
-        # sum over cells of k_c * (k_{c-1} + k_c + k_{c+1})
-        w = per_cell.alias("x").join(
-            per_cell.alias("y"),
-            F.abs(F.col("x.c") - F.col("y.c")) <= 1,
+        # sum over cells of k_c * (k_{c-1} + k_c + k_{c+1}) — computed
+        # with the SAME explode+equi-join shape as the operator itself
+        # (a |x.c - y.c| <= 1 theta join would be quadratic in cell
+        # count: ~1.6e10 predicate evaluations at 1M points)
+        probes = per_cell.select(
+            F.col("k").alias("kx"),
+            F.explode(
+                F.array(F.col("c") - 1, F.col("c"), F.col("c") + 1)
+            ).alias("c"),
         )
-        row = w.agg(F.sum(F.col("x.k") * F.col("y.k")).alias("cand")).collect()[0]
+        row = (
+            probes.join(per_cell, "c")
+            .agg(F.sum(F.col("kx") * F.col("k")).alias("cand"))
+            .collect()[0]
+        )
         return float(row["cand"])
 
     n_small, n_big = 125_000, 1_000_000
