@@ -469,13 +469,16 @@ def q_track(spark, sf_dir):
     from ..tracker.batch import TrackerConfig, track_sequences
 
     ev = load_table(spark, sf_dir, "events")
-    # Dense consecutive frame axis: dense_rank over the distinct hour
-    # index. Global window, but on the tiny distinct-hours relation —
-    # the time axis has bounded cardinality at any data scale.
+    # Dense consecutive frame axis: global rank over the distinct hour
+    # index (row_number on a distinct relation ≡ dense_rank). The
+    # relation is bounded by the calendar, but the rank still rides
+    # `distributed_cumulative` so even the fixture builder carries no
+    # single-partition exchange (the plan-guard sweep sees through the
+    # tracker checkpoint since r6).
+    from ..operators.windows import distributed_cumulative
+
     hours = ev.select(frame_id("ts").alias("h")).distinct()
-    frames = hours.select(
-        F.dense_rank().over(Window.orderBy("h")).alias("f")
-    )
+    frames = distributed_cumulative(hours, ["h"], out_col="f").select("f")
     seqs = ev.select((F.col("event_id") % 4).cast("string").alias("sequence")).distinct()
     objs = ev.select((F.col("event_id") % 8).alias("k")).distinct()
     det = (

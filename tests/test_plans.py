@@ -95,6 +95,10 @@ NESTED_LOOP_OK = {
     "q_chi2_independence",  # 1-row contingency total broadcast onto the
                             # |X|*|Y|-cell relation (q_mutual_information
                             # twin)
+    "q_track",       # contract-fixture builder: frames x 4 sequences x
+                     # 8 objects cross fan-out — bounded literal-sized
+                     # sides (visible since the guards see through the
+                     # tracker's localCheckpoint)
 }
 
 
@@ -132,14 +136,31 @@ def _transparent_checkpoints():
     could no longer fail CI. Patching the checkpoint to identity keeps
     the FULL lineage visible to every plan assertion (and skips the
     eager materialization jobs, making plan tests cheaper)."""
-    from pyspark.sql import DataFrame
+    # Spark 4 dispatches instance methods to the CONCRETE class
+    # (pyspark.sql.classic.dataframe.DataFrame overrides the public
+    # pyspark.sql.DataFrame) — patch every class that defines the
+    # method in its own __dict__, else the patch silently misses.
+    import pyspark.sql
 
-    orig = DataFrame.localCheckpoint
-    DataFrame.localCheckpoint = lambda self, eager=True: self
+    classes = [pyspark.sql.DataFrame]
+    try:
+        import pyspark.sql.classic.dataframe as _cdf
+
+        classes.append(_cdf.DataFrame)
+    except ImportError:  # pre-4.0 layout
+        pass
+    originals = [
+        (c, c.__dict__["localCheckpoint"])
+        for c in classes
+        if "localCheckpoint" in c.__dict__
+    ]
+    for c, _ in originals:
+        c.localCheckpoint = lambda self, *a, **k: self
     try:
         yield
     finally:
-        DataFrame.localCheckpoint = orig
+        for c, orig in originals:
+            c.localCheckpoint = orig
 
 
 def _plan(spark, sf_dir, name: str) -> str:
