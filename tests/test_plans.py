@@ -46,6 +46,9 @@ NESTED_LOOP_OK = {
     "q_global_norm",       # global max (1 row) broadcast to all rows
     "q_bm25",              # 1-row corpus stats (N, avgdl) broadcast to tf rows
     "q_eval_metrics",      # scalar metric components combined (1-row sides)
+    "q_eval_identity",     # same class: per-sequence CLR_TP scalars
+                           # combined (1-row-per-sequence sides; visible
+                           # since guards see through the checkpoints)
     "q_funnel",            # three 1-row stage counts combined into one row
     "q_hll",               # 1-row estimate x 1-row exact-distinct combine
     "q_join_size_estimate",  # 1-row exact x 1-row estimate combine
