@@ -477,7 +477,9 @@ def q_track(spark, sf_dir):
     # tracker checkpoint since r6).
     from ..operators.windows import distributed_cumulative
 
-    hours = ev.select(frame_id("ts").alias("h")).distinct()
+    # materialized: distributed_cumulative consumes `hours` in three
+    # subtrees (bounds job, window, totals) — one events scan, not three
+    hours = ev.select(frame_id("ts").alias("h")).distinct().localCheckpoint()
     frames = distributed_cumulative(hours, ["h"], out_col="f").select("f")
     seqs = ev.select((F.col("event_id") % 4).cast("string").alias("sequence")).distinct()
     objs = ev.select((F.col("event_id") % 8).alias("k")).distinct()

@@ -36,7 +36,7 @@ QUERIES: dict[str, QueryDef] = {}
 # inside that window, so ordering is explicit: names listed here come
 # first (in this order), everything else follows in registration order.
 # Round 6 rotation (r5 verdict task #3): (a) new queries needing a
-# first driver row — 50 of the round's additions, which by the "no
+# first driver row — 37 of the round's additions, which by the "no
 # driver row outranks refreshing a green one" rule consumed most of
 # the window as the round added operators, (b) queries whose CODE
 # changed this round — the distributed_cumulative internals (boundary
