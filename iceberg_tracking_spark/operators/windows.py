@@ -111,6 +111,7 @@ def distributed_cumulative(
     out_col: str | list[str] = "_gcum",
     exclusive: bool = False,
     n_parts: int | None = None,
+    validate_keys: bool = False,
 ) -> DataFrame:
     """Global-order ranking/running-sum WITHOUT a single-partition window.
 
@@ -156,7 +157,14 @@ def distributed_cumulative(
     bit-identical to the bare global window. The first order column
     must be numeric and non-null (it is bucketed through a double
     cast); heavy ties on it concentrate in one bucket — give it the
-    cardinality, leave tie-breaks to the rest.
+    cardinality, leave tie-breaks to the rest. The non-null
+    precondition is NOT self-enforcing: a NULL key would silently
+    route to bucket 0 (lowest ranks under asc-nulls-first) instead of
+    failing. Pass `validate_keys=True` to add an `assert_true` guard
+    that fails the job loudly on the first NULL key — off by default
+    so production plans carry no extra per-row predicate when the
+    caller has already proven non-nullness (e.g. ranks over a
+    generated id or a NOT NULL source column).
 
     Cost note: the boundary collect is one extra column-pruned job per
     call (the price of plan-constant boundaries). At bench scale that
@@ -174,6 +182,25 @@ def distributed_cumulative(
     if agg_cols and len(agg_cols) != len(out_cols):
         raise ValueError("agg_col and out_col lists must align")
     first = F.col(order_cols[0]).cast("double")
+
+    def _guard(pid_expr):
+        # Fold the NULL-key assert INTO the consumed _pid expression —
+        # a standalone check column would be pruned by Catalyst and
+        # never evaluate. assert_true raises per-row on a NULL key;
+        # otherwise the branch is dead and _pid is unchanged.
+        if not validate_keys:
+            return pid_expr
+        return F.when(
+            F.col(order_cols[0]).isNull(),
+            F.assert_true(
+                F.lit(False),
+                F.lit(
+                    f"distributed_cumulative: NULL in first order column "
+                    f"'{order_cols[0]}' (precondition: non-null)"
+                ),
+            ).cast("int"),
+        ).otherwise(pid_expr)
+
     qs = [i / n_parts for i in range(1, n_parts)]
     # accuracy ~100x the boundary count: boundaries only steer BALANCE
     # (correctness never depends on where they fall), so the cheaper
@@ -205,9 +232,9 @@ def distributed_cumulative(
                 .otherwise(_bst(lo, mid))
             )
 
-        ranged = df.withColumn("_pid", _bst(0, len(bounds)))
+        ranged = df.withColumn("_pid", _guard(_bst(0, len(bounds))))
     else:  # empty input: one bucket, nothing to rank
-        ranged = df.withColumn("_pid", F.lit(0))
+        ranged = df.withColumn("_pid", _guard(F.lit(0)))
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     if not agg_cols:
         local = ranged.withColumn("_loc0", F.row_number().over(w).cast("long"))

@@ -39,6 +39,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session while DuckDB reads naive-as-UTC. Pin UTC unconditionally
     # — not only for events — so q_rfm / q_kaplan_meier / any
     # order-date arithmetic is caller-tz-independent.
+    #
+    # PUBLIC SIDE EFFECT (documented in README "Session configuration"):
+    # this mutates the caller's SparkSession for the session's lifetime.
+    # A caller who deliberately runs non-UTC gets a one-time warning so
+    # the override is never silent.
+    prior_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if prior_tz not in (None, "UTC") and not getattr(load_table, "_tz_warned", False):
+        import warnings
+
+        warnings.warn(
+            f"load_table pins spark.sql.session.timeZone=UTC for NTZ-parquet "
+            f"correctness, overriding the session's '{prior_tz}' for the rest "
+            "of this SparkSession (see README: Session configuration)",
+            stacklevel=2,
+        )
+        load_table._tz_warned = True
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -47,13 +47,18 @@ def make_drift_merge_fn(
     so collecting it and re-emitting a literal relation keeps each
     batch O(delta)."""
 
-    edge_vals = [r["edge"] for r in edges.select("edge").collect()]
+    edge_proj = edges.select("edge")
+    # Re-emit with the SOURCE's edge type: a double/decimal feature
+    # column must stay double/decimal, or bucketing at the first
+    # micro-batch would mistype (or createDataFrame would raise).
+    edge_schema = edge_proj.schema
+    edge_vals = [r["edge"] for r in edge_proj.collect()]
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= table.last_txn(app_id):
             return  # redelivered batch: already committed, skip
         frozen = batch_df.sparkSession.createDataFrame(
-            [(v,) for v in edge_vals], "edge BIGINT"
+            [(v,) for v in edge_vals], edge_schema
         )
         delta = bin_counts_by_edges(
             batch_df, frozen, value_col, key_col, out="n_cur"

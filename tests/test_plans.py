@@ -241,10 +241,15 @@ def _single_partition_funnels(plan: str) -> list[str]:
             # HashAggregate(keys=[], functions=[], output=[]) (no
             # "partial_" text when the scan reads no columns) — one
             # empty row per upstream partition crosses, bounded by
-            # construction like any scalar-agg partial.
+            # construction like any scalar-agg partial. functions=[]
+            # is REQUIRED: a keys=[] partial with a non-empty function
+            # list (e.g. a global collect_list) carries the whole
+            # relation in one buffer row and must NOT be exempted.
             or (
                 i + 1 < len(lines)
-                and re.search(r"HashAggregate\(keys=\[\],", lines[i + 1])
+                and re.search(
+                    r"HashAggregate\(keys=\[\], functions=\[\]", lines[i + 1]
+                )
             )
         ):
             continue
@@ -424,6 +429,13 @@ def test_bench_headline_queries_registered():
     assert not missing, f"bench HEADLINE references unknown queries: {missing}"
     missing_ext = [n for n in bench.EXTENDED if n not in QUERIES]
     assert not missing_ext, f"bench EXTENDED references unknown queries: {missing_ext}"
+    # Every benched query carries a regression floor (r6 verdict: the
+    # headline set lacked the extended set's mechanical >2x flag, so
+    # q_grid_join's two-round drift needed manual delta-reading).
+    unfloored = [n for n in bench.HEADLINE if n not in bench.HEADLINE_FLOOR_SEC]
+    assert not unfloored, f"HEADLINE queries without a floor: {unfloored}"
+    unfloored_ext = [n for n in bench.EXTENDED if n not in bench.EXTENDED_FLOOR_SEC]
+    assert not unfloored_ext, f"EXTENDED queries without a floor: {unfloored_ext}"
 
 
 def test_scatter_flag_disables_repartition(spark):

@@ -466,6 +466,39 @@ def test_distributed_cumulative_empty_and_single_row(spark):
     assert got[0]["c"] == 0
 
 
+def test_distributed_cumulative_validate_keys_rejects_null(spark):
+    """The documented non-null precondition on the first order column
+    fails LOUDLY under validate_keys=True (a NULL would otherwise route
+    silently to bucket 0 and take the lowest ranks), and stays green on
+    clean input with identical ranks to the unvalidated plan."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from iceberg_tracking_spark.operators.windows import distributed_cumulative
+
+    clean = spark.createDataFrame(
+        [(i % 5, i) for i in range(50)], "k long, id long"
+    )
+    base = {
+        (r["k"], r["id"]): r["r"]
+        for r in distributed_cumulative(clean, ["k", "id"], out_col="r").collect()
+    }
+    checked = {
+        (r["k"], r["id"]): r["r"]
+        for r in distributed_cumulative(
+            clean, ["k", "id"], out_col="r", validate_keys=True
+        ).collect()
+    }
+    assert checked == base
+    dirty = spark.createDataFrame(
+        [(1, 0), (None, 1), (2, 2)], "k long, id long"
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL in first order column"):
+        distributed_cumulative(
+            dirty, ["k", "id"], out_col="r", validate_keys=True
+        ).collect()
+
+
 def test_histogram_quantiles_empty_histogram(spark):
     """hist_quantiles over an empty sketch returns no rows (never a
     divide-by-zero or a NULL-bin estimate)."""
