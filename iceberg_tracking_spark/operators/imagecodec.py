@@ -124,3 +124,196 @@ def draw_box(
     if 0 <= left + width - 1 < w:
         out[t : b + 1, left + width - 1] = value
     return out
+
+
+# --------------------------------------------------------------- PNG
+# Pure-stdlib PNG (zlib inflate + numpy scanline unfiltering) — closes
+# the compressed-codec gap for the most common training-data image
+# format without PIL/cv2 (the reference consumes compressed imagery:
+# embedding.py:234-250 PIL loads, detection.py:1333 cv2). Supported:
+# 8-bit greyscale (color type 0) and RGB (type 2), non-interlaced —
+# the shapes a curated training corpus actually ships. decode handles
+# ANY conformant deflate stream (zlib.decompress); encode emits
+# STORE-mode deflate blocks so the filtered scanline bytes sit at
+# fixed offsets — which is what lets the DuckDB oracle re-derive the
+# decode byte-by-byte from hex (q_png_decode), same discipline as the
+# WAV oracle.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def is_png(data: bytes) -> bool:
+    return data[:8] == PNG_SIG
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + zlib.crc32(tag + body).to_bytes(4, "big")
+    )
+
+
+def _zlib_stored(raw: bytes) -> bytes:
+    """A valid zlib stream using only STORE-mode deflate blocks: 2-byte
+    header, [final, len, ~len] + raw per ≤65535-byte block, adler32.
+    Byte-transparent on purpose — the payload is readable at fixed
+    offsets without inflating, which the SQL oracle exploits."""
+    import zlib
+
+    out = bytearray(b"\x78\x01")
+    pos, n = 0, len(raw)
+    while True:
+        chunk = raw[pos : pos + 65535]
+        pos += len(chunk)
+        final = 1 if pos >= n else 0
+        out += bytes([final])
+        out += len(chunk).to_bytes(2, "little")
+        out += (0xFFFF ^ len(chunk)).to_bytes(2, "little")
+        out += chunk
+        if final:
+            break
+    out += zlib.adler32(raw).to_bytes(4, "big")
+    return bytes(out)
+
+
+def _paeth_pred(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9, filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(mat: np.ndarray, filter_cycle: bool = True) -> bytes:
+    """(h, w) or (h, w, 3) uint8 → PNG bytes.
+
+    `filter_cycle=True` filters row r with type r % 5 — deliberately
+    exercising ALL five filter types (None/Sub/Up/Average/Paeth) so a
+    decoder roundtrip (and the SQL oracle) pins every unfilter path,
+    not just the trivial one. Deflate is STORE-mode (no compression):
+    real PNG per the spec, chosen for byte-addressability over size.
+    """
+    m = np.ascontiguousarray(mat, dtype=np.uint8)
+    if m.ndim == 2:
+        color_type, bpp = 0, 1
+        rows = m[:, :, None]
+    elif m.ndim == 3 and m.shape[2] == 3:
+        color_type, bpp = 2, 3
+        rows = m
+    else:
+        raise ValueError(f"PNG encode supports (h,w) or (h,w,3); got {m.shape}")
+    h, w = rows.shape[:2]
+    raw = bytearray()
+    zero = np.zeros((w, bpp), dtype=np.int32)
+    for r in range(h):
+        cur = rows[r].astype(np.int32)
+        prev = rows[r - 1].astype(np.int32) if r > 0 else zero
+        t = r % 5 if filter_cycle else 0
+        left = np.vstack([np.zeros((1, bpp), np.int32), cur[:-1]])
+        ul = np.vstack([np.zeros((1, bpp), np.int32), prev[:-1]])
+        if t == 0:
+            filt = cur
+        elif t == 1:
+            filt = cur - left
+        elif t == 2:
+            filt = cur - prev
+        elif t == 3:
+            filt = cur - (left + prev) // 2
+        else:  # Paeth — vectorized: predictors read ORIGINAL bytes
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = cur - pred
+        raw.append(t)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib_stored(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w) uint8 (grey) or (h, w, 3) uint8 (RGB).
+
+    Full chunk walk + zlib inflate (ANY deflate stream, not just the
+    store-mode our encoder emits) + scanline unfiltering. None/Up/Sub
+    unfilter vectorized (Sub is a per-lane cumsum mod 256); Average
+    and Paeth carry a true byte recurrence on the reconstructed left
+    neighbor, so those rows run a per-byte loop — bounded by row
+    width, and only for rows that actually used filters 3/4.
+    """
+    import zlib
+
+    if not is_png(data):
+        raise ValueError("not a PNG (missing signature)")
+    pos, idat, ihdr = 8, bytearray(), None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln  # len + tag + body + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8 or color_type not in (0, 2) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape (depth={depth}, color={color_type}, "
+            f"interlace={interlace}): 8-bit grey/RGB non-interlaced only"
+        )
+    bpp = 1 if color_type == 0 else 3
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.int32)
+    for r in range(h):
+        row = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
+        t, filt = row[0], np.frombuffer(row[1:], np.uint8).astype(np.int32)
+        prev = out[r - 1] if r > 0 else np.zeros(stride, np.int32)
+        if t == 0:
+            rec = filt
+        elif t == 2:
+            rec = (filt + prev) % 256
+        elif t == 1:  # Sub: per-lane prefix sum mod 256
+            rec = np.empty(stride, np.int32)
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(filt[lane::bpp]) % 256
+        elif t in (3, 4):
+            rec = np.empty(stride, np.int32)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                up = int(prev[i])
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                pred = (
+                    (left + up) // 2 if t == 3 else _paeth_pred(left, up, ul)
+                )
+                rec[i] = (filt[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {t} on row {r}")
+        out[r] = rec
+    m = out.astype(np.uint8)
+    return m.reshape(h, w) if bpp == 1 else m.reshape(h, w, 3)

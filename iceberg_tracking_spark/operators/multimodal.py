@@ -106,17 +106,25 @@ def decode_media(
 ) -> np.ndarray:
     """Decode one blob to a (h, w) uint8 matrix.
 
-    Binary PGM decodes FOR REAL via the numpy codec; other formats use
-    the deterministic stub (decode_stub=True) or raise at the plug-in
-    point for PIL/cv2 (decode_stub=False)."""
-    from .imagecodec import decode_pgm, is_pgm
+    Binary PGM and PNG (8-bit grey/RGB, stdlib-zlib inflate +
+    scanline unfiltering) decode FOR REAL via the numpy codecs; other
+    formats use the deterministic stub (decode_stub=True) or raise at
+    the plug-in point for PIL/cv2 (decode_stub=False). PNG with >1
+    channel is collapsed to grey by integer mean so every consumer
+    keeps its (h, w) contract."""
+    from .imagecodec import decode_pgm, decode_png, is_pgm, is_png
 
     if is_pgm(content):
         return decode_pgm(content)
+    if is_png(content):
+        mat = decode_png(content)
+        if mat.ndim == 3:
+            mat = (mat.astype(np.int32).sum(axis=2) // 3).astype(np.uint8)
+        return mat
     if not decode_stub:
         raise NotImplementedError(
-            "compressed codecs (JPEG/PNG/...) require PIL/cv2/ffmpeg, "
-            "which are not in this container; PGM decodes natively"
+            "JPEG requires PIL/cv2, which are not in this container; "
+            "PGM and PNG decode natively (operators/imagecodec.py)"
         )
     return _fake_decode(content, width, height)
 
@@ -147,6 +155,29 @@ def media_from_image_files(spark: SparkSession, path: str | None = None) -> Data
         F.lit("image/x-portable-graymap").alias("mime_type"),
         F.regexp_replace(width_hex, "3(.)", "$1").cast("int").alias("width"),
         F.regexp_replace(height_hex, "3(.)", "$1").cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def media_from_png_files(spark: SparkSession, path: str | None = None) -> DataFrame:
+    """REAL compressed-image scan: binaryFile over the PNG fixture with
+    width/height parsed from the ACTUAL IHDR chunk in pure Catalyst —
+    the PNG header is fixed-layout (big-endian u32 at byte offsets
+    16/20), so `conv(hex-slice, 16, 10)` reads it with no Python."""
+    from ..sources.binary import ensure_png_fixture, read_binary_files
+
+    raw = read_binary_files(spark, path or ensure_png_fixture(), glob="*.png")
+    hx = F.lower(F.hex(F.substring(F.col("content"), 1, 24)))
+    media_id = F.element_at(
+        F.split(F.element_at(F.split(F.col("path"), "/"), -1), "\\."), 1
+    ).cast("long")
+    return raw.select(
+        media_id.alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.col("content"),
+        F.lit("image/png").alias("mime_type"),
+        F.conv(F.substring(hx, 33, 8), 16, 10).cast("int").alias("width"),
+        F.conv(F.substring(hx, 41, 8), 16, 10).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
 
@@ -207,6 +238,42 @@ def extract_media_features(
         schema=(
             "media_id long, n_bytes long, mean_intensity double, "
             "std_intensity double, phash string"
+        ),
+    )
+
+
+def extract_pixel_stats(media: DataFrame) -> DataFrame:
+    """(media_id, px_sum, max_intensity, mean_intensity) via REAL
+    decode (PGM/PNG) in Arrow-batched mapInPandas — the stats the
+    q_png_decode oracle re-derives pixel-by-pixel from the raw bytes.
+    px_sum is the exact integer moment; mean is its ONE division (the
+    house exactness style), rounded at the query layer."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mat = decode_media(
+                    bytes(r.content), int(r.width), int(r.height),
+                    decode_stub=False,
+                )
+                m64 = mat.astype(np.int64)
+                s = int(m64.sum())
+                rows.append(
+                    (r.media_id, s, int(m64.max()), s / m64.size)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "px_sum", "max_intensity", "mean_intensity",
+                ],
+            )
+
+    return media.select("media_id", "content", "width", "height").mapInPandas(
+        _stats,
+        schema=(
+            "media_id long, px_sum long, max_intensity long, "
+            "mean_intensity double"
         ),
     )
 

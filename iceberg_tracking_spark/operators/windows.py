@@ -23,6 +23,35 @@ def top_k_per_group(
     )
 
 
+def cap_group_size(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+    cap: int | None,
+) -> DataFrame:
+    """Bound per-group fan-out BEFORE a within-group pair explosion.
+
+    A self-join within groups is linear only while groups stay small
+    (|g|² pairs land in one reducer otherwise — the same hot-key
+    failure `minhash_bands(hot_band_cap=…)` guards). This truncates
+    each group to its first `cap` rows in `order_cols` order (a
+    hash-partitioned row_number — no global sort), so one pathological
+    10k-item basket costs cap·(cap-1)/2 pairs instead of ~5·10⁷.
+    Truncation (vs dropping the whole group) keeps the group's head
+    contributing signal; `order_cols` must make the kept prefix
+    deterministic (total order, or ties only between identical rows).
+    `cap=None` is a no-op passthrough.
+    """
+    if cap is None:
+        return df
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_gcap_rn", F.row_number().over(w))
+        .filter(F.col("_gcap_rn") <= cap)
+        .drop("_gcap_rn")
+    )
+
+
 def argmax_agg(
     df: DataFrame,
     group_cols: list[str],

@@ -35,92 +35,77 @@ QUERIES: dict[str, QueryDef] = {}
 # positions 1-50). Every §2 operator's primary evidence query must sit
 # inside that window, so ordering is explicit: names listed here come
 # first (in this order), everything else follows in registration order.
-# Round 6 rotation (r5 verdict task #3): (a) new queries needing a
-# first driver row — 37 of the round's additions, which by the "no
-# driver row outranks refreshing a green one" rule consumed most of
-# the window as the round added operators, (b) queries whose CODE
-# changed this round — the distributed_cumulative internals (boundary
-# literalization, then the log-depth bucket tree: every rank-based
-# query in (a)/(b) covers that change), the media-features std closed
-# form, and the type-correlation zero-denominator guard, (c) whatever
-# part of the r1-stale cohort still fit. Displaced refreshes are
-# enumerated below; they rotate back next round. Everything
-# r4/r5-green stays out — its evidence stands.
+# Round 7 rotation — the pure-refresh round the r6 verdict asked for
+# (task #1: retire the evidence-staleness debt): (a) the one new query
+# (q_png_decode — the stdlib PNG decode closing the compressed-codec
+# gap), (b) the two queries whose CODE changed this round (the
+# _BASKET_CAP group-size guard is live in both plans and both
+# oracles), (c) the FULL r1-stale cohort — all 20 queries whose latest
+# driver row still dated to round 1, (d) 27 of the 38 r3-stale
+# queries. After this window no registered query's latest driver row
+# is older than round 3, and only the 11 r3 names listed below remain
+# pre-r4 (they rotate in next round): q_contamination, q_corpus_curate,
+# q_corr_scalar_subquery, q_data_profile, q_date_funcs,
+# q_event_pattern, q_not_exists, q_pivot, q_ratio_expr,
+# q_stratified_sample, q_vocab_topk. Everything r4+-green stays out —
+# its evidence stands. Window = 50.
 DRIVER_PRIORITY: list[str] = [
     # (a) new this round — first driver check
-    "q_average_precision",
-    "q_eval_identity",
-    "q_eval_combined",
-    "q_heavy_hitters",
-    "q_bloom_pruned_join",
-    "q_neardup_gate",
-    "q_classifier_score",
-    "q_chunk_documents",
-    "q_retrieval_metrics",
-    "q_ann_ivf_recall",
-    "q_target_encoding",
-    "q_feature_hashing",
-    "q_lag_features",
+    "q_png_decode",
+    # (b) code changed this round (group-size cap, oracle-mirrored)
     "q_item_cooccurrence",
-    "q_reliability_ece",
-    "q_merge_upsert",
-    "q_shortest_path",
-    "q_l_diversity",
     "q_item_similarity",
-    "q_seasonal_decompose",
-    "q_bpe_encode",
-    "q_linear_fit",
-    "q_mutual_information",
-    "q_quantile_binning",
-    "q_gini_skew",
-    "q_conformal",
-    "q_ks_test",
-    "q_psi",
-    "q_markov_transitions",
-    "q_attribution",
-    "q_dsir_weights",
-    "q_rfm",
-    "q_kaplan_meier",
-    "q_cuped",
-    "q_poisson_bootstrap",
-    "q_anova",
-    "q_chi2_independence",
-    # (b) code changed this round — need fresh green rows
-    "q_auc",
-    "q_pack_sequences",
-    "q_curriculum",
-    "q_media_features",
-    "q_type_correlation",
     # (c) the full r1-stale cohort (latest driver row = round 1)
-    "q_antijoin_sample",
-    "q_array_funcs",
-    "q_big_orders",
-    "q_corr_covar",
-    "q_cosine_topk",
-    "q_dedup_exact",
-    "q_dedup_rank",
-    "q_doc_fingerprint",
+    "q_equijoin",
+    "q_grid_join",
+    "q_group_percentiles",
+    "q_having_semijoin",
+    "q_intersect",
+    "q_islands",
+    "q_lang_id",
+    "q_mutual_argmax",
+    "q_ngram_jaccard",
+    "q_rollup",
+    "q_semi_anti",
+    "q_ship_priority",
+    "q_star_join",
+    "q_string_funcs",
+    "q_text_stats",
+    "q_theta_argmax",
+    "q_tumbling_window",
+    "q_two_level_agg",
+    "q_union",
+    "q_weighted_avg",
+    # (d) 27 of the r3-stale cohort (latest driver row = round 3),
+    # bench-headline members and shared-operator consumers first
+    "q_minhash_lsh",
+    "q_ann_lsh",
+    "q_asof_join",
+    "q_orderby",
+    "q_token_count",
+    "q_tiling",
+    "q_embedding_neardup",
+    "q_binary_scan",
+    "q_kmeans_step",
+    "q_zorder",
+    "q_cumsum_window",
+    "q_dedup_clusters",
+    "q_dedup_keep_one",
+    "q_frame_sample",
+    "q_gram_matrix",
+    "q_grouping_sets",
+    "q_histogram",
+    "q_kfold",
+    "q_multimodal_meta",
+    "q_quality_score",
+    "q_rank_family",
+    "q_salted_agg",
+    "q_scd2",
+    "q_simhash",
+    "q_skew_join",
+    "q_tfidf",
+    "q_unigram_logprob",
 ]
-# Displaced by the sixteen late-round-6 additions (q_linear_fit,
-# q_mutual_information, q_quantile_binning, q_gini_skew, q_conformal,
-# q_ks_test, q_psi, q_markov_transitions, q_attribution,
-# q_dsir_weights, q_rfm, q_kaplan_meier, q_cuped, q_poisson_bootstrap,
-# q_anova, q_chi2_independence — a query with NO driver row outranks
-# refreshing an already-green one): q_equijoin, q_grid_join,
-# q_group_percentiles, q_having_semijoin, q_intersect, q_islands,
-# q_lang_id, q_mutual_argmax, q_ngram_jaccard, q_rollup, q_semi_anti,
-# q_ship_priority, q_star_join, q_string_funcs, q_text_stats,
-# q_theta_argmax. Each keeps its r1 green row (and q_equijoin /
-# q_grid_join / q_islands / q_rollup / q_star_join / q_theta_argmax
-# run in every bench); they rotate back next round.
-# The 11 feature/eval/decomposition queries added later in round 6 take
-# the slots the r3-cohort refreshes (q_minhash_lsh, q_ann_lsh,
-# q_asof_join, q_orderby, q_token_count, q_tiling, q_embedding_neardup)
-# and four r1 refreshes (q_weighted_avg, q_tumbling_window,
-# q_two_level_agg, q_union — each with alternate green coverage in the
-# rollup / set-op / streaming-parity families) would have used — a
-# query with NO driver row yet outranks refreshing an already-green
-# one; the displaced cohort rotates back in next round. Window = 50.
 
 
 def query(name: str, oracle: str | None = None):

@@ -159,3 +159,36 @@ def ensure_video_fixture(
             with open(fp, "wb") as f:
                 f.write(payload)
     return path
+
+
+PNG_FIXTURE_DIR = os.path.join(_REPO_ROOT, ".png_fixture")
+PNG_FIXTURE_N = 10
+
+
+def ensure_png_fixture(
+    path: str = PNG_FIXTURE_DIR, n: int = PNG_FIXTURE_N
+) -> str:
+    """Idempotently write `n` REAL 8-bit greyscale PNGs (full spec
+    chunks + CRCs; store-mode deflate). Image i is a deterministic
+    integer pattern, ≥5 rows so the cycling row filter exercises all
+    five PNG filter types (None/Sub/Up/Average/Paeth) in every file —
+    the decode path the oracle pins is the whole unfilter matrix, not
+    the trivial case. Dims stay small (≤ 12×15) because q_png_decode's
+    DuckDB oracle re-reconstructs every pixel through a recursive CTE."""
+    import numpy as np
+
+    from ..operators.imagecodec import encode_png
+
+    os.makedirs(path, exist_ok=True)
+    for i in range(n):
+        h, w = 8 + i % 5, 9 + i % 7
+        yy, xx = np.mgrid[0:h, 0:w]
+        mat = ((xx * (i + 3) + yy * yy * (i + 2) + i * 41) % 256).astype(
+            np.uint8
+        )
+        payload = encode_png(mat)
+        fp = os.path.join(path, f"{i:04d}.png")
+        if not (os.path.exists(fp) and os.path.getsize(fp) == len(payload)):
+            with open(fp, "wb") as f:
+                f.write(payload)
+    return path

@@ -93,3 +93,55 @@ def write_mot_csv(df: DataFrame, path: str, sort: bool = True) -> None:
     if sort:
         out = out.orderBy(F.col("obj_id"), F.col("frame"))
     out.write.mode("overwrite").csv(path)
+
+
+def discover_sequences(root: str) -> dict[str, dict[str, str]]:
+    """Per-sequence path map over single-/multi-sequence dataset layouts
+    (SURVEY §2.1 S6; reference helpers.py:575-662 `get_sequences`).
+
+    A dataset root either holds `images/` directly (single-sequence —
+    the root itself is the one sequence, named after its directory) or
+    one subdirectory per sequence. Each discovered sequence maps the
+    reference's fixed file layout; directories without `images/` are
+    skipped, like the reference's warning path. Paths are returned as
+    strings so they feed straight into `spark.read` — on a cluster the
+    same keys would be prefixed URIs (s3a://…), which is why this stays
+    a driver-side listing: it enumerates SEQUENCES (small by
+    construction), never data files (Spark's own partition discovery
+    handles those).
+    """
+    import os
+
+    def _entry(seq_dir: str) -> dict[str, str]:
+        return {
+            "images": os.path.join(seq_dir, "images"),
+            "ground_truth": os.path.join(seq_dir, "ground_truth", "gt.txt"),
+            "gt_embeddings": os.path.join(
+                seq_dir, "ground_truth", "embeddings.pt"
+            ),
+            "detections": os.path.join(seq_dir, "detections", "det.txt"),
+            "det_embeddings": os.path.join(
+                seq_dir, "detections", "embeddings.pt"
+            ),
+            "tracking": os.path.join(seq_dir, "tracking", "track.txt"),
+            "eval": os.path.join(seq_dir, "tracking", "eval.txt"),
+            "track_embeddings": os.path.join(
+                seq_dir, "tracking", "embeddings.pt"
+            ),
+        }
+
+    root = os.path.abspath(root)
+    if os.path.isdir(os.path.join(root, "images")):
+        seq_dirs = [root]  # single-sequence: images/ at the root
+    else:
+        seq_dirs = sorted(
+            os.path.join(root, d) for d in os.listdir(root)
+        )
+    out: dict[str, dict[str, str]] = {}
+    for seq_dir in seq_dirs:
+        if not os.path.isdir(seq_dir):
+            continue
+        if not os.path.isdir(os.path.join(seq_dir, "images")):
+            continue  # reference warns + skips; we skip silently
+        out[os.path.basename(seq_dir)] = _entry(seq_dir)
+    return out

@@ -1160,3 +1160,37 @@ def test_binning_edges_and_assignment_invariants(spark):
     assert len(set(five_bin)) == 1
     assert t_counts[five_bin[0]] >= 600
     assert sum(t_counts.values()) == 1000
+
+
+def test_discover_sequences_single_and_multi_layout(tmp_path):
+    """S6 faithful discovery (reference helpers.py:575-662): a root
+    with images/ directly is ONE sequence named after the root; a root
+    of subdirectories yields one entry per subdir that has images/,
+    skipping those without; path keys follow the reference layout."""
+    from iceberg_tracking_spark.sources.mot import discover_sequences
+
+    # multi-sequence: two valid, one invalid (no images/), one file
+    multi = tmp_path / "glacier"
+    for seq in ["seq_a", "seq_b"]:
+        (multi / seq / "images").mkdir(parents=True)
+        (multi / seq / "ground_truth").mkdir()
+    (multi / "broken").mkdir()  # no images/ -> skipped
+    (multi / "notes.txt").write_text("x")  # non-dir -> skipped
+    got = discover_sequences(str(multi))
+    assert sorted(got) == ["seq_a", "seq_b"]
+    e = got["seq_a"]
+    assert e["images"].endswith("seq_a/images")
+    assert e["ground_truth"].endswith("seq_a/ground_truth/gt.txt")
+    assert e["detections"].endswith("seq_a/detections/det.txt")
+    assert e["eval"].endswith("seq_a/tracking/eval.txt")
+    assert set(e) == {
+        "images", "ground_truth", "gt_embeddings", "detections",
+        "det_embeddings", "tracking", "eval", "track_embeddings",
+    }
+
+    # single-sequence: images/ at the root, named after the root dir
+    single = tmp_path / "clear"
+    (single / "images").mkdir(parents=True)
+    got = discover_sequences(str(single))
+    assert list(got) == ["clear"]
+    assert got["clear"]["images"].endswith("clear/images")

@@ -572,3 +572,51 @@ def test_grid_join_candidate_growth_and_exactness(spark):
     assert c_b / n_big < 2 * (c_s / n_small)
     # quadratic denominator: the naive fraction must fall ~8x; allow 4x
     assert frac_b < frac_s / 4
+
+
+def test_basket_pair_fan_group_cap(spark):
+    """The within-group pair fan behind q_item_cooccurrence /
+    q_item_similarity must stay bounded under a hot group (r6 verdict
+    weak item #2): one synthetic 10k-item basket would put |g|²/2 ≈
+    5·10⁷ pairs in a single reducer without the cap. With
+    cap_group_size the hot group contributes exactly cap·(cap-1)/2
+    pairs, and on normal (small-group) data the capped pair relation is
+    IDENTICAL to the uncapped one."""
+    from iceberg_tracking_spark.operators.windows import cap_group_size
+
+    # normal data: 200 baskets of ≤7 items — cap must be a no-op
+    normal = spark.range(0, 1000).select(
+        (F.col("id") % 200).alias("g"),
+        (F.col("id") * 37 % 500).alias("item"),
+    )
+
+    def pairs(df):
+        a, b = df.alias("a"), df.alias("b")
+        return (
+            a.join(b, "g")
+            .where(F.col("a.item") < F.col("b.item"))
+            .groupBy(F.col("a.item").alias("pa"), F.col("b.item").alias("pb"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    cap = 64
+    uncapped = {tuple(r) for r in pairs(normal).collect()}
+    capped = {
+        tuple(r)
+        for r in pairs(
+            cap_group_size(normal, ["g"], [F.col("item")], cap)
+        ).collect()
+    }
+    assert capped == uncapped  # ≤7-item groups: parity by construction
+
+    # hot group: one 10_000-item basket
+    hot = spark.range(0, 10_000).select(
+        F.lit(0).alias("g"), F.col("id").alias("item")
+    )
+    n_pairs = (
+        pairs(cap_group_size(hot, ["g"], [F.col("item")], cap))
+        .agg(F.sum("n").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert n_pairs == cap * (cap - 1) // 2  # bounded reducer work
+    print(f"\nhot-basket pair fan: capped to {n_pairs} pairs (cap={cap})")
