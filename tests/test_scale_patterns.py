@@ -620,3 +620,57 @@ def test_basket_pair_fan_group_cap(spark):
     )
     assert n_pairs == cap * (cap - 1) // 2  # bounded reducer work
     print(f"\nhot-basket pair fan: capped to {n_pairs} pairs (cap={cap})")
+
+
+def test_ann_recall_at_1m_vectors(spark):
+    """Measured recall@3 at 1M vectors (r6 verdict task #3): the
+    q_ann_recall* monitors prove the recall MACHINERY on the 500-row
+    fixture; this is the number a production user asks first — what
+    recall do the index families actually deliver at corpus scale, and
+    do the recall levers (multi-probe, nprobe) move it? 49 sampled
+    queries against exact brute-force top-3 over the same deterministic
+    1M-vector corpus. Everything is xxhash-derived (no RNG), so the
+    measured recalls are exact constants on every machine — floors sit
+    just under the measured values (LSH@12bits: 0.435 / 0.456 with 2
+    probes; IVF@32: 0.782 nprobe=1, 0.959 nprobe=2), not loose guesses.
+    Uniform random vectors are the recall WORST CASE (no cluster
+    structure for the buckets to exploit); real embedding corpora sit
+    above these floors. Analog of the reference grid index's measured
+    candidate-reduction claim (tracking.py:455-459)."""
+    from iceberg_tracking_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+
+    n, dim, k = 1_000_000, 8, 3
+    corpus = _synth_vectors(spark, n, dim).cache()
+    qpred = F.col("vec_id") % 20833 == 11  # 49 spread-out queries
+    queries = corpus.filter(qpred).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    exact = brute_force_topk(corpus, queries, k).select("qid", "nid").cache()
+    n_exact = exact.count()
+    assert n_exact == 49 * k
+
+    def recall(approx) -> float:
+        hits = exact.join(approx.select("qid", "nid"), ["qid", "nid"]).count()
+        return hits / n_exact
+
+    r_lsh = recall(lsh_bucket_topk(corpus, dim, k, qpred, n_bits=12))
+    r_lsh2 = recall(
+        lsh_bucket_topk(corpus, dim, k, qpred, n_bits=12, probes=2)
+    )
+    r_ivf1 = recall(ivf_topk(corpus, k, qpred, F.col("vec_id") <= 32, nprobe=1))
+    r_ivf2 = recall(ivf_topk(corpus, k, qpred, F.col("vec_id") <= 32, nprobe=2))
+    print(
+        f"\nANN recall@3 at 1M: LSH(12b)={r_lsh:.3f}, "
+        f"LSH+2probes={r_lsh2:.3f}, IVF(32) nprobe=1={r_ivf1:.3f}, "
+        f"nprobe=2={r_ivf2:.3f}"
+    )
+    exact.unpersist()
+    corpus.unpersist()
+    assert r_lsh >= 0.40  # measured 0.435
+    assert r_lsh2 >= r_lsh and r_lsh2 >= 0.44  # measured 0.456
+    assert r_ivf1 >= 0.75  # measured 0.782
+    assert r_ivf2 > r_ivf1 and r_ivf2 >= 0.90  # measured 0.959
