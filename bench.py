@@ -115,6 +115,8 @@ EXTENDED = [
     "q_poisson_bootstrap",
     "q_anova",
     "q_chi2_independence",
+    # round-7: real PNG decode (stdlib zlib + numpy unfilter)
+    "q_png_decode",
 ]
 
 # Regression floors for the HEADLINE set (r6 verdict task: the
@@ -232,6 +234,9 @@ EXTENDED_FLOOR_SEC = {
     "q_poisson_bootstrap": 0.316,
     "q_anova": 0.262,
     "q_chi2_independence": 0.326,
+    # round-7: first solo sf0.1 min-of-3 recording (fixture-sized —
+    # decode cost scales with file count, not sf)
+    "q_png_decode": 0.627,
 }
 
 
