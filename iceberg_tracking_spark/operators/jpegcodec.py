@@ -1,0 +1,524 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81 sequential DCT, 8-bit).
+
+Closes the last compressed-codec gap for real: the reference consumes
+JPEG imagery through PIL/cv2 (embedding.py:234-250, detection.py:1333),
+neither of which is in this container — but nothing in baseline JPEG
+needs them. The decoder here parses the real marker stream (DQT / SOF0
+/ DHT / DRI / SOS), entropy-decodes the Huffman/RLE coefficient stream
+with byte-unstuffing and restart markers, dequantizes, inverse-zigzags,
+applies an exact 8×8 float IDCT, handles ANY sampling-factor layout
+(4:4:4, 4:2:0, 4:2:2, …) via the generic MCU walk + nearest-neighbor
+upsampling, and converts JFIF YCbCr→RGB. The encoder mirrors it
+(FDCT, quality-scaled Annex K quantization, spec Annex K Huffman
+tables, byte stuffing) at 4:4:4 or grayscale.
+
+Independence of the evidence: the decoder takes ALL tables from the
+file, so tests/test_imagecodec.py cross-checks both directions against
+the JVM's OWN JPEG implementation (javax.imageio through the running
+Spark session's Py4J gateway — a fully independent codebase):
+our encode → ImageIO decode, and ImageIO encode → our decode. A pixel
+mismatch in either direction would expose a table, entropy-coding, or
+DCT bug on our side.
+
+Performance shape: the Huffman bit loop is per-coefficient Python —
+this codec is for fixture-scale correctness evidence and modest blob
+sizes inside mapInPandas batches; a production deployment drops in
+PIL/cv2 behind the same decode_media() dispatch without touching any
+plan. The DCTs themselves are numpy matrix products.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# -------------------------------------------------- spec constant tables
+
+# Zigzag: natural (row-major) index of the k-th coefficient in zigzag
+# order (T.81 Figure 5).
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K quantization bases (luminance / chrominance), natural order.
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K Huffman table specs: (BITS[1..16], HUFFVAL).
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II basis M: fdct = M @ b @ M.T, idct = M.T @ c @ M."""
+    u, x = np.mgrid[0:8, 0:8]
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    m[0, :] /= np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def is_jpeg(data: bytes) -> bool:
+    return data[:2] == b"\xff\xd8"
+
+
+# ---------------------------------------------------------------- decode
+
+
+def _build_decoder(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman: {(length, code): value}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    unstuffing; stops AT (never past) a non-stuffed marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.d[self.pos]
+            if b == 0xFF:
+                if self.d[self.pos + 1] != 0x00:
+                    # marker (EOI / RSTn): the entropy decoder must not
+                    # consume it — pad with zero bits per the spec.
+                    self.acc, self.n = 0, 8
+                    return 0
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid JPEG Huffman code")
+
+    def restart(self, n: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.n = 0
+        while self.d[self.pos] == 0xFF and self.d[self.pos + 1] == 0x00:
+            self.pos += 2  # stray stuffed fill before the marker
+        if self.d[self.pos] != 0xFF or self.d[self.pos + 1] != 0xD0 + (n & 7):
+            raise ValueError("missing JPEG restart marker")
+        self.pos += 2
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 EXTEND: map an n-bit magnitude to its signed value."""
+    return v if n == 0 or v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JPEG bytes → (h, w) uint8 (grayscale) or (h, w, 3) uint8 (RGB).
+
+    Baseline sequential DCT only (SOF0; SOF1's extended-sequential
+    Huffman case decodes identically) — progressive (SOF2) raises.
+    All quantization/Huffman tables come from the file. Generic
+    sampling factors via the interleaved MCU walk; chroma upsampling
+    is nearest-neighbor (the JFIF-common choice)."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    hdec: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    comps: list[dict] = []
+    w = h = 0
+    restart_interval = 0
+    pos = 2
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI without SOS
+            raise ValueError("JPEG has no scan")
+        ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        seg = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                tbl = np.frombuffer(seg[i + 1 : i + 65], np.uint8).astype(np.int64)
+                nat = np.empty(64, np.int64)
+                nat[ZIGZAG] = tbl  # stored zigzag → natural
+                qt[tq] = nat.reshape(8, 8)
+                i += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline(+ext) sequential
+            if seg[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = [
+                {
+                    "id": seg[6 + 3 * c],
+                    "hs": seg[7 + 3 * c] >> 4,
+                    "vs": seg[7 + 3 * c] & 15,
+                    "tq": seg[8 + 3 * c],
+                }
+                for c in range(nc)
+            ]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding process (SOF marker 0x{marker:02X}); "
+                "baseline sequential only"
+            )
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                hdec[(tc, th)] = _build_decoder(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — scan header then entropy data
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cid = seg[1 + 2 * c]
+                sel[cid] = (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+            pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if not comps:
+        raise ValueError("JPEG has no frame header")
+
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * c["vs"] * 8, mcus_x * c["hs"] * 8), np.float64)
+        for c in comps
+    ]
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_i = 0
+    rst_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                reader.restart(rst_i)
+                rst_i = (rst_i + 1) & 7
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t = hdec[(0, sel[c["id"]][0])]
+                ac_t = hdec[(1, sel[c["id"]][1])]
+                q = qt[c["tq"]]
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        coef = np.zeros(64, np.int64)
+                        s = reader.huff(dc_t)
+                        pred[ci] += _extend(reader.bits(s), s)
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(ac_t)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            coef[k] = _extend(reader.bits(s), s)
+                            k += 1
+                        block = np.zeros(64, np.float64)
+                        block[ZIGZAG] = coef  # de-zigzag
+                        block = block.reshape(8, 8) * q
+                        px = _DCT_M.T @ block @ _DCT_M + 128.0
+                        y0, x0 = (my * c["vs"] + by) * 8, (mx * c["hs"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_i += 1
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["hs"] != hmax or c["vs"] != vmax:  # nearest-neighbor upsample
+            p = np.repeat(
+                np.repeat(p, vmax // c["vs"], axis=0), hmax // c["hs"], axis=1
+            )
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        return np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- encode
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K bases (natural order 8×8)."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_Q_LUMA, _Q_CHROMA):
+        t = np.clip((base * scale + 50) // 100, 1, 255)
+        out.append(t.reshape(8, 8))
+    return out[0], out[1]
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1-bits
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+            self.acc, self.n = 0, 0
+
+
+def _build_encoder(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: value -> (code, length)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _csize(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _dht_segment(tc: int, th: int, spec: tuple[list[int], list[int]]) -> bytes:
+    bits, vals = spec
+    body = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _dqt_segment(tq: int, tbl: np.ndarray) -> bytes:
+    zz = tbl.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    body = bytes([tq]) + zz
+    return b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def encode_jpeg(mat: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w) or (h, w, 3) uint8 → baseline JFIF JPEG bytes.
+
+    Grayscale is one component; color is JFIF YCbCr at 4:4:4 (no
+    subsampling — keeps the MCU walk trivial and chroma exact). Tables
+    are the public T.81 Annex K set with IJG quality scaling."""
+    m = np.ascontiguousarray(mat, dtype=np.uint8)
+    if m.ndim == 2:
+        ncomp = 1
+    elif m.ndim == 3 and m.shape[2] == 3:
+        ncomp = 3
+    else:
+        raise ValueError(f"JPEG encode supports (h,w) or (h,w,3); got {m.shape}")
+    h, w = m.shape[:2]
+    ql, qc = _quality_tables(quality)
+    if ncomp == 1:
+        planes = [m.astype(np.float64) - 128.0]
+        qts = [ql]
+    else:
+        r = m[:, :, 0].astype(np.float64)
+        g = m[:, :, 1].astype(np.float64)
+        b = m[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qts = [ql, qc, qc]
+    # pad to 8×8 blocks by edge replication (standard practice)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
+    ]
+    dc_enc = [_build_encoder(*_DC_LUMA), _build_encoder(*_DC_CHROMA)]
+    ac_enc = [_build_encoder(*_AC_LUMA), _build_encoder(*_AC_CHROMA)]
+    writer = _BitWriter()
+    pred = [0] * ncomp
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci in range(ncomp):
+                cls = 0 if ci == 0 else 1
+                block = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = _DCT_M @ block @ _DCT_M.T
+                qc_ = np.rint(coef / qts[ci]).astype(np.int64)
+                zz = qc_.reshape(64)[ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s = _csize(diff)
+                code, ln = dc_enc[cls][s]
+                writer.write(code, ln)
+                if s:
+                    writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                run = 0
+                last_nz = np.nonzero(zz[1:])[0]
+                last = last_nz[-1] + 1 if last_nz.size else 0
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_enc[cls][0xF0]  # ZRL
+                        writer.write(code, ln)
+                        run -= 16
+                    s = _csize(v)
+                    code, ln = ac_enc[cls][(run << 4) | s]
+                    writer.write(code, ln)
+                    writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    code, ln = ac_enc[cls][0x00]  # EOB
+                    writer.write(code, ln)
+    writer.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0 (declares 1:1 aspect, no thumbnail)
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+    out += _dqt_segment(0, ql)
+    if ncomp == 3:
+        out += _dqt_segment(1, qc)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    out += _dht_segment(0, 0, _DC_LUMA) + _dht_segment(1, 0, _AC_LUMA)
+    if ncomp == 3:
+        out += _dht_segment(0, 1, _DC_CHROMA) + _dht_segment(1, 1, _AC_CHROMA)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    out += writer.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

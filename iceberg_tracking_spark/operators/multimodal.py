@@ -7,14 +7,17 @@ each partition amortizes decoder initialization — the distributed form
 of the reference's per-worker model/DataLoader setup
 (embedding.py:1358-1362).
 
-Decode is REAL for uncompressed binary PGM blobs — the pure-numpy
-codec in operators/imagecodec.py (decode, bilinear resize, crop/pad);
-the image fixture (sources/binary.ensure_image_fixture) ships genuine
-PGM files, so the whole decode → transform → feature path runs on
-actual pixels. Compressed codecs (JPEG/PNG/ffmpeg) are not in this
-container, so non-PGM blobs fall back to a deterministic stub when
-`decode_stub=True` (default) and raise NotImplementedError — at the
-exact point PIL/cv2 would plug in — when `decode_stub=False`.
+Decode is REAL for PGM, PNG and baseline JPEG blobs — the pure-numpy
+codecs in operators/imagecodec.py (PGM; PNG via stdlib-zlib inflate +
+scanline unfiltering; bilinear resize, crop/pad) and
+operators/jpegcodec.py (T.81 Huffman + IDCT, generic chroma
+subsampling, cross-validated against the JVM's javax.imageio); the
+fixtures (sources/binary.ensure_image_fixture / ensure_png_fixture)
+ship genuine files, so the whole decode → transform → feature path
+runs on actual pixels. Formats beyond those (WebP/GIF/AVIF…) fall
+back to a deterministic stub when `decode_stub=True` (default) and
+raise NotImplementedError — at the exact point PIL/cv2 would plug
+in — when `decode_stub=False`.
 """
 
 from __future__ import annotations
@@ -106,25 +109,33 @@ def decode_media(
 ) -> np.ndarray:
     """Decode one blob to a (h, w) uint8 matrix.
 
-    Binary PGM and PNG (8-bit grey/RGB, stdlib-zlib inflate +
-    scanline unfiltering) decode FOR REAL via the numpy codecs; other
-    formats use the deterministic stub (decode_stub=True) or raise at
-    the plug-in point for PIL/cv2 (decode_stub=False). PNG with >1
-    channel is collapsed to grey by integer mean so every consumer
-    keeps its (h, w) contract."""
+    Binary PGM, PNG (stdlib-zlib inflate + scanline unfiltering) and
+    baseline JPEG (pure-numpy Huffman + IDCT, generic chroma
+    subsampling) decode FOR REAL via the numpy codecs — the formats a
+    training corpus actually ships. Other formats (WebP/GIF/AVIF…) use
+    the deterministic stub (decode_stub=True) or raise at the plug-in
+    point for PIL/cv2 (decode_stub=False). Color images are collapsed
+    to grey by integer channel mean so every consumer keeps its (h, w)
+    contract."""
     from .imagecodec import decode_pgm, decode_png, is_pgm, is_png
+    from .jpegcodec import decode_jpeg, is_jpeg
 
+    mat = None
     if is_pgm(content):
         return decode_pgm(content)
     if is_png(content):
         mat = decode_png(content)
+    elif is_jpeg(content):
+        mat = decode_jpeg(content)
+    if mat is not None:
         if mat.ndim == 3:
             mat = (mat.astype(np.int32).sum(axis=2) // 3).astype(np.uint8)
         return mat
     if not decode_stub:
         raise NotImplementedError(
-            "JPEG requires PIL/cv2, which are not in this container; "
-            "PGM and PNG decode natively (operators/imagecodec.py)"
+            "format beyond PGM/PNG/JPEG (WebP/GIF/…) requires PIL/cv2, "
+            "not in this container; the common training-data formats "
+            "decode natively (operators/imagecodec.py, jpegcodec.py)"
         )
     return _fake_decode(content, width, height)
 

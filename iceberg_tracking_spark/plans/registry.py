@@ -38,23 +38,32 @@ QUERIES: dict[str, QueryDef] = {}
 # Round 7 rotation — the pure-refresh round the r6 verdict asked for
 # (task #1: retire the evidence-staleness debt): (a) the one new query
 # (q_png_decode — the stdlib PNG decode closing the compressed-codec
-# gap), (b) the two queries whose CODE changed this round (the
-# _BASKET_CAP group-size guard is live in both plans and both
-# oracles), (c) the FULL r1-stale cohort — all 20 queries whose latest
-# driver row still dated to round 1, (d) 27 of the 38 r3-stale
-# queries. After this window no registered query's latest driver row
-# is older than round 3, and only the 11 r3 names listed below remain
-# pre-r4 (they rotate in next round): q_contamination, q_corpus_curate,
+# gap), (b) the five queries whose CODE (or a shared dependency)
+# changed this round — the _BASKET_CAP group-size guard and the three
+# decode_media consumers, (c) the FULL r1-stale cohort — all 20
+# queries whose latest driver row still dated to round 1, (d) 24 of
+# the 38 r3-stale queries. After this window no registered query's
+# latest driver row
+# is older than round 3, and only 14 r3 names remain pre-r4 (they
+# rotate in next round): q_contamination, q_corpus_curate,
 # q_corr_scalar_subquery, q_data_profile, q_date_funcs,
 # q_event_pattern, q_not_exists, q_pivot, q_ratio_expr,
-# q_stratified_sample, q_vocab_topk. Everything r4+-green stays out —
-# its evidence stands. Window = 50.
+# q_stratified_sample, q_vocab_topk, plus the three displaced by the
+# decode_media consumers (see the note after the list). Everything
+# r4+-green stays out — its evidence stands. Window = 50.
 DRIVER_PRIORITY: list[str] = [
     # (a) new this round — first driver check
     "q_png_decode",
-    # (b) code changed this round (group-size cap, oracle-mirrored)
+    # (b) code changed this round: the _BASKET_CAP group-size guard
+    # (live in both plans and both oracles), and the three consumers
+    # of decode_media (its dispatch gained real PNG/JPEG branches
+    # ahead of the stub gate — PGM behavior provably unchanged, but
+    # shared-code consumers get fresh rows per the house rule)
     "q_item_cooccurrence",
     "q_item_similarity",
+    "q_image_decode",
+    "q_media_features",
+    "q_image_resize",
     # (c) the full r1-stale cohort (latest driver row = round 1)
     "q_equijoin",
     "q_grid_join",
@@ -99,13 +108,16 @@ DRIVER_PRIORITY: list[str] = [
     "q_multimodal_meta",
     "q_quality_score",
     "q_rank_family",
-    "q_salted_agg",
     "q_scd2",
     "q_simhash",
     "q_skew_join",
-    "q_tfidf",
-    "q_unigram_logprob",
 ]
+# Of the r3 cohort, deferred to round 8 beyond the 11 named above
+# (displaced by the three decode_media consumers): q_salted_agg
+# (salting also proven by q_skew_join, refreshed here, plus the
+# extreme-skew parity test), q_tfidf (term-weighting family covered by
+# r5-green q_bm25), q_unigram_logprob (covered by r5-green
+# q_bigram_surprisal — same integer-log-grid machinery).
 
 
 def query(name: str, oracle: str | None = None):
