@@ -192,10 +192,16 @@ class _BitReader:
         raise ValueError("invalid JPEG Huffman code")
 
     def restart(self, n: int) -> None:
-        """Byte-align and consume the expected RSTn marker."""
+        """Byte-align and consume the expected RSTn marker. Skips both
+        stuffed 0xFF00 pairs and spec-legal 0xFF fill bytes that may
+        pad before any marker (T.81 B.1.1.2)."""
         self.n = 0
         while self.d[self.pos] == 0xFF and self.d[self.pos + 1] == 0x00:
             self.pos += 2  # stray stuffed fill before the marker
+        while (
+            self.d[self.pos] == 0xFF and self.d[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1  # optional 0xFF fill bytes
         if self.d[self.pos] != 0xFF or self.d[self.pos + 1] != 0xD0 + (n & 7):
             raise ValueError("missing JPEG restart marker")
         self.pos += 2
@@ -222,6 +228,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     w = h = 0
     restart_interval = 0
     pos = 2
+    try:
+        return _decode_markers_and_scan(
+            data, pos, qt, hdec, comps, restart_interval
+        )
+    except IndexError:
+        # ran off the buffer in a marker segment or mid-scan — keep
+        # the codec's uniform ValueError contract for malformed input
+        raise ValueError("truncated JPEG data") from None
+
+
+def _decode_markers_and_scan(
+    data: bytes,
+    pos: int,
+    qt: dict,
+    hdec: dict,
+    comps: list[dict],
+    restart_interval: int,
+) -> np.ndarray:
+    w = h = 0
     while True:
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -239,6 +264,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 pq, tq = seg[i] >> 4, seg[i] & 15
                 if pq != 0:
                     raise ValueError("16-bit quantization tables unsupported")
+                if len(seg) < i + 65:
+                    raise ValueError("truncated JPEG data")
                 tbl = np.frombuffer(seg[i + 1 : i + 65], np.uint8).astype(np.int64)
                 nat = np.empty(64, np.int64)
                 nat[ZIGZAG] = tbl  # stored zigzag → natural
@@ -287,6 +314,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += 2 + ln
     if not comps:
         raise ValueError("JPEG has no frame header")
+    if len(comps) not in (1, 3):
+        # 4-component (Adobe CMYK/YCCK) would pass SOF0 but the output
+        # contract is grey/RGB — fail loudly, never mis-convert.
+        raise ValueError(
+            f"unsupported component count {len(comps)}: grey (1) or "
+            "YCbCr (3) only"
+        )
 
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
@@ -300,6 +334,38 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     pred = [0] * len(comps)
     mcu_i = 0
     rst_i = 0
+    # truncated entropy data raises IndexError here; the decode_jpeg
+    # wrapper converts it to the codec's uniform ValueError contract
+    _decode_scan(
+        reader, comps, sel, hdec, qt, planes, mcus_x, mcus_y,
+        restart_interval, pred, mcu_i, rst_i,
+    )
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["hs"] != hmax or c["vs"] != vmax:  # nearest-neighbor upsample
+            p = np.repeat(
+                np.repeat(p, vmax // c["vs"], axis=0), hmax // c["hs"], axis=1
+            )
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        return np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(
+    reader, comps, sel, hdec, qt, planes, mcus_x, mcus_y,
+    restart_interval, pred, mcu_i, rst_i,
+) -> None:
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
@@ -337,26 +403,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         y0, x0 = (my * c["vs"] + by) * 8, (mx * c["hs"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_i += 1
-    out = []
-    for ci, c in enumerate(comps):
-        p = planes[ci]
-        if c["hs"] != hmax or c["vs"] != vmax:  # nearest-neighbor upsample
-            p = np.repeat(
-                np.repeat(p, vmax // c["vs"], axis=0), hmax // c["hs"], axis=1
-            )
-        out.append(p[:h, :w])
-    if len(out) == 1:
-        return np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
-    rgb = np.stack(
-        [
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
-        ],
-        axis=2,
-    )
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------- encode

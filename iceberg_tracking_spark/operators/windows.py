@@ -44,12 +44,7 @@ def cap_group_size(
     """
     if cap is None:
         return df
-    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
-    return (
-        df.withColumn("_gcap_rn", F.row_number().over(w))
-        .filter(F.col("_gcap_rn") <= cap)
-        .drop("_gcap_rn")
-    )
+    return top_k_per_group(df, key_cols, list(order_cols), k=cap)
 
 
 def argmax_agg(

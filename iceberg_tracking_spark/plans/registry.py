@@ -85,7 +85,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_two_level_agg",
     "q_union",
     "q_weighted_avg",
-    # (d) 27 of the r3-stale cohort (latest driver row = round 3),
+    # (d) 24 of the r3-stale cohort (latest driver row = round 3),
     # bench-headline members and shared-operator consumers first
     "q_minhash_lsh",
     "q_ann_lsh",

@@ -458,73 +458,59 @@ def test_jpeg_cross_validated_against_jvm_imageio(spark):
       generic MCU/upsampling path) → our decode vs ImageIO's own
       decode of the same bytes, again within rounding.
 
-    Gray comparisons read raw raster samples, not getRGB — Java's
-    TYPE_BYTE_GRAY is a linear color space and getRGB gamma-maps it."""
+    All pixel traffic crosses the gateway as PNG BYTES (lossless, and
+    byte[] is the one array type Py4J moves efficiently): decoded
+    BufferedImages come back via ImageIO's PNG writer into our
+    decode_png, and input images reach the JVM via our encode_png into
+    ImageIO's PNG reader — which makes the JDK's PNG codec a second
+    independent cross-check of ours, in both directions, for free.
+    (Raw raster access would also dodge the TYPE_BYTE_GRAY getRGB
+    gamma trap, but costs one gateway call per pixel.)"""
     import numpy as np
 
+    from iceberg_tracking_spark.operators.imagecodec import decode_png, encode_png
     from iceberg_tracking_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
 
     jvm = spark._jvm
 
     def imageio_decode(data: bytes) -> np.ndarray:
+        """ImageIO's JPEG decode, returned through lossless PNG."""
         bais = jvm.java.io.ByteArrayInputStream(bytearray(data))
         img = jvm.javax.imageio.ImageIO.read(bais)
         assert img is not None, "ImageIO could not parse our JPEG"
-        w, h = img.getWidth(), img.getHeight()
-        raster = img.getRaster()
-        nb = raster.getNumBands()
-        out = np.empty((h, w, nb), np.int64)
-        for b in range(nb):
-            arr = raster.getSamples(0, 0, w, h, b, None)
-            out[:, :, b] = np.array(list(arr), dtype=np.int64).reshape(h, w)
-        return out
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+        return decode_png(bytes(baos.toByteArray())).astype(np.int64)
+
+    def imageio_encode(mat: np.ndarray) -> bytes:
+        """ImageIO's JPEG encode, fed through our lossless PNG."""
+        bais = jvm.java.io.ByteArrayInputStream(bytearray(encode_png(mat)))
+        img = jvm.javax.imageio.ImageIO.read(bais)
+        assert img is not None, "ImageIO could not parse our PNG"
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(img, "jpg", baos)
+        return bytes(baos.toByteArray())
 
     gray, rgb = _jpeg_test_images()
 
     # direction 1: our encoder, their decoder (same compressed stream)
     enc = encode_jpeg(rgb, 90)
-    theirs = imageio_decode(enc)
-    mine = decode_jpeg(enc)
-    assert np.abs(theirs - mine.astype(np.int64)).max() <= 3
+    assert np.abs(imageio_decode(enc) - decode_jpeg(enc)).max() <= 3
     enc_g = encode_jpeg(gray, 85)
-    assert (
-        np.abs(imageio_decode(enc_g)[:, :, 0] - decode_jpeg(enc_g)).max() <= 3
-    )
+    theirs_g = imageio_decode(enc_g)
+    theirs_g = theirs_g if theirs_g.ndim == 2 else theirs_g[:, :, 0]
+    assert np.abs(theirs_g - decode_jpeg(enc_g)).max() <= 3
 
-    # direction 2: their encoder (gray; JDK color writer uses 4:2:0 —
-    # covered below), our decoder, vs their own decode of same bytes
-    h, w = gray.shape
-    img = jvm.java.awt.image.BufferedImage(w, h, 10)  # TYPE_BYTE_GRAY
-    raster = img.getRaster()
-    for y in range(h):
-        for x in range(w):
-            raster.setSample(x, y, 0, int(gray[y, x]))
-    baos = jvm.java.io.ByteArrayOutputStream()
-    assert jvm.javax.imageio.ImageIO.write(img, "jpg", baos)
-    jdk_bytes = bytes(baos.toByteArray())
-    assert (
-        np.abs(
-            imageio_decode(jdk_bytes)[:, :, 0]
-            - decode_jpeg(jdk_bytes).astype(np.int64)
-        ).max()
-        <= 3
-    )
+    # direction 2: their encoder, our decoder, vs their own decode of
+    # the same bytes
+    jdk_g = imageio_encode(gray)
+    theirs = imageio_decode(jdk_g)
+    theirs = theirs if theirs.ndim == 2 else theirs[:, :, 0]
+    assert np.abs(theirs - decode_jpeg(jdk_g).astype(np.int64)).max() <= 3
 
     # direction 2, color: JDK writes 4:2:0 (sampling 0x22/0x11/0x11) —
     # our generic MCU walk + upsampling must reproduce their decode
-    h, w = rgb.shape[:2]
-    img = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
-    for y in range(h):
-        for x in range(w):
-            v = (
-                (int(rgb[y, x, 0]) << 16)
-                | (int(rgb[y, x, 1]) << 8)
-                | int(rgb[y, x, 2])
-            )
-            img.setRGB(x, y, v)
-    baos = jvm.java.io.ByteArrayOutputStream()
-    assert jvm.javax.imageio.ImageIO.write(img, "jpg", baos)
-    jdk_rgb = bytes(baos.toByteArray())
+    jdk_rgb = imageio_encode(rgb)
     i = jdk_rgb.find(b"\xff\xc0")
     assert jdk_rgb[i + 11] == 0x22, "JDK stopped subsampling — update test"
     assert (
