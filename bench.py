@@ -115,8 +115,12 @@ EXTENDED = [
     "q_poisson_bootstrap",
     "q_anova",
     "q_chi2_independence",
-    # round-7: real PNG decode (stdlib zlib + numpy unfilter)
+    # round-7: real PNG decode (stdlib zlib + numpy unfilter),
+    # int8 quantization, batching audit, exact-substring span removal
     "q_png_decode",
+    "q_int8_quantize",
+    "q_length_buckets",
+    "q_dup_span_removal",
 ]
 
 # Regression floors for the HEADLINE set (r6 verdict task: the
@@ -234,9 +238,12 @@ EXTENDED_FLOOR_SEC = {
     "q_poisson_bootstrap": 0.316,
     "q_anova": 0.262,
     "q_chi2_independence": 0.326,
-    # round-7: first solo sf0.1 min-of-3 recording (fixture-sized —
-    # decode cost scales with file count, not sf)
-    "q_png_decode": 0.627,
+    # round-7: first solo sf0.1 min-of-3 recordings (png fixture-sized
+    # — decode cost scales with file count, not sf)
+    "q_png_decode": 0.320,
+    "q_int8_quantize": 0.399,
+    "q_length_buckets": 0.459,
+    "q_dup_span_removal": 0.516,
 }
 
 

@@ -1624,3 +1624,222 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight", F.col("weight_micro").cast("double") / F.lit(1e6)
         )
     )
+
+
+# --------------------------------------------- length-bucketed batching
+
+_LB_WIDTH = 32  # tokens per bucket step
+
+
+@query(
+    "q_length_buckets",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id,
+               CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks
+        FROM documents
+    ),
+    b AS (
+        SELECT n_toks // {_LB_WIDTH} AS bucket,
+               (n_toks // {_LB_WIDTH} + 1) * {_LB_WIDTH} AS cap,
+               n_toks
+        FROM n
+    )
+    SELECT bucket, cap,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+           CAST(count(*) * cap - sum(n_toks) AS BIGINT) AS pad_tokens,
+           round(CAST(count(*) * cap - sum(n_toks) AS DOUBLE)
+                 / (count(*) * cap), 6) AS pad_frac
+    FROM b GROUP BY bucket, cap
+    """,
+)
+def q_length_buckets(spark, sf_dir):
+    """Length-bucketed batching audit — the inference/training-batch
+    counterpart of q_pack_sequences: group documents into fixed-width
+    token-length buckets (width 32) and measure the padding a
+    bucket-cap batcher would spend, per bucket. pad_frac is the number
+    a serving team tunes bucket width against (uniform batching pads
+    to the global max; bucketing to the local cap — this query
+    quantifies the win). Integer token counts, integer waste, ONE
+    division rounded at 6 — the house exactness style.
+
+    Scale: token counting is the map side; one hash aggregate keyed by
+    bucket (≤ max_len/32 groups). No windows, no joins."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_toks", F.size(tokens(F.lower(F.col("text")))).cast("long")
+    )
+    b = d.select(
+        F.floor(F.col("n_toks") / _LB_WIDTH).cast("long").alias("bucket"),
+        F.col("n_toks"),
+    ).withColumn("cap", (F.col("bucket") + 1) * _LB_WIDTH)
+    g = b.groupBy("bucket", "cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("sum_tokens"),
+    )
+    pad = F.col("n_docs") * F.col("cap") - F.col("sum_tokens")
+    return g.select(
+        "bucket",
+        "cap",
+        "n_docs",
+        "sum_tokens",
+        pad.alias("pad_tokens"),
+        F.round(
+            pad.cast("double") / (F.col("n_docs") * F.col("cap")), 6
+        ).alias("pad_frac"),
+    )
+
+
+# ------------------------------------- exact-substring dup-span removal
+
+_DSR_W = 5  # tokens per duplicated window
+
+
+@query(
+    "q_dup_span_removal",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    nt AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, toks FROM d
+    ),
+    win AS (
+        SELECT doc_id, i AS p,
+               md5(array_to_string(
+                   list_slice(toks, i + 1, i + {_DSR_W}), ' ')) AS wh
+        FROM nt, unnest(range(0, greatest(n_toks - {_DSR_W} + 1, 0))) u(i)
+    ),
+    freq AS (
+        SELECT wh FROM win GROUP BY wh HAVING count(*) >= 2
+    ),
+    dup AS (
+        SELECT w.doc_id, w.p, w.p + {_DSR_W} - 1 AS e
+        FROM win w JOIN freq USING (wh)
+    ),
+    flagged AS (
+        SELECT doc_id, p, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_end
+        FROM dup
+    ),
+    spans AS (
+        SELECT doc_id, p, e,
+               sum(CASE WHEN prev_end IS NULL OR p > prev_end
+                   THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS span_id
+        FROM flagged
+    ),
+    merged AS (
+        SELECT doc_id, span_id,
+               min(p) AS s, max(e) AS t
+        FROM spans GROUP BY doc_id, span_id
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(t - s + 1) AS BIGINT) AS tokens_removed
+        FROM merged GROUP BY doc_id
+    )
+    SELECT nt.doc_id, nt.n_toks,
+           coalesce(p.n_spans, 0) AS n_spans,
+           coalesce(p.tokens_removed, 0) AS tokens_removed,
+           CASE WHEN nt.n_toks = 0 THEN NULL
+                ELSE round(1.0 - CAST(coalesce(p.tokens_removed, 0) AS DOUBLE)
+                           / nt.n_toks, 6) END AS keep_frac
+    FROM nt LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_dup_span_removal(spark, sf_dir):
+    """Exact-substring dup-span REMOVAL plan (Lee et al. 2021,
+    arXiv:2107.06499 §4.1 ExactSubstr): find every _DSR_W(=5)-token
+    window occurring ≥2 times in the corpus, merge each document's
+    overlapping duplicated windows into maximal spans (the
+    gaps-and-islands interval merge: running cummax of span ends, new
+    span when the next start clears it), and account the edit — spans
+    to cut, tokens removed, kept fraction per document. Where
+    q_dup_span_fraction measures HOW duplicated a doc is, this emits
+    the positional REMOVAL plan the dedup pass would execute — the
+    relational form of their suffix-array dup-range scan.
+
+    Scale: windows explode ~n_tokens rows (hashed to 32 hex chars, so
+    the shuffle carries digests, not text); duplicate detection is one
+    hash aggregate keyed by window hash; the interval merge is
+    windows PARTITIONED BY doc (no global sort, no funnel); join-backs
+    are keyed shuffles with map-side combine. The window-hash
+    dictionary is the skew point — the q_minhash_lsh hot-band cap
+    applies if one boilerplate window's posting list outgrows a
+    partition."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    nt = d.select(
+        "doc_id", F.size("toks").cast("long").alias("n_toks"), "toks"
+    )
+    # guard: sequence(0, n-w) DESCENDS when n < w (Spark generates a
+    # negative-step sequence, then slice(toks, 0, …) would raise) —
+    # short docs get an empty window array instead
+    win_hashes = F.when(
+        F.col("n_toks") >= _DSR_W,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_toks") - _DSR_W),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, _DSR_W))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    win = nt.select(
+        "doc_id", F.posexplode(win_hashes).alias("p", "wh")
+    )
+    freq = (
+        win.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("wh")
+    )
+    dup = win.join(freq, "wh").select(
+        "doc_id", "p", (F.col("p") + _DSR_W - 1).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = dup.withColumn("prev_end", F.max("e").over(w_prev))
+    spans = flagged.withColumn(
+        "span_id",
+        F.sum(
+            F.when(
+                F.col("prev_end").isNull() | (F.col("p") > F.col("prev_end")),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    merged = spans.groupBy("doc_id", "span_id").agg(
+        F.min("p").alias("s"), F.max("e").alias("t")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("t") - F.col("s") + 1).cast("long").alias("tokens_removed"),
+    )
+    out = nt.drop("toks").join(per_doc, "doc_id", "left")
+    removed = F.coalesce(F.col("tokens_removed"), F.lit(0)).cast("long")
+    return out.select(
+        "doc_id",
+        "n_toks",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        removed.alias("tokens_removed"),
+        F.when(
+            F.col("n_toks") == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.round(
+                F.lit(1.0) - removed.cast("double") / F.col("n_toks"), 6
+            )
+        ).alias("keep_frac"),
+    )

@@ -2800,3 +2800,79 @@ def q_ann_ivf_recall(spark, sf_dir):
             ),
         )
     )
+
+
+# ------------------------------------------- int8 embedding quantization
+
+
+@query(
+    "q_int8_quantize",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+        FROM embeddings
+    ),
+    a AS (
+        SELECT vec_id, ed,
+               list_max(list_transform(ed, x -> abs(x))) AS amax
+        FROM e
+    ),
+    c AS (
+        SELECT vec_id, amax,
+               list_transform(ed, x -> CASE WHEN amax = 0 THEN 0
+                   ELSE CAST(floor(x * 127.0 / amax) AS BIGINT) END) AS codes
+        FROM a
+    )
+    SELECT vec_id,
+           round(amax / 127.0, 6) AS scale_r,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_min(codes) AS BIGINT) AS code_min,
+           CAST(list_max(codes) AS BIGINT) AS code_max,
+           CAST(len(list_filter(codes, v -> abs(v) >= 127)) AS BIGINT)
+               AS n_sat
+    FROM c
+    """,
+)
+def q_int8_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding store —
+    the 4× memory lever every billion-vector ANN deployment pulls
+    before sharding (FAISS SQ8 / vector-DB "scalar quantization"):
+    scale = max|e_i| / 127, code_i = floor(e_i·127/amax). Truncating
+    (floor) rather than round-nearest keeps the quantizer cross-engine
+    exact: float32→double widening is exact, the multiply/divide is
+    the same IEEE op sequence on both engines, and floor is exact — so
+    the integer codes hash-match bit-for-bit, no rounding edge
+    anywhere. Emitted: the code moments (exact ints), saturation
+    count, and the reconstruction scale (the one rounded float).
+
+    Scale: a pure per-row projection over the corpus — zero shuffles,
+    zero joins; at 100 TB this is the map stage that writes the
+    quantized shadow table the ANN index then serves from. Zero-vector
+    guard on BOTH engines (code 0, never NaN)."""
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+    )
+    v = v.withColumn(
+        "amax", F.array_max(F.transform("ed", lambda x: F.abs(x)))
+    )
+    codes = F.transform(
+        "ed",
+        lambda x: F.when(F.col("amax") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(x * F.lit(127.0) / F.col("amax")).cast("long")
+        ),
+    )
+    c = v.withColumn("codes", codes)
+    return c.select(
+        "vec_id",
+        F.round(F.col("amax") / F.lit(127.0), 6).alias("scale_r"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("code_sum"),
+        F.array_min("codes").cast("long").alias("code_min"),
+        F.array_max("codes").cast("long").alias("code_max"),
+        F.size(F.filter("codes", lambda x: F.abs(x) >= 127))
+        .cast("long")
+        .alias("n_sat"),
+    )

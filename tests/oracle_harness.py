@@ -64,6 +64,18 @@ def compare(spark_df, oracle_df: pd.DataFrame, rel_tol: float = 1e-9) -> list[st
     b = _normalize(oracle_df)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver compares SCHEMAS strictly: an int64 Spark column
+        # against a float64 oracle column (e.g. an uncast DuckDB
+        # HUGEINT sum) is a driver-visible mismatch even when every
+        # value agrees — flag it here so it never reaches the driver
+        # (caught for real in r7: q_length_buckets pad_tokens).
+        if pd.api.types.is_integer_dtype(av) != pd.api.types.is_integer_dtype(bv):
+            issues.append(
+                f"col {c}: dtype class mismatch spark={av.dtype} "
+                f"oracle={bv.dtype} (cast the oracle side: DuckDB "
+                "sum(BIGINT) is HUGEINT -> float64 in pandas)"
+            )
+            continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             av = pd.to_numeric(av, errors="coerce").astype(float)
             bv = pd.to_numeric(bv, errors="coerce").astype(float)
