@@ -473,12 +473,19 @@ def _dqt_segment(tq: int, tbl: np.ndarray) -> bytes:
     return b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
 
 
-def encode_jpeg(mat: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(
+    mat: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
     """(h, w) or (h, w, 3) uint8 → baseline JFIF JPEG bytes.
 
     Grayscale is one component; color is JFIF YCbCr at 4:4:4 (no
     subsampling — keeps the MCU walk trivial and chroma exact). Tables
-    are the public T.81 Annex K set with IJG quality scaling."""
+    are the public T.81 Annex K set with IJG quality scaling.
+    `restart_interval` > 0 emits a DRI segment and an RSTn marker
+    every that-many MCUs (byte-aligned, DC predictors reset) — the
+    error-resilience feature most camera/libjpeg files carry, and the
+    way the decoder's restart path gets exercised by a conformant
+    stream."""
     m = np.ascontiguousarray(mat, dtype=np.uint8)
     if m.ndim == 2:
         ncomp = 1
@@ -509,8 +516,16 @@ def encode_jpeg(mat: np.ndarray, quality: int = 90) -> bytes:
     ac_enc = [_build_encoder(*_AC_LUMA), _build_encoder(*_AC_CHROMA)]
     writer = _BitWriter()
     pred = [0] * ncomp
+    mcu_i = 0
+    rst_i = 0
     for by in range(ph // 8):
         for bx in range(pw // 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                writer.flush()  # byte-align (pads with 1-bits per spec)
+                writer.buf += bytes([0xFF, 0xD0 + (rst_i & 7)])
+                rst_i = (rst_i + 1) & 7
+                pred = [0] * ncomp
+            mcu_i += 1
             for ci in range(ncomp):
                 cls = 0 if ci == 0 else 1
                 block = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
@@ -560,6 +575,8 @@ def encode_jpeg(mat: np.ndarray, quality: int = 90) -> bytes:
     out += _dht_segment(0, 0, _DC_LUMA) + _dht_segment(1, 0, _AC_LUMA)
     if ncomp == 3:
         out += _dht_segment(0, 1, _DC_CHROMA) + _dht_segment(1, 1, _AC_CHROMA)
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])

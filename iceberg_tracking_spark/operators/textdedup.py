@@ -154,3 +154,95 @@ def first_wins_keepers(
         docs.select(F.col(id_col).alias("doc_id"))
         .join(rejected, "doc_id", "left_anti")
     )
+
+
+def dup_span_stats(
+    toks_df: DataFrame,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    w: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document exact-substring dup-span removal plan (Lee et al.
+    2021, arXiv:2107.06499 §4.1 ExactSubstr): every `w`-token window
+    occurring ≥ `min_count` times corpus-wide marks its positions;
+    each document's marked windows merge into maximal spans
+    (gaps-and-islands: running cummax of span ends, new span when the
+    next start clears it). Input: (id_col, toks_col array<string>).
+    Output: (id_col, n_toks, n_spans, tokens_removed, keep_frac).
+
+    Scale shape: windows explode ~n_tokens rows hashed to md5 digests
+    (the shuffle never carries text); duplicate detection is one hash
+    aggregate on the digest; the interval merge is windows PARTITIONED
+    BY document — no global sort, no single-partition funnel; the
+    final join-back is keyed with map-side combine. q_dup_span_removal
+    is the oracle-checked consumer; the 100k-doc scale test measures
+    posting-list boundedness and planted-duplicate detection."""
+    nt = toks_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks_col).cast("long").alias("n_toks"),
+        F.col(toks_col).alias("toks"),
+    )
+    # guard: sequence(0, n-w) DESCENDS when n < w (negative-step
+    # sequence, then slice(toks, 0, …) would raise) — short docs get
+    # an empty window array instead
+    win_hashes = F.when(
+        F.col("n_toks") >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_toks") - w),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, w))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    win = nt.select("doc_id", F.posexplode(win_hashes).alias("p", "wh"))
+    freq = (
+        win.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("wh")
+    )
+    dup = win.join(freq, "wh").select(
+        "doc_id", "p", (F.col("p") + w - 1).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = dup.withColumn("prev_end", F.max("e").over(w_prev)).withColumn(
+        "span_id",
+        F.sum(
+            F.when(
+                F.col("prev_end").isNull() | (F.col("p") > F.col("prev_end")),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    per_doc = (
+        spans.groupBy("doc_id", "span_id")
+        .agg(F.min("p").alias("s"), F.max("e").alias("t"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.col("t") - F.col("s") + 1).cast("long").alias(
+                "tokens_removed"
+            ),
+        )
+    )
+    out = nt.drop("toks").join(per_doc, "doc_id", "left")
+    removed = F.coalesce(F.col("tokens_removed"), F.lit(0)).cast("long")
+    return out.select(
+        F.col("doc_id").alias(id_col),
+        "n_toks",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        removed.alias("tokens_removed"),
+        F.when(F.col("n_toks") == 0, F.lit(None).cast("double")).otherwise(
+            F.round(
+                F.lit(1.0) - removed.cast("double") / F.col("n_toks"), 6
+            )
+        ).alias("keep_frac"),
+    )

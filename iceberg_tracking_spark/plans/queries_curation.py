@@ -1773,73 +1773,9 @@ def q_dup_span_removal(spark, sf_dir):
     dictionary is the skew point — the q_minhash_lsh hot-band cap
     applies if one boilerplate window's posting list outgrows a
     partition."""
+    from ..operators.textdedup import dup_span_stats
+
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
     )
-    nt = d.select(
-        "doc_id", F.size("toks").cast("long").alias("n_toks"), "toks"
-    )
-    # guard: sequence(0, n-w) DESCENDS when n < w (Spark generates a
-    # negative-step sequence, then slice(toks, 0, …) would raise) —
-    # short docs get an empty window array instead
-    win_hashes = F.when(
-        F.col("n_toks") >= _DSR_W,
-        F.transform(
-            F.sequence(F.lit(0), F.col("n_toks") - _DSR_W),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, _DSR_W))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    win = nt.select(
-        "doc_id", F.posexplode(win_hashes).alias("p", "wh")
-    )
-    freq = (
-        win.groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("wh")
-    )
-    dup = win.join(freq, "wh").select(
-        "doc_id", "p", (F.col("p") + _DSR_W - 1).alias("e")
-    )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    flagged = dup.withColumn("prev_end", F.max("e").over(w_prev))
-    spans = flagged.withColumn(
-        "span_id",
-        F.sum(
-            F.when(
-                F.col("prev_end").isNull() | (F.col("p") > F.col("prev_end")),
-                1,
-            ).otherwise(0)
-        ).over(w_run),
-    )
-    merged = spans.groupBy("doc_id", "span_id").agg(
-        F.min("p").alias("s"), F.max("e").alias("t")
-    )
-    per_doc = merged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
-        F.sum(F.col("t") - F.col("s") + 1).cast("long").alias("tokens_removed"),
-    )
-    out = nt.drop("toks").join(per_doc, "doc_id", "left")
-    removed = F.coalesce(F.col("tokens_removed"), F.lit(0)).cast("long")
-    return out.select(
-        "doc_id",
-        "n_toks",
-        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
-        removed.alias("tokens_removed"),
-        F.when(
-            F.col("n_toks") == 0, F.lit(None).cast("double")
-        ).otherwise(
-            F.round(
-                F.lit(1.0) - removed.cast("double") / F.col("n_toks"), 6
-            )
-        ).alias("keep_frac"),
-    )
+    return dup_span_stats(d, w=_DSR_W)

@@ -550,3 +550,77 @@ def test_jpeg_flows_through_decode_media():
     assert _psnr(gray, out) > 35
     out = decode_media(encode_jpeg(rgb, 95), 0, 0, decode_stub=False)
     assert out.shape == rgb.shape[:2]  # grey-collapsed
+
+
+def test_jpeg_restart_markers_roundtrip_and_jvm_conformance(spark):
+    """DRI/RSTn coverage (the error-resilience feature most real-world
+    camera/libjpeg files carry): restart markers change the byte
+    stream, not the coefficients, so decode of a restart-interval
+    stream must be IDENTICAL to the no-restart decode — and the JVM's
+    ImageIO must accept our DRI stream and agree, proving the
+    byte-alignment/RSTn sequencing is spec-conformant, not merely
+    self-consistent."""
+    import numpy as np
+
+    from iceberg_tracking_spark.operators.imagecodec import decode_png
+    from iceberg_tracking_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    gray, rgb = _jpeg_test_images()
+    jvm = spark._jvm
+    for mat in (gray, rgb):
+        base = decode_jpeg(encode_jpeg(mat, 90))
+        for ri in (1, 4):
+            enc = encode_jpeg(mat, 90, restart_interval=ri)
+            assert b"\xff\xdd" in enc  # DRI present
+            assert np.array_equal(decode_jpeg(enc), base)
+            # independent conformance: ImageIO parses the DRI stream
+            bais = jvm.java.io.ByteArrayInputStream(bytearray(enc))
+            img = jvm.javax.imageio.ImageIO.read(bais)
+            assert img is not None, "ImageIO rejected our DRI stream"
+            baos = jvm.java.io.ByteArrayOutputStream()
+            assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+            theirs = decode_png(bytes(baos.toByteArray())).astype(np.int64)
+            theirs = theirs if base.ndim == 3 else (
+                theirs if theirs.ndim == 2 else theirs[:, :, 0]
+            )
+            assert np.abs(theirs - base.astype(np.int64)).max() <= 3
+
+
+def test_jpeg_blobs_flow_through_binaryfile_scan(spark, tmp_path):
+    """End-to-end Spark plumbing for compressed imagery: write real
+    JPEG files, scan them with binaryFile, decode + pixel-stat them in
+    Arrow-batched mapInPandas via the SAME extract_pixel_stats used by
+    q_png_decode — the decode dispatch keys off content magic, so the
+    plan is format-agnostic."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from iceberg_tracking_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+    from iceberg_tracking_spark.operators.multimodal import extract_pixel_stats
+    from iceberg_tracking_spark.sources.binary import read_binary_files
+
+    d = tmp_path / "jpegs"
+    d.mkdir()
+    expect = {}
+    for i in range(6):
+        h, w = 16 + i, 20 + 2 * i
+        mat = ((np.add.outer(np.arange(h), np.arange(w)) * (i + 3)) % 256).astype(
+            np.uint8
+        )
+        blob = encode_jpeg(mat, 90, restart_interval=(i % 3))
+        (d / f"{i:04d}.jpg").write_bytes(blob)
+        dec = decode_jpeg(blob)  # stats are over the DECODED pixels
+        expect[i] = (int(dec.astype(np.int64).sum()), int(dec.max()))
+    media = read_binary_files(spark, str(d), glob="*.jpg").select(
+        F.element_at(
+            F.split(F.element_at(F.split(F.col("path"), "/"), -1), "\\."), 1
+        ).cast("long").alias("media_id"),
+        F.col("content"),
+        F.lit(0).alias("width"),  # ignored: real decode reads the header
+        F.lit(0).alias("height"),
+    )
+    rows = extract_pixel_stats(media).collect()
+    assert len(rows) == 6
+    for r in rows:
+        s, mx = expect[r["media_id"]]
+        assert (r["px_sum"], r["max_intensity"]) == (s, mx)

@@ -674,3 +674,65 @@ def test_ann_recall_at_1m_vectors(spark):
     assert r_lsh2 >= r_lsh and r_lsh2 >= 0.44  # measured 0.456
     assert r_ivf1 >= 0.75  # measured 0.782
     assert r_ivf2 > r_ivf1 and r_ivf2 >= 0.90  # measured 0.959
+
+
+def test_dup_span_removal_growth_and_planted_detection(spark):
+    """Exact-substring dup-span removal at synthetic scale (the
+    ExactSubstr analog of the minhash growth test): 100k in-engine docs
+    where every 100th is a planted near-duplicate of its predecessor
+    (identical except the final token — so all 5-token windows not
+    touching the tail are exact cross-doc duplicates). Measures, not
+    asserts-blindly:
+
+    * planted docs are DETECTED: tokens_removed covers ≥ the shared
+      prefix for every planted doc (and its source);
+    * clean docs stay mostly intact (xxhash token streams collide only
+      occasionally at 5-gram granularity — fraction printed);
+    * the window-hash posting lists stay bounded (max occurrence count
+      printed — the reducer hot-key number a 100 TB run watches).
+    """
+    from iceberg_tracking_spark.operators.textdedup import dup_span_stats
+
+    n, w = 100_000, 5
+    docs = _synth_docs(spark, n).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    stats = dup_span_stats(docs, w=w).cache()
+    planted = stats.filter(F.col("doc_id") % 100 == 7)
+    sources = stats.filter(F.col("doc_id") % 100 == 6)
+    # a planted doc shares its first 15 tokens with its source: windows
+    # 0..15-w cover positions 0..14 -> ≥ 15 tokens removed on BOTH
+    bad_planted = planted.filter(F.col("tokens_removed") < 15).count()
+    bad_sources = sources.filter(F.col("tokens_removed") < 15).count()
+    n_planted = planted.count()
+    assert n_planted == 1000 and bad_planted == 0 and bad_sources == 0
+    # clean docs (neither planted nor source): spans only from chance
+    # 5-gram collisions in the xxhash token stream
+    clean = stats.filter(
+        (F.col("doc_id") % 100 != 7) & (F.col("doc_id") % 100 != 6)
+    )
+    n_clean = clean.count()
+    touched = clean.filter(F.col("tokens_removed") > 0).count()
+    # hot-key evidence: the max posting list over all window hashes
+    win = docs.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - w),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, w))),
+            )
+        ).alias("p", "wh")
+    )
+    row = (
+        win.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.count(F.lit(1)).alias("n_win"))
+        .collect()[0]
+    )
+    print(
+        f"\ndup-span @100k docs: planted 1000/1000 detected; chance-hit "
+        f"clean docs {touched}/{n_clean} ({touched / n_clean:.2%}); "
+        f"distinct windows {row['n_win']}, max posting list {row['mx']}"
+    )
+    stats.unpersist()
+    assert touched / n_clean < 0.25  # chance collisions stay the minority
+    assert row["mx"] < 50  # no degenerate boilerplate mega-window
