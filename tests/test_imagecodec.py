@@ -624,3 +624,32 @@ def test_jpeg_blobs_flow_through_binaryfile_scan(spark, tmp_path):
     for r in rows:
         s, mx = expect[r["media_id"]]
         assert (r["px_sum"], r["max_intensity"]) == (s, mx)
+
+
+def test_png_cross_validated_against_jvm_imageio(spark):
+    """Direct PNG conformance against the JVM's independent codec
+    (implicitly exercised as the transport in the JPEG tests; pinned
+    explicitly here): ImageIO must decode our cycling-filter PNGs to
+    the EXACT source pixels (PNG is lossless — zero tolerance), for
+    grey and RGB, and our decoder must exactly read PNGs written by
+    ImageIO's encoder."""
+    import numpy as np
+
+    from iceberg_tracking_spark.operators.imagecodec import decode_png, encode_png
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(17)
+    gray = rng.integers(0, 256, (21, 34), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (19, 23, 3), dtype=np.uint8)
+    for mat in (gray, rgb):
+        # direction 1: our encoder (all five filters), their decoder
+        bais = jvm.java.io.ByteArrayInputStream(bytearray(encode_png(mat)))
+        img = jvm.javax.imageio.ImageIO.read(bais)
+        assert img is not None, "ImageIO rejected our PNG"
+        # round-trip their BufferedImage back through their PNG writer
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+        theirs = decode_png(bytes(baos.toByteArray()))
+        # lossless both hops -> exact equality (a single filter bug
+        # would corrupt whole scanlines)
+        assert theirs.shape == mat.shape and np.array_equal(theirs, mat)

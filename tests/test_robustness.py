@@ -552,3 +552,49 @@ def test_order_date_math_is_caller_timezone_independent(spark, sf_dir):
     )
     assert (got["n"], got["risk_sum"]) == (utc_km["n"], utc_km["risk_sum"])
     assert (rfm["rd"], rfm["rb"]) == (utc_rfm["rd"], utc_rfm["rb"])
+
+
+def test_int8_quantize_zero_vector_guard(spark, tmp_path):
+    """q_int8_quantize's amax=0 guard: an all-zero embedding must emit
+    code 0 everywhere (never NaN/NULL from the 0/0 division) — on BOTH
+    engines, hash-identically."""
+    import duckdb
+
+    from iceberg_tracking_spark.plans.registry import QUERIES
+
+    con = duckdb.connect()
+    con.sql(f"""
+    COPY (SELECT * FROM (VALUES
+        (1, [0.5, -1.0, 0.25]::FLOAT[], 1),
+        (2, [0.0, 0.0, 0.0]::FLOAT[], 0),
+        (3, [2.0, 2.0, -2.0]::FLOAT[], 1)
+    ) t(vec_id, embedding, label))
+    TO '{tmp_path}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    got = {
+        r["vec_id"]: r
+        for r in QUERIES["q_int8_quantize"].fn(spark, str(tmp_path)).collect()
+    }
+    z = got[2]
+    assert (z["code_sum"], z["code_min"], z["code_max"], z["n_sat"]) == (
+        0, 0, 0, 0,
+    )
+    assert z["scale_r"] == 0.0
+    # sanity on a live vector: amax=1.0 -> codes floor(e*127) =
+    # [63, -127, 31]
+    v = got[1]
+    assert v["code_max"] == 63 and v["code_min"] == -127 and v["n_sat"] == 1
+    assert v["code_sum"] == 63 - 127 + 31
+    # oracle agrees on the same fixture
+    con2 = duckdb.connect()
+    con2.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    orc = {
+        r[0]: r
+        for r in con2.sql(QUERIES["q_int8_quantize"].oracle).fetchall()
+    }
+    for vid, r in got.items():
+        o = orc[vid]
+        assert (r["scale_r"], r["code_sum"], r["code_min"], r["code_max"],
+                r["n_sat"]) == (o[1], o[2], o[3], o[4], o[5]), vid
