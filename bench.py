@@ -121,6 +121,9 @@ EXTENDED = [
     "q_int8_quantize",
     "q_length_buckets",
     "q_dup_span_removal",
+    # round-7 second wave: ALS normal-equations half-step and BH FDR
+    "q_als_step",
+    "q_benjamini_hochberg",
 ]
 
 # Regression floors for the HEADLINE set (r6 verdict task: the
@@ -244,6 +247,11 @@ EXTENDED_FLOOR_SEC = {
     "q_int8_quantize": 0.399,
     "q_length_buckets": 0.459,
     "q_dup_span_removal": 0.516,
+    # round-7 second wave (first solo sf0.1 min-of-3 recordings; BH is
+    # job-count bound — distributed_cumulative boundary collect +
+    # checkpoint over a 25-row relation, the q_rfm cost note)
+    "q_als_step": 1.056,
+    "q_benjamini_hochberg": 1.430,
 }
 
 

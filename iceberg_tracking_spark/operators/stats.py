@@ -1,0 +1,82 @@
+"""Multiple-testing / experimentation statistics operators.
+
+The per-test statistics (z, chi2, KS, ...) live in the query layer as
+relational programs; this module holds the FAMILY-level procedures
+that operate on a relation of many tests at once — the step every
+experimentation platform runs after computing one p-value per
+segment/metric. Scale contract: a "family" can be millions of tests
+(per-feature drift checks, per-segment readouts), so nothing here may
+funnel through a single partition — global ranks ride
+`distributed_cumulative`, scalars are 1-row aggregates combined back
+broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .windows import distributed_cumulative
+
+
+def bh_stepup(
+    df: DataFrame,
+    p_col: str,
+    tiebreak_cols: list[str],
+    alpha: float = 0.05,
+    out_rank: str = "k",
+    out_thresh: str = "bh_thresh",
+    out_flag: str = "rejected",
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a relation of tests.
+
+    Adds three columns: the global p-value rank `k` (ascending, ties
+    broken by `tiebreak_cols` — include enough columns for a total
+    order), the per-rank threshold `round(k*alpha/m, 6)`, and the
+    boolean BH decision: with k* = max{k : p_(k) <= k/m * alpha},
+    reject exactly the tests ranked <= k*. Note the step-up subtlety
+    this implements faithfully: a test whose OWN p exceeds its
+    threshold is still rejected when a LATER rank satisfies its
+    threshold (p_(k) <= p_(k*) for k <= k* by the rank order).
+
+    Determinism: the comparison runs on the 6dp-rounded threshold and
+    the caller's p-values (round them to a fixed grid for cross-engine
+    replay — the house 6dp float contract); rank is a total order.
+
+    Scale: m is ONE count aggregate; the rank is the two-pass
+    distributed ranking (no single-partition window even at m ~ 10^6
+    tests); k* is a 1-row scalar joined back broadcast. The input
+    relation is materialized once (it feeds the rank, the scalar, and
+    the output).
+    """
+    m = df.agg(F.count(F.lit(1)).alias("_m"))
+    ranked = distributed_cumulative(
+        df.crossJoin(F.broadcast(m)),
+        order_cols=[p_col, *tiebreak_cols],
+        agg_col=None,
+        out_col=out_rank,
+    ).withColumn(
+        out_thresh,
+        F.round(
+            F.col(out_rank).cast("double")
+            * F.lit(float(alpha))
+            / F.col("_m").cast("double"),
+            6,
+        ),
+    )
+    # consumed by the k* scalar AND the final projection — one
+    # materialization of the bounded (m-row) test relation
+    ranked = ranked.localCheckpoint()
+    km = ranked.agg(
+        F.max(
+            F.when(F.col(p_col) <= F.col(out_thresh), F.col(out_rank))
+        ).alias("_kmax")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(km))
+        .withColumn(
+            out_flag,
+            F.col("_kmax").isNotNull() & (F.col(out_rank) <= F.col("_kmax")),
+        )
+        .drop("_m", "_kmax")
+    )

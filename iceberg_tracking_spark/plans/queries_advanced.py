@@ -1567,3 +1567,172 @@ def q_chi2_independence(spark, sf_dir):
             ).alias("chi2_term"),
         )
     )
+
+
+# --------------------------------------- multiple-testing correction
+
+_BH_ALPHA = 0.05
+# Normal tail via Abramowitz & Stegun 26.2.17 (|err| < 7.5e-8): the
+# SAME literal coefficients and op order on both engines, evaluated
+# from the 6dp-ROUNDED z, with the result rounded to 6dp — the only
+# non-correctly-rounded IEEE op in the chain is exp(), whose <=1ulp
+# cross-engine spread is ~1e-16 relative, 10 orders below the rounding
+# grid (the q_unigram_logprob log() precedent).
+_BH_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_BH_INV_SQRT_2PI = 0.3989422804014327
+
+
+@query(
+    "q_benjamini_hochberg",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey AS nationkey, count(*) AS n_cust,
+               CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos
+        FROM customer GROUP BY c_nationkey
+    ),
+    tot AS (
+        SELECT CAST(sum(n_cust) AS BIGINT) AS big_n,
+               CAST(sum(n_pos) AS BIGINT) AS big_s,
+               count(*) AS m
+        FROM g
+    ),
+    z AS (
+        SELECT nationkey, n_cust, n_pos, t.m,
+               round((CAST(n_pos AS DOUBLE) / CAST(n_cust AS DOUBLE)
+                      - CAST(t.big_s - n_pos AS DOUBLE)
+                        / CAST(t.big_n - n_cust AS DOUBLE))
+                     / sqrt((CAST(t.big_s AS DOUBLE) / CAST(t.big_n AS DOUBLE))
+                            * (1.0 - CAST(t.big_s AS DOUBLE)
+                                     / CAST(t.big_n AS DOUBLE))
+                            * (1.0 / CAST(n_cust AS DOUBLE)
+                               + 1.0 / CAST(t.big_n - n_cust AS DOUBLE))),
+                     6) AS z_score
+        FROM g CROSS JOIN tot t
+    ),
+    p AS (
+        SELECT nationkey, n_cust, n_pos, m, z_score,
+               1.0 / (1.0 + 0.2316419 * abs(z_score)) AS tt,
+               {_BH_INV_SQRT_2PI} * exp(-(abs(z_score) * abs(z_score)) / 2.0)
+                 AS pdf
+        FROM z
+    ),
+    pv AS (
+        SELECT nationkey, n_cust, n_pos, m, z_score,
+               round(2.0 * pdf * (tt * ({_BH_B[0]} + tt * ({_BH_B[1]}
+                     + tt * ({_BH_B[2]} + tt * ({_BH_B[3]}
+                     + tt * {_BH_B[4]}))))), 6) AS p_value
+        FROM p
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY p_value, nationkey) AS k,
+               round(CAST(row_number() OVER (ORDER BY p_value, nationkey)
+                          AS DOUBLE) * {_BH_ALPHA} / CAST(m AS DOUBLE), 6)
+                 AS bh_thresh
+        FROM pv
+    ),
+    km AS (
+        SELECT max(CASE WHEN p_value <= bh_thresh THEN k END) AS kmax
+        FROM ranked
+    )
+    SELECT r.nationkey, r.n_cust, r.n_pos, r.z_score, r.p_value,
+           r.k, r.bh_thresh,
+           CASE WHEN km.kmax IS NOT NULL AND r.k <= km.kmax
+                THEN TRUE ELSE FALSE END AS rejected
+    FROM ranked r CROSS JOIN km
+    """,
+)
+def q_benjamini_hochberg(spark, sf_dir):
+    """Benjamini-Hochberg FDR control (Benjamini & Hochberg 1995) over
+    a family of per-segment two-proportion z-tests — the
+    multiple-testing step every experimentation platform runs after
+    computing one test per segment/metric (q_ab_test gives ONE
+    p-value; a real readout has hundreds, and alpha-per-test drowns in
+    false positives). Per nation: pooled two-proportion z for "share
+    of positive-balance customers differs from the rest", two-sided
+    p via the A&S 26.2.17 normal-tail polynomial, then the BH step-up:
+    rank p ascending, k* = max{{k : p_(k) <= k/m*alpha}}, reject ranks
+    <= k*.
+
+    Determinism: z is divisions/sqrt over exact integer counts — all
+    correctly-rounded IEEE ops, bit-identical cross-engine — rounded
+    to 6dp; p is the SAME fixed literal-coefficient polynomial x exp()
+    on both engines evaluated from the rounded z, rounded to 6dp; the
+    BH comparison then runs on identical 6dp doubles, so the rejected
+    set is engine-independent. The rank is a total order (p, nation).
+
+    On THIS data the rejected set is empty — the synthetic tables are
+    a true null (per-nation balance shares are i.i.d. uniform), and an
+    FDR procedure that rejected anything here would be broken. The
+    step-up machinery itself (prefix rejection through a later rank's
+    threshold, the k* scalar) is pinned by the planted-p-value unit
+    test in tests/test_operators.py.
+
+    Scale: the fact table reduces to one |segments|-row relation in a
+    single hash aggregate; the global rank inside `bh_stepup` rides
+    distributed_cumulative (never a single-partition window, even
+    though m is small here — at a feature store's m ~ 10^6 tests the
+    same plan holds); kmax is a 1-row scalar combined back broadcast.
+    """
+    from ..operators.stats import bh_stepup
+
+    g = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(
+                F.when(F.col("c_acctbal") > 0, 1).otherwise(0)
+            ).alias("n_pos"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_cust").alias("big_n"),
+        F.sum("n_pos").alias("big_s"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    nd, sd = F.col("n_cust").cast("double"), F.col("n_pos").cast("double")
+    bn, bs = F.col("big_n").cast("double"), F.col("big_s").cast("double")
+    rest_n = (F.col("big_n") - F.col("n_cust")).cast("double")
+    rest_s = (F.col("big_s") - F.col("n_pos")).cast("double")
+    pp = bs / bn
+    z_expr = (sd / nd - rest_s / rest_n) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / nd + F.lit(1.0) / rest_n)
+    )
+    z = g.crossJoin(F.broadcast(tot)).select(
+        "nationkey",
+        "n_cust",
+        "n_pos",
+        "m",
+        F.round(z_expr, 6).alias("z_score"),
+    )
+    x = F.abs(F.col("z_score"))
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * x)
+    pdf = F.lit(_BH_INV_SQRT_2PI) * F.exp(-(x * x) / F.lit(2.0))
+    poly = tt * (
+        F.lit(_BH_B[0])
+        + tt
+        * (
+            F.lit(_BH_B[1])
+            + tt * (F.lit(_BH_B[2]) + tt * (F.lit(_BH_B[3]) + tt * F.lit(_BH_B[4])))
+        )
+    )
+    pv = z.select(
+        "nationkey",
+        "n_cust",
+        "n_pos",
+        "z_score",
+        F.round(F.lit(2.0) * pdf * poly, 6).alias("p_value"),
+    )
+    return bh_stepup(
+        pv, p_col="p_value", tiebreak_cols=["nationkey"], alpha=_BH_ALPHA
+    ).select(
+        "nationkey",
+        "n_cust",
+        "n_pos",
+        "z_score",
+        "p_value",
+        "k",
+        "bh_thresh",
+        "rejected",
+    )

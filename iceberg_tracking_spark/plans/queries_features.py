@@ -1186,3 +1186,160 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_custkey", "r_days", "freq", "monetary", "r_bin", "f_bin", "m_bin"
     )
+
+
+# ------------------------------------------------- ALS user-factor step
+
+_ALS_LAMBDA = 2  # integer ridge weight (scaled by the user's item count)
+
+
+@query(
+    "q_als_step",
+    oracle=f"""
+    WITH fac AS (
+        SELECT p_partkey,
+               CAST(p_partkey % 7 AS BIGINT) - 3 AS f1,
+               CAST((p_partkey * 31) % 11 AS BIGINT) - 5 AS f2,
+               CAST((p_partkey * 17) % 5 AS BIGINT) - 2 AS f3
+        FROM part
+    ),
+    inter AS (
+        SELECT o.o_custkey, f.f1, f.f2, f.f3,
+               CAST(l.l_quantity AS BIGINT) AS r
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN fac f ON l.l_partkey = f.p_partkey
+    ),
+    s AS (
+        SELECT o_custkey, count(*) AS n_items,
+               CAST(sum(f1 * f1) AS HUGEINT) AS a11s,
+               CAST(sum(f1 * f2) AS HUGEINT) AS a12,
+               CAST(sum(f1 * f3) AS HUGEINT) AS a13,
+               CAST(sum(f2 * f2) AS HUGEINT) AS a22s,
+               CAST(sum(f2 * f3) AS HUGEINT) AS a23,
+               CAST(sum(f3 * f3) AS HUGEINT) AS a33s,
+               CAST(sum(f1 * r) AS HUGEINT) AS b1,
+               CAST(sum(f2 * r) AS HUGEINT) AS b2,
+               CAST(sum(f3 * r) AS HUGEINT) AS b3
+        FROM inter GROUP BY o_custkey
+    ),
+    a AS (
+        SELECT o_custkey, n_items,
+               a11s + {_ALS_LAMBDA} * n_items AS a11, a12, a13,
+               a22s + {_ALS_LAMBDA} * n_items AS a22, a23,
+               a33s + {_ALS_LAMBDA} * n_items AS a33, b1, b2, b3
+        FROM s
+    ),
+    m AS (
+        SELECT *,
+               a22 * a33 - a23 * a23 AS m11,
+               a12 * a33 - a23 * a13 AS m12,
+               a12 * a23 - a22 * a13 AS m13
+        FROM a
+    ),
+    d AS (
+        SELECT o_custkey, n_items,
+               a11 * m11 - a12 * m12 + a13 * m13 AS det,
+               b1 * m11 - a12 * (b2 * a33 - a23 * b3)
+                        + a13 * (b2 * a23 - a22 * b3) AS det1,
+               a11 * (b2 * a33 - a23 * b3) - b1 * m12
+                        + a13 * (a12 * b3 - b2 * a13) AS det2,
+               a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13)
+                        + b1 * m13 AS det3
+        FROM m
+    )
+    SELECT o_custkey, n_items,
+           CASE WHEN det = 0 THEN NULL
+                ELSE CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) END AS p1,
+           CASE WHEN det = 0 THEN NULL
+                ELSE CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) END AS p2,
+           CASE WHEN det = 0 THEN NULL
+                ELSE CAST(det3 AS DOUBLE) / CAST(det AS DOUBLE) END AS p3
+    FROM d
+    """,
+)
+def q_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALS user-factor half-step (Zhou et al. 2008, the
+    "Large-scale Parallel Collaborative Filtering" normal-equations
+    form): with the k=3 ITEM factor table held fixed, each user's
+    factor vector solves (Qu'Qu + lambda*n_u*I) p_u = Qu'r_u over that
+    user's rated items. Interactions are (customer, part, quantity)
+    from lineitem x orders; item factors are a deterministic small-
+    integer grid derived from the part key (standing in for the
+    previous iteration's factors, which a real pipeline would read as
+    a table — the plan shape is identical: a broadcast equi-join).
+
+    Exactness: factors and ratings are integers, so the six Gram sums
+    and three right-hand sides accumulate as DECIMAL(38,0)/HUGEINT —
+    exact at any scale and summation order. The 3x3 solve is Cramer's
+    rule: every determinant is exact integer algebra, and each emitted
+    factor is ONE IEEE division of two exact integers (bit-identical
+    cross-engine, the q_linear_fit contract). The lambda*n_u ridge
+    keeps A positive-definite so det > 0, but det = 0 still yields
+    NULL on both engines rather than a platform-dependent infinity.
+
+    Scale (the actual ALS-on-Spark layout): the ratings fact shuffles
+    ONCE on the join key, the item-factor table joins BROADCAST
+    (|items| << |ratings|), and the per-user normal equations are one
+    map-side-combined hash aggregate to k*(k+3)/2 + 1 numbers per
+    user — no per-user matrix materialization, no driver round-trip.
+    The k=3 Cramer expansion is the same closed form production ALS
+    uses for small k; larger k swaps in a per-row Cholesky without
+    changing the data layout."""
+    dec = "decimal(38,0)"
+    lam = F.lit(_ALS_LAMBDA).cast(dec)
+    fac = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        ((F.col("p_partkey") % 7) - 3).cast("long").alias("f1"),
+        (((F.col("p_partkey") * 31) % 11) - 5).cast("long").alias("f2"),
+        (((F.col("p_partkey") * 17) % 5) - 2).cast("long").alias("f3"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", F.col("l_quantity").cast("long").alias("r")
+    )
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    inter = li.join(od, li.l_orderkey == od.o_orderkey).join(
+        F.broadcast(fac), li.l_partkey == fac.p_partkey
+    )
+    s = inter.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col("f1") * F.col("f1")).cast(dec)).alias("a11s"),
+        F.sum((F.col("f1") * F.col("f2")).cast(dec)).alias("a12"),
+        F.sum((F.col("f1") * F.col("f3")).cast(dec)).alias("a13"),
+        F.sum((F.col("f2") * F.col("f2")).cast(dec)).alias("a22s"),
+        F.sum((F.col("f2") * F.col("f3")).cast(dec)).alias("a23"),
+        F.sum((F.col("f3") * F.col("f3")).cast(dec)).alias("a33s"),
+        F.sum((F.col("f1") * F.col("r")).cast(dec)).alias("b1"),
+        F.sum((F.col("f2") * F.col("r")).cast(dec)).alias("b2"),
+        F.sum((F.col("f3") * F.col("r")).cast(dec)).alias("b3"),
+    )
+    ridge = lam * F.col("n_items").cast(dec)
+    a11 = F.col("a11s") + ridge
+    a22 = F.col("a22s") + ridge
+    a33 = F.col("a33s") + ridge
+    a12, a13, a23 = F.col("a12"), F.col("a13"), F.col("a23")
+    b1, b2, b3 = F.col("b1"), F.col("b2"), F.col("b3")
+    m11 = a22 * a33 - a23 * a23
+    m12 = a12 * a33 - a23 * a13
+    m13 = a12 * a23 - a22 * a13
+    det = a11 * m11 - a12 * m12 + a13 * m13
+    det1 = b1 * m11 - a12 * (b2 * a33 - a23 * b3) + a13 * (b2 * a23 - a22 * b3)
+    det2 = a11 * (b2 * a33 - a23 * b3) - b1 * m12 + a13 * (a12 * b3 - b2 * a13)
+    det3 = (
+        a11 * (a22 * b3 - b2 * a23)
+        - a12 * (a12 * b3 - b2 * a13)
+        + b1 * m13
+    )
+
+    def _solve(num):
+        return F.when(
+            det != 0, num.cast("double") / det.cast("double")
+        )
+
+    return s.select(
+        "o_custkey",
+        "n_items",
+        _solve(det1).alias("p1"),
+        _solve(det2).alias("p2"),
+        _solve(det3).alias("p3"),
+    )

@@ -36,20 +36,21 @@ QUERIES: dict[str, QueryDef] = {}
 # inside that window, so ordering is explicit: names listed here come
 # first (in this order), everything else follows in registration order.
 # Round 7 rotation — the pure-refresh round the r6 verdict asked for
-# (task #1: retire the evidence-staleness debt): (a) the four new
+# (task #1: retire the evidence-staleness debt): (a) the SIX new
 # queries (q_png_decode — the stdlib PNG decode closing the
-# compressed-codec gap — plus int8 quantization, length-bucketed
-# batching, and exact-substring dup-span removal), (b) the five
+# compressed-codec gap — int8 quantization, length-bucketed
+# batching, exact-substring dup-span removal, the ALS user-factor
+# half-step, and Benjamini-Hochberg FDR), (b) the five
 # queries whose CODE (or a shared dependency) changed this round —
 # the _BASKET_CAP group-size guard and the three decode_media
 # consumers, (c) the FULL r1-stale cohort — all 20 queries whose
-# latest driver row still dated to round 1, (d) 21 of the 38 r3-stale
+# latest driver row still dated to round 1, (d) 19 of the 38 r3-stale
 # queries. After this window no registered query's latest driver row
-# is older than round 3, and only 17 r3 names remain pre-r4 (they
+# is older than round 3, and only 19 r3 names remain pre-r4 (they
 # rotate in next round): q_contamination, q_corpus_curate,
 # q_corr_scalar_subquery, q_data_profile, q_date_funcs,
 # q_event_pattern, q_not_exists, q_pivot, q_ratio_expr,
-# q_stratified_sample, q_vocab_topk, plus the six displaced by the
+# q_stratified_sample, q_vocab_topk, plus the eight displaced by the
 # decode_media consumers and the late-round new queries (see the note
 # after the list). Everything r4+-green stays out — its evidence
 # stands. Window = 50.
@@ -59,6 +60,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_int8_quantize",
     "q_length_buckets",
     "q_dup_span_removal",
+    "q_als_step",
+    "q_benjamini_hochberg",
     # (b) code changed this round: the _BASKET_CAP group-size guard
     # (live in both plans and both oracles), and the three consumers
     # of decode_media (its dispatch gained real PNG/JPEG branches
@@ -107,17 +110,16 @@ DRIVER_PRIORITY: list[str] = [
     "q_dedup_keep_one",
     "q_frame_sample",
     "q_gram_matrix",
-    "q_grouping_sets",
-    "q_histogram",
     "q_kfold",
     "q_multimodal_meta",
     "q_quality_score",
     "q_skew_join",
 ]
 # Of the r3 cohort, deferred to round 8 beyond the 11 named above —
-# displaced by the three decode_media consumers and the three
+# displaced by the three decode_media consumers and the five
 # late-round new queries (q_int8_quantize / q_length_buckets /
-# q_dup_span_removal — no driver row outranks refreshing a green one):
+# q_dup_span_removal / q_als_step / q_benjamini_hochberg — no driver
+# row outranks refreshing a green one):
 # q_salted_agg (salting also proven by q_skew_join, refreshed here,
 # plus the extreme-skew parity test), q_tfidf (term-weighting family
 # covered by r5-green q_bm25), q_unigram_logprob (r5-green
@@ -126,7 +128,10 @@ DRIVER_PRIORITY: list[str] = [
 # refreshed this round), q_scd2 (merge/versioning family covered by
 # r6-green q_merge_upsert + catalog tests), q_simhash (near-dup family
 # covered by the refreshed q_minhash_lsh / q_embedding_neardup and
-# r5-green q_semdedup).
+# r5-green q_semdedup), q_grouping_sets (rollup/cube machinery
+# re-proven by the q_rollup refresh in this window), q_histogram
+# (sketch family fresh via r6-green q_histogram_quantiles /
+# q_heavy_hitters).
 
 
 def query(name: str, oracle: str | None = None):

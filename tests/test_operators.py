@@ -1194,3 +1194,113 @@ def test_discover_sequences_single_and_multi_layout(tmp_path):
     got = discover_sequences(str(single))
     assert list(got) == ["clear"]
     assert got["clear"]["images"].endswith("clear/images")
+
+
+def test_bh_stepup_planted_pvalues(spark):
+    """BH step-up on planted p-values — pins the two subtleties the
+    true-null driver fixture (q_benjamini_hochberg) never exercises:
+    (a) the rejected set is a RANK PREFIX, including a test whose own
+    p exceeds its threshold when a later rank satisfies its own
+    (p=0.013 > 2/10*0.05 = 0.010, rescued by rank 3's 0.014 <= 0.015);
+    (b) nothing rejected => all-false flags, and everything-tiny =>
+    all-true. m = 10, alpha = 0.05."""
+    from iceberg_tracking_spark.operators.stats import bh_stepup
+
+    ps = [0.001, 0.013, 0.014, 0.20, 0.25, 0.30, 0.40, 0.60, 0.80, 0.95]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "test_id INT, p_value DOUBLE"
+    )
+    out = bh_stepup(df, "p_value", ["test_id"]).orderBy("k").collect()
+    flags = [r["rejected"] for r in out]
+    # k* = 3: p_(3)=0.014 <= 3/10*0.05=0.015; ranks 1-3 rejected —
+    # including rank 2 (0.013 > 0.010, the step-up rescue)
+    assert flags == [True, True, True] + [False] * 7
+    assert [r["k"] for r in out] == list(range(1, 11))
+    assert abs(out[1]["bh_thresh"] - 0.010) < 1e-12
+    # true-null family: nothing rejected
+    null_df = spark.createDataFrame(
+        [(i, 0.5 + 0.04 * i) for i in range(10)],
+        "test_id INT, p_value DOUBLE",
+    )
+    assert not any(
+        r["rejected"] for r in bh_stepup(null_df, "p_value", ["test_id"]).collect()
+    )
+    # all-signal family: everything rejected
+    tiny = spark.createDataFrame(
+        [(i, 0.0001 * (i + 1)) for i in range(10)],
+        "test_id INT, p_value DOUBLE",
+    )
+    assert all(
+        r["rejected"] for r in bh_stepup(tiny, "p_value", ["test_id"]).collect()
+    )
+
+
+def test_als_step_solves_normal_equations(spark, sf_dir):
+    """Oracle parity cannot catch an algebra slip both engines share
+    (e.g. a transposed Cramer column) — re-derive each user's normal
+    equations (A = Q'Q + lambda*n*I, b = Q'r) independently in numpy
+    from the raw interactions and assert A @ p ~= b for the emitted
+    factors. Also pins det > 0 (the ridge guarantees SPD) via every
+    factor being non-null."""
+    import numpy as np
+
+    from iceberg_tracking_spark.plans.queries_features import (
+        _ALS_LAMBDA,
+        q_als_step,
+    )
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    out = {r["o_custkey"]: r for r in q_als_step(spark, sf_dir).collect()}
+    assert out and all(
+        r["p1"] is not None and r["p2"] is not None and r["p3"] is not None
+        for r in out.values()
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rows = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select("o_custkey", "l_partkey", "l_quantity")
+        .collect()
+    )
+    acc: dict[int, list] = {}
+    for r in rows:
+        p = r["l_partkey"]
+        f = np.array([(p % 7) - 3, ((p * 31) % 11) - 5, ((p * 17) % 5) - 2], float)
+        A, b, n = acc.setdefault(r["o_custkey"], [np.zeros((3, 3)), np.zeros(3), 0])
+        A += np.outer(f, f)
+        b += f * float(r["l_quantity"])
+        acc[r["o_custkey"]][2] = n + 1
+    assert set(acc) == set(out)
+    for cust, (A, b, n) in acc.items():
+        A = A + _ALS_LAMBDA * n * np.eye(3)
+        p = np.array([out[cust]["p1"], out[cust]["p2"], out[cust]["p3"]])
+        assert out[cust]["n_items"] == n
+        resid = np.abs(A @ p - b).max()
+        assert resid < 1e-6, f"cust {cust}: |Ap - b| = {resid}"
+
+
+def test_bh_normal_tail_polynomial_accuracy():
+    """The A&S 26.2.17 polynomial q_benjamini_hochberg evaluates on
+    both engines must agree with the true normal tail (stdlib erfc)
+    within its documented 7.5e-8 bound — x2 for the two-sided p, well
+    under the 6dp rounding grid. Checked across the z range the BH
+    comparison actually discriminates on."""
+    import math
+
+    from iceberg_tracking_spark.plans.queries_advanced import (
+        _BH_B,
+        _BH_INV_SQRT_2PI,
+    )
+
+    for i in range(0, 601):
+        x = i / 100.0  # z in [0, 6]
+        t = 1.0 / (1.0 + 0.2316419 * x)
+        poly = t * (
+            _BH_B[0]
+            + t * (_BH_B[1] + t * (_BH_B[2] + t * (_BH_B[3] + t * _BH_B[4])))
+        )
+        p = 2.0 * (_BH_INV_SQRT_2PI * math.exp(-x * x / 2.0)) * poly
+        truth = math.erfc(x / math.sqrt(2.0))
+        assert abs(p - truth) < 1.5e-7, (x, p, truth)

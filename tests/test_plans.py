@@ -95,6 +95,10 @@ NESTED_LOOP_OK = {
                        # distributed_cumulative offsets joins)
     "q_cuped",         # 1-row midpoint + 1-row pooled-moments (theta)
                        # broadcasts onto users / the 2-variant relation
+    "q_benjamini_hochberg",  # 1-row (N,S,m) totals + 1-row k* scalar
+                             # broadcasts onto the |segments|-row test
+                             # relation (plus distributed_cumulative
+                             # offsets join inside bh_stepup)
     "q_chi2_independence",  # 1-row contingency total broadcast onto the
                             # |X|*|Y|-cell relation (q_mutual_information
                             # twin)
