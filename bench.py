@@ -129,32 +129,38 @@ EXTENDED = [
 # Regression floors for the HEADLINE set (r6 verdict task: the
 # headline deserves the same mechanical >2x flag as the extended set —
 # q_grid_join drifted +0.29s then +0.42s across r5/r6 and only manual
-# delta-reading caught it). Basis: per-query min of the two known solo
-# min-of-3 runs — the r6 judge's own re-measure (13.38s total) and the
-# round-7 start-of-round solo run (12.28s total) — i.e. the best
-# demonstrated steady-state on this host. Same semantics as
+# delta-reading caught it). Basis: per-query min of the three known
+# solo min-of-3 runs — the r6 judge's own re-measure (13.38s total),
+# the round-7 start-of-round solo run (12.28s), and the round-7
+# end-of-round solo run (11.40s total, best-ever, beating r4's 11.53s
+# — which also confirms the r5/r6 "drift" was co-tenant load, not
+# plan regressions) — i.e. the best demonstrated steady-state on this
+# host. Same semantics as
 # EXTENDED_FLOOR_SEC: >2x floor at sf0.1 lands in "regressions" and on
 # stderr, never a nonzero exit.
 HEADLINE_FLOOR_SEC = {
-    "q_sum_count": 0.510,
-    "q_equijoin": 0.511,
+    "q_sum_count": 0.499,
+    "q_equijoin": 0.495,
     "q_theta_argmax": 0.736,
-    "q_islands": 0.658,
-    "q_grid_join": 1.189,
-    "q_session_window": 0.463,
-    "q_minhash_lsh": 1.188,
-    "q_cosine_topk": 0.797,
+    "q_islands": 0.605,
+    "q_grid_join": 1.108,
+    "q_session_window": 0.422,
+    "q_minhash_lsh": 0.972,
+    "q_cosine_topk": 0.681,
     "q_iou_argmax": 1.304,
-    "q_rollup": 0.502,
-    "q_asof_join": 0.725,
-    "q_ann_lsh": 1.099,
-    "q_token_count": 0.277,
-    "q_eval_metrics": 1.684,
+    "q_rollup": 0.485,
+    "q_asof_join": 0.708,
+    "q_ann_lsh": 0.972,
+    "q_token_count": 0.26,
+    "q_eval_metrics": 1.489,
     "q_star_join": 0.572,
 }
 
-# Regression floor for the extended set: the first recorded sf0.1
-# numbers (BENCH_r04, min-of-3). A query running >2x its floor at
+# Regression floor for the extended set: each entry's first solo
+# sf0.1 min-of-3 recording, tightened whenever a later solo run beats
+# it (last sweep: the round-7 end-of-round solo bench — an unusually
+# quiet host window that re-floored 43 of 61 entries). A query running
+# >2x its floor at
 # sf0.1 is flagged loudly in the JSON ("regressions") and on stderr —
 # the 2x budget absorbs the measured 1.5-2x co-tenant load swings, so
 # a flag means a real plan regression, not noise. Deliberately NOT a
@@ -163,14 +169,14 @@ HEADLINE_FLOOR_SEC = {
 EXTENDED_FLOOR_SEC = {
     # re-floored r6 after the single-checkpoint broadcast-degree
     # reshape (min-of-5 solo recording)
-    "q_pagerank": 3.456,
+    "q_pagerank": 3.246,
     "q_interval_join": 0.884,
-    "q_fuzzy_match": 0.521,
-    "q_char_entropy": 0.592,
-    "q_hll": 0.501,
-    "q_count_min": 0.866,
-    "q_image_decode": 0.478,
-    "q_rrf_fusion": 1.999,
+    "q_fuzzy_match": 0.467,
+    "q_char_entropy": 0.534,
+    "q_hll": 0.482,
+    "q_count_min": 0.667,
+    "q_image_decode": 0.403,
+    "q_rrf_fusion": 1.711,
     # round-5 families: first sf0.1 min-of-3 recordings (local run).
     # q_auc / q_pack_sequences / q_curriculum re-floored in r6: the
     # r5 ADVICE fix makes distributed_cumulative collect its percentile
@@ -178,41 +184,41 @@ EXTENDED_FLOOR_SEC = {
     # bucket ids are plan constants — correctness at multi-executor
     # scale, bought with one extra job submission per call, which at
     # sf0.1 is mostly fixed scheduling overhead.
-    "q_auc": 0.669,
+    "q_auc": 0.537,
     "q_pack_sequences": 0.885,
-    "q_pack_sequences_sharded": 0.260,
-    "q_histogram_quantiles": 0.445,
-    "q_bpe_learn": 1.339,
+    "q_pack_sequences_sharded": 0.242,
+    "q_histogram_quantiles": 0.39,
+    "q_bpe_learn": 1.195,
     "q_domain_mixture": 0.495,
-    "q_curriculum": 1.21,
-    "q_training_manifest": 0.651,
+    "q_curriculum": 1.111,
+    "q_training_manifest": 0.643,
     # ANN recall monitors: first sf0.1 recording = BENCH_r05 (r5
     # verdict task #2 — every extended entry regression-guarded)
-    "q_ann_recall": 0.950,
+    "q_ann_recall": 0.892,
     "q_ann_recall_multiprobe": 0.967,
     # round-6 metric family: first sf0.1 min-of-3 recordings (solo,
     # min over two back-to-back bench runs that themselves spanned a
     # 23% environment swing — see README "Performance")
-    "q_average_precision": 0.842,
-    "q_eval_identity": 2.739,
-    "q_eval_combined": 3.556,
+    "q_average_precision": 0.756,
+    "q_eval_identity": 2.731,
+    "q_eval_combined": 3.249,
     # round-6 second wave: first solo sf0.1 min-of-3 recordings
     # (bloom_pruned_join floored at its post-xxhash-family number)
     "q_heavy_hitters": 0.773,
-    "q_bloom_pruned_join": 1.380,
+    "q_bloom_pruned_join": 1.159,
     "q_neardup_gate": 1.054,
     "q_classifier_score": 0.535,
-    "q_chunk_documents": 0.321,
-    "q_retrieval_metrics": 0.992,
-    "q_ann_ivf_recall": 0.709,
+    "q_chunk_documents": 0.301,
+    "q_retrieval_metrics": 0.909,
+    "q_ann_ivf_recall": 0.549,
     # round-6 third wave (first solo sf0.1 recording, min-of-3)
     "q_target_encoding": 0.254,
     "q_feature_hashing": 0.463,
     "q_lag_features": 0.125,
-    "q_item_cooccurrence": 2.048,
-    "q_reliability_ece": 0.916,
+    "q_item_cooccurrence": 1.726,
+    "q_reliability_ece": 0.721,
     "q_merge_upsert": 0.278,
-    "q_shortest_path": 2.359,
+    "q_shortest_path": 2.112,
     "q_l_diversity": 0.664,
     "q_item_similarity": 1.837,
     "q_seasonal_decompose": 0.338,
@@ -221,37 +227,37 @@ EXTENDED_FLOOR_SEC = {
     # the last a full solo bench AFTER the distributed_cumulative
     # binary-search bucket fix (the flat fold was ~linear in n_parts:
     # q_quantile_binning 3.58s -> 0.63s)
-    "q_linear_fit": 0.272,
+    "q_linear_fit": 0.246,
     "q_mutual_information": 0.271,
-    "q_quantile_binning": 0.628,
-    "q_gini_skew": 0.606,
-    "q_conformal": 0.869,
-    "q_ks_test": 0.802,
-    "q_psi": 1.295,
-    "q_markov_transitions": 0.45,
-    "q_attribution": 0.418,
+    "q_quantile_binning": 0.605,
+    "q_gini_skew": 0.558,
+    "q_conformal": 0.812,
+    "q_ks_test": 0.666,
+    "q_psi": 1.12,
+    "q_markov_transitions": 0.394,
+    "q_attribution": 0.34,
     "q_dsir_weights": 1.088,
     # RFM + Kaplan-Meier: first solo sf0.1 min-of-3 recordings (three
     # resp. two distributed_cumulative passes over bounded relations —
     # the cost is fixed job overhead, not data volume)
-    "q_rfm": 1.432,
-    "q_kaplan_meier": 1.759,
+    "q_rfm": 1.248,
+    "q_kaplan_meier": 1.55,
     # experimentation stats (first solo sf0.1 min-of-3 recordings)
     "q_cuped": 0.461,
-    "q_poisson_bootstrap": 0.316,
-    "q_anova": 0.262,
-    "q_chi2_independence": 0.326,
+    "q_poisson_bootstrap": 0.235,
+    "q_anova": 0.219,
+    "q_chi2_independence": 0.306,
     # round-7: first solo sf0.1 min-of-3 recordings (png fixture-sized
     # — decode cost scales with file count, not sf)
-    "q_png_decode": 0.320,
-    "q_int8_quantize": 0.399,
-    "q_length_buckets": 0.459,
-    "q_dup_span_removal": 0.516,
+    "q_png_decode": 0.286,
+    "q_int8_quantize": 0.173,
+    "q_length_buckets": 0.327,
+    "q_dup_span_removal": 0.384,
     # round-7 second wave (first solo sf0.1 min-of-3 recordings; BH is
     # job-count bound — distributed_cumulative boundary collect +
     # checkpoint over a 25-row relation, the q_rfm cost note)
-    "q_als_step": 1.056,
-    "q_benjamini_hochberg": 1.430,
+    "q_als_step": 0.65,
+    "q_benjamini_hochberg": 0.952,
 }
 
 

@@ -736,3 +736,45 @@ def test_dup_span_removal_growth_and_planted_detection(spark):
     stats.unpersist()
     assert touched / n_clean < 0.25  # chance collisions stay the minority
     assert row["mx"] < 50  # no degenerate boilerplate mega-window
+
+
+def test_bh_stepup_scale_planted_signal(spark):
+    """BH step-up at family scale: 200k tests (the per-feature drift
+    sweep a 100 TB feature store actually runs), 2,000 planted true
+    effects (p <= 2e-4) against a null floor at 0.05. Correctness is
+    checked against an independent pure-Python BH on the same
+    p-values, and the rejected set must be exactly the planted tests
+    (every planted p_(k) clears k/m*alpha; the null floor 0.05 never
+    does). The plan inherits distributed_cumulative's no-funnel
+    guarantee — this pins the OPERATOR end-to-end at a size where a
+    single-partition rank would already be the bottleneck."""
+    from iceberg_tracking_spark.operators.stats import bh_stepup
+
+    m, planted = 200_000, 2_000
+    base = spark.range(m).select(
+        F.col("id").alias("test_id"),
+        F.round(
+            F.when(F.col("id") < planted, (F.col("id") + 1) * 1e-7)
+            .otherwise(
+                0.05
+                + 0.95
+                * (F.pmod(F.col("id") * 2654435761, 1_000_003) / 1_000_003.0)
+            ),
+            9,
+        ).alias("p_value"),
+    )
+    out = bh_stepup(base, "p_value", ["test_id"], alpha=0.05)
+    rej = out.filter("rejected").select("test_id", "k").collect()
+    assert len(rej) == planted
+    assert all(r["test_id"] < planted for r in rej)
+    assert {r["k"] for r in rej} == set(range(1, planted + 1))
+    # independent reference BH on the collected p-values
+    ps = sorted(
+        (r["p_value"], r["test_id"])
+        for r in base.select("test_id", "p_value").collect()
+    )
+    kstar = max(
+        (i + 1 for i, (p, _) in enumerate(ps) if p <= (i + 1) / m * 0.05),
+        default=0,
+    )
+    assert kstar == planted
