@@ -1190,7 +1190,9 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- ALS user-factor step
 
-_ALS_LAMBDA = 2  # integer ridge weight (scaled by the user's item count)
+from ..operators.als import ALS_LAMBDA as _ALS_LAMBDA  # noqa: E402 — the
+# oracle f-string below must bake the SAME ridge weight the shared
+# solve (operators/als.py) applies
 
 
 @query(
@@ -1285,15 +1287,16 @@ def q_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     user — no per-user matrix materialization, no driver round-trip.
     The k=3 Cramer expansion is the same closed form production ALS
     uses for small k; larger k swaps in a per-row Cholesky without
-    changing the data layout."""
-    dec = "decimal(38,0)"
-    lam = F.lit(_ALS_LAMBDA).cast(dec)
-    fac = _t(spark, sf_dir, "part").select(
-        "p_partkey",
-        ((F.col("p_partkey") % 7) - 3).cast("long").alias("f1"),
-        (((F.col("p_partkey") * 31) % 11) - 5).cast("long").alias("f2"),
-        (((F.col("p_partkey") * 17) % 5) - 2).cast("long").alias("f3"),
-    )
+    changing the data layout.
+
+    Stage implementations are shared with the incremental maintenance
+    path (operators/als.py; streaming/als.py folds micro-batch
+    gram_sums deltas into a VersionedTable — additive exact integers,
+    so the streamed factors are bit-identical to this batch query,
+    proven in tests/test_streaming.py)."""
+    from ..operators.als import gram_sums, item_factor_grid, solve_factors
+
+    fac = item_factor_grid(_t(spark, sf_dir, "part"))
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", F.col("l_quantity").cast("long").alias("r")
     )
@@ -1301,45 +1304,4 @@ def q_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = li.join(od, li.l_orderkey == od.o_orderkey).join(
         F.broadcast(fac), li.l_partkey == fac.p_partkey
     )
-    s = inter.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum((F.col("f1") * F.col("f1")).cast(dec)).alias("a11s"),
-        F.sum((F.col("f1") * F.col("f2")).cast(dec)).alias("a12"),
-        F.sum((F.col("f1") * F.col("f3")).cast(dec)).alias("a13"),
-        F.sum((F.col("f2") * F.col("f2")).cast(dec)).alias("a22s"),
-        F.sum((F.col("f2") * F.col("f3")).cast(dec)).alias("a23"),
-        F.sum((F.col("f3") * F.col("f3")).cast(dec)).alias("a33s"),
-        F.sum((F.col("f1") * F.col("r")).cast(dec)).alias("b1"),
-        F.sum((F.col("f2") * F.col("r")).cast(dec)).alias("b2"),
-        F.sum((F.col("f3") * F.col("r")).cast(dec)).alias("b3"),
-    )
-    ridge = lam * F.col("n_items").cast(dec)
-    a11 = F.col("a11s") + ridge
-    a22 = F.col("a22s") + ridge
-    a33 = F.col("a33s") + ridge
-    a12, a13, a23 = F.col("a12"), F.col("a13"), F.col("a23")
-    b1, b2, b3 = F.col("b1"), F.col("b2"), F.col("b3")
-    m11 = a22 * a33 - a23 * a23
-    m12 = a12 * a33 - a23 * a13
-    m13 = a12 * a23 - a22 * a13
-    det = a11 * m11 - a12 * m12 + a13 * m13
-    det1 = b1 * m11 - a12 * (b2 * a33 - a23 * b3) + a13 * (b2 * a23 - a22 * b3)
-    det2 = a11 * (b2 * a33 - a23 * b3) - b1 * m12 + a13 * (a12 * b3 - b2 * a13)
-    det3 = (
-        a11 * (a22 * b3 - b2 * a23)
-        - a12 * (a12 * b3 - b2 * a13)
-        + b1 * m13
-    )
-
-    def _solve(num):
-        return F.when(
-            det != 0, num.cast("double") / det.cast("double")
-        )
-
-    return s.select(
-        "o_custkey",
-        "n_items",
-        _solve(det1).alias("p1"),
-        _solve(det2).alias("p2"),
-        _solve(det3).alias("p3"),
-    )
+    return solve_factors(gram_sums(inter))

@@ -943,3 +943,65 @@ def test_streaming_drift_monitor_equals_batch_psi(spark, sf_dir, tmp_path):
     v = table.current_version()
     merge(spark.read.parquet(src), 0)
     assert table.current_version() == v
+
+
+def test_streaming_als_factors_equal_batch(spark, sf_dir, tmp_path):
+    """The incrementally-maintained ALS factor store equals the batch
+    q_als_step EXACTLY: stream the interaction fact in two
+    availableNow passes through streaming/als.py, then solve over the
+    maintained Gram-sum table — every user's (n_items, p1, p2, p3)
+    must be bit-identical to the one-shot batch query (the sufficient
+    statistics are additive exact integers, so chopping the stream
+    cannot move a single ulp). Also proves a replayed batch is a
+    no-op (txn gate)."""
+    from iceberg_tracking_spark.operators.als import (
+        item_factor_grid,
+        solve_factors,
+    )
+    from iceberg_tracking_spark.plans import QUERIES
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+    from iceberg_tracking_spark.streaming.als import make_als_merge_fn
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", F.col("l_quantity").cast("long").alias("r")
+    )
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    inter = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        "o_custkey", "l_partkey", "r"
+    )
+    fac_path = str(tmp_path / "factors")
+    item_factor_grid(load_table(spark, sf_dir, "part")).write.parquet(fac_path)
+    factors = spark.read.parquet(fac_path)
+
+    src = str(tmp_path / "src")
+    first = inter.filter(F.col("l_partkey") % 2 == 0)
+    second = inter.filter(F.col("l_partkey") % 2 == 1)
+    first.write.mode("overwrite").parquet(src)
+    table = VersionedTable(str(tmp_path / "gram_sums"))
+    merge = make_als_merge_fn(table, factors, app_id="als-test")
+    stream = (
+        spark.readStream.schema(inter.schema).parquet(src).writeStream
+        .foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    q = stream.start()
+    q.awaitTermination(120)
+    second.write.mode("append").parquet(src)
+    q2 = stream.start()
+    q2.awaitTermination(120)
+
+    got = {
+        r["o_custkey"]: (r["n_items"], r["p1"], r["p2"], r["p3"])
+        for r in solve_factors(table.read(spark)).collect()
+    }
+    want = {
+        r["o_custkey"]: (r["n_items"], r["p1"], r["p2"], r["p3"])
+        for r in QUERIES["q_als_step"].fn(spark, sf_dir).collect()
+    }
+    assert got == want  # bit-identical, not approximately equal
+
+    # replaying a committed batch id is a no-op
+    v = table.current_version()
+    merge(spark.read.parquet(src), 0)
+    assert table.current_version() == v
