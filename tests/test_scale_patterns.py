@@ -778,3 +778,62 @@ def test_bh_stepup_scale_planted_signal(spark):
         default=0,
     )
     assert kstar == planted
+
+
+def test_ivfpq_adc_recall_and_refine_lever(spark):
+    """IVF-PQ recall at corpus scale (250k vectors), completing the
+    measured-recall matrix beside the 1M LSH/IVF-flat numbers — and
+    the honest half of the story: ADC distances rank on quantized
+    codes, so on an 8-dim UNIFORM corpus (coarse 16-cell subspace
+    quantizers vs tightly concentrated neighbor gaps — the PQ worst
+    case) ADC-only recall@3 is ~0.11. That is not an implementation
+    bug; it is why every production IVF-PQ deployment runs a refine
+    stage, and this test pins the lever: exact_rerank over the ADC
+    top-64 recovers 0.50, over the ADC top-256 recovers 0.76 —
+    monotone in refine width, per-query-constant cost. The high-
+    recall@small-k paths at scale remain LSH multi-probe / IVF-flat
+    (0.96 at 1M, test_ann_recall_at_1m_vectors). All quantities are
+    xxhash-deterministic exact constants."""
+    from iceberg_tracking_spark.operators.similarity import (
+        brute_force_topk,
+        exact_rerank,
+        ivfpq_topk,
+        pq_codebook,
+    )
+
+    n, dim, k, n_sub, ksub = 250_000, 8, 3, 4, 16
+    corpus = _synth_vectors(spark, n, dim).cache()
+    qpred = F.col("vec_id") % 5208 == 11  # 48 spread-out queries
+    queries = corpus.filter(qpred).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    exact = brute_force_topk(corpus, queries, k).select("qid", "nid").cache()
+    n_exact = exact.count()
+
+    def recall(approx) -> float:
+        hits = exact.join(approx.select("qid", "nid"), ["qid", "nid"]).count()
+        return hits / n_exact
+
+    cb = pq_codebook(corpus, dim, n_sub, ksub, F.col("vec_id") % 37 == 1)
+
+    r_adc = recall(
+        ivfpq_topk(corpus, cb, dim, n_sub, k, qpred, F.col("vec_id") <= 32, nprobe=2)
+    )
+
+    def refined(width: int) -> float:
+        cand = ivfpq_topk(
+            corpus, cb, dim, n_sub, width, qpred,
+            F.col("vec_id") <= 32, nprobe=2 if width <= 64 else 4,
+        )
+        return recall(exact_rerank(cand, corpus, queries, k))
+
+    r_64, r_256 = refined(64), refined(256)
+    print(
+        f"\nIVF-PQ recall@3 at 250k: ADC-only={r_adc:.3f}, "
+        f"refine@64={r_64:.3f}, refine@256={r_256:.3f}"
+    )
+    corpus.unpersist()
+    exact.unpersist()
+    assert r_adc >= 0.08  # measured 0.109 — documented PQ worst case
+    assert r_64 >= 0.45 and r_64 > r_adc  # measured 0.497
+    assert r_256 >= 0.70 and r_256 > r_64  # measured 0.755
