@@ -49,12 +49,29 @@ def bh_stepup(
     relation is materialized once (it feeds the rank, the scalar, and
     the output).
     """
+    # THREE consumers of the test relation (the m-count aggregate, the
+    # rank's percentile-boundary job, and the rank's main job) — and a
+    # codegen cliff: the caller's p-value is typically a DEEP
+    # expression (a z-score chain into a tail polynomial), which
+    # CollapseProject would otherwise inline into every node of the
+    # rank's bucket WHEN tree, blowing whole-stage codegen past the
+    # JVM's 64 KB method limit (observed: janino InternalCompiler-
+    # Exception + interpreted fallback on q_benjamini_hochberg).
+    # Materializing once cuts the expression tree at a column boundary.
+    df = df.localCheckpoint()
     m = df.agg(F.count(F.lit(1)).alias("_m"))
+    # validate_keys: a NULL p-value would otherwise silently route to
+    # the lowest rank (bucket 0, asc-nulls-first) and could flip the
+    # whole rejected prefix — the r6-ADVICE silent-NULL hazard class.
+    # Callers with NULL-able tests (e.g. a zero-variance segment whose
+    # z is guarded NULL) must filter or impute BEFORE the step-up;
+    # this makes the violation fail loudly instead of mis-ranking.
     ranked = distributed_cumulative(
         df.crossJoin(F.broadcast(m)),
         order_cols=[p_col, *tiebreak_cols],
         agg_col=None,
         out_col=out_rank,
+        validate_keys=True,
     ).withColumn(
         out_thresh,
         F.round(

@@ -1304,3 +1304,20 @@ def test_bh_normal_tail_polynomial_accuracy():
         p = 2.0 * (_BH_INV_SQRT_2PI * math.exp(-x * x / 2.0)) * poly
         truth = math.erfc(x / math.sqrt(2.0))
         assert abs(p - truth) < 1.5e-7, (x, p, truth)
+
+
+def test_bh_stepup_null_pvalue_fails_loudly(spark):
+    """A NULL p-value must raise, not silently take rank 1 (bucket 0
+    under asc-nulls-first) and potentially flip the whole rejected
+    prefix — the silent-NULL-key hazard class distributed_cumulative's
+    validate_keys guard exists for. Callers with NULL-able tests
+    (zero-variance segments) filter before the step-up."""
+    import pytest
+
+    from iceberg_tracking_spark.operators.stats import bh_stepup
+
+    df = spark.createDataFrame(
+        [(0, 0.01), (1, None), (2, 0.5)], "test_id INT, p_value DOUBLE"
+    )
+    with pytest.raises(Exception, match="(?i)null|assert"):
+        bh_stepup(df, "p_value", ["test_id"]).collect()
