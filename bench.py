@@ -141,13 +141,13 @@ EXTENDED = [
 HEADLINE_FLOOR_SEC = {
     "q_sum_count": 0.499,
     "q_equijoin": 0.495,
-    "q_theta_argmax": 0.736,
+    "q_theta_argmax": 0.729,
     "q_islands": 0.605,
     "q_grid_join": 1.108,
     "q_session_window": 0.422,
     "q_minhash_lsh": 0.972,
     "q_cosine_topk": 0.681,
-    "q_iou_argmax": 1.304,
+    "q_iou_argmax": 1.294,
     "q_rollup": 0.485,
     "q_asof_join": 0.708,
     "q_ann_lsh": 0.972,
@@ -186,20 +186,20 @@ EXTENDED_FLOOR_SEC = {
     # sf0.1 is mostly fixed scheduling overhead.
     "q_auc": 0.537,
     "q_pack_sequences": 0.885,
-    "q_pack_sequences_sharded": 0.242,
+    "q_pack_sequences_sharded": 0.234,
     "q_histogram_quantiles": 0.39,
     "q_bpe_learn": 1.195,
     "q_domain_mixture": 0.495,
-    "q_curriculum": 1.111,
-    "q_training_manifest": 0.643,
+    "q_curriculum": 1.099,
+    "q_training_manifest": 0.588,
     # ANN recall monitors: first sf0.1 recording = BENCH_r05 (r5
     # verdict task #2 — every extended entry regression-guarded)
     "q_ann_recall": 0.892,
-    "q_ann_recall_multiprobe": 0.967,
+    "q_ann_recall_multiprobe": 0.955,
     # round-6 metric family: first sf0.1 min-of-3 recordings (solo,
     # min over two back-to-back bench runs that themselves spanned a
     # 23% environment swing — see README "Performance")
-    "q_average_precision": 0.756,
+    "q_average_precision": 0.658,
     "q_eval_identity": 2.731,
     "q_eval_combined": 3.249,
     # round-6 second wave: first solo sf0.1 min-of-3 recordings
@@ -241,7 +241,7 @@ EXTENDED_FLOOR_SEC = {
     # resp. two distributed_cumulative passes over bounded relations —
     # the cost is fixed job overhead, not data volume)
     "q_rfm": 1.248,
-    "q_kaplan_meier": 1.55,
+    "q_kaplan_meier": 1.524,
     # experimentation stats (first solo sf0.1 min-of-3 recordings)
     "q_cuped": 0.461,
     "q_poisson_bootstrap": 0.235,
@@ -262,7 +262,7 @@ EXTENDED_FLOOR_SEC = {
     # the rank's bucket tree AND replaces 3 redundant upstream
     # evaluations with 1 — ~0.45s of fixed job overhead at sf0.1, a
     # win at real test-family sizes)
-    "q_benjamini_hochberg": 1.419,
+    "q_benjamini_hochberg": 1.239,
 }
 
 
