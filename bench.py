@@ -124,6 +124,9 @@ EXTENDED = [
     # round-7 second wave: ALS normal-equations half-step and BH FDR
     "q_als_step",
     "q_benjamini_hochberg",
+    # round-7 third wave: minhash estimator fidelity, sequential test
+    "q_minhash_fidelity",
+    "q_msprt",
 ]
 
 # Regression floors for the HEADLINE set (r6 verdict task: the
@@ -263,6 +266,11 @@ EXTENDED_FLOOR_SEC = {
     # evaluations with 1 — ~0.45s of fixed job overhead at sf0.1, a
     # win at real test-family sizes)
     "q_benjamini_hochberg": 1.239,
+    # round-7 third wave (first solo sf0.1 min-of-3 recordings;
+    # fidelity pays the exact-jaccard shingle self-join beside the
+    # banded candidate join — the audit is run-on-demand, not per-ingest)
+    "q_minhash_fidelity": 2.552,
+    "q_msprt": 1.175,
 }
 
 

@@ -246,3 +246,67 @@ def dup_span_stats(
             )
         ).alias("keep_frac"),
     )
+
+
+def minhash_lanes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The (doc_id, m0..m7) raw minhash-lane relation — the signature
+    BEFORE banding, for estimator-quality auditing: matched lanes / 8
+    is the unbiased MinHash estimate of Jaccard similarity, and
+    q_minhash_fidelity compares it against the exact shingle Jaccard
+    on candidate pairs (the monitor that tells you whether N_PERM /
+    BAND_SIZE are tuned for the corpus).
+
+    Deliberately NOT factored out of `minhash_bands`: its consumers
+    (the near-dup gate and the streaming dedup gate) are correctness-
+    frozen, so the lane pipeline is duplicated here verbatim and the
+    two are PINNED against drift by
+    tests/test_operators.py::test_minhash_lanes_consistent_with_bands
+    (bands rebuilt from these lanes must equal minhash_bands output).
+    """
+    sh = docs.withColumn("toks", tokens(F.lower(F.col(text_col)))).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("toks")))
+        ).alias("shingle"),
+    )
+    h1 = F.md5(F.col("shingle"))
+    h2 = F.md5(F.concat(F.lit("x"), F.col("shingle")))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(h1 if s < 4 else h2, (s % 4) * 8 + 1, 8)
+            ).alias(f"m{s}")
+            for s in range(N_PERM)
+        ]
+    )
+
+
+def bands_from_lanes(lanes: DataFrame) -> DataFrame:
+    """Rebuild the (doc_id, band, band_key) relation from raw lanes —
+    the consistency bridge the drift-pin test exercises."""
+    n_bands = N_PERM // BAND_SIZE
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[
+                            F.col(f"m{b * BAND_SIZE + j}")
+                            for j in range(BAND_SIZE)
+                        ]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return lanes.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )

@@ -1736,3 +1736,262 @@ def q_benjamini_hochberg(spark, sf_dir):
         "bh_thresh",
         "rejected",
     )
+
+
+# ------------------------------------------- always-valid sequential test
+
+_MSPRT_TAU = 10000.0  # mixture prior scale for the effect, cents^2
+
+
+@query(
+    "q_msprt",
+    oracle=f"""
+    WITH e AS (
+        SELECT CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day_num,
+               user_id % 2 AS variant,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE ts IS NOT NULL
+    ),
+    daily AS (
+        SELECT day_num,
+               CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n0,
+               CAST(sum(CASE WHEN variant = 0 THEN cents ELSE 0 END)
+                    AS HUGEINT) AS s0,
+               CAST(sum(CASE WHEN variant = 0
+                             THEN CAST(cents AS HUGEINT) * cents
+                             ELSE 0 END) AS HUGEINT) AS q0,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n1,
+               CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END)
+                    AS HUGEINT) AS s1,
+               CAST(sum(CASE WHEN variant = 1
+                             THEN CAST(cents AS HUGEINT) * cents
+                             ELSE 0 END) AS HUGEINT) AS q1
+        FROM e GROUP BY day_num
+    ),
+    cum AS (
+        SELECT day_num,
+               CAST(sum(n0) OVER w AS BIGINT) AS cn0,
+               CAST(sum(s0) OVER w AS HUGEINT) AS cs0,
+               CAST(sum(q0) OVER w AS HUGEINT) AS cq0,
+               CAST(sum(n1) OVER w AS BIGINT) AS cn1,
+               CAST(sum(s1) OVER w AS HUGEINT) AS cs1,
+               CAST(sum(q1) OVER w AS HUGEINT) AS cq1
+        FROM daily
+        WINDOW w AS (ORDER BY day_num
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    stats AS (
+        SELECT day_num, cn0, cn1,
+               CAST(cs0 AS DOUBLE) / CAST(cn0 AS DOUBLE) AS mean0,
+               CAST(cs1 AS DOUBLE) / CAST(cn1 AS DOUBLE) AS mean1,
+               CAST(cq0 + cq1 AS DOUBLE) AS cqq
+        FROM cum
+    ),
+    v AS (
+        SELECT day_num, cn0, cn1, mean0, mean1,
+               (cqq - CAST(cn0 AS DOUBLE) * mean0 * mean0
+                    - CAST(cn1 AS DOUBLE) * mean1 * mean1)
+                 / CAST(cn0 + cn1 - 2 AS DOUBLE) AS s2
+        FROM stats WHERE cn0 > 1 AND cn1 > 1
+    ),
+    lam AS (
+        SELECT day_num, cn0, cn1, mean0 - mean1 AS delta,
+               s2 * (1.0 / CAST(cn0 AS DOUBLE)
+                     + 1.0 / CAST(cn1 AS DOUBLE)) AS vv
+        FROM v WHERE s2 > 0
+    ),
+    l2 AS (
+        SELECT day_num, cn0, cn1, delta,
+               round(sqrt(vv / (vv + {_MSPRT_TAU}))
+                     * exp(delta * delta * {_MSPRT_TAU}
+                           / (2.0 * vv * (vv + {_MSPRT_TAU}))), 6) AS lam
+        FROM lam WHERE vv > 0
+    ),
+    rm AS (
+        SELECT day_num, cn0, cn1, delta, lam,
+               max(lam) OVER (ORDER BY day_num
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run_max
+        FROM l2
+    )
+    SELECT day_num, cn0 AS n_a, cn1 AS n_b,
+           round(delta, 6) AS mean_diff_cents, lam,
+           round(CASE WHEN run_max > 1.0 THEN 1.0 / run_max ELSE 1.0 END, 6)
+             AS p_always_valid
+    FROM rm
+    """,
+)
+def q_msprt(spark, sf_dir):
+    """Always-valid sequential A/B test — the mixture SPRT (Johari,
+    Pekelis & Walsh, "Peeking at A/B Tests", KDD 2017): at every
+    analysis day t, the running likelihood ratio
+    Lambda_t = sqrt(V/(V+tau)) * exp(delta^2 tau / (2 V (V+tau)))
+    over the cumulative two-sample mean difference (V = pooled
+    s^2*(1/n0+1/n1), tau = the mixture prior scale), and the
+    always-valid p-value p_t = min(1, 1/max_{{s<=t}} Lambda_s). Unlike
+    q_ab_test's fixed-horizon t-test, p_t is valid under CONTINUOUS
+    monitoring — the experimenter can stop any day without inflating
+    false positives; it completes the experimentation arc beside
+    q_cuped (variance reduction) and q_benjamini_hochberg (many
+    tests). On this true-null stream p_t stays 1.0 throughout — the
+    non-increasing-p invariant and the Lambda algebra are pinned by
+    tests (monotonicity on real output; formula re-derived in pure
+    Python).
+
+    Determinism: daily and cumulative moments are exact
+    BIGINT/HUGEINT/DECIMAL sums (cumulatives via a triangular join
+    over the bounded day relation — ~31 days here, <=366 at any
+    scale, so this is the q_histogram_quantiles bounded-relation
+    pattern, not a data-sized funnel); every float after that is the
+    SAME op sequence on both engines, with Lambda rounded to 6dp
+    BEFORE the running max so the argmax can't flip on exp()'s 1-ulp
+    spread, and p rounded to 6dp.
+
+    Scale: one hash aggregate reduces the stream to <=366 day rows;
+    everything after is bounded-relation algebra. The per-day
+    aggregate is exactly the relation a streaming deployment
+    maintains incrementally (the additive-moments pattern
+    streaming/als.py uses).
+    """
+    from ..functions.time import epoch_ms
+
+    dec = "decimal(38,0)"
+    tau = F.lit(_MSPRT_TAU)
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            F.floor(epoch_ms("ts") / F.lit(86400000)).cast("long").alias(
+                "day_num"
+            ),
+            (F.col("user_id") % 2).alias("variant"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    daily = (
+        e.groupBy("day_num")
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(
+                F.when(F.col("variant") == 0, F.col("cents"))
+                .otherwise(0)
+                .cast(dec)
+            ).alias("s0"),
+            F.sum(
+                F.when(
+                    F.col("variant") == 0, F.col("cents") * F.col("cents")
+                )
+                .otherwise(0)
+                .cast(dec)
+            ).alias("q0"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(
+                F.when(F.col("variant") == 1, F.col("cents"))
+                .otherwise(0)
+                .cast(dec)
+            ).alias("s1"),
+            F.sum(
+                F.when(
+                    F.col("variant") == 1, F.col("cents") * F.col("cents")
+                )
+                .otherwise(0)
+                .cast(dec)
+            ).alias("q1"),
+        )
+        # two consumers (both sides of the triangular cumulative)
+        .localCheckpoint()
+    )
+    t_, s_ = daily.alias("t"), daily.alias("s")
+    cum = (
+        t_.join(s_, F.col("s.day_num") <= F.col("t.day_num"))
+        .groupBy(F.col("t.day_num").alias("day_num"))
+        .agg(
+            F.sum(F.col("s.n0")).alias("cn0"),
+            F.sum(F.col("s.s0")).alias("cs0"),
+            F.sum(F.col("s.q0")).alias("cq0"),
+            F.sum(F.col("s.n1")).alias("cn1"),
+            F.sum(F.col("s.s1")).alias("cs1"),
+            F.sum(F.col("s.q1")).alias("cq1"),
+        )
+    )
+    mean0 = F.col("cs0").cast("double") / F.col("cn0").cast("double")
+    mean1 = F.col("cs1").cast("double") / F.col("cn1").cast("double")
+    stats = cum.filter((F.col("cn0") > 1) & (F.col("cn1") > 1)).select(
+        "day_num",
+        "cn0",
+        "cn1",
+        mean0.alias("mean0"),
+        mean1.alias("mean1"),
+        (
+            (
+                (F.col("cq0") + F.col("cq1")).cast("double")
+                - F.col("cn0").cast("double")
+                * mean0
+                * mean0
+                - F.col("cn1").cast("double") * mean1 * mean1
+            )
+            / (F.col("cn0") + F.col("cn1") - 2).cast("double")
+        ).alias("s2"),
+    )
+    vv = F.col("s2") * (
+        F.lit(1.0) / F.col("cn0").cast("double")
+        + F.lit(1.0) / F.col("cn1").cast("double")
+    )
+    delta = F.col("mean0") - F.col("mean1")
+    lam_rel = (
+        stats.filter(F.col("s2") > 0)
+        .select(
+            "day_num",
+            "cn0",
+            "cn1",
+            delta.alias("delta"),
+            vv.alias("vv"),
+        )
+        .filter(F.col("vv") > 0)
+        .select(
+            "day_num",
+            "cn0",
+            "cn1",
+            "delta",
+            F.round(
+                F.sqrt(F.col("vv") / (F.col("vv") + tau))
+                * F.exp(
+                    F.col("delta")
+                    * F.col("delta")
+                    * tau
+                    / (F.lit(2.0) * F.col("vv") * (F.col("vv") + tau))
+                ),
+                6,
+            ).alias("lam"),
+        )
+        # two consumers (both sides of the triangular running max)
+        .localCheckpoint()
+    )
+    lt, ls = lam_rel.alias("lt"), lam_rel.alias("ls")
+    rm = (
+        lt.join(ls, F.col("ls.day_num") <= F.col("lt.day_num"))
+        .groupBy(F.col("lt.day_num").alias("day_num"))
+        .agg(F.max(F.col("ls.lam")).alias("run_max"))
+    )
+    out = lam_rel.select(
+        "day_num",
+        F.col("cn0").alias("n_a"),
+        F.col("cn1").alias("n_b"),
+        F.round(F.col("delta"), 6).alias("mean_diff_cents"),
+        "lam",
+    ).join(rm.select("day_num", "run_max"), "day_num")
+    return out.select(
+        "day_num",
+        "n_a",
+        "n_b",
+        "mean_diff_cents",
+        "lam",
+        F.round(
+            F.when(
+                F.col("run_max") > 1.0, F.lit(1.0) / F.col("run_max")
+            ).otherwise(1.0),
+            6,
+        ).alias("p_always_valid"),
+    )

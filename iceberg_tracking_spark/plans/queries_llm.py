@@ -1564,3 +1564,192 @@ def q_bigram_surprisal(spark, sf_dir):
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+def _minhash_fidelity_oracle() -> str:
+    """Estimator-quality audit: candidate pairs (>=1 shared band, hot
+    cap) scored BOTH ways — matched lanes / 8 (the MinHash estimate)
+    and exact shingle Jaccard — mirroring the Spark plan CTE-for-CTE.
+    LEFT JOIN on common: an md5 band collision without any shared
+    shingle still yields a candidate (coalesce 0)."""
+    mh = ",\n".join(_minhash_chunk_sql(s) for s in range(_N_PERM))
+    n_bands = _N_PERM // _BAND_SIZE
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM mh".format(
+            b=b,
+            key=" || ".join(f"m{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE)),
+        )
+        for b in range(n_bands)
+    )
+    lane_match = " + ".join(
+        f"(CASE WHEN ma.m{s} = mb.m{s} THEN 1 ELSE 0 END)"
+        for s in range(_N_PERM)
+    )
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents
+    ),
+    mh AS (
+        SELECT doc_id, {mh} FROM docs WHERE len(shingles) > 0
+    ),
+    bands_all AS ({band_rows}),
+    bands AS (
+        SELECT doc_id, band, band_key FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bn
+            FROM bands_all
+        ) WHERE bn <= {_HOT_BAND_CAP}
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(DISTINCT a.band) AS n_shared_bands
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    sh AS (
+        SELECT doc_id, u.s AS shingle
+        FROM docs, unnest(shingles) AS u(s)
+        GROUP BY doc_id, u.s
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+                           AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+               CAST({lane_match} AS BIGINT) AS matched_lanes
+        FROM cand c
+        JOIN mh ma ON ma.doc_id = c.doc_a
+        JOIN mh mb ON mb.doc_id = c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.n_shared_bands, e.matched_lanes,
+           CAST(e.matched_lanes AS DOUBLE) / 8.0 AS est_jaccard,
+           round(CAST(coalesce(cm.n_common, 0) AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - coalesce(cm.n_common, 0)), 6)
+             AS exact_jaccard,
+           round(abs(CAST(e.matched_lanes AS DOUBLE) / 8.0
+                     - CAST(coalesce(cm.n_common, 0) AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - coalesce(cm.n_common, 0))), 6)
+             AS abs_err
+    FROM est e
+    LEFT JOIN common cm ON cm.doc_a = e.doc_a AND cm.doc_b = e.doc_b
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    """
+
+
+@query("q_minhash_fidelity", oracle=_minhash_fidelity_oracle())
+def q_minhash_fidelity(spark, sf_dir):
+    """MinHash estimator-quality audit — the signature-fidelity
+    monitor the near-dup path was missing (the ANN families have
+    recall monitors; this is their minhash sibling): for every LSH
+    candidate pair, the unbiased MinHash estimate matched_lanes/8 is
+    compared against the EXACT shingle Jaccard, giving the per-pair
+    estimator error that tells you whether N_PERM/BAND_SIZE fit the
+    corpus before you trust the dedup gate at 100 TB.
+
+    Shares the lane/band definitions with the canonical
+    minhash_bands relation via operators/textdedup.py:minhash_lanes +
+    bands_from_lanes (drift-pinned by the lanes≡bands consistency
+    test), so this audits the EXACT signatures production uses.
+
+    Determinism: lanes/bands are md5-derived; matched_lanes is an
+    integer; est = matched/8 is an exact binary fraction; exact
+    Jaccard is ONE IEEE division of exact integers; abs_err is the
+    same two exact terms subtracted then rounded at 6dp on both
+    engines. An md5 band collision without shared shingles is still a
+    candidate (LEFT JOIN + coalesce 0 on both sides).
+
+    Scale: candidates come from the banded equi-join with the hot-cap
+    guard (never all-pairs); the exact side is the shared-shingle
+    equi-join (q_ngram_jaccard's bound); lanes join back on doc_id.
+    """
+    from ..operators.textdedup import bands_from_lanes, minhash_lanes
+
+    docs = _t(spark, sf_dir, "documents")
+    # lanes feed three consumers (bands + both sides of the est join)
+    lanes = minhash_lanes(docs).localCheckpoint()
+    bands = bands_from_lanes(lanes)
+    w_bucket = Window.partitionBy("band", "band_key")
+    bands = (
+        bands.withColumn("bn", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("bn") <= _HOT_BAND_CAP)
+        .drop("bn")
+        .localCheckpoint()  # self-joined below (the q_minhash_lsh note)
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct(F.col("a.band")).alias("n_shared_bands"))
+    )
+    # exact side: distinct shingles, shared by sizes and the pair join
+    sh = docs.withColumn("toks", _spark_tokens(F.col("text"))).select(
+        "doc_id",
+        F.explode(F.array_distinct(_spark_shingles(F.col("toks")))).alias(
+            "shingle"
+        ),
+    ).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa_, sb_ = sh.alias("sa_"), sh.alias("sb_")
+    common = (
+        sa_.join(
+            sb_,
+            (F.col("sa_.shingle") == F.col("sb_.shingle"))
+            & (F.col("sa_.doc_id") < F.col("sb_.doc_id")),
+        )
+        .groupBy(
+            F.col("sa_.doc_id").alias("doc_a"),
+            F.col("sb_.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ma, mb = lanes.alias("ma"), lanes.alias("mb")
+    matched = sum(
+        F.when(F.col(f"ma.m{s}") == F.col(f"mb.m{s}"), 1).otherwise(0)
+        for s in range(8)
+    )
+    est = (
+        cand.join(ma, F.col("doc_a") == F.col("ma.doc_id"))
+        .join(mb, F.col("doc_b") == F.col("mb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            matched.cast("long").alias("matched_lanes"),
+        )
+    )
+    sza = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a")
+    )
+    szb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b")
+    )
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    exact_raw = nc.cast("double") / (
+        F.col("n_sh_a") + F.col("n_sh_b") - nc
+    )
+    est_j = F.col("matched_lanes").cast("double") / F.lit(8.0)
+    return (
+        est.join(common, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(sza), "doc_a")
+        .join(F.broadcast(szb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            "matched_lanes",
+            est_j.alias("est_jaccard"),
+            F.round(exact_raw, 6).alias("exact_jaccard"),
+            F.round(F.abs(est_j - exact_raw), 6).alias("abs_err"),
+        )
+    )

@@ -132,6 +132,10 @@ DRIVER_PRIORITY: list[str] = [
 # re-proven by the q_rollup refresh in this window), q_histogram
 # (sketch family fresh via r6-green q_histogram_quantiles /
 # q_heavy_hitters).
+# Registered late in round 7 AFTER the window was frozen (oracle-green
+# in the pytest suite at three SFs this round; first driver rows come
+# with the r8 rotation, where new-query slots outrank refreshes):
+# q_minhash_fidelity, q_msprt.
 
 
 def query(name: str, oracle: str | None = None):

@@ -1321,3 +1321,85 @@ def test_bh_stepup_null_pvalue_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="(?i)null|assert"):
         bh_stepup(df, "p_value", ["test_id"]).collect()
+
+
+def test_minhash_lanes_consistent_with_bands(spark, sf_dir):
+    """minhash_lanes deliberately duplicates the lane pipeline instead
+    of refactoring the correctness-frozen minhash_bands — this is the
+    drift pin: bands rebuilt from the raw lanes (bands_from_lanes)
+    must equal minhash_bands' output row-for-row, so the fidelity
+    audit (q_minhash_fidelity) provably scores the EXACT signatures
+    the near-dup gates use."""
+    from iceberg_tracking_spark.operators.textdedup import (
+        bands_from_lanes,
+        minhash_bands,
+        minhash_lanes,
+    )
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in minhash_bands(docs).collect()
+    }
+    got = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in bands_from_lanes(minhash_lanes(docs)).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_msprt_invariants_and_independent_formula(spark, sf_dir):
+    """Always-valid p must be non-increasing in time (the property that
+    makes continuous monitoring safe), Lambda positive, p in (0,1] —
+    checked on the real stream. And the mixture-SPRT algebra is
+    re-derived independently in pure Python for the final day (both
+    engines share the relational formula, so oracle parity alone
+    cannot catch a shared transcription slip — the q_als_step residual
+    rationale)."""
+    import math
+
+    from iceberg_tracking_spark.plans.queries_advanced import (
+        _MSPRT_TAU,
+        q_msprt,
+    )
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    rows = sorted(
+        q_msprt(spark, sf_dir).collect(), key=lambda r: r["day_num"]
+    )
+    assert rows
+    ps = [r["p_always_valid"] for r in rows]
+    assert all(0 < p <= 1 for p in ps)
+    assert all(a >= b for a, b in zip(ps, ps[1:])), "p must never increase"
+    assert all(r["lam"] > 0 for r in rows)
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter("ts IS NOT NULL")
+        .selectExpr(
+            "CAST(floor(unix_millis(ts) / 86400000) AS LONG) AS day_num",
+            "user_id % 2 AS variant",
+            "CAST(round(value * 100, 0) AS LONG) AS cents",
+        )
+        .collect()
+    )
+    last = rows[-1]["day_num"]
+    n = [0, 0]
+    s = [0, 0]
+    q = [0, 0]
+    for r in ev:
+        if r["day_num"] <= last:
+            v = r["variant"]
+            n[v] += 1
+            s[v] += r["cents"]
+            q[v] += r["cents"] * r["cents"]
+    m0, m1 = s[0] / n[0], s[1] / n[1]
+    s2 = (q[0] + q[1] - n[0] * m0 * m0 - n[1] * m1 * m1) / (n[0] + n[1] - 2)
+    vv = s2 * (1.0 / n[0] + 1.0 / n[1])
+    delta = m0 - m1
+    lam = math.sqrt(vv / (vv + _MSPRT_TAU)) * math.exp(
+        delta * delta * _MSPRT_TAU / (2.0 * vv * (vv + _MSPRT_TAU))
+    )
+    assert rows[-1]["n_a"] == n[0] and rows[-1]["n_b"] == n[1]
+    assert abs(rows[-1]["lam"] - lam) < 2e-6, (rows[-1]["lam"], lam)

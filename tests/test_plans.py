@@ -99,6 +99,10 @@ NESTED_LOOP_OK = {
                              # broadcasts onto the |segments|-row test
                              # relation (plus distributed_cumulative
                              # offsets join inside bh_stepup)
+    "q_msprt",       # two triangular (day <= day) joins over the
+                     # calendar-bounded daily relation (~31 rows here,
+                     # <=366 at any scale) — the q_histogram_quantiles
+                     # bounded-cumulative pattern
     "q_chi2_independence",  # 1-row contingency total broadcast onto the
                             # |X|*|Y|-cell relation (q_mutual_information
                             # twin)
