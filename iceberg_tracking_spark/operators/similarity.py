@@ -632,8 +632,10 @@ def exact_rerank(
     quantized codes, so their @k=small recall collapses whenever
     quantization cells are coarse relative to neighbor gaps (measured:
     recall@3 ~ 0.11 on an 8-dim uniform corpus); re-ranking the ADC
-    top-64/top-256 with exact distances recovers 0.50/0.76 on the same
-    corpus (tests/test_scale_patterns.py pins all three). Cost at
+    top-64/top-256 with exact distances recovers 0.50/0.73 at fixed
+    nprobe=2 on the same corpus, and widening the probe to nprobe=4
+    adds 0.76 (tests/test_scale_patterns.py pins all four — the two
+    levers measured separately). Cost at
     scale: |queries| x refine_width exact distances — per-query
     constant, never a corpus scan; the raw vectors of only the
     candidate rows are fetched (an equi-join on the candidate ids).
@@ -655,6 +657,11 @@ def exact_rerank(
     )
     scored = (
         candidates.select(query_id, "nid")
+        # self-pair exclusion: part of the brute_force_topk contract —
+        # when queries are drawn from the corpus and the upstream
+        # index did not filter self, the query would otherwise take
+        # rank 1 at sim=1.0 and silently waste one of the k slots
+        .filter(F.col("nid") != F.col(query_id))
         .join(ne, "nid")
         .join(F.broadcast(qe), query_id)
         .select(

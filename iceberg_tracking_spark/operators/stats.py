@@ -32,16 +32,22 @@ def bh_stepup(
 
     Adds three columns: the global p-value rank `k` (ascending, ties
     broken by `tiebreak_cols` — include enough columns for a total
-    order), the per-rank threshold `round(k*alpha/m, 6)`, and the
+    order), the per-rank threshold `k*alpha/m`, and the
     boolean BH decision: with k* = max{k : p_(k) <= k/m * alpha},
     reject exactly the tests ranked <= k*. Note the step-up subtlety
     this implements faithfully: a test whose OWN p exceeds its
     threshold is still rejected when a LATER rank satisfies its
     threshold (p_(k) <= p_(k*) for k <= k* by the rank order).
 
-    Determinism: the comparison runs on the 6dp-rounded threshold and
-    the caller's p-values (round them to a fixed grid for cross-engine
-    replay — the house 6dp float contract); rank is a total order.
+    Determinism: the threshold is deliberately NOT rounded — it is two
+    correctly-rounded IEEE ops (one multiply, one divide) on exact
+    integers and a literal, hence bit-identical on any engine, and a
+    rounding grid would DISTORT the decision at large m (at m = 10^6,
+    alpha = 0.05 the rank-10 threshold 5e-7 would round to 1e-6 —
+    inflating FDR — while rank-1's 5e-8 would round to 0, never
+    rejecting anything). The caller's p-values should still sit on a
+    fixed grid (the house 6dp contract) because THEY come from
+    transcendental chains; rank is a total order.
 
     Scale: m is ONE count aggregate; the rank is the two-pass
     distributed ranking (no single-partition window even at m ~ 10^6
@@ -58,7 +64,21 @@ def bh_stepup(
     # JVM's 64 KB method limit (observed: janino InternalCompiler-
     # Exception + interpreted fallback on q_benjamini_hochberg).
     # Materializing once cuts the expression tree at a column boundary.
-    df = df.localCheckpoint()
+    # The NaN guard folds INTO the consumed p column (a standalone
+    # check column would be pruned — the house Catalyst lesson):
+    # validate_keys below catches NULL, but a 0/0 in the caller's
+    # z-chain yields NaN, which Spark orders GREATEST — it would
+    # silently take rank m, inflate m's denominator effect, and
+    # deflate every threshold, the same silent-hazard class.
+    df = df.withColumn(
+        p_col,
+        F.when(
+            F.isnan(F.col(p_col)),
+            F.assert_true(
+                F.lit(False), F.lit(f"bh_stepup: NaN in p column '{p_col}'")
+            ).cast("double"),
+        ).otherwise(F.col(p_col)),
+    ).localCheckpoint()
     m = df.agg(F.count(F.lit(1)).alias("_m"))
     # validate_keys: a NULL p-value would otherwise silently route to
     # the lowest rank (bucket 0, asc-nulls-first) and could flip the
@@ -74,12 +94,9 @@ def bh_stepup(
         validate_keys=True,
     ).withColumn(
         out_thresh,
-        F.round(
-            F.col(out_rank).cast("double")
-            * F.lit(float(alpha))
-            / F.col("_m").cast("double"),
-            6,
-        ),
+        F.col(out_rank).cast("double")
+        * F.lit(float(alpha))
+        / F.col("_m").cast("double"),
     )
     # consumed by the k* scalar AND the final projection — one
     # materialization of the bounded (m-row) test relation

@@ -285,9 +285,14 @@ def minhash_lanes(
     )
 
 
-def bands_from_lanes(lanes: DataFrame) -> DataFrame:
+def bands_from_lanes(
+    lanes: DataFrame, hot_band_cap: int | None = None
+) -> DataFrame:
     """Rebuild the (doc_id, band, band_key) relation from raw lanes —
-    the consistency bridge the drift-pin test exercises."""
+    the consistency bridge the drift-pin test exercises. `hot_band_cap`
+    mirrors `minhash_bands`' pair-enumeration guard (same window-count
+    idiom) so pair-generating consumers of the lane path don't have to
+    hand-copy the cap block."""
     n_bands = N_PERM // BAND_SIZE
     band_structs = F.array(
         *[
@@ -305,8 +310,18 @@ def bands_from_lanes(lanes: DataFrame) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    return lanes.select("doc_id", F.explode(band_structs).alias("bk")).select(
+    bands = lanes.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select(
         "doc_id",
         F.col("bk.band").alias("band"),
         F.col("bk.band_key").alias("band_key"),
     )
+    if hot_band_cap is not None:
+        w_bucket = Window.partitionBy("band", "band_key")
+        bands = (
+            bands.withColumn("bn", F.count(F.lit(1)).over(w_bucket))
+            .filter(F.col("bn") <= hot_band_cap)
+            .drop("bn")
+        )
+    return bands

@@ -1626,8 +1626,8 @@ _BH_INV_SQRT_2PI = 0.3989422804014327
     ),
     ranked AS (
         SELECT *, row_number() OVER (ORDER BY p_value, nationkey) AS k,
-               round(CAST(row_number() OVER (ORDER BY p_value, nationkey)
-                          AS DOUBLE) * {_BH_ALPHA} / CAST(m AS DOUBLE), 6)
+               CAST(row_number() OVER (ORDER BY p_value, nationkey)
+                    AS DOUBLE) * {_BH_ALPHA} / CAST(m AS DOUBLE)
                  AS bh_thresh
         FROM pv
     ),
@@ -1658,8 +1658,11 @@ def q_benjamini_hochberg(spark, sf_dir):
     correctly-rounded IEEE ops, bit-identical cross-engine — rounded
     to 6dp; p is the SAME fixed literal-coefficient polynomial x exp()
     on both engines evaluated from the rounded z, rounded to 6dp; the
-    BH comparison then runs on identical 6dp doubles, so the rejected
-    set is engine-independent. The rank is a total order (p, nation).
+    threshold k*alpha/m is two correctly-rounded IEEE ops on exact
+    integers (deliberately unrounded — a 6dp grid would distort BH at
+    large m, see bh_stepup), so the comparison runs on bit-identical
+    doubles and the rejected set is engine-independent. The rank is a
+    total order (p, nation).
 
     On THIS data the rejected set is empty — the synthetic tables are
     a true null (per-nation balance shares are i.i.d. uniform), and an
@@ -1855,7 +1858,7 @@ def q_msprt(spark, sf_dir):
     maintains incrementally (the additive-moments pattern
     streaming/als.py uses).
     """
-    from ..functions.time import epoch_ms
+    from ..functions.time import day_id
 
     dec = "decimal(38,0)"
     tau = F.lit(_MSPRT_TAU)
@@ -1863,9 +1866,7 @@ def q_msprt(spark, sf_dir):
         _t(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
         .select(
-            F.floor(epoch_ms("ts") / F.lit(86400000)).cast("long").alias(
-                "day_num"
-            ),
+            day_id("ts").alias("day_num"),
             (F.col("user_id") % 2).alias("variant"),
             F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
         )
@@ -1880,11 +1881,13 @@ def q_msprt(spark, sf_dir):
                 .cast(dec)
             ).alias("s0"),
             F.sum(
+                # decimal cast BEFORE the square (the q_anova pattern):
+                # cents*cents in LongType silently wraps past ~3e9
+                # cents while the oracle's HUGEINT square is exact
                 F.when(
-                    F.col("variant") == 0, F.col("cents") * F.col("cents")
-                )
-                .otherwise(0)
-                .cast(dec)
+                    F.col("variant") == 0,
+                    F.col("cents").cast(dec) * F.col("cents").cast(dec),
+                ).otherwise(F.lit(0).cast(dec))
             ).alias("q0"),
             F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
             F.sum(
@@ -1894,10 +1897,9 @@ def q_msprt(spark, sf_dir):
             ).alias("s1"),
             F.sum(
                 F.when(
-                    F.col("variant") == 1, F.col("cents") * F.col("cents")
-                )
-                .otherwise(0)
-                .cast(dec)
+                    F.col("variant") == 1,
+                    F.col("cents").cast(dec) * F.col("cents").cast(dec),
+                ).otherwise(F.lit(0).cast(dec))
             ).alias("q1"),
         )
         # two consumers (both sides of the triangular cumulative)

@@ -1627,11 +1627,11 @@ def _minhash_fidelity_oracle() -> str:
         JOIN mh mb ON mb.doc_id = c.doc_b
     )
     SELECT e.doc_a, e.doc_b, e.n_shared_bands, e.matched_lanes,
-           CAST(e.matched_lanes AS DOUBLE) / 8.0 AS est_jaccard,
+           CAST(e.matched_lanes AS DOUBLE) / {float(_N_PERM)} AS est_jaccard,
            round(CAST(coalesce(cm.n_common, 0) AS DOUBLE)
                  / (sa.n_sh + sb.n_sh - coalesce(cm.n_common, 0)), 6)
              AS exact_jaccard,
-           round(abs(CAST(e.matched_lanes AS DOUBLE) / 8.0
+           round(abs(CAST(e.matched_lanes AS DOUBLE) / {float(_N_PERM)}
                      - CAST(coalesce(cm.n_common, 0) AS DOUBLE)
                        / (sa.n_sh + sb.n_sh - coalesce(cm.n_common, 0))), 6)
              AS abs_err
@@ -1668,19 +1668,18 @@ def q_minhash_fidelity(spark, sf_dir):
     guard (never all-pairs); the exact side is the shared-shingle
     equi-join (q_ngram_jaccard's bound); lanes join back on doc_id.
     """
-    from ..operators.textdedup import bands_from_lanes, minhash_lanes
+    from ..operators.textdedup import (
+        N_PERM,
+        bands_from_lanes,
+        minhash_lanes,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     # lanes feed three consumers (bands + both sides of the est join)
     lanes = minhash_lanes(docs).localCheckpoint()
-    bands = bands_from_lanes(lanes)
-    w_bucket = Window.partitionBy("band", "band_key")
-    bands = (
-        bands.withColumn("bn", F.count(F.lit(1)).over(w_bucket))
-        .filter(F.col("bn") <= _HOT_BAND_CAP)
-        .drop("bn")
-        .localCheckpoint()  # self-joined below (the q_minhash_lsh note)
-    )
+    bands = bands_from_lanes(
+        lanes, hot_band_cap=_HOT_BAND_CAP
+    ).localCheckpoint()  # self-joined below (the q_minhash_lsh note)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -1716,7 +1715,7 @@ def q_minhash_fidelity(spark, sf_dir):
     ma, mb = lanes.alias("ma"), lanes.alias("mb")
     matched = sum(
         F.when(F.col(f"ma.m{s}") == F.col(f"mb.m{s}"), 1).otherwise(0)
-        for s in range(8)
+        for s in range(N_PERM)
     )
     est = (
         cand.join(ma, F.col("doc_a") == F.col("ma.doc_id"))
@@ -1738,7 +1737,7 @@ def q_minhash_fidelity(spark, sf_dir):
     exact_raw = nc.cast("double") / (
         F.col("n_sh_a") + F.col("n_sh_b") - nc
     )
-    est_j = F.col("matched_lanes").cast("double") / F.lit(8.0)
+    est_j = F.col("matched_lanes").cast("double") / F.lit(float(N_PERM))
     return (
         est.join(common, ["doc_a", "doc_b"], "left")
         .join(F.broadcast(sza), "doc_a")

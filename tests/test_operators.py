@@ -1321,6 +1321,14 @@ def test_bh_stepup_null_pvalue_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="(?i)null|assert"):
         bh_stepup(df, "p_value", ["test_id"]).collect()
+    # NaN is the OTHER silent route (0/0 in the caller's z-chain):
+    # Spark orders NaN greatest, so without the guard it would take
+    # rank m and quietly deflate every threshold — must raise too
+    nan_df = spark.createDataFrame(
+        [(0, 0.01), (1, float("nan")), (2, 0.5)], "test_id INT, p_value DOUBLE"
+    )
+    with pytest.raises(Exception, match="(?i)nan|assert"):
+        bh_stepup(nan_df, "p_value", ["test_id"]).collect()
 
 
 def test_minhash_lanes_consistent_with_bands(spark, sf_dir):
@@ -1347,6 +1355,16 @@ def test_minhash_lanes_consistent_with_bands(spark, sf_dir):
         for r in bands_from_lanes(minhash_lanes(docs)).collect()
     }
     assert got == want and len(want) > 0
+    # and the capped variant mirrors minhash_bands' cap semantics
+    want_cap = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in minhash_bands(docs, hot_band_cap=2).collect()
+    }
+    got_cap = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in bands_from_lanes(minhash_lanes(docs), hot_band_cap=2).collect()
+    }
+    assert got_cap == want_cap and len(want_cap) <= len(want)
 
 
 def test_msprt_invariants_and_independent_formula(spark, sf_dir):
