@@ -632,10 +632,10 @@ def exact_rerank(
     quantized codes, so their @k=small recall collapses whenever
     quantization cells are coarse relative to neighbor gaps (measured:
     recall@3 ~ 0.11 on an 8-dim uniform corpus); re-ranking the ADC
-    top-64/top-256 with exact distances recovers 0.50/0.73 at fixed
+    top-64/top-256 with exact distances recovers 0.497/0.735 at fixed
     nprobe=2 on the same corpus, and widening the probe to nprobe=4
-    adds 0.76 (tests/test_scale_patterns.py pins all four — the two
-    levers measured separately). Cost at
+    lifts it to 0.755 (tests/test_scale_patterns.py pins all four —
+    the two levers measured separately). Cost at
     scale: |queries| x refine_width exact distances — per-query
     constant, never a corpus scan; the raw vectors of only the
     candidate rows are fetched (an equi-join on the candidate ids).

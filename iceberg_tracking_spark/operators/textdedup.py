@@ -318,6 +318,10 @@ def bands_from_lanes(
         F.col("bk.band_key").alias("band_key"),
     )
     if hot_band_cap is not None:
+        # duplicated verbatim from minhash_bands' cap block (that
+        # function is correctness-frozen); divergence between the two
+        # copies is pinned by the CAPPED variant of the lanes≡bands
+        # consistency test in tests/test_operators.py
         w_bucket = Window.partitionBy("band", "band_key")
         bands = (
             bands.withColumn("bn", F.count(F.lit(1)).over(w_bucket))

@@ -284,8 +284,12 @@ def q_ngram_jaccard(spark, sf_dir):
     return _jaccard_pairs(spark, sf_dir)
 
 
-_N_PERM = 8
-_BAND_SIZE = 2  # → 4 bands
+# THE lane/band geometry — imported from the library so the DuckDB
+# oracle f-strings in this module are parameterized on the SAME
+# constants the Spark signature pipeline uses (a drifted copy here
+# would make every minhash oracle spuriously red on a retune)
+from ..operators.textdedup import BAND_SIZE as _BAND_SIZE  # noqa: E402
+from ..operators.textdedup import N_PERM as _N_PERM  # noqa: E402
 
 
 def _minhash_chunk_sql(s: int) -> str:

@@ -788,8 +788,10 @@ def test_ivfpq_adc_recall_and_refine_lever(spark):
     quantizers vs tightly concentrated neighbor gaps — the PQ worst
     case) ADC-only recall@3 is ~0.11. That is not an implementation
     bug; it is why every production IVF-PQ deployment runs a refine
-    stage, and this test pins the lever: exact_rerank over the ADC
-    top-64 recovers 0.50, over the ADC top-256 recovers 0.76 —
+    stage, and this test pins the levers SEPARATELY: at fixed
+    nprobe=2, exact_rerank over the ADC top-64 recovers 0.497 and
+    over the ADC top-256 recovers 0.735 (the refine-width lever);
+    nprobe=4 at width 256 adds 0.755 on top (the probe lever) —
     monotone in refine width, per-query-constant cost. The high-
     recall@small-k paths at scale remain LSH multi-probe / IVF-flat
     (0.96 at 1M, test_ann_recall_at_1m_vectors). All quantities are
