@@ -266,10 +266,12 @@ EXTENDED_FLOOR_SEC = {
     # evaluations with 1 — ~0.45s of fixed job overhead at sf0.1, a
     # win at real test-family sizes)
     "q_benjamini_hochberg": 1.239,
-    # round-7 third wave (first solo sf0.1 min-of-3 recordings;
-    # fidelity pays the exact-jaccard shingle self-join beside the
-    # banded candidate join — the audit is run-on-demand, not per-ingest)
-    "q_minhash_fidelity": 2.552,
+    # round-7 third wave (first solo sf0.1 min-of-3 recordings);
+    # fidelity re-floored r8 after the exact-Jaccard side was bounded
+    # by the candidate set (r7 verdict task #1 — cand routed through
+    # the semi-joined shingle relation, no shingle self-join; solo
+    # min-of-3 2.390s in the same commit as the plan change)
+    "q_minhash_fidelity": 2.390,
     "q_msprt": 1.175,
 }
 

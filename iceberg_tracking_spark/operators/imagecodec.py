@@ -191,25 +191,11 @@ def _paeth_pred(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(mat: np.ndarray, filter_cycle: bool = True) -> bytes:
-    """(h, w) or (h, w, 3) uint8 → PNG bytes.
-
-    `filter_cycle=True` filters row r with type r % 5 — deliberately
-    exercising ALL five filter types (None/Sub/Up/Average/Paeth) so a
-    decoder roundtrip (and the SQL oracle) pins every unfilter path,
-    not just the trivial one. Deflate is STORE-mode (no compression):
-    real PNG per the spec, chosen for byte-addressability over size.
-    """
-    m = np.ascontiguousarray(mat, dtype=np.uint8)
-    if m.ndim == 2:
-        color_type, bpp = 0, 1
-        rows = m[:, :, None]
-    elif m.ndim == 3 and m.shape[2] == 3:
-        color_type, bpp = 2, 3
-        rows = m
-    else:
-        raise ValueError(f"PNG encode supports (h,w) or (h,w,3); got {m.shape}")
-    h, w = rows.shape[:2]
+def _filter_scanlines(rows: np.ndarray, filter_cycle: bool) -> bytes:
+    """(h, w, bpp) uint8 → filtered scanline stream (filter byte + row),
+    row r filtered with type r % 5 when `filter_cycle` (all five PNG
+    filter paths exercised), else all-None."""
+    h, w, bpp = rows.shape
     raw = bytearray()
     zero = np.zeros((w, bpp), dtype=np.int32)
     for r in range(h):
@@ -235,6 +221,29 @@ def encode_png(mat: np.ndarray, filter_cycle: bool = True) -> bytes:
             filt = cur - pred
         raw.append(t)
         raw += (filt % 256).astype(np.uint8).tobytes()
+    return bytes(raw)
+
+
+def encode_png(mat: np.ndarray, filter_cycle: bool = True) -> bytes:
+    """(h, w) or (h, w, 3) uint8 → PNG bytes.
+
+    `filter_cycle=True` filters row r with type r % 5 — deliberately
+    exercising ALL five filter types (None/Sub/Up/Average/Paeth) so a
+    decoder roundtrip (and the SQL oracle) pins every unfilter path,
+    not just the trivial one. Deflate is STORE-mode (no compression):
+    real PNG per the spec, chosen for byte-addressability over size.
+    """
+    m = np.ascontiguousarray(mat, dtype=np.uint8)
+    if m.ndim == 2:
+        color_type = 0
+        rows = m[:, :, None]
+    elif m.ndim == 3 and m.shape[2] == 3:
+        color_type = 2
+        rows = m
+    else:
+        raise ValueError(f"PNG encode supports (h,w) or (h,w,3); got {m.shape}")
+    h, w = rows.shape[:2]
+    raw = _filter_scanlines(rows, filter_cycle)
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
@@ -243,7 +252,35 @@ def encode_png(mat: np.ndarray, filter_cycle: bool = True) -> bytes:
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", _zlib_stored(bytes(raw)))
+        + _png_chunk(b"IDAT", _zlib_stored(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    idx: np.ndarray, palette: np.ndarray, filter_cycle: bool = True
+) -> bytes:
+    """(h, w) uint8 index matrix + (n≤256, 3) uint8 palette →
+    color-type-3 PNG bytes (PLTE chunk between IHDR and IDAT; filters
+    run over the index bytes exactly as over grey samples, spec §9)."""
+    m = np.ascontiguousarray(idx, dtype=np.uint8)
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    if m.ndim != 2:
+        raise ValueError(f"palette PNG index matrix must be (h,w); got {m.shape}")
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+        raise ValueError(f"palette must be (1..256, 3); got {pal.shape}")
+    if int(m.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("index out of palette range")
+    h, w = m.shape
+    raw = _filter_scanlines(m[:, :, None], filter_cycle)
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", _zlib_stored(raw))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -257,18 +294,26 @@ def decode_png(data: bytes) -> np.ndarray:
     and Paeth carry a true byte recurrence on the reconstructed left
     neighbor, so those rows run a per-byte loop — bounded by row
     width, and only for rows that actually used filters 3/4.
+
+    Color types: 0 (grey), 2 (RGB), and — since round 8 — 3 (palette,
+    the most common remaining web-corpus shape per the r7 verdict):
+    one index byte per pixel unfiltered exactly like grey, then a
+    PLTE-row gather to RGB. 8-bit depth, non-interlaced only; tRNS
+    alpha is ignored (the output contract is opaque grey/RGB).
     """
     import zlib
 
     if not is_png(data):
         raise ValueError("not a PNG (missing signature)")
-    pos, idat, ihdr = 8, bytearray(), None
+    pos, idat, ihdr, plte = 8, bytearray(), None, None
     while pos + 8 <= len(data):
         ln = int.from_bytes(data[pos : pos + 4], "big")
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
             ihdr = body
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -279,14 +324,23 @@ def decode_png(data: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8 or color_type not in (0, 2) or interlace != 0:
+    if depth != 8 or color_type not in (0, 2, 3) or interlace != 0:
         raise ValueError(
             f"unsupported PNG shape (depth={depth}, color={color_type}, "
-            f"interlace={interlace}): 8-bit grey/RGB non-interlaced only"
+            f"interlace={interlace}): 8-bit grey/RGB/palette "
+            "non-interlaced only"
         )
-    bpp = 1 if color_type == 0 else 3
+    if color_type == 3:
+        if plte is None or len(plte) == 0 or len(plte) % 3:
+            raise ValueError("palette PNG missing a valid PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    bpp = 3 if color_type == 2 else 1  # palette rows carry index bytes
     stride = w * bpp
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        # uniform codec contract (decode_jpeg normalizes the same way)
+        raise ValueError("corrupt PNG IDAT stream") from None
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
     out = np.zeros((h, stride), dtype=np.int32)
@@ -316,4 +370,9 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {t} on row {r}")
         out[r] = rec
     m = out.astype(np.uint8)
+    if color_type == 3:
+        idx = m.reshape(h, w)
+        if idx.max(initial=0) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return pal[idx]  # (h, w, 3) gather
     return m.reshape(h, w) if bpp == 1 else m.reshape(h, w, 3)

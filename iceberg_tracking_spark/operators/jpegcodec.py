@@ -236,6 +236,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         # ran off the buffer in a marker segment or mid-scan — keep
         # the codec's uniform ValueError contract for malformed input
         raise ValueError("truncated JPEG data") from None
+    except KeyError as ex:
+        # a scan referencing an undeclared component id or an
+        # undefined Huffman/quantization table slot — same contract
+        raise ValueError(f"JPEG references undefined id {ex}") from None
 
 
 def _decode_markers_and_scan(
@@ -250,6 +254,11 @@ def _decode_markers_and_scan(
     while True:
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker;
+        # skip them so the byte after the LAST 0xFF is read as the code
+        # (the entropy-coded path already does this in _BitReader.restart)
+        while data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD8:
             pos += 2
@@ -305,6 +314,15 @@ def _decode_markers_and_scan(
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS — scan header then entropy data
             ns = seg[0]
+            # this decoder walks ONE interleaved scan covering every
+            # frame component; a spec-legal non-interleaved file (one
+            # scan per component, ns < nf) needs a multi-scan walk we
+            # don't implement — fail loudly, never misdecode
+            if ns != len(comps):
+                raise ValueError(
+                    f"non-interleaved JPEG scan ({ns} of {len(comps)} "
+                    "components) unsupported"
+                )
             sel = {}
             for c in range(ns):
                 cid = seg[1 + 2 * c]
@@ -322,6 +340,13 @@ def _decode_markers_and_scan(
             "YCbCr (3) only"
         )
 
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is non-interleaved — one
+        # 8×8 data unit per MCU regardless of declared sampling factors.
+        # Normalizing hs/vs to 1×1 makes the interleaved MCU walk below
+        # coincide with that definition (libjpeg does the same); leaving
+        # factors >1×1 in place would silently misdecode such files.
+        comps[0] = {**comps[0], "hs": 1, "vs": 1}
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
     mcus_x = -(-w // (8 * hmax))

@@ -51,53 +51,18 @@ def minhash_bands(
     in one reducer). Needed by PAIR-generating consumers; EXISTS-style
     consumers (the dedup gate) probe buckets without enumerating pairs,
     so they pass None.
+
+    Composition: `bands_from_lanes(minhash_lanes(...))` — ONE lane
+    builder since round 8 (rounds 6-7 carried a deliberate verbatim
+    duplicate to keep frozen consumers out of the driver window; the
+    r7 verdict asked for the unification and the r8 window takes the
+    consumer refresh). The lanes≡bands consistency test stays as the
+    regression pin.
     """
-    sh = docs.withColumn("toks", tokens(F.lower(F.col(text_col)))).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(shingles_from_tokens(F.col("toks")))
-        ).alias("shingle"),
+    return bands_from_lanes(
+        minhash_lanes(docs, text_col=text_col, id_col=id_col),
+        hot_band_cap=hot_band_cap,
     )
-    h1 = F.md5(F.col("shingle"))
-    h2 = F.md5(F.concat(F.lit("x"), F.col("shingle")))
-    lanes = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(h1 if s < 4 else h2, (s % 4) * 8 + 1, 8)
-            ).alias(f"m{s}")
-            for s in range(N_PERM)
-        ]
-    )
-    n_bands = N_PERM // BAND_SIZE
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat(
-                        *[
-                            F.col(f"m{b * BAND_SIZE + j}")
-                            for j in range(BAND_SIZE)
-                        ]
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = lanes.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id",
-        F.col("bk.band").alias("band"),
-        F.col("bk.band_key").alias("band_key"),
-    )
-    if hot_band_cap is not None:
-        w_bucket = Window.partitionBy("band", "band_key")
-        bands = (
-            bands.withColumn("bn", F.count(F.lit(1)).over(w_bucket))
-            .filter(F.col("bn") <= hot_band_cap)
-            .drop("bn")
-        )
-    return bands
 
 
 def rejected_by_earlier(
@@ -260,12 +225,10 @@ def minhash_lanes(
     on candidate pairs (the monitor that tells you whether N_PERM /
     BAND_SIZE are tuned for the corpus).
 
-    Deliberately NOT factored out of `minhash_bands`: its consumers
-    (the near-dup gate and the streaming dedup gate) are correctness-
-    frozen, so the lane pipeline is duplicated here verbatim and the
-    two are PINNED against drift by
-    tests/test_operators.py::test_minhash_lanes_consistent_with_bands
-    (bands rebuilt from these lanes must equal minhash_bands output).
+    Since round 8 this IS the single lane builder: `minhash_bands`
+    composes it with `bands_from_lanes`, and the lanes≡bands
+    consistency test in tests/test_operators.py pins the composition
+    as a regression guard.
     """
     sh = docs.withColumn("toks", tokens(F.lower(F.col(text_col)))).select(
         F.col(id_col).alias("doc_id"),
@@ -288,11 +251,12 @@ def minhash_lanes(
 def bands_from_lanes(
     lanes: DataFrame, hot_band_cap: int | None = None
 ) -> DataFrame:
-    """Rebuild the (doc_id, band, band_key) relation from raw lanes —
-    the consistency bridge the drift-pin test exercises. `hot_band_cap`
-    mirrors `minhash_bands`' pair-enumeration guard (same window-count
-    idiom) so pair-generating consumers of the lane path don't have to
-    hand-copy the cap block."""
+    """The (doc_id, band, band_key) relation from raw lanes — the
+    banding half of `minhash_bands` (which is now exactly this over
+    `minhash_lanes`). `hot_band_cap` is the pair-enumeration guard:
+    drop buckets holding more than this many docs (window count over
+    the same (band, band_key) partitioning every consumer shuffles
+    on)."""
     n_bands = N_PERM // BAND_SIZE
     band_structs = F.array(
         *[
@@ -318,10 +282,6 @@ def bands_from_lanes(
         F.col("bk.band_key").alias("band_key"),
     )
     if hot_band_cap is not None:
-        # duplicated verbatim from minhash_bands' cap block (that
-        # function is correctness-frozen); divergence between the two
-        # copies is pinned by the CAPPED variant of the lanes≡bands
-        # consistency test in tests/test_operators.py
         w_bucket = Window.partitionBy("band", "band_key")
         bands = (
             bands.withColumn("bn", F.count(F.lit(1)).over(w_bucket))

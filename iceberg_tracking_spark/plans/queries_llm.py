@@ -1575,7 +1575,16 @@ def _minhash_fidelity_oracle() -> str:
     cap) scored BOTH ways — matched lanes / 8 (the MinHash estimate)
     and exact shingle Jaccard — mirroring the Spark plan CTE-for-CTE.
     LEFT JOIN on common: an md5 band collision without any shared
-    shingle still yields a candidate (coalesce 0)."""
+    shingle still yields a candidate (coalesce 0).
+
+    The exact side is BOUNDED by the candidate set (r7 verdict task
+    #1): the shingle relation is semi-joined to candidate doc_ids and
+    n_common is aggregated by routing cand THROUGH the shingle sides
+    (equi-joins on doc_id then (doc_id, shingle)) — never a shingle
+    self-join, so a stop-word shingle shared corpus-wide costs rows
+    linear in the candidate fan, not quadratic in the corpus. Output
+    is provably identical: only candidate pairs ever reach the SELECT
+    (est LEFT JOINs common)."""
     mh = ",\n".join(_minhash_chunk_sql(s) for s in range(_N_PERM))
     n_bands = _N_PERM // _BAND_SIZE
     band_rows = "\nUNION ALL\n".join(
@@ -1616,12 +1625,21 @@ def _minhash_fidelity_oracle() -> str:
         FROM docs, unnest(shingles) AS u(s)
         GROUP BY doc_id, u.s
     ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cand_ids AS (
+        SELECT doc_a AS doc_id FROM cand
+        UNION
+        SELECT doc_b FROM cand
+    ),
+    sh_c AS (
+        SELECT s.doc_id, s.shingle FROM sh s JOIN cand_ids USING (doc_id)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_c GROUP BY doc_id),
     common AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle
-                           AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh_c a ON a.doc_id = c.doc_a
+        JOIN sh_c b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
     ),
     est AS (
         SELECT c.doc_a, c.doc_b, c.n_shared_bands,
@@ -1669,8 +1687,17 @@ def q_minhash_fidelity(spark, sf_dir):
     candidate (LEFT JOIN + coalesce 0 on both sides).
 
     Scale: candidates come from the banded equi-join with the hot-cap
-    guard (never all-pairs); the exact side is the shared-shingle
-    equi-join (q_ngram_jaccard's bound); lanes join back on doc_id.
+    guard (never all-pairs); the exact side is BOUNDED by the
+    candidate set — the shingle relation is left-semi-joined to the
+    distinct candidate doc_ids, and n_common is aggregated by routing
+    cand THROUGH the two shingle sides (equi-joins on doc_id, then
+    (doc_id, shingle)), never a shingle self-join. A stop-word
+    shingle shared by millions of documents therefore costs one row
+    per (candidate pair, shingle-of-doc_a) — linear in the candidate
+    fan, not k² in the shingle's corpus frequency
+    (tests/test_scale_patterns.py::test_minhash_fidelity_hot_shingle_bounded
+    plants one such shingle across ~100k docs and measures the join
+    cardinality). Lanes join back on doc_id.
     """
     from ..operators.textdedup import (
         N_PERM,
@@ -1694,26 +1721,34 @@ def q_minhash_fidelity(spark, sf_dir):
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.countDistinct(F.col("a.band")).alias("n_shared_bands"))
+        .localCheckpoint()  # feeds est AND the bounded exact side
     )
-    # exact side: distinct shingles, shared by sizes and the pair join
+    # exact side, bounded by the candidate set: distinct shingles of
+    # CANDIDATE docs only (left-semi), and n_common via cand routed
+    # through the two shingle sides — no shingle self-join anywhere
     sh = docs.withColumn("toks", _spark_tokens(F.col("text"))).select(
         "doc_id",
         F.explode(F.array_distinct(_spark_shingles(F.col("toks")))).alias(
             "shingle"
         ),
-    ).localCheckpoint()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa_, sb_ = sh.alias("sa_"), sh.alias("sb_")
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi").localCheckpoint()
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa_, sb_ = sh_c.alias("sa_"), sh_c.alias("sb_")
     common = (
-        sa_.join(
+        cand.select("doc_a", "doc_b")
+        .join(sa_, F.col("doc_a") == F.col("sa_.doc_id"))
+        .join(
             sb_,
-            (F.col("sa_.shingle") == F.col("sb_.shingle"))
-            & (F.col("sa_.doc_id") < F.col("sb_.doc_id")),
+            (F.col("doc_b") == F.col("sb_.doc_id"))
+            & (F.col("sa_.shingle") == F.col("sb_.shingle")),
         )
-        .groupBy(
-            F.col("sa_.doc_id").alias("doc_a"),
-            F.col("sb_.doc_id").alias("doc_b"),
-        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     ma, mb = lanes.alias("ma"), lanes.alias("mb")

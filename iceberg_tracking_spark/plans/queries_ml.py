@@ -442,13 +442,20 @@ def _png_decode_oracle() -> str:
     the fixtures cycle through all five) against the already-
     reconstructed left/up/up-left neighbors — a genuinely independent
     implementation of the same recurrence the numpy codec vectorizes.
-    Bounded by construction: fixture images are ≤ 12×15 px."""
+    Color-type-3 (palette) files shift the raw stream past the PLTE
+    chunk (data offset 60 + PLTE length instead of 48), unfilter the
+    INDEX bytes identically, then gather each channel byte from the
+    PLTE body (fixed offset 41 + 3·index + channel) and collapse to
+    grey with the SAME integer channel mean (r+g+b)//3 the Spark side
+    applies in decode_media — the byte-level twin of decode_png's
+    `pal[idx]` + grey-collapse. Bounded by construction: fixture
+    images are ≤ 13×15 px."""
     from ..sources.binary import PNG_FIXTURE_DIR
 
-    def pair(off: str) -> str:  # unsigned byte at 0-based offset expr
+    def pair(off: str, col: str = "hx") -> str:  # u8 at 0-based offset
         return (
-            f"((strpos('0123456789abcdef', substr(hx, 2*({off}) + 1, 1)) - 1) * 16"
-            f" + (strpos('0123456789abcdef', substr(hx, 2*({off}) + 2, 1)) - 1))"
+            f"((strpos('0123456789abcdef', substr({col}, 2*({off}) + 1, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr({col}, 2*({off}) + 2, 1)) - 1))"
         )
 
     be32 = " + ".join(
@@ -457,8 +464,20 @@ def _png_decode_oracle() -> str:
     be32_h = " + ".join(
         f"{pair(str(20 + k))} * {256 ** (3 - k)}" for k in range(4)
     )
-    f_byte = pair("48 + (k // w) * (w + 1)")
-    x_byte = pair("48 + (k // w) * (w + 1) + 1 + (k % w)")
+    ct = pair("25")  # IHDR color type: byte 8+8+9 = 25
+    be32_plte = " + ".join(  # PLTE chunk length (chunk starts at 33)
+        f"{pair(str(33 + k))} * {256 ** (3 - k)}" for k in range(4)
+    )
+    f_byte = pair("doff + (k // w) * (w + 1)")
+    x_byte = pair("doff + (k // w) * (w + 1) + 1 + (k % w)")
+    # palette gather: PLTE body starts at byte 41 (33 + len/tag)
+    pal_r = pair("41 + 3*(v)", "d.hx")
+    pal_g = pair("41 + 3*(v) + 1", "d.hx")
+    pal_b = pair("41 + 3*(v) + 2", "d.hx")
+    # the Spark side grey-collapses RGB with an integer channel mean
+    # (decode_media: sum(axis=2) // 3) — mirror it per pixel
+    pal_px = f"(({pal_r} + {pal_g} + {pal_b}) // 3)"
+    pal_vals = f"list_transform(p.recon, v -> {pal_px})"
     return f"""
     WITH RECURSIVE b AS (
         SELECT CAST(regexp_extract(filename, '(\\d+)\\.png$', 1) AS BIGINT)
@@ -470,14 +489,17 @@ def _png_decode_oracle() -> str:
     ),
     hdr AS (
         SELECT media_id, n_bytes, content_md5, hx,
-               ({be32}) AS w, ({be32_h}) AS h
+               ({be32}) AS w, ({be32_h}) AS h, ({ct}) AS ct,
+               CASE WHEN ({ct}) = 3 THEN 60 + ({be32_plte}) ELSE 48 END
+                   AS doff
         FROM b
     ),
     pixels AS (
-        SELECT media_id, w, h, hx, 0 AS k, CAST([] AS BIGINT[]) AS recon
+        SELECT media_id, w, h, hx, doff, 0 AS k,
+               CAST([] AS BIGINT[]) AS recon
         FROM hdr
         UNION ALL
-        SELECT media_id, w, h, hx, k + 1,
+        SELECT media_id, w, h, hx, doff, k + 1,
                list_append(recon, (x + CASE
                    WHEN f = 0 THEN 0
                    WHEN f = 1 THEN lft
@@ -489,7 +511,7 @@ def _png_decode_oracle() -> str:
                    ELSE ul
                END) % 256)
         FROM (
-            SELECT media_id, w, h, hx, k, recon,
+            SELECT media_id, w, h, hx, doff, k, recon,
                    {f_byte} AS f,
                    {x_byte} AS x,
                    CASE WHEN k % w > 0 THEN recon[k] ELSE 0 END AS lft,
@@ -501,9 +523,13 @@ def _png_decode_oracle() -> str:
     )
     SELECT p.media_id, p.w AS width, p.h AS height,
            d.n_bytes, d.content_md5,
-           CAST(list_sum(p.recon) AS BIGINT) AS px_sum,
-           CAST(list_max(p.recon) AS BIGINT) AS max_intensity,
-           round(list_sum(p.recon) * 1.0 / (p.w * p.h), 6) AS mean_intensity
+           CAST(CASE WHEN d.ct = 3 THEN list_sum({pal_vals})
+                ELSE list_sum(p.recon) END AS BIGINT) AS px_sum,
+           CAST(CASE WHEN d.ct = 3 THEN list_max({pal_vals})
+                ELSE list_max(p.recon) END AS BIGINT) AS max_intensity,
+           round((CASE WHEN d.ct = 3 THEN list_sum({pal_vals})
+                  ELSE list_sum(p.recon) END) * 1.0 / (p.w * p.h), 6)
+               AS mean_intensity
     FROM pixels p JOIN hdr d ON d.media_id = p.media_id
     WHERE p.k = p.w * p.h
     """

@@ -35,107 +35,86 @@ QUERIES: dict[str, QueryDef] = {}
 # positions 1-50). Every §2 operator's primary evidence query must sit
 # inside that window, so ordering is explicit: names listed here come
 # first (in this order), everything else follows in registration order.
-# Round 7 rotation — the pure-refresh round the r6 verdict asked for
-# (task #1: retire the evidence-staleness debt): (a) the SIX new
-# queries (q_png_decode — the stdlib PNG decode closing the
-# compressed-codec gap — int8 quantization, length-bucketed
-# batching, exact-substring dup-span removal, the ALS user-factor
-# half-step, and Benjamini-Hochberg FDR), (b) the five
-# queries whose CODE (or a shared dependency) changed this round —
-# the _BASKET_CAP group-size guard and the three decode_media
-# consumers, (c) the FULL r1-stale cohort — all 20 queries whose
-# latest driver row still dated to round 1, (d) 19 of the 38 r3-stale
-# queries. After this window no registered query's latest driver row
-# is older than round 3, and only 19 r3 names remain pre-r4 (they
-# rotate in next round): q_contamination, q_corpus_curate,
-# q_corr_scalar_subquery, q_data_profile, q_date_funcs,
-# q_event_pattern, q_not_exists, q_pivot, q_ratio_expr,
-# q_stratified_sample, q_vocab_topk, plus the eight displaced by the
-# decode_media consumers and the late-round new queries (see the note
-# after the list). Everything r4+-green stays out — its evidence
-# stands. Window = 50.
+# Round 8 rotation — exactly the r7 verdict's task #2: (a) the two
+# queries registered late in r7 AFTER that window froze, taking their
+# FIRST driver rows (q_minhash_fidelity — now with the candidate-
+# bounded exact-Jaccard side, the verdict's task #1 — and q_msprt),
+# (b) queries whose CODE or a shared dependency changed this round:
+# the minhash_bands unification (verdict task #3 — minhash_bands is
+# now bands_from_lanes∘minhash_lanes, so its consumers q_minhash_lsh
+# and q_neardup_gate get fresh rows per the house rule) and the image
+# codec hardening (palette-PNG decode + the four ADVICE fixes in
+# decode_png/decode_jpeg → the decode_media consumers q_png_decode,
+# q_image_decode, q_media_features, q_image_resize), (c) the FULL
+# r3-stale cohort — all 19 remaining pre-r4 names enumerated by the
+# r7 registry comment, (d) the oldest r4 cohort in registration order
+# for every remaining slot. After this window no registered query's
+# latest driver row is older than round 4. Window = 50.
 DRIVER_PRIORITY: list[str] = [
-    # (a) new this round — first driver check
+    # (a) first driver rows (registered late-r7, pytest-green at 3 SFs)
+    "q_minhash_fidelity",
+    "q_msprt",
+    # (b) code changed this round — minhash_bands unification consumers
+    "q_minhash_lsh",
+    "q_neardup_gate",
+    # (b) code changed this round — image-codec hardening consumers
     "q_png_decode",
-    "q_int8_quantize",
-    "q_length_buckets",
-    "q_dup_span_removal",
-    "q_als_step",
-    "q_benjamini_hochberg",
-    # (b) code changed this round: the _BASKET_CAP group-size guard
-    # (live in both plans and both oracles), and the three consumers
-    # of decode_media (its dispatch gained real PNG/JPEG branches
-    # ahead of the stub gate — PGM behavior provably unchanged, but
-    # shared-code consumers get fresh rows per the house rule)
-    "q_item_cooccurrence",
-    "q_item_similarity",
     "q_image_decode",
     "q_media_features",
     "q_image_resize",
-    # (c) the full r1-stale cohort (latest driver row = round 1)
-    "q_equijoin",
-    "q_grid_join",
-    "q_group_percentiles",
-    "q_having_semijoin",
-    "q_intersect",
-    "q_islands",
-    "q_lang_id",
-    "q_mutual_argmax",
-    "q_ngram_jaccard",
-    "q_rollup",
-    "q_semi_anti",
-    "q_ship_priority",
-    "q_star_join",
-    "q_string_funcs",
-    "q_text_stats",
-    "q_theta_argmax",
-    "q_tumbling_window",
-    "q_two_level_agg",
-    "q_union",
-    "q_weighted_avg",
-    # (d) 21 of the r3-stale cohort (latest driver row = round 3),
-    # bench-headline members and shared-operator consumers first
-    "q_minhash_lsh",
-    "q_ann_lsh",
-    "q_asof_join",
-    "q_orderby",
-    "q_token_count",
-    "q_tiling",
-    "q_embedding_neardup",
-    "q_binary_scan",
-    "q_kmeans_step",
-    "q_zorder",
-    "q_cumsum_window",
-    "q_dedup_clusters",
-    "q_dedup_keep_one",
-    "q_frame_sample",
-    "q_gram_matrix",
-    "q_kfold",
-    "q_multimodal_meta",
-    "q_quality_score",
-    "q_skew_join",
+    # (c) the full r3-stale cohort (latest driver row = round 3)
+    "q_contamination",
+    "q_corpus_curate",
+    "q_corr_scalar_subquery",
+    "q_data_profile",
+    "q_date_funcs",
+    "q_event_pattern",
+    "q_grouping_sets",
+    "q_histogram",
+    "q_not_exists",
+    "q_pivot",
+    "q_rank_family",
+    "q_ratio_expr",
+    "q_salted_agg",
+    "q_scd2",
+    "q_simhash",
+    "q_stratified_sample",
+    "q_tfidf",
+    "q_unigram_logprob",
+    "q_vocab_topk",
+    # (d) the oldest r4-stale cohort, registration order (23 of 46;
+    # the rest rotate in r9)
+    "q_minmax_by",
+    "q_unpivot",
+    "q_selfjoin_lead",
+    "q_containment_antijoin",
+    "q_session_window",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_ab_test",
+    "q_drift_chi2",
+    "q_interval_join",
+    "q_repetition",
+    "q_ann_ivf",
+    "q_pq_encode",
+    "q_pq_topk",
+    "q_ivfpq_topk",
+    "q_sliding_window",
+    "q_cube",
+    "q_gap_fill",
+    "q_batch_infer",
+    "q_rolling_window",
+    "q_kmeans",
+    "q_forward_fill",
+    "q_weighted_sample",
 ]
-# Of the r3 cohort, deferred to round 8 beyond the 11 named above —
-# displaced by the three decode_media consumers and the five
-# late-round new queries (q_int8_quantize / q_length_buckets /
-# q_dup_span_removal / q_als_step / q_benjamini_hochberg — no driver
-# row outranks refreshing a green one):
-# q_salted_agg (salting also proven by q_skew_join, refreshed here,
-# plus the extreme-skew parity test), q_tfidf (term-weighting family
-# covered by r5-green q_bm25), q_unigram_logprob (r5-green
-# q_bigram_surprisal, same integer-log-grid machinery), q_rank_family
-# (rank windows exercised by every distributed_cumulative consumer
-# refreshed this round), q_scd2 (merge/versioning family covered by
-# r6-green q_merge_upsert + catalog tests), q_simhash (near-dup family
-# covered by the refreshed q_minhash_lsh / q_embedding_neardup and
-# r5-green q_semdedup), q_grouping_sets (rollup/cube machinery
-# re-proven by the q_rollup refresh in this window), q_histogram
-# (sketch family fresh via r6-green q_histogram_quantiles /
-# q_heavy_hitters).
-# Registered late in round 7 AFTER the window was frozen (oracle-green
-# in the pytest suite at three SFs this round; first driver rows come
-# with the r8 rotation, where new-query slots outrank refreshes):
-# q_minhash_fidelity, q_msprt.
+# r4-stale names NOT fitting this window (remain latest-row=r4, rotate
+# r9): q_bm25, q_pii_scrub, q_iou_argmax, q_nms, q_greedy_match,
+# q_eval_metrics, q_track, q_grid_join_2d, q_remove_nested,
+# q_gen_embeddings, q_calibration, q_mask_filter, q_audio_decode,
+# q_video_decode, q_image_similarity, q_semdedup, q_gopher_rules,
+# q_dup_span_fraction, q_bpe_pair_count, q_char_entropy,
+# q_zscore_anomaly, q_degree_centrality, q_triangle_count.
 
 
 def query(name: str, oracle: str | None = None):

@@ -191,4 +191,23 @@ def ensure_png_fixture(
         if not (os.path.exists(fp) and os.path.getsize(fp) == len(payload)):
             with open(fp, "wb") as f:
                 f.write(payload)
+    # file `n`: one color-type-3 (palette) image — the most common
+    # remaining web-corpus PNG shape (r7 verdict task #5). Full
+    # 256-entry PLTE, deterministic index pattern, same filter cycle;
+    # q_png_decode's oracle re-derives the PLTE gather byte-by-byte.
+    from ..operators.imagecodec import encode_png_palette
+
+    h, w = 11, 13
+    yy, xx = np.mgrid[0:h, 0:w]
+    idx = ((xx * 7 + yy * yy * 3 + 5) % 256).astype(np.uint8)
+    lut = np.arange(256)
+    pal = np.stack(
+        [(lut * 37) % 256, (lut * 91 + 17) % 256, (lut * 53 + 101) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    payload = encode_png_palette(idx, pal)
+    fp = os.path.join(path, f"{n:04d}.png")
+    if not (os.path.exists(fp) and os.path.getsize(fp) == len(payload)):
+        with open(fp, "wb") as f:
+            f.write(payload)
     return path

@@ -388,16 +388,23 @@ def test_png_fixture_is_deterministic_and_multifilter(tmp_path):
     d2 = ensure_png_fixture(str(tmp_path / "b"))
     import os
 
+    seen_ct = set()
     for fn in sorted(os.listdir(d1)):
         b1 = open(os.path.join(d1, fn), "rb").read()
         b2 = open(os.path.join(d2, fn), "rb").read()
         assert b1 == b2
         w = int.from_bytes(b1[16:20], "big")
         h = int.from_bytes(b1[20:24], "big")
-        idat_len = int.from_bytes(b1[33:37], "big")
-        raw = zlib.decompress(b1[41 : 41 + idat_len])
+        ct = b1[25]
+        seen_ct.add(ct)
+        # palette files carry a PLTE chunk between IHDR and IDAT
+        idat_at = 33 if ct != 3 else 45 + int.from_bytes(b1[33:37], "big")
+        assert b1[idat_at + 4 : idat_at + 8] == b"IDAT", fn
+        idat_len = int.from_bytes(b1[idat_at : idat_at + 4], "big")
+        raw = zlib.decompress(b1[idat_at + 8 : idat_at + 8 + idat_len])
         filters = {raw[r * (w + 1)] for r in range(h)}
         assert filters == {0, 1, 2, 3, 4}, (fn, filters)
+    assert seen_ct == {0, 3}  # grey files + the one palette file
 
 
 # ----------------------------------------------------------------- JPEG
@@ -653,3 +660,162 @@ def test_png_cross_validated_against_jvm_imageio(spark):
         # lossless both hops -> exact equality (a single filter bug
         # would corrupt whole scanlines)
         assert theirs.shape == mat.shape and np.array_equal(theirs, mat)
+
+
+def test_png_palette_roundtrip_and_error_contracts():
+    """Color-type-3 (palette) PNG — the r7 verdict's most-common
+    remaining web-corpus shape: exact index-gather roundtrip through
+    all five filters, the decode_media grey-collapse, and the uniform
+    ValueError contract on malformed palette/IDAT bytes."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from iceberg_tracking_spark.operators.imagecodec import (
+        _png_chunk,
+        decode_png,
+        encode_png_palette,
+    )
+    from iceberg_tracking_spark.operators.multimodal import decode_media
+
+    h, w = 9, 14
+    yy, xx = np.mgrid[0:h, 0:w]
+    idx = ((xx * 11 + yy * 5) % 256).astype(np.uint8)
+    lut = np.arange(256)
+    pal = np.stack(
+        [(lut * 37) % 256, (255 - lut) % 256, (lut * lut) % 256], axis=1
+    ).astype(np.uint8)
+    for cyc in (False, True):
+        data = encode_png_palette(idx, pal, filter_cycle=cyc)
+        out = decode_png(data)
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, pal[idx])
+    # decode_media grey-collapses the gathered RGB by integer mean
+    grey = decode_media(encode_png_palette(idx, pal), 0, 0, decode_stub=False)
+    assert np.array_equal(
+        grey, (pal[idx].astype(np.int32).sum(axis=2) // 3).astype(np.uint8)
+    )
+    # small palette + out-of-range index rejected at encode time
+    with pytest.raises(ValueError, match="out of palette range"):
+        encode_png_palette(np.full((2, 2), 9, np.uint8), pal[:4])
+    # palette file stripped of its PLTE chunk -> uniform ValueError
+    data = encode_png_palette(idx, pal)
+    plte_len = int.from_bytes(data[33:37], "big")
+    no_plte = data[:33] + data[45 + plte_len :]
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(no_plte)
+    # a small palette still decodes (in-range indices, short PLTE)
+    small = encode_png_palette((idx % 4).astype(np.uint8), pal[:4])
+    assert np.array_equal(decode_png(small), pal[:4][idx % 4])
+    # corrupt deflate stream -> ValueError, not a zlib.error leak
+    # (ADVICE r7: decode_jpeg normalizes, decode_png must too)
+    good = _png_chunk(b"IDAT", zlib.compress(b"\x00" * (h * (w + 1))))
+    bad_idat = data.replace(
+        data[45 + plte_len : 45 + plte_len + 8],
+        (8).to_bytes(4, "big") + b"IDAT",
+    )[: 45 + plte_len + 8] + b"\x99" * 8 + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        decode_png(bad_idat)
+    assert good  # silence unused warning paranoia
+
+
+def test_png_palette_jvm_imageio_agrees(spark):
+    """Spec conformance for the palette path: the JVM's independent
+    ImageIO codec must read our color-type-3 file to the EXACT gathered
+    pixels (PNG is lossless — zero tolerance)."""
+    import numpy as np
+
+    from iceberg_tracking_spark.operators.imagecodec import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    h, w = 10, 12
+    yy, xx = np.mgrid[0:h, 0:w]
+    idx = ((xx * 3 + yy * 17 + 2) % 256).astype(np.uint8)
+    lut = np.arange(256)
+    pal = np.stack(
+        [(lut * 29 + 3) % 256, (lut * 67 + 11) % 256, (lut * 5) % 256], axis=1
+    ).astype(np.uint8)
+    jvm = spark._jvm
+    bais = jvm.java.io.ByteArrayInputStream(
+        bytearray(encode_png_palette(idx, pal))
+    )
+    img = jvm.javax.imageio.ImageIO.read(bais)
+    assert img is not None, "ImageIO rejected our palette PNG"
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+    theirs = decode_png(bytes(baos.toByteArray()))
+    if theirs.ndim == 2:  # ImageIO may re-encode a grey-only palette
+        theirs = np.stack([theirs] * 3, axis=2)
+    assert np.array_equal(theirs, pal[idx])
+
+
+def test_jpeg_fill_bytes_and_scan_validation():
+    """The three r7 ADVICE hardening items on the JPEG decoder:
+    spec-legal 0xFF fill padding between header segments (T.81
+    B.1.1.2) must be skipped, a non-interleaved scan (ns < nf) must
+    raise the uniform ValueError (it previously KeyError'd), and a
+    scan referencing an undefined Huffman table must also normalize
+    to ValueError."""
+    import numpy as np
+    import pytest
+
+    from iceberg_tracking_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    gray, rgb = _jpeg_test_images()
+    blob = encode_jpeg(rgb, 90)
+    base = decode_jpeg(blob)
+    # insert fill bytes between header segments: after SOI and before
+    # the first SOS marker byte
+    filled = blob[:2] + b"\xff" + blob[2:]
+    sos = filled.index(b"\xff\xda")
+    filled = filled[:sos] + b"\xff\xff" + filled[sos:]
+    assert np.array_equal(decode_jpeg(filled), base)
+    # non-interleaved scan header: rewrite the 3-component SOS
+    # (len 12: 2+1+6+3) as a single-component one (len 8: 2+1+2+3)
+    sos = blob.index(b"\xff\xda")
+    cid1 = blob[sos + 5]
+    tbl1 = blob[sos + 6]
+    mutated = (
+        blob[:sos]
+        + b"\xff\xda" + (8).to_bytes(2, "big")
+        + bytes([1, cid1, tbl1, 0, 63, 0])
+        + blob[sos + 14 :]
+    )
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(mutated)
+    # undefined Huffman table selector -> ValueError, not KeyError
+    gblob = bytearray(encode_jpeg(gray, 90))
+    gsos = gblob.index(b"\xff\xda")
+    gblob[gsos + 6] = 0xEE  # dc table 14 / ac table 14: never defined
+    with pytest.raises(ValueError, match="undefined"):
+        decode_jpeg(bytes(gblob))
+
+
+def test_jpeg_single_component_ignores_sampling_factors():
+    """T.81 A.2.2: a single-component scan is non-interleaved — one
+    data unit per MCU regardless of declared hs/vs. Declare 2x2
+    factors on a grey frame and the decode must equal the 1x1 decode
+    (previously the interleaved MCU walk silently misdecoded)."""
+    import numpy as np
+
+    from iceberg_tracking_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    gray, _ = _jpeg_test_images()
+    blob = bytearray(encode_jpeg(gray, 90))
+    base = decode_jpeg(bytes(blob))
+    sof = bytes(blob).index(b"\xff\xc0")
+    # SOF0 layout: marker(2) len(2) prec(1) h(2) w(2) nc(1) cid(1) hv(1)
+    assert blob[sof + 9] == 1, "expected a 1-component frame"
+    assert blob[sof + 11] == 0x11
+    blob[sof + 11] = 0x22  # declare 2x2 sampling on the only component
+    out = decode_jpeg(bytes(blob))
+    assert np.array_equal(out, base)

@@ -846,3 +846,138 @@ def test_ivfpq_adc_recall_and_refine_lever(spark):
     assert r_64 >= 0.45 and r_64 > r_adc  # measured 0.497
     assert r_256 >= 0.70 and r_256 > r_64  # measured 0.735 (width lever)
     assert r_256_p4 >= r_256  # measured 0.755 (nprobe lever on top)
+
+
+def test_minhash_fidelity_hot_shingle_bounded(spark):
+    """The r7 verdict's one scale-killer, fixed and measured: the
+    fidelity audit's exact-Jaccard side must be bounded by the
+    CANDIDATE set, not the corpus. 100k in-engine docs each carrying
+    one planted stop-word shingle ("one of the") — the shape that
+    made the old plan quadratic: a shingle-keyed self-join puts all
+    100k postings in ONE reducer and emits hot²/2 ≈ 5e9 pairs before
+    the candidate filter. The bounded plan (q_minhash_fidelity since
+    r8) routes cand THROUGH the shingle sides instead, so the join
+    fan is Σ|shingles(doc_a)| over candidate pairs. Measured here:
+
+    * the trap is armed: the planted shingle's posting list is ~100k;
+    * candidate-side fan: first-join cardinality ≤ n_cand × max
+      shingles/doc, orders of magnitude under the hot-shingle
+      quadratic (both printed);
+    * the audit still WORKS: planted near-dup candidate pairs score
+      exact Jaccard ≈ 0.7 (14 shared / 20 union shingles by
+      construction), so the estimator comparison is meaningful.
+    """
+    from iceberg_tracking_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+    from iceberg_tracking_spark.operators.textdedup import minhash_bands
+
+    n = 100_000
+    docs = _synth_docs(spark, n).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" one of the")).alias("text"),
+    )
+    sh = docs.withColumn("toks", tokens(F.lower(F.col("text")))).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("toks")))
+        ).alias("shingle"),
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert hot >= 0.99 * n, "the planted hot shingle must be corpus-wide"
+    quad_pairs = hot * (hot - 1) // 2  # the old self-join's hot reducer
+
+    # the bounded plan, piece for piece as q_minhash_fidelity builds it
+    bands = minhash_bands(docs, hot_band_cap=64).localCheckpoint()
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .localCheckpoint()
+    )
+    n_cand = cand.count()
+    assert n_cand > 100, "planted near-dups must surface as candidates"
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi").localCheckpoint()
+    max_sh = (
+        sh_c.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c"))
+        .collect()[0][0]
+    )
+    fan1 = cand.join(
+        sh_c.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+    ).count()
+    sa_, sb_ = sh_c.alias("sa_"), sh_c.alias("sb_")
+    common = (
+        cand.select("doc_a", "doc_b")
+        .join(sa_, F.col("doc_a") == F.col("sa_.doc_id"))
+        .join(
+            sb_,
+            (F.col("doc_b") == F.col("sb_.doc_id"))
+            & (F.col("sa_.shingle") == F.col("sb_.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .localCheckpoint()
+    )
+    n_common_rows = common.count()
+    # planted pairs (doc_b = doc_a+1, doc_b%100==7) share 14 of 20
+    # distinct shingles -> exact J = 0.7; verify the audit still scores
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    planted = (
+        common.filter(
+            (F.col("doc_b") == F.col("doc_a") + 1)
+            & (F.col("doc_b") % 100 == 7)
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+            ),
+            "doc_b",
+        )
+        .select(
+            (
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("j")
+        )
+        .agg(F.avg("j").alias("mj"), F.count(F.lit(1)).alias("np"))
+        .collect()[0]
+    )
+    print(
+        f"\nfidelity hot-shingle @100k docs: hot posting={hot} "
+        f"(old-plan reducer {quad_pairs:.2e} pairs); candidates={n_cand}, "
+        f"bounded fan={fan1} (≤ {n_cand}×{max_sh}), common rows="
+        f"{n_common_rows}; planted candidate pairs={planted['np']}, "
+        f"mean exact J={planted['mj']:.3f}"
+    )
+    assert fan1 <= n_cand * max_sh, "fan must be candidate-bounded"
+    assert fan1 < quad_pairs / 1000, "fan must dodge the hot-shingle quadratic"
+    assert n_common_rows <= n_cand
+    assert planted["np"] > 500  # banding recall at J≈0.7 is ~0.93
+    assert 0.6 < planted["mj"] < 0.8  # construction gives J = 14/20
