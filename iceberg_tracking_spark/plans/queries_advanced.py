@@ -1743,7 +1743,8 @@ def q_benjamini_hochberg(spark, sf_dir):
 
 # ------------------------------------------- always-valid sequential test
 
-_MSPRT_TAU = 10000.0  # mixture prior scale for the effect, cents^2
+# the oracle interpolates the SAME constant the shared operator uses
+from ..operators.msprt import MSPRT_TAU as _MSPRT_TAU  # noqa: E402
 
 
 @query(
@@ -1853,147 +1854,15 @@ def q_msprt(spark, sf_dir):
     spread, and p rounded to 6dp.
 
     Scale: one hash aggregate reduces the stream to <=366 day rows;
-    everything after is bounded-relation algebra. The per-day
-    aggregate is exactly the relation a streaming deployment
-    maintains incrementally (the additive-moments pattern
-    streaming/als.py uses).
+    everything after is bounded-relation algebra. Both stages live in
+    operators/msprt.py (daily_moments + msprt_from_daily), shared with
+    streaming/msprt.py: the per-day moments are the additive relation
+    a streaming deployment maintains via merge_aggregate, and the
+    parity test pins streamed == batch bit-identically (the
+    streaming/als.py pattern).
     """
-    from ..functions.time import day_id
+    from ..operators.msprt import daily_moments, msprt_from_daily
 
-    dec = "decimal(38,0)"
-    tau = F.lit(_MSPRT_TAU)
-    e = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull())
-        .select(
-            day_id("ts").alias("day_num"),
-            (F.col("user_id") % 2).alias("variant"),
-            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-        )
-    )
-    daily = (
-        e.groupBy("day_num")
-        .agg(
-            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
-            F.sum(
-                F.when(F.col("variant") == 0, F.col("cents"))
-                .otherwise(0)
-                .cast(dec)
-            ).alias("s0"),
-            F.sum(
-                # decimal cast BEFORE the square (the q_anova pattern):
-                # cents*cents in LongType silently wraps past ~3e9
-                # cents while the oracle's HUGEINT square is exact
-                F.when(
-                    F.col("variant") == 0,
-                    F.col("cents").cast(dec) * F.col("cents").cast(dec),
-                ).otherwise(F.lit(0).cast(dec))
-            ).alias("q0"),
-            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
-            F.sum(
-                F.when(F.col("variant") == 1, F.col("cents"))
-                .otherwise(0)
-                .cast(dec)
-            ).alias("s1"),
-            F.sum(
-                F.when(
-                    F.col("variant") == 1,
-                    F.col("cents").cast(dec) * F.col("cents").cast(dec),
-                ).otherwise(F.lit(0).cast(dec))
-            ).alias("q1"),
-        )
-        # two consumers (both sides of the triangular cumulative)
-        .localCheckpoint()
-    )
-    t_, s_ = daily.alias("t"), daily.alias("s")
-    cum = (
-        t_.join(s_, F.col("s.day_num") <= F.col("t.day_num"))
-        .groupBy(F.col("t.day_num").alias("day_num"))
-        .agg(
-            F.sum(F.col("s.n0")).alias("cn0"),
-            F.sum(F.col("s.s0")).alias("cs0"),
-            F.sum(F.col("s.q0")).alias("cq0"),
-            F.sum(F.col("s.n1")).alias("cn1"),
-            F.sum(F.col("s.s1")).alias("cs1"),
-            F.sum(F.col("s.q1")).alias("cq1"),
-        )
-    )
-    mean0 = F.col("cs0").cast("double") / F.col("cn0").cast("double")
-    mean1 = F.col("cs1").cast("double") / F.col("cn1").cast("double")
-    stats = cum.filter((F.col("cn0") > 1) & (F.col("cn1") > 1)).select(
-        "day_num",
-        "cn0",
-        "cn1",
-        mean0.alias("mean0"),
-        mean1.alias("mean1"),
-        (
-            (
-                (F.col("cq0") + F.col("cq1")).cast("double")
-                - F.col("cn0").cast("double")
-                * mean0
-                * mean0
-                - F.col("cn1").cast("double") * mean1 * mean1
-            )
-            / (F.col("cn0") + F.col("cn1") - 2).cast("double")
-        ).alias("s2"),
-    )
-    vv = F.col("s2") * (
-        F.lit(1.0) / F.col("cn0").cast("double")
-        + F.lit(1.0) / F.col("cn1").cast("double")
-    )
-    delta = F.col("mean0") - F.col("mean1")
-    lam_rel = (
-        stats.filter(F.col("s2") > 0)
-        .select(
-            "day_num",
-            "cn0",
-            "cn1",
-            delta.alias("delta"),
-            vv.alias("vv"),
-        )
-        .filter(F.col("vv") > 0)
-        .select(
-            "day_num",
-            "cn0",
-            "cn1",
-            "delta",
-            F.round(
-                F.sqrt(F.col("vv") / (F.col("vv") + tau))
-                * F.exp(
-                    F.col("delta")
-                    * F.col("delta")
-                    * tau
-                    / (F.lit(2.0) * F.col("vv") * (F.col("vv") + tau))
-                ),
-                6,
-            ).alias("lam"),
-        )
-        # two consumers (both sides of the triangular running max)
-        .localCheckpoint()
-    )
-    lt, ls = lam_rel.alias("lt"), lam_rel.alias("ls")
-    rm = (
-        lt.join(ls, F.col("ls.day_num") <= F.col("lt.day_num"))
-        .groupBy(F.col("lt.day_num").alias("day_num"))
-        .agg(F.max(F.col("ls.lam")).alias("run_max"))
-    )
-    out = lam_rel.select(
-        "day_num",
-        F.col("cn0").alias("n_a"),
-        F.col("cn1").alias("n_b"),
-        F.round(F.col("delta"), 6).alias("mean_diff_cents"),
-        "lam",
-    ).join(rm.select("day_num", "run_max"), "day_num")
-    return out.select(
-        "day_num",
-        "n_a",
-        "n_b",
-        "mean_diff_cents",
-        "lam",
-        F.round(
-            F.when(
-                F.col("run_max") > 1.0, F.lit(1.0) / F.col("run_max")
-            ).otherwise(1.0),
-            6,
-        ).alias("p_always_valid"),
+    return msprt_from_daily(
+        daily_moments(_t(spark, sf_dir, "events")), tau=_MSPRT_TAU
     )

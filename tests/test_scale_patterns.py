@@ -639,8 +639,11 @@ def test_ann_recall_at_1m_vectors(spark):
     candidate-reduction claim (tracking.py:455-459)."""
     from iceberg_tracking_spark.operators.similarity import (
         brute_force_topk,
+        exact_rerank,
         ivf_topk,
+        ivfpq_topk,
         lsh_bucket_topk,
+        pq_codebook,
     )
 
     n, dim, k = 1_000_000, 8, 3
@@ -663,10 +666,40 @@ def test_ann_recall_at_1m_vectors(spark):
     )
     r_ivf1 = recall(ivf_topk(corpus, k, qpred, F.col("vec_id") <= 32, nprobe=1))
     r_ivf2 = recall(ivf_topk(corpus, k, qpred, F.col("vec_id") <= 32, nprobe=2))
+    # the fourth family at corpus scale (r7 verdict task #6): IVF-PQ
+    # with the refine stage — the 250k levers re-measured at 1M. ADC
+    # ranks on quantized codes, and the uniform corpus is the PQ worst
+    # case, so ADC-only is near-noise here (0.034, vs 0.109 at 250k:
+    # denser true-neighbor gaps shrink below code resolution as n
+    # grows); refine width is the recovery lever. One honest negative,
+    # pinned deliberately: at FIXED width, raising nprobe DILUTES the
+    # refine pool (4 clusters' weak-ADC candidates crowd out the 2
+    # nearest clusters' true neighbors: 0.748 -> 0.701) — the
+    # production rule is to scale width WITH nprobe, which is monotone
+    # again (512@4probes = 0.837).
+    n_sub, ksub = 4, 16
+    cb = pq_codebook(corpus, dim, n_sub, ksub, F.col("vec_id") % 37 == 1)
+    r_adc = recall(
+        ivfpq_topk(corpus, cb, dim, n_sub, k, qpred, F.col("vec_id") <= 32, nprobe=2)
+    )
+
+    def refined(width: int, nprobe: int) -> float:
+        cand = ivfpq_topk(
+            corpus, cb, dim, n_sub, width, qpred,
+            F.col("vec_id") <= 32, nprobe=nprobe,
+        )
+        return recall(exact_rerank(cand, corpus, queries, k))
+
+    r_64 = refined(64, 2)       # width lever, fixed nprobe
+    r_256 = refined(256, 2)
+    r_256_p4 = refined(256, 4)  # nprobe at fixed width: the dilution case
+    r_512_p4 = refined(512, 4)  # width scaled with nprobe
     print(
         f"\nANN recall@3 at 1M: LSH(12b)={r_lsh:.3f}, "
         f"LSH+2probes={r_lsh2:.3f}, IVF(32) nprobe=1={r_ivf1:.3f}, "
-        f"nprobe=2={r_ivf2:.3f}"
+        f"nprobe=2={r_ivf2:.3f}; IVF-PQ ADC={r_adc:.3f}, "
+        f"refine@64={r_64:.3f}, @256={r_256:.3f} (nprobe=2), "
+        f"@256+np4={r_256_p4:.3f} (diluted), @512+np4={r_512_p4:.3f}"
     )
     exact.unpersist()
     corpus.unpersist()
@@ -674,6 +707,11 @@ def test_ann_recall_at_1m_vectors(spark):
     assert r_lsh2 >= r_lsh and r_lsh2 >= 0.44  # measured 0.456
     assert r_ivf1 >= 0.75  # measured 0.782
     assert r_ivf2 > r_ivf1 and r_ivf2 >= 0.90  # measured 0.959
+    assert r_adc >= 0.02  # measured 0.034 — documented PQ worst case
+    assert r_64 >= 0.44 and r_64 > r_adc  # measured 0.469
+    assert r_256 >= 0.72 and r_256 > r_64  # measured 0.748 (width lever)
+    assert r_256_p4 < r_256  # measured 0.701 — fixed-width dilution is REAL
+    assert r_512_p4 >= 0.81 and r_512_p4 > r_256  # measured 0.837
 
 
 def test_dup_span_removal_growth_and_planted_detection(spark):

@@ -1005,3 +1005,55 @@ def test_streaming_als_factors_equal_batch(spark, sf_dir, tmp_path):
     v = table.current_version()
     merge(spark.read.parquet(src), 0)
     assert table.current_version() == v
+
+
+def test_streaming_msprt_equals_batch(spark, sf_dir, tmp_path):
+    """The incrementally-maintained mSPRT moment table equals the
+    batch q_msprt EXACTLY: stream the event fact in two availableNow
+    passes through streaming/msprt.py, then run the shared
+    msprt_from_daily over the maintained table — every day's
+    (n_a, n_b, mean_diff_cents, lam, p_always_valid) must be
+    bit-identical to the one-shot batch query (per-day moments are
+    additive exact integers, so chopping the stream cannot move a
+    single ulp — including a split that lands both halves on the SAME
+    days, exercising the old+delta merge path, not just inserts).
+    Also proves a replayed batch is a no-op (txn gate)."""
+    from iceberg_tracking_spark.operators.msprt import msprt_from_daily
+    from iceberg_tracking_spark.plans import QUERIES
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+    from iceberg_tracking_spark.streaming.msprt import make_msprt_merge_fn
+
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "value"
+    )
+    src = str(tmp_path / "src")
+    # user_id split: both variants AND every day appear in both halves
+    events.filter(F.col("user_id") % 3 == 0).write.mode("overwrite").parquet(src)
+    table = VersionedTable(str(tmp_path / "msprt_moments"))
+    merge = make_msprt_merge_fn(table, app_id="msprt-test")
+    stream = (
+        spark.readStream.schema(events.schema).parquet(src).writeStream
+        .foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    q = stream.start()
+    q.awaitTermination(120)
+    events.filter(F.col("user_id") % 3 != 0).write.mode("append").parquet(src)
+    q2 = stream.start()
+    q2.awaitTermination(120)
+
+    key = lambda r: r["day_num"]  # noqa: E731
+    val = lambda r: (  # noqa: E731
+        r["n_a"], r["n_b"], r["mean_diff_cents"], r["lam"],
+        r["p_always_valid"],
+    )
+    got = {key(r): val(r) for r in msprt_from_daily(table.read(spark)).collect()}
+    want = {key(r): val(r) for r in QUERIES["q_msprt"].fn(spark, sf_dir).collect()}
+    assert got == want  # bit-identical, not approximately equal
+    assert len(got) > 5  # the fixture spans a month of days
+
+    # replaying a committed batch id is a no-op
+    v = table.current_version()
+    merge(spark.read.parquet(src), 0)
+    assert table.current_version() == v
