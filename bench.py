@@ -127,6 +127,11 @@ EXTENDED = [
     # round-7 third wave: minhash estimator fidelity, sequential test
     "q_minhash_fidelity",
     "q_msprt",
+    # round-8: rank-sum test, Benford audit, autocorrelation, Slope One
+    "q_mann_whitney",
+    "q_benford",
+    "q_acf",
+    "q_slope_one",
 ]
 
 # Regression floors for the HEADLINE set (r6 verdict task: the
@@ -273,6 +278,13 @@ EXTENDED_FLOOR_SEC = {
     # min-of-3 2.390s in the same commit as the plan change)
     "q_minhash_fidelity": 2.390,
     "q_msprt": 1.175,
+    # round-8 first solo sf0.1 min-of-3 recordings, same commit as the
+    # queries landed (slope_one's basis includes the target-item
+    # semi-join bound on the deviation pair fan)
+    "q_mann_whitney": 0.759,
+    "q_benford": 0.733,
+    "q_acf": 1.096,
+    "q_slope_one": 4.858,
 }
 
 

@@ -1866,3 +1866,414 @@ def q_msprt(spark, sf_dir):
     return msprt_from_daily(
         daily_moments(_t(spark, sf_dir, "events")), tau=_MSPRT_TAU
     )
+
+
+# ------------------------------------------------- rank-sum (Mann-Whitney)
+
+
+@query(
+    "q_mann_whitney",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, user_id % 2 AS variant,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, cents,
+               CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS na_c,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nb_c
+        FROM e GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, cents, na_c, nb_c, na_c + nb_c AS t,
+               coalesce(sum(na_c + nb_c) OVER (
+                   PARTITION BY event_type ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cb
+        FROM g
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(sum(na_c) AS BIGINT) AS n_a,
+               CAST(sum(nb_c) AS BIGINT) AS n_b,
+               CAST(sum(CAST(na_c AS HUGEINT) * (2 * cb + t + 1))
+                    AS HUGEINT) AS r2a,
+               CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tie
+        FROM r GROUP BY 1
+    ),
+    z AS (
+        SELECT event_type, n_a, n_b,
+               CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2.0
+                 AS u_a,
+               CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) AS nn,
+               CAST(n_a + n_b AS DOUBLE) AS nd,
+               CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1)
+                        - CAST(n_a AS HUGEINT) * n_b AS DOUBLE) AS num,
+               CAST(tie AS DOUBLE) AS tied
+        FROM s
+    ),
+    zz AS (
+        SELECT event_type, n_a, n_b, u_a,
+               nn / 12.0 * ((nd + 1.0) - tied / (nd * (nd - 1.0))) AS var
+        FROM z
+    ),
+    z6 AS (
+        SELECT zz.event_type, zz.n_a, zz.n_b, zz.u_a,
+               CASE WHEN zz.n_a > 0 AND zz.n_b > 0 AND zz.var > 0
+                    THEN round(z.num / (2.0 * sqrt(zz.var)), 6)
+               END AS z_score
+        FROM zz JOIN z ON z.event_type = zz.event_type
+    ),
+    p AS (
+        SELECT event_type, n_a, n_b, u_a, z_score,
+               1.0 / (1.0 + 0.2316419 * abs(z_score)) AS tt,
+               {_BH_INV_SQRT_2PI} * exp(-(abs(z_score) * abs(z_score)) / 2.0)
+                 AS pdf
+        FROM z6
+    )
+    SELECT event_type, n_a, n_b, u_a, z_score,
+           round(2.0 * pdf * (tt * ({_BH_B[0]} + tt * ({_BH_B[1]}
+                 + tt * ({_BH_B[2]} + tt * ({_BH_B[3]}
+                 + tt * {_BH_B[4]}))))), 6) AS p_value
+    FROM p
+    """,
+)
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) test with tie correction —
+    the nonparametric two-sample location test every experimentation
+    stack reaches for when the metric is skewed (revenue, latency) and
+    q_ab_test's t-test assumptions fail; completes the test family
+    beside q_ks_test (distribution shape) and q_chi2_independence
+    (categorical). One test per event_type segment: variant =
+    user_id % 2 on the cents grid.
+
+    Ranking WITHOUT sorting rows: values land on the exact cents grid,
+    so the pooled ranks come from per-(segment, cents) COUNTS — the
+    midrank of a tie group is cum_before + (t+1)/2, so the rank sum
+    lifts to the integer 2·R_A = Σ na_c·(2·cum_before + t + 1) (the
+    half-grid cleared by doubling, the house integer-grid move). U,
+    the tie term Σ(t³−t), and the z numerator 2U−n_a·n_b are then all
+    exact HUGEINT/DECIMAL algebra; z is a fixed float op sequence over
+    those exact integers (rounded 6dp), and the two-sided p is the
+    SAME A&S 26.2.17 polynomial q_benjamini_hochberg uses, evaluated
+    from the rounded z on both engines. Degenerate segments (one
+    variant empty, or every value tied) yield NULL z/p on BOTH
+    engines.
+
+    Scale: the shuffle reduces the stream to the (segment, cents)
+    grid — bounded by the VALUE GRID (10⁴ cents values), not the row
+    count; the cumulative is a window PARTITIONED by segment over
+    that grid (never a global single-partition sort); everything
+    after is one row per segment.
+    """
+    dec = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("variant"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    g = (
+        ev.groupBy("event_type", "cents")
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("na_c"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("nb_c"),
+        )
+        .withColumn("t", F.col("na_c") + F.col("nb_c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn("cb", F.coalesce(F.sum("t").over(w), F.lit(0)))
+    td = F.col("t").cast(dec)
+    s = r.groupBy("event_type").agg(
+        F.sum("na_c").alias("n_a"),
+        F.sum("nb_c").alias("n_b"),
+        F.sum(
+            F.col("na_c").cast(dec)
+            * (2 * F.col("cb") + F.col("t") + 1).cast(dec)
+        ).alias("r2a"),
+        F.sum(td * td * td - td).alias("tie"),
+    )
+    na_d = F.col("n_a").cast(dec)
+    u2 = F.col("r2a") - na_d * (F.col("n_a") + 1).cast(dec)
+    num = (u2 - na_d * F.col("n_b").cast(dec)).cast("double")
+    nn = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    nd = (F.col("n_a") + F.col("n_b")).cast("double")
+    var = (
+        nn
+        / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("tie").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    z6 = s.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (u2.cast("double") / F.lit(2.0)).alias("u_a"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+            F.round(num / (F.lit(2.0) * F.sqrt(var)), 6),
+        ).alias("z_score"),
+    )
+    x = F.abs(F.col("z_score"))
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * x)
+    pdf = F.lit(_BH_INV_SQRT_2PI) * F.exp(-(x * x) / F.lit(2.0))
+    poly = tt * (
+        F.lit(_BH_B[0])
+        + tt
+        * (
+            F.lit(_BH_B[1])
+            + tt * (F.lit(_BH_B[2]) + tt * (F.lit(_BH_B[3]) + tt * F.lit(_BH_B[4])))
+        )
+    )
+    return z6.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "u_a",
+        "z_score",
+        F.round(F.lit(2.0) * pdf * poly, 6).alias("p_value"),
+    )
+
+
+# ------------------------------------------------------- Benford audit
+
+# log10(1 + 1/d) computed ONCE in Python and interpolated as the SAME
+# literal into both engines (no runtime transcendentals to disagree on)
+_BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def _benford_oracle() -> str:
+    cases = " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items()
+    )
+    return f"""
+    WITH c AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               count(*) AS n_obs
+        FROM orders
+        WHERE o_totalprice > 0
+        GROUP BY 1
+    ),
+    axis AS (SELECT unnest(range(1, 10)) AS digit),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM c),
+    j AS (
+        SELECT a.digit, coalesce(c.n_obs, 0) AS n_obs,
+               CASE a.digit {cases} END AS p, t.n
+        FROM axis a LEFT JOIN c ON c.digit = a.digit CROSS JOIN tot t
+    )
+    SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+           round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_frac,
+           round(p, 6) AS benford_p,
+           round((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                 * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                 / (CAST(n AS DOUBLE) * p), 6) AS chi2_term
+    FROM j
+    """
+
+
+@query("q_benford", oracle=_benford_oracle())
+def q_benford(spark, sf_dir):
+    """Benford first-significant-digit audit — the classic anomaly /
+    fraud / data-quality screen on naturally-spanning amounts: the
+    leading digit of o_totalprice against log10(1+1/d), with the
+    per-digit chi-square contribution (the column an auditor ranks to
+    find WHICH digit is off). TPC-H-ish totalprice spans ~3 orders of
+    magnitude, so it roughly Benfords; a synthetic-uniform column
+    would not — either way the procedure is what is pinned, and the
+    chi2_term column is the evidence trail.
+
+    Determinism, house style: the leading digit comes from the DECIMAL
+    STRING of the exact cents integer — substr(cast(cents as string))
+    — never floor(x/10^floor(log10 x)) whose float log flips on
+    power-of-ten boundaries; expected fractions are Python-computed
+    literals interpolated identically into both engines (no runtime
+    log10 to disagree on); chi² terms are a fixed float sequence over
+    exact counts, rounded 6dp. All 9 digit rows always present (axis
+    LEFT JOIN + coalesce 0).
+
+    Scale: one hash aggregate to ≤9 rows; the digit axis is a
+    9-row literal; the total is a 1-row broadcast scalar combine
+    (NESTED_LOOP_OK: q_benford)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100, 0)
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    c = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    axis = spark.range(1, 10).select(F.col("id").alias("digit"))
+    tot = c.agg(F.sum("n_obs").cast("long").alias("n"))
+    p_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d, p in sorted(_BENFORD_P.items()) for x in (d, p)]
+        ),
+        F.col("digit").cast("int"),
+    )
+    j = (
+        axis.join(c, "digit", "left")
+        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("p", p_col)
+    )
+    nd = F.col("n").cast("double")
+    dev = F.col("n_obs").cast("double") - nd * F.col("p")
+    return j.select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round(F.col("n_obs").cast("double") / nd, 6).alias("obs_frac"),
+        F.round(F.col("p"), 6).alias("benford_p"),
+        F.round(dev * dev / (nd * F.col("p")), 6).alias("chi2_term"),
+    )
+
+
+# ------------------------------------------------------ autocorrelation
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "q_acf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day_num,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS HUGEINT)
+                 AS x
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(x) AS HUGEINT) AS s, count(*) AS n FROM daily
+    ),
+    lags AS (SELECT unnest(range(0, {_ACF_MAX_LAG} + 1)) AS k),
+    pairs AS (
+        SELECT l.k, count(*) AS m_k,
+               CAST(sum(a.x * b.x) AS HUGEINT) AS p_k,
+               CAST(sum(a.x) AS HUGEINT) AS h_k,
+               CAST(sum(b.x) AS HUGEINT) AS t_k
+        FROM daily a CROSS JOIN lags l
+        JOIN daily b ON b.day_num = a.day_num + l.k
+        GROUP BY l.k
+    ),
+    c AS (
+        SELECT p.k, p.m_k,
+               (CAST(p.p_k AS DOUBLE)
+                - (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * (CAST(p.h_k AS DOUBLE) + CAST(p.t_k AS DOUBLE))
+                + CAST(p.m_k AS DOUBLE)
+                  * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+               / CAST(t.n AS DOUBLE) AS c_k
+        FROM pairs p CROSS JOIN tot t
+    ),
+    c0 AS (SELECT c_k AS c_0 FROM c WHERE k = 0)
+    SELECT c.k AS lag, CAST(c.m_k AS BIGINT) AS n_pairs,
+           round(c.c_k / c0.c_0, 6) AS acf
+    FROM c CROSS JOIN c0
+    """,
+)
+def q_acf(spark, sf_dir):
+    """Autocorrelation function of the daily-revenue series at lags
+    0..7 — the seasonality/persistence diagnostic behind every
+    forecasting pipeline (a weekly cycle shows as a lag-7 peak), and
+    the time-series sibling of q_seasonal_decompose. r_k is the
+    standard biased estimator c_k/c_0 with the GLOBAL mean and a
+    fixed 1/N normalizer (the statsmodels default), computed on the
+    days actually present (a calendar gap simply contributes no
+    (t, t+k) pair — m_k records the pair count per lag).
+
+    Determinism, house style: a float sum over pairs would be
+    summation-order-dependent, so the centered cross-product is
+    EXPANDED into pure integer sums — c_k ∝ P_k − x̄(H_k+T_k) + m_k·x̄²
+    with P_k = Σx_t·x_{{t+k}}, H/T the head/tail sums, all exact
+    HUGEINT/DECIMAL — then ONE fixed float op sequence (x̄ = S/N a
+    single division) evaluated identically on both engines; r_k
+    rounds at 6dp. Lag 0 emits acf = 1.0 by construction (the
+    denominator is its own numerator — a free sanity row).
+
+    Scale: one hash aggregate reduces the stream to ≤366 day rows;
+    the lag fan is an 8× explode of that bounded relation joined
+    equi on day_num + k; S/N and c_0 are 1-row broadcast scalar
+    combines (NESTED_LOOP_OK: q_acf).
+    """
+    from ..functions.time import day_id
+
+    dec18 = "decimal(18,0)"
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(day_id("ts").alias("day_num"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast(dec18)
+            .alias("x")
+        )
+        # three consumers: pair a-side, pair b-side, the global moments
+        .localCheckpoint()
+    )
+    tot = daily.agg(
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lags = spark.range(0, _ACF_MAX_LAG + 1).select(F.col("id").alias("k"))
+    a = daily.alias("a").crossJoin(F.broadcast(lags))
+    b = daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            F.col("b.day_num") == F.col("a.day_num") + F.col("k"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("m_k"),
+            F.sum(F.col("a.x") * F.col("b.x")).alias("p_k"),
+            F.sum(F.col("a.x")).alias("h_k"),
+            F.sum(F.col("b.x")).alias("t_k"),
+        )
+    )
+    xbar = F.col("s").cast("double") / F.col("n").cast("double")
+    c_k = (
+        F.col("p_k").cast("double")
+        - xbar * (F.col("h_k").cast("double") + F.col("t_k").cast("double"))
+        + F.col("m_k").cast("double") * xbar * xbar
+    ) / F.col("n").cast("double")
+    c = pairs.crossJoin(F.broadcast(tot)).select(
+        "k", "m_k", c_k.alias("c_k")
+    ).localCheckpoint()  # two consumers: all rows + the k=0 scalar
+    c0 = c.filter(F.col("k") == 0).select(F.col("c_k").alias("c_0"))
+    return c.crossJoin(F.broadcast(c0)).select(
+        F.col("k").alias("lag"),
+        F.col("m_k").cast("long").alias("n_pairs"),
+        F.round(F.col("c_k") / F.col("c_0"), 6).alias("acf"),
+    )

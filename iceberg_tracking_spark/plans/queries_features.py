@@ -1305,3 +1305,151 @@ def q_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(fac), li.l_partkey == fac.p_partkey
     )
     return solve_factors(gram_sums(inter))
+
+
+# ------------------------------------------------------------- slope one
+
+_SO_MIN_SUPPORT = 2   # minimum co-rating users behind a usable deviation
+_SO_TOPK = 3          # recommendations emitted per sampled user
+_SO_USER_MOD = 100    # target users: o_custkey % _SO_USER_MOD == 1
+
+
+@query(
+    "q_slope_one",
+    oracle=f"""
+    WITH ratings AS (
+        SELECT o.o_custkey AS u, l.l_partkey AS i,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    capped AS (
+        SELECT u, i, r FROM (
+            SELECT *, row_number() OVER (PARTITION BY u ORDER BY i) AS gr
+            FROM ratings
+        ) WHERE gr <= {_BASKET_CAP}
+    ),
+    targets AS (
+        SELECT u, i, r FROM ratings WHERE u % {_SO_USER_MOD} = 1
+    ),
+    t_items AS (SELECT DISTINCT i FROM targets),
+    dev AS (
+        SELECT a.i AS ia, b.i AS ib, count(*) AS cnt,
+               CAST(sum(a.r - b.r) AS HUGEINT) AS sd
+        FROM capped a
+        JOIN (SELECT c.* FROM capped c JOIN t_items USING (i)) b
+          ON a.u = b.u AND a.i != b.i
+        GROUP BY 1, 2
+        HAVING count(*) >= {_SO_MIN_SUPPORT}
+    ),
+    pred AS (
+        SELECT t.u, d.ia AS j,
+               CAST(sum(d.sd + CAST(t.r AS HUGEINT) * d.cnt) AS HUGEINT)
+                 AS num,
+               CAST(sum(d.cnt) AS BIGINT) AS den
+        FROM targets t JOIN dev d ON d.ib = t.i
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ratings r2 WHERE r2.u = t.u AND r2.i = d.ia
+        )
+        GROUP BY 1, 2
+    )
+    SELECT u, j, den AS support,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS pred
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY u
+                   ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) DESC, j
+               ) AS rk
+        FROM pred
+    )
+    WHERE rk <= {_SO_TOPK}
+    """,
+)
+def q_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Slope One recommender (Lemire & Maclachlan, SDM 2005) —
+    the item-item deviation baseline every recsys eval includes beside
+    the ALS factor model (q_als_step): dev(j,i) = Σ_u (r_uj − r_ui)/cnt
+    over users rating both, and the prediction for user u on unseen
+    item j is the cnt-weighted average of (dev(j,i) + r_ui) over u's
+    rated items i. Emits the top-3 predictions per sampled user.
+
+    Determinism, house style: the weighted average NEVER sums floats —
+    Σ cnt·(dev + r) = Σ (sd + r·cnt) is exact HUGEINT/DECIMAL algebra
+    (sd = the raw rating-difference sum), so pred = num/den is ONE IEEE
+    division of exact integers: bit-identical cross-engine, ranked
+    with a (pred DESC, item) total order, displayed at 6dp.
+
+    Scale: the deviation fan explodes pairs WITHIN a user's basket,
+    capped at _BASKET_CAP items (cap_group_size — same guard as
+    q_item_cooccurrence; oracles mirror the cap row-for-row), so a
+    pathological 10k-item user costs cap² pairs, never |basket|²; the
+    deviation table is |item-pair|-bounded with min-support pruning;
+    prediction is two hash joins keyed on item then (user, item); the
+    per-user top-k is a hash-partitioned window, never a global sort.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(F.sum("q").alias("r"))
+        # three consumers: both pair sides and the already-rated anti-join
+        .localCheckpoint()
+    )
+    capped = cap_group_size(ratings, ["u"], [F.col("i")], _BASKET_CAP)
+    targets = ratings.filter(F.col("u") % _SO_USER_MOD == 1)
+    # deviation rows are only ever consumed joined on ib ∈ the target
+    # users' item sets, so the b-side of the pair fan is left-semi-
+    # bounded to those items BEFORE the explosion (provably identical
+    # output — the q_minhash_fidelity candidate-bounding move). cnt/sd
+    # still aggregate over ALL co-rating users of a retained pair.
+    t_items = targets.select("i").distinct()
+    a = capped.alias("a")
+    b = capped.join(t_items, "i", "left_semi").alias("b")
+    dev = (
+        a.join(
+            b,
+            (F.col("a.u") == F.col("b.u")) & (F.col("a.i") != F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum((F.col("a.r") - F.col("b.r")).cast("decimal(38,0)")).alias(
+                "sd"
+            ),
+        )
+        .filter(F.col("cnt") >= _SO_MIN_SUPPORT)
+    )
+    cand = (
+        targets.join(dev, F.col("ib") == F.col("i"))
+        .join(
+            ratings.select(F.col("u").alias("u2"), F.col("i").alias("j2")),
+            (F.col("u") == F.col("u2")) & (F.col("ia") == F.col("j2")),
+            "left_anti",
+        )
+        .groupBy("u", F.col("ia").alias("j"))
+        .agg(
+            F.sum(
+                F.col("sd")
+                + F.col("r").cast("decimal(38,0)")
+                * F.col("cnt").cast("decimal(38,0)")
+            ).alias("num"),
+            F.sum("cnt").cast("long").alias("den"),
+        )
+    )
+    pred = F.col("num").cast("double") / F.col("den").cast("double")
+    w = Window.partitionBy("u").orderBy(pred.desc(), F.col("j").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SO_TOPK)
+        .select(
+            "u",
+            "j",
+            F.col("den").alias("support"),
+            F.round(pred, 6).alias("pred"),
+        )
+    )

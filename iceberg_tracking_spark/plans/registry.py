@@ -51,9 +51,15 @@ QUERIES: dict[str, QueryDef] = {}
 # for every remaining slot. After this window no registered query's
 # latest driver row is older than round 4. Window = 50.
 DRIVER_PRIORITY: list[str] = [
-    # (a) first driver rows (registered late-r7, pytest-green at 3 SFs)
+    # (a) first driver rows: the two late-r7 registrations plus the
+    # four queries NEW this round (Mann-Whitney rank-sum, Benford
+    # first-digit audit, autocorrelation, weighted Slope One)
     "q_minhash_fidelity",
     "q_msprt",
+    "q_mann_whitney",
+    "q_benford",
+    "q_acf",
+    "q_slope_one",
     # (b) code changed this round — minhash_bands unification consumers
     "q_minhash_lsh",
     "q_neardup_gate",
@@ -82,8 +88,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_tfidf",
     "q_unigram_logprob",
     "q_vocab_topk",
-    # (d) the oldest r4-stale cohort, registration order (23 of 46;
-    # the rest rotate in r9)
+    # (d) the oldest r4-stale cohort, registration order (19 of 46;
+    # the rest rotate in r9 — four slots went to the new queries)
     "q_minmax_by",
     "q_unpivot",
     "q_selfjoin_lead",
@@ -103,13 +109,10 @@ DRIVER_PRIORITY: list[str] = [
     "q_cube",
     "q_gap_fill",
     "q_batch_infer",
-    "q_rolling_window",
-    "q_kmeans",
-    "q_forward_fill",
-    "q_weighted_sample",
 ]
 # r4-stale names NOT fitting this window (remain latest-row=r4, rotate
-# r9): q_bm25, q_pii_scrub, q_iou_argmax, q_nms, q_greedy_match,
+# r9): q_rolling_window, q_kmeans, q_forward_fill, q_weighted_sample,
+# q_bm25, q_pii_scrub, q_iou_argmax, q_nms, q_greedy_match,
 # q_eval_metrics, q_track, q_grid_join_2d, q_remove_nested,
 # q_gen_embeddings, q_calibration, q_mask_filter, q_audio_decode,
 # q_video_decode, q_image_similarity, q_semdedup, q_gopher_rules,

@@ -1421,3 +1421,167 @@ def test_msprt_invariants_and_independent_formula(spark, sf_dir):
     )
     assert rows[-1]["n_a"] == n[0] and rows[-1]["n_b"] == n[1]
     assert abs(rows[-1]["lam"] - lam) < 2e-6, (rows[-1]["lam"], lam)
+
+
+def test_mann_whitney_matches_pure_python(spark, sf_dir):
+    """q_mann_whitney's grid-rank algebra vs an independent pure-Python
+    Mann-Whitney (explicit midranks over the pooled sorted sample, the
+    textbook tie-corrected normal approximation) — catches algebra
+    slips the DuckDB oracle cannot (both engines share the lifted
+    2R_A/tie formulas; this check does not)."""
+    import math
+
+    from iceberg_tracking_spark.plans import QUERIES
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["q_mann_whitney"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.col("user_id") % 2).alias("v"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    by_seg: dict = {}
+    for r in ev:
+        by_seg.setdefault(r["event_type"], []).append((r["c"], r["v"]))
+    B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+    for seg, rows in by_seg.items():
+        rows.sort()
+        n = len(rows)
+        # explicit midranks (1-based) over the pooled sorted sample
+        ranks, i = {}, 0
+        while i < n:
+            j = i
+            while j < n and rows[j][0] == rows[i][0]:
+                j += 1
+            mid = (i + 1 + j) / 2  # mean of ranks i+1..j
+            ranks[rows[i][0]] = (mid, j - i)
+            i = j
+        ra = sum(ranks[c][0] for c, v in rows if v == 0)
+        na = sum(1 for _, v in rows if v == 0)
+        nb = n - na
+        u = ra - na * (na + 1) / 2
+        ties = sum(t**3 - t for _, t in ranks.values())
+        var = na * nb / 12 * ((n + 1) - ties / (n * (n - 1)))
+        z = round((u - na * nb / 2) / math.sqrt(var), 6)
+        x = abs(z)
+        tt = 1.0 / (1.0 + 0.2316419 * x)
+        pdf = 0.3989422804014327 * math.exp(-(x * x) / 2.0)
+        p = round(
+            2.0 * pdf * (tt * (B[0] + tt * (B[1] + tt * (B[2] + tt * (B[3] + tt * B[4]))))),
+            6,
+        )
+        g = got[seg]
+        assert (g["n_a"], g["n_b"]) == (na, nb), seg
+        assert g["u_a"] == u, seg
+        assert g["z_score"] == z, (seg, g["z_score"], z)
+        assert g["p_value"] == p, (seg, g["p_value"], p)
+
+
+def test_acf_matches_numpy(spark, sf_dir):
+    """q_acf's integer-moment expansion vs numpy computed the DIRECT
+    way — center the present-day series on the global mean and sum the
+    float products per lag (the formulation the query deliberately
+    avoids for determinism). Agreement to ~1e-9 proves the expansion
+    P_k - xbar*(H+T) + m*xbar^2 is the same quantity."""
+    import numpy as np
+
+    from iceberg_tracking_spark.plans import QUERIES
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in QUERIES["q_acf"].fn(spark, sf_dir).collect()
+    }
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy((F.floor(F.unix_millis("ts") / 86400000)).alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("x"))
+        .collect()
+    )
+    xs = {r["d"]: float(r["x"]) for r in daily}
+    days = sorted(xs)
+    arr = np.array([xs[d] for d in days])
+    xbar = arr.mean()
+    # pairs on PRESENT days only (calendar gaps contribute no pair)
+    c = {}
+    for k in range(8):
+        pairs = [
+            (xs[d] - xbar) * (xs[d + k] - xbar) for d in days if d + k in xs
+        ]
+        c[k] = (len(pairs), sum(pairs) / len(arr))
+    assert got[0][1] == 1.0
+    for k in range(8):
+        assert got[k][0] == c[k][0], k
+        assert abs(got[k][1] - c[k][1] / c[0][1]) < 1e-6, k
+
+
+def test_slope_one_matches_pandas(spark, sf_dir):
+    """q_slope_one vs an independent pandas replay of weighted Slope
+    One (explicit float deviations dev=sd/cnt and the weighted mean
+    SUM(cnt*(dev+r))/SUM(cnt) — the float path the query's integer
+    lift avoids). Top-3 per sampled user must agree."""
+    from iceberg_tracking_spark.plans import QUERIES
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    sdf = QUERIES["q_slope_one"].fn(spark, sf_dir)
+    got = {(r["u"], r["j"]): (r["support"], r["pred"]) for r in sdf.collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .agg(F.sum("q").alias("r"))
+        .toPandas()
+    )
+    # cap replay: first 64 items per user in item order
+    ratings = ratings.sort_values(["u", "i"]).groupby("u").head(64)
+    rated = {(r.u, r.i) for r in ratings.itertuples()}
+    rmap = {(r.u, r.i): r.r for r in ratings.itertuples()}
+    by_user: dict = {}
+    for r in ratings.itertuples():
+        by_user.setdefault(r.u, []).append((r.i, r.r))
+    dev: dict = {}
+    for items in by_user.values():
+        for ia, ra in items:
+            for ib, rb in items:
+                if ia != ib:
+                    c, s = dev.get((ia, ib), (0, 0))
+                    dev[(ia, ib)] = (c + 1, s + (ra - rb))
+    dev = {k: v for k, v in dev.items() if v[0] >= 2}
+    # full (uncapped) rating relation for target users + anti-join
+    full = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .agg(F.sum("q").alias("r"))
+        .toPandas()
+    )
+    full_rated = {(r.u, r.i) for r in full.itertuples()}
+    want = {}
+    for u in sorted({r.u for r in full.itertuples() if r.u % 100 == 1}):
+        acc: dict = {}
+        for r in full.itertuples():
+            if r.u != u:
+                continue
+            for (ja, ib), (cnt, sd) in dev.items():
+                if ib == r.i and (u, ja) not in full_rated:
+                    n, d = acc.get(ja, (0.0, 0))
+                    acc[ja] = (n + cnt * (sd / cnt + r.r), d + cnt)
+        scored = sorted(
+            ((n / d, -j, j, d) for j, (n, d) in acc.items()), reverse=True
+        )
+        for p, _, j, d in scored[:3]:
+            want[(u, j)] = (d, round(p, 6))
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 1e-6, k

@@ -57,6 +57,11 @@ NESTED_LOOP_OK = {
     "q_mask_filter",       # broadcast mask-cell table, range predicate
     "q_tfidf",             # corpus doc-count (1 row) broadcast into scoring
     "q_unigram_logprob",   # corpus token-total (1 row) broadcast into scoring
+    "q_benford",           # 1-row total broadcast onto the 9-digit axis
+    "q_acf",               # 1-row global moments + 1-row c_0 scalar broadcast
+                           # onto the <=8-lag relation (lag axis itself is a
+                           # broadcast 8-row literal crossJoin on the bounded
+                           # daily relation)
     # distributed_cumulative prefix offsets: triangular (pid < pid) join
     # over the n_partitions-row per-partition-totals relation — bounded
     # by partition count, not data size (plus the 1-row percentile-
