@@ -127,11 +127,15 @@ EXTENDED = [
     # round-7 third wave: minhash estimator fidelity, sequential test
     "q_minhash_fidelity",
     "q_msprt",
-    # round-8: rank-sum test, Benford audit, autocorrelation, Slope One
+    # round-8: rank-sum test, Benford audit, autocorrelation, Slope One,
+    # confusion/F1 sweep, k-NN label eval, Zipf corpus audit
     "q_mann_whitney",
     "q_benford",
     "q_acf",
     "q_slope_one",
+    "q_confusion_matrix",
+    "q_knn_accuracy",
+    "q_zipf_fit",
 ]
 
 # Regression floors for the HEADLINE set (r6 verdict task: the
@@ -281,10 +285,15 @@ EXTENDED_FLOOR_SEC = {
     # round-8 first solo sf0.1 min-of-3 recordings, same commit as the
     # queries landed (slope_one's basis includes the target-item
     # semi-join bound on the deviation pair fan)
-    "q_mann_whitney": 0.759,
+    # (mann_whitney re-floored in the same round after its grid/rank
+    # stages moved to operators/stats.py:mw_grid+mw_from_grid)
+    "q_mann_whitney": 0.524,
     "q_benford": 0.733,
     "q_acf": 1.096,
     "q_slope_one": 4.858,
+    "q_confusion_matrix": 0.912,
+    "q_knn_accuracy": 1.365,
+    "q_zipf_fit": 0.894,
 }
 
 

@@ -13,7 +13,7 @@ broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .windows import distributed_cumulative
@@ -113,4 +113,133 @@ def bh_stepup(
             F.col("_kmax").isNotNull() & (F.col(out_rank) <= F.col("_kmax")),
         )
         .drop("_m", "_kmax")
+    )
+
+
+# ---------------------------------------------------- normal-tail p-values
+
+#: A&S 26.2.17 two-sided normal tail — canonical home of the literal
+#: coefficients since round 8 (the query layer imports these; the BH
+#: oracle f-strings interpolate the SAME Python floats, so both
+#: engines always evaluate the identical polynomial)
+INV_SQRT_2PI = 0.3989422804014327
+NORMAL_TAIL_B = (
+    0.319381530,
+    -0.356563782,
+    1.781477937,
+    -1.821255978,
+    1.330274429,
+)
+
+
+def normal_two_sided_p(z: Column) -> Column:
+    """round(2·pdf(|z|)·poly(1/(1+0.2316419|z|)), 6) — the A&S 26.2.17
+    tail evaluated from an ALREADY-6dp-ROUNDED z (the house rule:
+    transcendentals are cross-engine-safe only when both engines feed
+    the same literal polynomial from the same rounded input and round
+    the output; exp()'s 1-ulp spread sits ~10 orders below the 6dp
+    grid). NULL z propagates to NULL p on any engine."""
+    x = F.abs(z)
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * x)
+    pdf = F.lit(INV_SQRT_2PI) * F.exp(-(x * x) / F.lit(2.0))
+    b = NORMAL_TAIL_B
+    poly = tt * (
+        F.lit(b[0])
+        + tt
+        * (F.lit(b[1]) + tt * (F.lit(b[2]) + tt * (F.lit(b[3]) + tt * F.lit(b[4]))))
+    )
+    return F.round(F.lit(2.0) * pdf * poly, 6)
+
+
+# ------------------------------------------------ Mann-Whitney (rank-sum)
+
+#: additive per-(segment, cents) count columns `mw_grid` emits — the
+#: relation a streaming deployment maintains via merge_aggregate
+MW_GRID_COLS = ["na_c", "nb_c"]
+
+
+def mw_grid(events: DataFrame) -> DataFrame:
+    """(event_type, cents, na_c, nb_c) from raw (event_type, user_id,
+    value) rows: per-variant counts on the exact cents grid. Additive
+    (counts of a union == summed counts of the parts), so any stream
+    chopping reproduces the batch grid exactly — the Mann-Whitney
+    sibling of msprt.daily_moments. The shuffle is bounded by the
+    VALUE GRID × segments, never the row count."""
+    return (
+        events.select(
+            "event_type",
+            (F.col("user_id") % 2).alias("variant"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("na_c"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("nb_c"),
+        )
+    )
+
+
+def mw_from_grid(grid: DataFrame) -> DataFrame:
+    """(event_type, n_a, n_b, u_a, z_score, p_value) from the grid
+    relation (maintained table or fresh aggregate): tie-corrected
+    Mann-Whitney with midranks computed from counts — the rank sum
+    lifted to the integer 2·R_A grid, U / tie term / z numerator exact
+    DECIMAL algebra, z a fixed float sequence rounded 6dp, two-sided p
+    via `normal_two_sided_p`. Degenerate segments (one variant empty,
+    or all values tied) yield NULL z/p. The cumulative is a window
+    PARTITIONED by segment over the bounded grid — no global sort."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    g = grid.withColumn("t", F.col("na_c") + F.col("nb_c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn("cb", F.coalesce(F.sum("t").over(w), F.lit(0)))
+    td = F.col("t").cast(dec)
+    s = r.groupBy("event_type").agg(
+        F.sum("na_c").alias("n_a"),
+        F.sum("nb_c").alias("n_b"),
+        F.sum(
+            F.col("na_c").cast(dec)
+            * (2 * F.col("cb") + F.col("t") + 1).cast(dec)
+        ).alias("r2a"),
+        F.sum(td * td * td - td).alias("tie"),
+    )
+    na_d = F.col("n_a").cast(dec)
+    u2 = F.col("r2a") - na_d * (F.col("n_a") + 1).cast(dec)
+    num = (u2 - na_d * F.col("n_b").cast(dec)).cast("double")
+    nn = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    nd = (F.col("n_a") + F.col("n_b")).cast("double")
+    var = (
+        nn
+        / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("tie").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    z6 = s.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (u2.cast("double") / F.lit(2.0)).alias("u_a"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+            F.round(num / (F.lit(2.0) * F.sqrt(var)), 6),
+        ).alias("z_score"),
+    )
+    return z6.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "u_a",
+        "z_score",
+        normal_two_sided_p(F.col("z_score")).alias("p_value"),
     )

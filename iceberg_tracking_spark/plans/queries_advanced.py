@@ -1577,9 +1577,14 @@ _BH_ALPHA = 0.05
 # from the 6dp-ROUNDED z, with the result rounded to 6dp — the only
 # non-correctly-rounded IEEE op in the chain is exp(), whose <=1ulp
 # cross-engine spread is ~1e-16 relative, 10 orders below the rounding
-# grid (the q_unigram_logprob log() precedent).
-_BH_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
-_BH_INV_SQRT_2PI = 0.3989422804014327
+# grid (the q_unigram_logprob log() precedent). Canonical home of the
+# coefficients is operators/stats.py since r8 (shared with
+# normal_two_sided_p / q_mann_whitney); the oracle f-strings below
+# interpolate these SAME Python floats.
+from ..operators.stats import (  # noqa: E402
+    INV_SQRT_2PI as _BH_INV_SQRT_2PI,
+    NORMAL_TAIL_B as _BH_B,
+)
 
 
 @query(
@@ -1967,84 +1972,16 @@ def q_mann_whitney(spark, sf_dir):
     grid — bounded by the VALUE GRID (10⁴ cents values), not the row
     count; the cumulative is a window PARTITIONED by segment over
     that grid (never a global single-partition sort); everything
-    after is one row per segment.
+    after is one row per segment. Both stages live in
+    operators/stats.py (mw_grid + mw_from_grid): the grid counts are
+    ADDITIVE, so a streaming deployment maintains them via
+    merge_aggregate and the parity test pins streamed == batch
+    bit-identically (the msprt/als pattern, through the generic
+    make_aggregate_merge_fn).
     """
-    dec = "decimal(38,0)"
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type",
-        (F.col("user_id") % 2).alias("variant"),
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-    )
-    g = (
-        ev.groupBy("event_type", "cents")
-        .agg(
-            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
-            .cast("long")
-            .alias("na_c"),
-            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("nb_c"),
-        )
-        .withColumn("t", F.col("na_c") + F.col("nb_c"))
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    r = g.withColumn("cb", F.coalesce(F.sum("t").over(w), F.lit(0)))
-    td = F.col("t").cast(dec)
-    s = r.groupBy("event_type").agg(
-        F.sum("na_c").alias("n_a"),
-        F.sum("nb_c").alias("n_b"),
-        F.sum(
-            F.col("na_c").cast(dec)
-            * (2 * F.col("cb") + F.col("t") + 1).cast(dec)
-        ).alias("r2a"),
-        F.sum(td * td * td - td).alias("tie"),
-    )
-    na_d = F.col("n_a").cast(dec)
-    u2 = F.col("r2a") - na_d * (F.col("n_a") + 1).cast(dec)
-    num = (u2 - na_d * F.col("n_b").cast(dec)).cast("double")
-    nn = F.col("n_a").cast("double") * F.col("n_b").cast("double")
-    nd = (F.col("n_a") + F.col("n_b")).cast("double")
-    var = (
-        nn
-        / F.lit(12.0)
-        * (
-            (nd + F.lit(1.0))
-            - F.col("tie").cast("double") / (nd * (nd - F.lit(1.0)))
-        )
-    )
-    z6 = s.select(
-        "event_type",
-        "n_a",
-        "n_b",
-        (u2.cast("double") / F.lit(2.0)).alias("u_a"),
-        F.when(
-            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
-            F.round(num / (F.lit(2.0) * F.sqrt(var)), 6),
-        ).alias("z_score"),
-    )
-    x = F.abs(F.col("z_score"))
-    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * x)
-    pdf = F.lit(_BH_INV_SQRT_2PI) * F.exp(-(x * x) / F.lit(2.0))
-    poly = tt * (
-        F.lit(_BH_B[0])
-        + tt
-        * (
-            F.lit(_BH_B[1])
-            + tt * (F.lit(_BH_B[2]) + tt * (F.lit(_BH_B[3]) + tt * F.lit(_BH_B[4])))
-        )
-    )
-    return z6.select(
-        "event_type",
-        "n_a",
-        "n_b",
-        "u_a",
-        "z_score",
-        F.round(F.lit(2.0) * pdf * poly, 6).alias("p_value"),
-    )
+    from ..operators.stats import mw_from_grid, mw_grid
+
+    return mw_from_grid(mw_grid(_t(spark, sf_dir, "events")))
 
 
 # ------------------------------------------------------- Benford audit

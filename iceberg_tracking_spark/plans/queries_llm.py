@@ -1791,3 +1791,226 @@ def q_minhash_fidelity(spark, sf_dir):
             F.round(F.abs(est_j - exact_raw), 6).alias("abs_err"),
         )
     )
+
+
+@query(
+    "q_knn_accuracy",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, label AS true_label, e AS qe
+        FROM v WHERE vec_id % 25 = 0
+    ),
+    sims AS (
+        SELECT q.qid, q.true_label, v.vec_id AS nid, v.label AS nlabel,
+               round(list_dot_product(q.qe, v.e)
+                     / (sqrt(list_dot_product(q.qe, q.qe))
+                        * sqrt(list_dot_product(v.e, v.e))), 6) AS sim
+        FROM q JOIN v ON v.vec_id <> q.qid
+    ),
+    knn AS (
+        SELECT qid, true_label, nid, nlabel FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+            FROM sims
+        ) WHERE rn <= 5
+    ),
+    votes AS (
+        SELECT qid, true_label, nlabel, count(*) AS n_votes
+        FROM knn GROUP BY 1, 2, 3
+    )
+    SELECT qid, CAST(true_label AS BIGINT) AS true_label,
+           CAST(nlabel AS BIGINT) AS pred_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           nlabel = true_label AS correct
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY qid ORDER BY n_votes DESC, nlabel) AS vr
+        FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def q_knn_accuracy(spark, sf_dir):
+    """k-NN label-agreement eval over the embedding space — the
+    end-to-end number an embedding pipeline is judged by (do nearest
+    neighbors share labels?), completing the similarity family: the
+    recall monitors (q_ann_recall*) certify the INDEX against exact
+    search; this certifies the SPACE against labels. Every 25th vector
+    is a held-out query; its 5 exact-cosine neighbors (self excluded)
+    vote; majority label (ties broken by smaller label — the
+    deterministic total order) is compared to the query's own label.
+
+    Determinism: cosine rounded 6dp before ranking with nid tiebreak
+    (the q_cosine_topk contract); votes are exact integer counts; the
+    vote argmax is a (n_votes DESC, label) total order. Exactly one
+    row per query on both engines.
+
+    Scale: brute-force per-query cost is |corpus| — the eval runs on a
+    SAMPLED query set by construction (the production pattern: the
+    quality monitor is O(sample·corpus), the serving path uses the
+    ANN index); the vote is a tiny hash agg + per-query argmax window.
+    """
+    from ..operators.similarity import brute_force_topk
+
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+    ).localCheckpoint()  # consumers: corpus side, query side, label joins
+    q = v.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    knn = brute_force_topk(v, q, k=5)
+    labels = v.select("vec_id", "label")
+    voted = (
+        knn.join(
+            labels.select(
+                F.col("vec_id").alias("nid"), F.col("label").alias("nlabel")
+            ),
+            "nid",
+        )
+        .groupBy("qid", "nlabel")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("n_votes").desc(), F.col("nlabel").asc()
+    )
+    top = voted.withColumn("vr", F.row_number().over(w)).filter(
+        F.col("vr") == 1
+    )
+    return top.join(
+        labels.select(
+            F.col("vec_id").alias("qid"), F.col("label").alias("true_label")
+        ),
+        "qid",
+    ).select(
+        "qid",
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("nlabel").cast("long").alias("pred_label"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+        (F.col("nlabel") == F.col("true_label")).alias("correct"),
+    )
+
+
+_ZIPF_TOPK = 200  # fit over each language's K most frequent words
+
+
+@query(
+    "q_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, u.t AS w
+        FROM (SELECT lang, {_DUCK_TOKS} AS ts FROM documents),
+             unnest(ts) AS u(t)
+    ),
+    vocab AS (
+        SELECT lang, w, count(*) AS c FROM toks GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT lang, c,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY c DESC, w) AS rk
+        FROM vocab
+    ),
+    pts AS (
+        SELECT lang,
+               CAST(round(ln(rk) * 1000000, 0) AS HUGEINT) AS x,
+               CAST(round(ln(c) * 1000000, 0) AS HUGEINT) AS y
+        FROM ranked WHERE rk <= {_ZIPF_TOPK}
+    ),
+    m AS (
+        SELECT lang, count(*) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x * y) AS HUGEINT) AS sxy,
+               CAST(sum(x * x) AS HUGEINT) AS sxx,
+               CAST(sum(y * y) AS HUGEINT) AS syy
+        FROM pts GROUP BY 1
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_points,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM m
+    """,
+)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf power-law fit of each language's token-frequency curve —
+    the corpus-health audit beside q_lang_id / q_vocab_topk: natural
+    text follows freq ∝ rank^s with s ≈ −1, so a log-log OLS slope far
+    from −1 (or a low r²) flags boilerplate, template spam, or a
+    broken tokenizer BEFORE the corpus reaches training. Fit over each
+    language's 200 most frequent words (the head is where Zipf holds
+    and where the mass is).
+
+    Determinism, house style: ln(rank) and ln(count) are
+    transcendentals of the SAME exact integers on both engines,
+    rounded to 6dp and LIFTED to the integer micro-grid (×10⁶, the
+    q_kaplan_meier move) so every OLS moment (Σx, Σy, Σxy, Σx², Σy²)
+    is an exact HUGEINT/DECIMAL sum — no float is ever summed across
+    rows; slope / intercept / r² are fixed float op sequences over
+    those exact moments (micro-grid scale cancels in slope and r²;
+    the intercept divides it back out once), rounded 6dp. Rank is a
+    (count DESC, word) total order.
+
+    Scale: the vocabulary aggregate is the only corpus-sized shuffle
+    (hash agg, map-side combined); ranking is a window PARTITIONED by
+    lang over the vocabulary relation; the fit reduces to ≤200 points
+    × |langs| and one row per language.
+    """
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang", F.explode(_spark_tokens(F.col("text"))).alias("w")
+    )
+    vocab = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    )
+    dec = "decimal(38,0)"
+    pts = (
+        vocab.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= _ZIPF_TOPK)
+        .select(
+            "lang",
+            F.round(F.log(F.col("rk").cast("double")) * 1e6, 0)
+            .cast(dec)
+            .alias("x"),
+            F.round(F.log(F.col("c").cast("double")) * 1e6, 0)
+            .cast(dec)
+            .alias("y"),
+        )
+    )
+    m = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast(dec)
+    cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = cov / varx
+    return m.select(
+        "lang",
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )

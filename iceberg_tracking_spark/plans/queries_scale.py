@@ -2876,3 +2876,117 @@ def q_int8_quantize(spark, sf_dir):
         .cast("long")
         .alias("n_sat"),
     )
+
+
+# ------------------------------------------------ threshold confusion / F1
+
+# threshold grid in score units (scores land in ~[-0.4, 0.46]); exact
+# 0.1 steps expressed as integer tenths so the literals are identical
+# on both engines
+_CM_THRESHOLDS = [round(t / 10.0, 1) for t in range(-3, 4)]  # -0.3..0.3
+
+
+@query(
+    "q_confusion_matrix",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+               round(embedding[1] + embedding[2] * 0.5, 9) AS score
+        FROM embeddings
+    ),
+    th AS (SELECT unnest([{", ".join(str(t) for t in _CM_THRESHOLDS)}]) AS t),
+    cm AS (
+        SELECT t,
+               CAST(sum(CASE WHEN score >= t AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN score >= t AND y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN score < t AND y = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN score < t AND y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tn
+        FROM scored CROSS JOIN th
+        GROUP BY t
+    )
+    SELECT t AS threshold, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0
+                THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+           END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+           END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN round(CAST(2 * tp AS DOUBLE)
+                           / CAST(2 * tp + fp + fn AS DOUBLE), 6)
+           END AS f1
+    FROM cm
+    """,
+)
+def q_confusion_matrix(spark, sf_dir):
+    """Threshold-sweep confusion matrix with precision/recall/F1 — the
+    operating-point table behind q_auc's single summary number (an
+    AUC tells you the ranker is good; a deployment needs the THRESHOLD,
+    and this is the table it is read off). Same (y, score) relation as
+    q_auc / q_average_precision, swept over a 7-point literal
+    threshold grid.
+
+    Determinism, house style: the four confusion cells are exact
+    integer conditional counts; precision = tp/(tp+fp) and recall =
+    tp/(tp+fn) are ONE IEEE division each; F1 is computed as
+    2tp/(2tp+fp+fn) — the algebraic identity that avoids the float
+    compound 2PR/(P+R) — so every emitted float is a single division
+    of exact integers, rounded 6dp; degenerate cells NULL on both
+    engines. The threshold grid is integer tenths, exactly
+    representable, interpolated as the same literals into both plans.
+
+    Scale: the sweep is a 7× broadcast fan of a projection followed by
+    ONE map-side-combined hash aggregate to 7 rows — the fact relation
+    is scanned once; no per-threshold passes."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        F.round(
+            F.element_at(F.col("embedding"), 1).cast("double")
+            + F.element_at(F.col("embedding"), 2).cast("double") * 0.5,
+            9,
+        ).alias("score"),
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in _CM_THRESHOLDS], "t double"
+    )
+    pos = F.col("score") >= F.col("t")
+    cm = (
+        emb.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(pos & (F.col("y") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(pos & (F.col("y") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when(~pos & (F.col("y") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+            F.sum(F.when(~pos & (F.col("y") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("tn"),
+        )
+    )
+
+    def _ratio(num, den):
+        return F.when(
+            den > 0, F.round(num.cast("double") / den.cast("double"), 6)
+        )
+
+    return cm.select(
+        F.col("t").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        _ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+        _ratio(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
+        _ratio(
+            2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")
+        ).alias("f1"),
+    )

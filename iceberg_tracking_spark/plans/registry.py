@@ -60,9 +60,16 @@ DRIVER_PRIORITY: list[str] = [
     "q_benford",
     "q_acf",
     "q_slope_one",
-    # (b) code changed this round — minhash_bands unification consumers
+    "q_confusion_matrix",
+    "q_knn_accuracy",
+    "q_zipf_fit",
+    # (b) code changed this round — minhash_bands unification consumers,
+    # plus q_benjamini_hochberg (its A&S tail coefficients moved to
+    # their canonical home in operators/stats.py — literal-identical,
+    # but shared-code consumers get fresh rows per the house rule)
     "q_minhash_lsh",
     "q_neardup_gate",
+    "q_benjamini_hochberg",
     # (b) code changed this round — image-codec hardening consumers
     "q_png_decode",
     "q_image_decode",
@@ -88,8 +95,9 @@ DRIVER_PRIORITY: list[str] = [
     "q_tfidf",
     "q_unigram_logprob",
     "q_vocab_topk",
-    # (d) the oldest r4-stale cohort, registration order (19 of 46;
-    # the rest rotate in r9 — four slots went to the new queries)
+    # (d) the oldest r4-stale cohort, registration order (15 of 46;
+    # the rest rotate in r9 — seven slots went to the new queries and
+    # one to the BH refresh)
     "q_minmax_by",
     "q_unpivot",
     "q_selfjoin_lead",
@@ -105,13 +113,14 @@ DRIVER_PRIORITY: list[str] = [
     "q_pq_encode",
     "q_pq_topk",
     "q_ivfpq_topk",
-    "q_sliding_window",
-    "q_cube",
-    "q_gap_fill",
-    "q_batch_infer",
 ]
 # r4-stale names NOT fitting this window (remain latest-row=r4, rotate
-# r9): q_rolling_window, q_kmeans, q_forward_fill, q_weighted_sample,
+# r9): q_sliding_window (window family re-proven by r7-green
+# q_tumbling_window / q_cumsum_window), q_cube (rollup/cube machinery
+# re-proven by r7-green q_rollup + this window's q_grouping_sets
+# refresh),
+# q_gap_fill, q_batch_infer, q_rolling_window, q_kmeans,
+# q_forward_fill, q_weighted_sample,
 # q_bm25, q_pii_scrub, q_iou_argmax, q_nms, q_greedy_match,
 # q_eval_metrics, q_track, q_grid_join_2d, q_remove_nested,
 # q_gen_embeddings, q_calibration, q_mask_filter, q_audio_decode,

@@ -51,18 +51,20 @@ def make_als_merge_fn(
     in-memory relation), because it re-executes once per micro-batch.
     """
 
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= table.last_txn(app_id):
-            return  # redelivered batch: already committed, skip
+    from .materialized import make_aggregate_merge_fn
+
+    def _delta(batch_df: DataFrame) -> DataFrame:
         inter = batch_df.join(
             F.broadcast(factors),
             batch_df[item_col] == factors["p_partkey"],
         )
-        delta = gram_sums(inter, user_col=user_col)
-        table.merge_aggregate(
-            delta, [user_col], GRAM_SUM_COLS, txn=(app_id, batch_id)
-        )
-        if expire_keep is not None:
-            table.expire(keep_last=expire_keep)
+        return gram_sums(inter, user_col=user_col)
 
-    return _merge
+    return make_aggregate_merge_fn(
+        table,
+        _delta,
+        [user_col],
+        GRAM_SUM_COLS,
+        app_id=app_id,
+        expire_keep=expire_keep,
+    )

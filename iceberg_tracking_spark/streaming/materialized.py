@@ -53,20 +53,20 @@ def make_merge_fn(
     token for replay idempotency. Exposed separately so redelivery
     behavior is directly testable."""
 
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= table.last_txn(app_id):
-            return  # redelivered batch: already committed, skip
-        delta = batch_df.groupBy(*key_cols).agg(
+    def _delta(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy(*key_cols).agg(
             F.sum(value_col).alias("sum_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        table.merge_aggregate(
-            delta, key_cols, ["sum_value", "n_events"], txn=(app_id, batch_id)
-        )
-        if expire_keep is not None:
-            table.expire(keep_last=expire_keep)
 
-    return _merge
+    return make_aggregate_merge_fn(
+        table,
+        _delta,
+        key_cols,
+        ["sum_value", "n_events"],
+        app_id=app_id,
+        expire_keep=expire_keep,
+    )
 
 
 def incremental_rollup(
@@ -90,3 +90,37 @@ def incremental_rollup(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def make_aggregate_merge_fn(
+    table: VersionedTable,
+    delta_fn,
+    key_cols: list[str],
+    sum_cols: list[str],
+    app_id: str,
+    expire_keep: int | None = 10,
+):
+    """Generic txn-gated additive fold — the shape every maintained
+    structure in streaming/ shares (rollups, ALS Gram sums, mSPRT
+    day moments, Mann-Whitney grid counts): `delta_fn(batch_df)` maps
+    one micro-batch to its ADDITIVE delta relation (key_cols +
+    sum_cols, all exact integer/decimal sums), which merge_aggregate
+    folds as old + delta under the (app_id, batch_id) replay gate.
+
+    Any batch query of the form `f(aggregate(stream))` whose aggregate
+    is additive becomes streaming-maintained by passing its aggregate
+    stage here and running `f` over `table.read(spark)` on demand —
+    bit-identical to the batch rebuild because integer addition is
+    associative-commutative (the shared-operator guarantee the ALS /
+    mSPRT / drift parity tests pin)."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= table.last_txn(app_id):
+            return  # redelivered batch: already committed, skip
+        table.merge_aggregate(
+            delta_fn(batch_df), key_cols, sum_cols, txn=(app_id, batch_id)
+        )
+        if expire_keep is not None:
+            table.expire(keep_last=expire_keep)
+
+    return _merge

@@ -44,15 +44,13 @@ def make_msprt_merge_fn(
     A batch spanning a day boundary simply contributes deltas to two
     day rows; late events fold into their own (possibly old) day row
     — the moments are additive, so arrival order never matters."""
+    from .materialized import make_aggregate_merge_fn
 
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= table.last_txn(app_id):
-            return  # redelivered batch: already committed, skip
-        delta = daily_moments(batch_df)
-        table.merge_aggregate(
-            delta, ["day_num"], MSPRT_MOMENT_COLS, txn=(app_id, batch_id)
-        )
-        if expire_keep is not None:
-            table.expire(keep_last=expire_keep)
-
-    return _merge
+    return make_aggregate_merge_fn(
+        table,
+        daily_moments,
+        ["day_num"],
+        MSPRT_MOMENT_COLS,
+        app_id=app_id,
+        expire_keep=expire_keep,
+    )

@@ -1585,3 +1585,87 @@ def test_slope_one_matches_pandas(spark, sf_dir):
     for k in got:
         assert got[k][0] == want[k][0], k
         assert abs(got[k][1] - want[k][1]) < 1e-6, k
+
+
+def test_zipf_fit_matches_numpy_lstsq(spark, sf_dir):
+    """q_zipf_fit's micro-grid OLS moments vs numpy.linalg.lstsq run
+    directly on the same 6dp-rounded (ln rank, ln count) points — the
+    float path the query's integer lift avoids. Catches
+    moment-expansion slips the oracle cannot (both engines share the
+    expansion)."""
+    import math
+
+    import numpy as np
+
+    from iceberg_tracking_spark.plans import QUERIES
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    got = {
+        r["lang"]: (r["n_points"], r["slope"], r["intercept"], r["r2"])
+        for r in QUERIES["q_zipf_fit"].fn(spark, sf_dir).collect()
+    }
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("w"),
+        )
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_lang: dict = {}
+    for r in toks:
+        by_lang.setdefault(r["lang"], []).append((-r["c"], r["w"]))
+    for lang, rows in by_lang.items():
+        rows.sort()
+        pts = [
+            (round(math.log(rk), 6), round(math.log(-negc), 6))
+            for rk, (negc, _) in enumerate(rows[:200], start=1)
+        ]
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        A = np.vstack([x, np.ones_like(x)]).T
+        (slope, intercept), res, _, _ = np.linalg.lstsq(A, y, rcond=None)
+        yhat = slope * x + intercept
+        ss_res = float(((y - yhat) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        r2 = 1.0 - ss_res / ss_tot
+        n, g_slope, g_int, g_r2 = got[lang]
+        assert n == len(pts), lang
+        assert abs(g_slope - slope) < 1e-5, (lang, g_slope, slope)
+        assert abs(g_int - intercept) < 1e-5, (lang, g_int, intercept)
+        assert abs(g_r2 - r2) < 1e-5, (lang, g_r2, r2)
+        # the corpus-health reading on THIS corpus: tokens are drawn
+        # ~uniformly from a synthetic vocabulary, so the head is FLAT
+        # (slope near 0, r² near 0) — exactly the non-natural-text
+        # signature the audit exists to flag (natural text sits near
+        # slope -1 with high r²; see the planted-Zipf test below)
+        assert -0.6 < g_slope < 0.0, (lang, g_slope)
+
+
+def test_zipf_fit_detects_planted_zipf_corpus(spark, tmp_path):
+    """The positive control for the audit: a corpus PLANTED with exact
+    Zipf counts (token i appears floor(2000/i) times) must fit slope
+    ≈ -1 with r² ≈ 1 — together with the flat-head reading on the
+    uniform synthetic corpus, this pins both decision directions."""
+    from iceberg_tracking_spark.plans import QUERIES
+
+    words = []
+    for i in range(1, 201):
+        words.extend([f"tok{i:03d}"] * (2000 // i))
+    text = " ".join(words)
+    spark.createDataFrame(
+        [(0, text, "zz", "synthetic", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = QUERIES["q_zipf_fit"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1 and rows[0]["lang"] == "zz"
+    assert rows[0]["n_points"] == 200
+    assert -1.05 < rows[0]["slope"] < -0.95, rows[0]["slope"]
+    assert rows[0]["r2"] > 0.99, rows[0]["r2"]

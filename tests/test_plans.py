@@ -58,6 +58,11 @@ NESTED_LOOP_OK = {
     "q_tfidf",             # corpus doc-count (1 row) broadcast into scoring
     "q_unigram_logprob",   # corpus token-total (1 row) broadcast into scoring
     "q_benford",           # 1-row total broadcast onto the 9-digit axis
+    "q_confusion_matrix",  # 7-row literal threshold axis broadcast fan
+                           # (scan once, one hash agg to 7 rows)
+    "q_knn_accuracy",      # deliberate brute-force eval: broadcast
+                           # SAMPLED queries x corpus theta join (the
+                           # q_cosine_topk / q_ann_recall exact side)
     "q_acf",               # 1-row global moments + 1-row c_0 scalar broadcast
                            # onto the <=8-lag relation (lag axis itself is a
                            # broadcast 8-row literal crossJoin on the bounded

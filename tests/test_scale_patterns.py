@@ -1019,3 +1019,40 @@ def test_minhash_fidelity_hot_shingle_bounded(spark):
     assert n_common_rows <= n_cand
     assert planted["np"] > 500  # banding recall at J≈0.7 is ~0.93
     assert 0.6 < planted["mj"] < 0.8  # construction gives J = 14/20
+
+
+def test_mann_whitney_grid_bounded_by_value_grid(spark):
+    """q_mann_whitney's scale claim, measured: the only corpus-sized
+    shuffle reduces to the (segment, cents) VALUE GRID, so 40× more
+    rows must NOT mean 40× more grid rows — the grid is bounded by
+    segments × distinct cents values regardless of row count, and the
+    per-segment test statistics stay a 5-row relation. Also a
+    large-sample sanity: the synthetic variants are exchangeable
+    (user_id parity), so |z| should be small and p far from 0."""
+    from iceberg_tracking_spark.operators.stats import mw_from_grid, mw_grid
+
+    def synth(n: int):
+        return spark.range(0, n).select(
+            F.concat(F.lit("seg"), (F.col("id") % 5).cast("string")).alias(
+                "event_type"
+            ),
+            F.col("id").alias("user_id"),
+            # values land on a 10k-point cents grid via xxhash
+            (F.pmod(F.xxhash64("id"), F.lit(10000)) / 100.0).alias("value"),
+        )
+
+    g_small = mw_grid(synth(50_000)).count()
+    big = mw_grid(synth(2_000_000)).localCheckpoint()
+    g_big = big.count()
+    assert g_big <= 5 * 10_000  # segments x value grid, NOT row count
+    assert g_big < 2 * g_small  # saturates: grid growth decouples from rows
+    out = mw_from_grid(big).collect()
+    assert len(out) == 5
+    print(
+        f"\nMW grid @2M rows: {g_big} grid rows (50k rows -> {g_small}); "
+        f"max|z|={max(abs(r['z_score']) for r in out):.3f}"
+    )
+    for r in out:
+        assert r["n_a"] + r["n_b"] == 400_000
+        assert abs(r["z_score"]) < 4.0  # exchangeable variants: no signal
+        assert r["p_value"] > 1e-4

@@ -1057,3 +1057,68 @@ def test_streaming_msprt_equals_batch(spark, sf_dir, tmp_path):
     v = table.current_version()
     merge(spark.read.parquet(src), 0)
     assert table.current_version() == v
+
+
+def test_streaming_mann_whitney_equals_batch(spark, sf_dir, tmp_path):
+    """The incrementally-maintained Mann-Whitney grid equals the batch
+    q_mann_whitney EXACTLY — and it rides the GENERIC additive-fold
+    factory (make_aggregate_merge_fn), proving any f(aggregate(stream))
+    with an additive aggregate becomes streaming-maintained by passing
+    its aggregate stage: stream the event fact in two availableNow
+    passes folding mw_grid deltas, then run the shared mw_from_grid
+    over the maintained table — every segment's (n_a, n_b, u_a, z, p)
+    must be bit-identical to the one-shot batch query (grid counts are
+    additive integers; the split lands both halves on the same
+    (segment, cents) keys, exercising old+delta merges). Replay is a
+    no-op (txn gate)."""
+    from iceberg_tracking_spark.operators.stats import (
+        MW_GRID_COLS,
+        mw_from_grid,
+        mw_grid,
+    )
+    from iceberg_tracking_spark.plans import QUERIES
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+    from iceberg_tracking_spark.streaming.materialized import (
+        make_aggregate_merge_fn,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    src = str(tmp_path / "src")
+    events.filter(F.col("user_id") % 3 == 0).write.mode("overwrite").parquet(src)
+    table = VersionedTable(str(tmp_path / "mw_grid"))
+    merge = make_aggregate_merge_fn(
+        table, mw_grid, ["event_type", "cents"], MW_GRID_COLS,
+        app_id="mw-test",
+    )
+    stream = (
+        spark.readStream.schema(events.schema).parquet(src).writeStream
+        .foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    q = stream.start()
+    q.awaitTermination(120)
+    events.filter(F.col("user_id") % 3 != 0).write.mode("append").parquet(src)
+    q2 = stream.start()
+    q2.awaitTermination(120)
+
+    val = lambda r: (  # noqa: E731
+        r["n_a"], r["n_b"], r["u_a"], r["z_score"], r["p_value"],
+    )
+    got = {
+        r["event_type"]: val(r)
+        for r in mw_from_grid(table.read(spark)).collect()
+    }
+    want = {
+        r["event_type"]: val(r)
+        for r in QUERIES["q_mann_whitney"].fn(spark, sf_dir).collect()
+    }
+    assert got == want  # bit-identical, not approximately equal
+    assert len(got) == 5
+
+    # replaying a committed batch id is a no-op
+    v = table.current_version()
+    merge(spark.read.parquet(src), 0)
+    assert table.current_version() == v
