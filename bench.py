@@ -289,7 +289,9 @@ EXTENDED_FLOOR_SEC = {
     # stages moved to operators/stats.py:mw_grid+mw_from_grid)
     "q_mann_whitney": 0.524,
     "q_benford": 0.733,
-    "q_acf": 1.096,
+    # acf re-floored after the decimal-before-sum overflow fix
+    # (solo min-of-3 in the same commit)
+    "q_acf": 1.001,
     "q_slope_one": 4.858,
     "q_confusion_matrix": 0.912,
     "q_knn_accuracy": 1.365,

@@ -314,6 +314,8 @@ def _decode_markers_and_scan(
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS — scan header then entropy data
             ns = seg[0]
+            if not comps:  # scan before any frame header
+                raise ValueError("JPEG has no frame header")
             # this decoder walks ONE interleaved scan covering every
             # frame component; a spec-legal non-interleaved file (one
             # scan per component, ns < nf) needs a multi-scan walk we

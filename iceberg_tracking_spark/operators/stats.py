@@ -164,9 +164,16 @@ def mw_grid(events: DataFrame) -> DataFrame:
     (counts of a union == summed counts of the parts), so any stream
     chopping reproduces the batch grid exactly — the Mann-Whitney
     sibling of msprt.daily_moments. The shuffle is bounded by the
-    VALUE GRID × segments, never the row count."""
+    VALUE GRID × segments, never the row count.
+
+    NULL values are dropped up front (a rank-sum test cannot rank
+    them, and a NULL grid key would order differently across engines
+    — Spark NULLS FIRST vs DuckDB NULLS LAST — shifting every
+    midrank; it would also violate the maintained table's
+    non-NULL-key contract)."""
     return (
-        events.select(
+        events.filter(F.col("value").isNotNull())
+        .select(
             "event_type",
             (F.col("user_id") % 2).alias("variant"),
             F.round(F.col("value") * 100, 0).cast("long").alias("cents"),

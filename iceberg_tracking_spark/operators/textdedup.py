@@ -56,8 +56,11 @@ def minhash_bands(
     builder since round 8 (rounds 6-7 carried a deliberate verbatim
     duplicate to keep frozen consumers out of the driver window; the
     r7 verdict asked for the unification and the r8 window takes the
-    consumer refresh). The lanes≡bands consistency test stays as the
-    regression pin.
+    consumer refresh). The frozen signature CONTRACT is pinned by an
+    independent pure-Python md5 replay
+    (tests/test_operators.py::test_minhash_signature_contract_pinned)
+    — a change to the lane/band definition breaks persisted streaming
+    dedup-gate indexes, so it must fail loudly there.
     """
     return bands_from_lanes(
         minhash_lanes(docs, text_col=text_col, id_col=id_col),
@@ -226,9 +229,9 @@ def minhash_lanes(
     BAND_SIZE are tuned for the corpus).
 
     Since round 8 this IS the single lane builder: `minhash_bands`
-    composes it with `bands_from_lanes`, and the lanes≡bands
-    consistency test in tests/test_operators.py pins the composition
-    as a regression guard.
+    composes it with `bands_from_lanes`; the lane definition itself is
+    pinned externally by the pure-Python md5 replay in
+    tests/test_operators.py::test_minhash_signature_contract_pinned.
     """
     sh = docs.withColumn("toks", tokens(F.lower(F.col(text_col)))).select(
         F.col(id_col).alias("doc_id"),

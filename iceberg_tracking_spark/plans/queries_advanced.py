@@ -1682,7 +1682,7 @@ def q_benjamini_hochberg(spark, sf_dir):
     though m is small here — at a feature store's m ~ 10^6 tests the
     same plan holds); kmax is a 1-row scalar combined back broadcast.
     """
-    from ..operators.stats import bh_stepup
+    from ..operators.stats import bh_stepup, normal_two_sided_p
 
     g = (
         _t(spark, sf_dir, "customer")
@@ -1714,23 +1714,14 @@ def q_benjamini_hochberg(spark, sf_dir):
         "m",
         F.round(z_expr, 6).alias("z_score"),
     )
-    x = F.abs(F.col("z_score"))
-    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * x)
-    pdf = F.lit(_BH_INV_SQRT_2PI) * F.exp(-(x * x) / F.lit(2.0))
-    poly = tt * (
-        F.lit(_BH_B[0])
-        + tt
-        * (
-            F.lit(_BH_B[1])
-            + tt * (F.lit(_BH_B[2]) + tt * (F.lit(_BH_B[3]) + tt * F.lit(_BH_B[4])))
-        )
-    )
     pv = z.select(
         "nationkey",
         "n_cust",
         "n_pos",
         "z_score",
-        F.round(F.lit(2.0) * pdf * poly, 6).alias("p_value"),
+        # the canonical tail evaluation (operators/stats.py) — the
+        # oracle above interpolates the SAME coefficient literals
+        normal_two_sided_p(F.col("z_score")).alias("p_value"),
     )
     return bh_stepup(
         pv, p_col="p_value", tiebreak_cols=["nationkey"], alpha=_BH_ALPHA
@@ -1882,7 +1873,7 @@ def q_msprt(spark, sf_dir):
     WITH e AS (
         SELECT event_type, user_id % 2 AS variant,
                CAST(round(value * 100, 0) AS BIGINT) AS cents
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     g AS (
         SELECT event_type, cents,
@@ -2172,7 +2163,17 @@ def q_acf(spark, sf_dir):
         .filter(F.col("ts").isNotNull())
         .groupBy(day_id("ts").alias("day_num"))
         .agg(
-            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            # cast each operand to decimal BEFORE the sum (the
+            # daily_moments pattern — a LongType sum would silently
+            # wrap past 2^63 cents/day while the oracle's HUGEINT
+            # stays exact); the exact result then narrows to
+            # decimal(18,0) so the lag products fit precision 38
+            # (headroom: 10^18 cents = 10^16 dollars per day)
+            F.sum(
+                F.round(F.col("value") * 100, 0)
+                .cast("long")
+                .cast("decimal(38,0)")
+            )
             .cast(dec18)
             .alias("x")
         )

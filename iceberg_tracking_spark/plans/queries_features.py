@@ -1400,7 +1400,11 @@ def q_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         # three consumers: both pair sides and the already-rated anti-join
         .localCheckpoint()
     )
-    capped = cap_group_size(ratings, ["u"], [F.col("i")], _BASKET_CAP)
+    # two consumers (both sides of the deviation self-join) — without
+    # the checkpoint the cap's row_number window recomputes per side
+    capped = cap_group_size(
+        ratings, ["u"], [F.col("i")], _BASKET_CAP
+    ).localCheckpoint()
     targets = ratings.filter(F.col("u") % _SO_USER_MOD == 1)
     # deviation rows are only ever consumed joined on ib ∈ the target
     # users' item sets, so the b-side of the pair fan is left-semi-

@@ -795,6 +795,11 @@ def test_jpeg_fill_bytes_and_scan_validation():
     gblob[gsos + 6] = 0xEE  # dc table 14 / ac table 14: never defined
     with pytest.raises(ValueError, match="undefined"):
         decode_jpeg(bytes(gblob))
+    # a scan arriving before any frame header gets the accurate
+    # diagnosis, not a bogus non-interleaved message
+    headless = b"\xff\xd8" + blob[sos:]
+    with pytest.raises(ValueError, match="no frame header"):
+        decode_jpeg(headless)
 
 
 def test_jpeg_single_component_ignores_sampling_factors():

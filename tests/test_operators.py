@@ -1331,40 +1331,86 @@ def test_bh_stepup_null_pvalue_fails_loudly(spark):
         bh_stepup(nan_df, "p_value", ["test_id"]).collect()
 
 
-def test_minhash_lanes_consistent_with_bands(spark, sf_dir):
-    """minhash_lanes deliberately duplicates the lane pipeline instead
-    of refactoring the correctness-frozen minhash_bands — this is the
-    drift pin: bands rebuilt from the raw lanes (bands_from_lanes)
-    must equal minhash_bands' output row-for-row, so the fidelity
-    audit (q_minhash_fidelity) provably scores the EXACT signatures
-    the near-dup gates use."""
+def test_minhash_signature_contract_pinned(spark, sf_dir):
+    """The FROZEN signature contract, pinned against an independent
+    pure-Python replay. Until r8 this test compared minhash_lanes to
+    minhash_bands (the two pipelines were deliberate duplicates); the
+    unification made that comparison tautological, so the pin is now
+    EXTERNAL: lanes = per-shingle md5 hex chunks (two salted digests,
+    4×8-hex-char lanes each), min over DISTINCT 3-shingles of the
+    lowercased whitespace tokens; band_key = md5 over the concatenated
+    lane pair. Any change to the lane/band definition breaks every
+    persisted streaming dedup-gate index, so this must fail loudly."""
+    import hashlib
+
     from iceberg_tracking_spark.operators.textdedup import (
+        BAND_SIZE,
+        N_PERM,
         bands_from_lanes,
         minhash_bands,
         minhash_lanes,
     )
     from iceberg_tracking_spark.sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
-    want = {
+    docs = load_table(spark, sf_dir, "documents").limit(50).localCheckpoint()
+    got_lanes = {
+        r["doc_id"]: tuple(r[f"m{s}"] for s in range(N_PERM))
+        for r in minhash_lanes(docs).collect()
+    }
+    got_bands = {
         (r["doc_id"], r["band"], r["band_key"])
         for r in minhash_bands(docs).collect()
     }
-    got = {
+    # unification sanity: bands ARE the banding of the lanes
+    rebuilt = {
         (r["doc_id"], r["band"], r["band_key"])
         for r in bands_from_lanes(minhash_lanes(docs)).collect()
     }
-    assert got == want and len(want) > 0
-    # and the capped variant mirrors minhash_bands' cap semantics
-    want_cap = {
+    assert rebuilt == got_bands and len(got_bands) > 0
+
+    # the external replay — stdlib only, no shared Spark expressions
+    want_lanes, want_bands = {}, set()
+    for row in docs.select("doc_id", "text").collect():
+        toks = [t for t in row["text"].lower().split() if t]
+        shingles = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        if not shingles:
+            continue
+        lanes = []
+        for s in range(N_PERM):
+            salt = "" if s < 4 else "x"
+            lanes.append(
+                min(
+                    hashlib.md5((salt + sh).encode()).hexdigest()[
+                        (s % 4) * 8 : (s % 4) * 8 + 8
+                    ]
+                    for sh in shingles
+                )
+            )
+        want_lanes[row["doc_id"]] = tuple(lanes)
+        for b in range(N_PERM // BAND_SIZE):
+            key = hashlib.md5(
+                "".join(
+                    lanes[b * BAND_SIZE + j] for j in range(BAND_SIZE)
+                ).encode()
+            ).hexdigest()
+            want_bands.add((row["doc_id"], b, key))
+    assert got_lanes == want_lanes
+    assert got_bands == want_bands
+
+    # the capped variant still drops exactly the over-cap buckets
+    capped = {
         (r["doc_id"], r["band"], r["band_key"])
         for r in minhash_bands(docs, hot_band_cap=2).collect()
     }
-    got_cap = {
-        (r["doc_id"], r["band"], r["band_key"])
-        for r in bands_from_lanes(minhash_lanes(docs), hot_band_cap=2).collect()
+    from collections import Counter
+
+    bucket_n = Counter((b, k) for _, b, k in want_bands)
+    want_capped = {
+        (d, b, k) for d, b, k in want_bands if bucket_n[(b, k)] <= 2
     }
-    assert got_cap == want_cap and len(want_cap) <= len(want)
+    assert capped == want_capped
 
 
 def test_msprt_invariants_and_independent_formula(spark, sf_dir):
