@@ -224,7 +224,27 @@ def _filter_scanlines(rows: np.ndarray, filter_cycle: bool) -> bytes:
     return bytes(raw)
 
 
-def encode_png(mat: np.ndarray, filter_cycle: bool = True) -> bytes:
+def _scanline_stream(
+    rows: np.ndarray, filter_cycle: bool, interlaced: bool
+) -> bytes:
+    """Filtered scanline stream for (h, w, bpp) samples — sequential
+    (one filtered image) or Adam7 (seven independently-filtered
+    sub-images in pass order, spec §8.2)."""
+    if not interlaced:
+        return _filter_scanlines(rows, filter_cycle)
+    h, w = rows.shape[:2]
+    return b"".join(
+        _filter_scanlines(
+            np.ascontiguousarray(rows[y0::dy, x0::dx]), filter_cycle
+        )
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h)
+        if pw and ph
+    )
+
+
+def encode_png(
+    mat: np.ndarray, filter_cycle: bool = True, interlaced: bool = False
+) -> bytes:
     """(h, w) or (h, w, 3) uint8 → PNG bytes.
 
     `filter_cycle=True` filters row r with type r % 5 — deliberately
@@ -232,6 +252,7 @@ def encode_png(mat: np.ndarray, filter_cycle: bool = True) -> bytes:
     decoder roundtrip (and the SQL oracle) pins every unfilter path,
     not just the trivial one. Deflate is STORE-mode (no compression):
     real PNG per the spec, chosen for byte-addressability over size.
+    `interlaced=True` writes Adam7 (each pass filtered independently).
     """
     m = np.ascontiguousarray(mat, dtype=np.uint8)
     if m.ndim == 2:
@@ -243,11 +264,11 @@ def encode_png(mat: np.ndarray, filter_cycle: bool = True) -> bytes:
     else:
         raise ValueError(f"PNG encode supports (h,w) or (h,w,3); got {m.shape}")
     h, w = rows.shape[:2]
-    raw = _filter_scanlines(rows, filter_cycle)
+    raw = _scanline_stream(rows, filter_cycle, interlaced)
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 0])
+        + bytes([8, color_type, 0, 0, 1 if interlaced else 0])
     )
     return (
         PNG_SIG
@@ -258,11 +279,15 @@ def encode_png(mat: np.ndarray, filter_cycle: bool = True) -> bytes:
 
 
 def encode_png_palette(
-    idx: np.ndarray, palette: np.ndarray, filter_cycle: bool = True
+    idx: np.ndarray,
+    palette: np.ndarray,
+    filter_cycle: bool = True,
+    interlaced: bool = False,
 ) -> bytes:
     """(h, w) uint8 index matrix + (n≤256, 3) uint8 palette →
     color-type-3 PNG bytes (PLTE chunk between IHDR and IDAT; filters
-    run over the index bytes exactly as over grey samples, spec §9)."""
+    run over the index bytes exactly as over grey samples, spec §9).
+    `interlaced=True` writes Adam7."""
     m = np.ascontiguousarray(idx, dtype=np.uint8)
     pal = np.ascontiguousarray(palette, dtype=np.uint8)
     if m.ndim != 2:
@@ -272,9 +297,11 @@ def encode_png_palette(
     if int(m.max(initial=0)) >= pal.shape[0]:
         raise ValueError("index out of palette range")
     h, w = m.shape
-    raw = _filter_scanlines(m[:, :, None], filter_cycle)
+    raw = _scanline_stream(m[:, :, None], filter_cycle, interlaced)
     ihdr = (
-        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 3, 0, 0, 1 if interlaced else 0])
     )
     return (
         PNG_SIG
@@ -298,8 +325,11 @@ def decode_png(data: bytes) -> np.ndarray:
     Color types: 0 (grey), 2 (RGB), and — since round 8 — 3 (palette,
     the most common remaining web-corpus shape per the r7 verdict):
     one index byte per pixel unfiltered exactly like grey, then a
-    PLTE-row gather to RGB. 8-bit depth, non-interlaced only; tRNS
-    alpha is ignored (the output contract is opaque grey/RGB).
+    PLTE-row gather to RGB. Adam7 interlacing (interlace=1, also r8)
+    decodes as seven independently-filtered sub-images merged at their
+    strided positions (spec §8.2) — works for all three color types.
+    8-bit depth only; tRNS alpha is ignored (the output contract is
+    opaque grey/RGB).
     """
     import zlib
 
@@ -324,25 +354,79 @@ def decode_png(data: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8 or color_type not in (0, 2, 3) or interlace != 0:
+    if depth != 8 or color_type not in (0, 2, 3) or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG shape (depth={depth}, color={color_type}, "
-            f"interlace={interlace}): 8-bit grey/RGB/palette "
-            "non-interlaced only"
+            f"interlace={interlace}): 8-bit grey/RGB/palette only"
         )
     if color_type == 3:
         if plte is None or len(plte) == 0 or len(plte) % 3:
             raise ValueError("palette PNG missing a valid PLTE chunk")
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
     bpp = 3 if color_type == 2 else 1  # palette rows carry index bytes
-    stride = w * bpp
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         # uniform codec contract (decode_jpeg normalizes the same way)
         raise ValueError("corrupt PNG IDAT stream") from None
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline payload size mismatch")
+    if interlace == 0:
+        if len(raw) != h * (w * bpp + 1):
+            raise ValueError("PNG scanline payload size mismatch")
+        m = _unfilter(raw, h, w, bpp)
+    else:  # Adam7: 7 independently-filtered sub-images, strided merge
+        expect = sum(
+            ph * (pw * bpp + 1)
+            for _, _, _, _, pw, ph in _adam7_passes(w, h)
+            if pw and ph
+        )
+        if len(raw) != expect:
+            raise ValueError("PNG scanline payload size mismatch")
+        m = np.zeros((h, w * bpp), dtype=np.uint8).reshape(h, w, bpp)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            if not pw or not ph:
+                continue
+            n = ph * (pw * bpp + 1)
+            sub = _unfilter(raw[off : off + n], ph, pw, bpp)
+            off += n
+            m[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        m = m.reshape(h, w * bpp)
+    if color_type == 3:
+        idx = m.reshape(h, w)
+        if idx.max(initial=0) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return pal[idx]  # (h, w, 3) gather
+    return m.reshape(h, w) if bpp == 1 else m.reshape(h, w, 3)
+
+
+#: Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int):
+    """(x0, y0, dx, dy, pass_w, pass_h) for each Adam7 pass; a pass
+    with zero width or height contributes NO scanlines (spec §8.2)."""
+    for x0, y0, dx, dy in _ADAM7:
+        yield x0, y0, dx, dy, -(-(w - x0) // dx) if w > x0 else 0, -(
+            -(h - y0) // dy
+        ) if h > y0 else 0
+
+
+def _unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reconstruct one filtered sub-image: `h` scanlines of
+    (filter byte + w*bpp samples) → (h, w*bpp) uint8. None/Up/Sub
+    vectorized; Average/Paeth carry the spec's true byte recurrence on
+    the reconstructed left neighbor (per-byte loop, bounded by row
+    width)."""
+    stride = w * bpp
     out = np.zeros((h, stride), dtype=np.int32)
     for r in range(h):
         row = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
@@ -369,10 +453,4 @@ def decode_png(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter type {t} on row {r}")
         out[r] = rec
-    m = out.astype(np.uint8)
-    if color_type == 3:
-        idx = m.reshape(h, w)
-        if idx.max(initial=0) >= pal.shape[0]:
-            raise ValueError("PNG palette index out of range")
-        return pal[idx]  # (h, w, 3) gather
-    return m.reshape(h, w) if bpp == 1 else m.reshape(h, w, 3)
+    return out.astype(np.uint8)
