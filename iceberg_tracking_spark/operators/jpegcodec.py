@@ -215,11 +215,16 @@ def _extend(v: int, n: int) -> int:
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JPEG bytes → (h, w) uint8 (grayscale) or (h, w, 3) uint8 (RGB).
 
-    Baseline sequential DCT only (SOF0; SOF1's extended-sequential
-    Huffman case decodes identically) — progressive (SOF2) raises.
-    All quantization/Huffman tables come from the file. Generic
-    sampling factors via the interleaved MCU walk; chroma upsampling
-    is nearest-neighbor (the JFIF-common choice)."""
+    Sequential baseline (SOF0; SOF1's extended-sequential Huffman case
+    decodes identically) AND — since round 8 — progressive (SOF2):
+    multi-scan spectral selection + successive approximation per T.81
+    Annex G, with EOB runs, AC refinement and restart markers,
+    accumulated into a per-component coefficient store and IDCT'd
+    once (conformance-tested against the JVM's own progressive
+    writer/reader). Lossless/arithmetic processes raise. All
+    quantization/Huffman tables come from the file. Generic sampling
+    factors via the interleaved MCU walk; chroma upsampling is
+    nearest-neighbor (the JFIF-common choice)."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -251,6 +256,8 @@ def _decode_markers_and_scan(
     restart_interval: int,
 ) -> np.ndarray:
     w = h = 0
+    progressive = False
+    prog = None  # per-component coefficient store, built at first scan
     while True:
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -263,7 +270,9 @@ def _decode_markers_and_scan(
         if marker == 0xD8:
             pos += 2
             continue
-        if marker == 0xD9:  # EOI without SOS
+        if marker == 0xD9:  # EOI
+            if prog is not None:  # progressive: all scans accumulated
+                return _prog_reconstruct(prog, qt, comps, h, w)
             raise ValueError("JPEG has no scan")
         ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
         seg = data[pos + 4 : pos + 2 + ln]
@@ -280,9 +289,10 @@ def _decode_markers_and_scan(
                 nat[ZIGZAG] = tbl  # stored zigzag → natural
                 qt[tq] = nat.reshape(8, 8)
                 i += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline(+ext) sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
+            progressive = marker == 0xC2
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
@@ -295,11 +305,17 @@ def _decode_markers_and_scan(
                 }
                 for c in range(nc)
             ]
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if nc == 1:
+                # T.81 A.2.2: every scan of a 1-component frame is
+                # non-interleaved (one data unit per MCU) — normalize
+                # declared sampling factors up front (libjpeg does the
+                # same) so both decode paths use consistent geometry
+                comps[0] = {**comps[0], "hs": 1, "vs": 1}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG coding process (SOF marker 0x{marker:02X}); "
-                "baseline sequential only"
+                "baseline sequential and progressive only"
             )
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
@@ -316,10 +332,26 @@ def _decode_markers_and_scan(
             ns = seg[0]
             if not comps:  # scan before any frame header
                 raise ValueError("JPEG has no frame header")
-            # this decoder walks ONE interleaved scan covering every
-            # frame component; a spec-legal non-interleaved file (one
-            # scan per component, ns < nf) needs a multi-scan walk we
-            # don't implement — fail loudly, never misdecode
+            if len(comps) not in (1, 3):
+                # 4-component (Adobe CMYK/YCCK) would parse but the
+                # output contract is grey/RGB — fail loudly
+                raise ValueError(
+                    f"unsupported component count {len(comps)}: grey (1) "
+                    "or YCbCr (3) only"
+                )
+            if progressive:
+                if prog is None:
+                    prog = _prog_init(comps, h, w)
+                reader = _BitReader(data, pos + 2 + ln)
+                _decode_prog_scan(
+                    reader, seg, prog, comps, hdec, restart_interval
+                )
+                pos = _next_marker(data, reader.pos)
+                continue
+            # sequential: ONE interleaved scan covering every frame
+            # component; a spec-legal non-interleaved file (one scan
+            # per component, ns < nf) needs the multi-scan walk only
+            # the progressive path implements — fail loudly
             if ns != len(comps):
                 raise ValueError(
                     f"non-interleaved JPEG scan ({ns} of {len(comps)} "
@@ -342,13 +374,6 @@ def _decode_markers_and_scan(
             "YCbCr (3) only"
         )
 
-    if len(comps) == 1:
-        # T.81 A.2.2: a single-component scan is non-interleaved — one
-        # 8×8 data unit per MCU regardless of declared sampling factors.
-        # Normalizing hs/vs to 1×1 makes the interleaved MCU walk below
-        # coincide with that definition (libjpeg does the same); leaving
-        # factors >1×1 in place would silently misdecode such files.
-        comps[0] = {**comps[0], "hs": 1, "vs": 1}
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
@@ -367,6 +392,13 @@ def _decode_markers_and_scan(
         reader, comps, sel, hdec, qt, planes, mcus_x, mcus_y,
         restart_interval, pred, mcu_i, rst_i,
     )
+    return _planes_to_image(planes, comps, h, w, hmax, vmax)
+
+
+def _planes_to_image(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample sub-sampled planes, crop to (h, w), YCbCr→RGB for
+    3-component frames — shared by the sequential and progressive
+    paths."""
     out = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -387,6 +419,225 @@ def _decode_markers_and_scan(
         axis=2,
     )
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+
+def _next_marker(data: bytes, p: int) -> int:
+    """Position of the next real marker at/after `p`: skips leftover
+    stuffed 0xFF00 pairs, 0xFF fill bytes and stray RSTn."""
+    while p + 1 < len(data):
+        if data[p] != 0xFF:
+            p += 1
+        elif data[p + 1] == 0x00:
+            p += 2
+        elif data[p + 1] == 0xFF:
+            p += 1
+        elif 0xD0 <= data[p + 1] <= 0xD7:
+            p += 2
+        else:
+            return p
+    raise ValueError("truncated JPEG data")
+
+
+def _prog_init(comps, h: int, w: int) -> dict:
+    """Per-component DCT-coefficient store for the multi-scan
+    accumulation. Interleaved (DC) scans walk the MCU-padded block
+    grid; non-interleaved (AC, or single-component DC) scans walk the
+    component's TRUE block grid (T.81 A.2.4) — both grids are
+    precomputed here."""
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    coefs, true_bw, true_bh = [], [], []
+    for c in comps:
+        bw_pad, bh_pad = mcus_x * c["hs"], mcus_y * c["vs"]
+        coefs.append(np.zeros((bh_pad, bw_pad, 64), np.int64))
+        cw = -(-(w * c["hs"]) // hmax)  # component samples wide
+        ch = -(-(h * c["vs"]) // vmax)
+        true_bw.append(-(-cw // 8))
+        true_bh.append(-(-ch // 8))
+    return {
+        "coefs": coefs,
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+        "true_bw": true_bw,
+        "true_bh": true_bh,
+        "seen_scan": False,
+    }
+
+
+def _decode_prog_scan(
+    reader, seg: bytes, prog: dict, comps, hdec, restart_interval: int
+) -> None:
+    """One progressive scan (T.81 G.2): spectral selection Ss..Se at
+    successive-approximation bit position Al (first pass Ah=0, then
+    refinements Ah=Al+1). DC scans may interleave several components;
+    AC scans are single-component by spec. EOB-run and DC predictors
+    are per-scan state, reset at restart markers."""
+    ns = seg[0]
+    scomp = []  # (component index, dc table id, ac table id)
+    ids = {c["id"]: i for i, c in enumerate(comps)}
+    for c in range(ns):
+        cid = seg[1 + 2 * c]
+        if cid not in ids:
+            raise ValueError(f"JPEG scan references undefined component {cid}")
+        scomp.append(
+            (ids[cid], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+        )
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+    else:
+        if ns != 1 or not (1 <= ss <= se <= 63):
+            raise ValueError("progressive AC scan must be 1-component, "
+                             "1 <= Ss <= Se <= 63")
+    prog["seen_scan"] = True
+    state = {"pred": [0] * ns, "eobrun": 0, "rst": 0, "mcu": 0}
+
+    def maybe_restart():
+        if (
+            restart_interval
+            and state["mcu"]
+            and state["mcu"] % restart_interval == 0
+        ):
+            reader.restart(state["rst"])
+            state["rst"] = (state["rst"] + 1) & 7
+            state["pred"] = [0] * ns
+            state["eobrun"] = 0
+        state["mcu"] += 1
+
+    if ss == 0 and ns > 1:  # interleaved DC scan: MCU walk, padded grid
+        for my in range(prog["mcus_y"]):
+            for mx in range(prog["mcus_x"]):
+                maybe_restart()
+                for si, (ci, dt, _at) in enumerate(scomp):
+                    c = comps[ci]
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            block = prog["coefs"][ci][
+                                my * c["vs"] + by, mx * c["hs"] + bx
+                            ]
+                            _dc_pass(reader, block, hdec, dt, ah, al,
+                                     state, si)
+        return
+    ci, dt, at = scomp[0]  # non-interleaved: true block grid
+    for by in range(prog["true_bh"][ci]):
+        for bx in range(prog["true_bw"][ci]):
+            maybe_restart()
+            block = prog["coefs"][ci][by, bx]
+            if ss == 0:
+                _dc_pass(reader, block, hdec, dt, ah, al, state, 0)
+            elif ah == 0:
+                _ac_first_pass(reader, block, hdec, at, ss, se, al, state)
+            else:
+                _ac_refine_pass(reader, block, hdec, at, ss, se, al, state)
+
+
+def _dc_pass(reader, block, hdec, dt, ah, al, state, si) -> None:
+    if ah == 0:  # first DC pass: huffman diff, scaled up by Al
+        s = reader.huff(hdec[(0, dt)])
+        state["pred"][si] += _extend(reader.bits(s), s)
+        block[0] = state["pred"][si] << al
+    else:  # refinement: one bit per block
+        if reader.bit():
+            block[0] |= 1 << al
+
+
+def _ac_first_pass(reader, block, hdec, at, ss, se, al, state) -> None:
+    """T.81 G.2.2: first pass over an AC band — run-length zeros, new
+    coefficients at magnitude << Al, EOBn codes start an EOB run that
+    skips whole blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    tbl = hdec[(1, at)]
+    k = ss
+    while k <= se:
+        rs = reader.huff(tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow")
+        block[ZIGZAG[k]] = _extend(reader.bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_pass(reader, block, hdec, at, ss, se, al, state) -> None:
+    """T.81 G.2.3 / libjpeg decode_mcu_AC_refine: correction bits for
+    already-nonzero coefficients, newly-significant coefficients at
+    ±1 << Al, EOB runs still correcting the history inside the band."""
+    p1 = 1 << al
+    m1 = -1 << al
+    tbl = hdec[(1, at)]
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.huff(tbl)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if reader.bit() else m1
+            else:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.bits(r)
+                    break
+                # r == 15, s == 0: skip sixteen zero-history positions
+            while k <= se:
+                z = ZIGZAG[k]
+                if block[z] != 0:
+                    if reader.bit() and (block[z] & p1) == 0:
+                        block[z] += p1 if block[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                block[ZIGZAG[k]] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if block[z] != 0:
+                if reader.bit() and (block[z] & p1) == 0:
+                    block[z] += p1 if block[z] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _prog_reconstruct(prog, qt, comps, h: int, w: int) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficient store (vectorized
+    across blocks), then the shared upsample/crop/color tail."""
+    if not prog["seen_scan"]:
+        raise ValueError("JPEG has no scan")
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]].astype(np.float64)  # (8, 8) natural order
+        bh, bw = prog["coefs"][ci].shape[:2]
+        blocks = prog["coefs"][ci].astype(np.float64).reshape(bh, bw, 8, 8)
+        blocks = blocks * q  # broadcast dequant
+        px = np.einsum("ba,ijbc,cd->ijad", _DCT_M, blocks, _DCT_M) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _planes_to_image(planes, comps, h, w, hmax, vmax)
 
 
 def _decode_scan(

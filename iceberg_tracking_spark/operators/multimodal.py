@@ -109,9 +109,10 @@ def decode_media(
 ) -> np.ndarray:
     """Decode one blob to a (h, w) uint8 matrix.
 
-    Binary PGM, PNG (stdlib-zlib inflate + scanline unfiltering) and
-    baseline JPEG (pure-numpy Huffman + IDCT, generic chroma
-    subsampling) decode FOR REAL via the numpy codecs — the formats a
+    Binary PGM, PNG (stdlib-zlib inflate + scanline unfiltering;
+    grey/RGB/palette, sequential + Adam7 interlaced) and JPEG
+    (pure-numpy Huffman + IDCT, baseline AND progressive, generic
+    chroma subsampling) decode FOR REAL via the numpy codecs — the formats a
     training corpus actually ships. Other formats (WebP/GIF/AVIF…) use
     the deterministic stub (decode_stub=True) or raise at the plug-in
     point for PIL/cv2 (decode_stub=False). Color images are collapsed
