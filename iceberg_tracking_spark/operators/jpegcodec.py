@@ -212,6 +212,15 @@ def _extend(v: int, n: int) -> int:
     return v if n == 0 or v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
+def _consume_restart(reader, rst_i: int) -> int:
+    """Consume the expected RSTn at a restart boundary and return the
+    next cycle index — the one restart protocol both the sequential
+    MCU walk and every progressive scan share (callers reset their own
+    DC predictors / EOB-run state)."""
+    reader.restart(rst_i)
+    return (rst_i + 1) & 7
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JPEG bytes → (h, w) uint8 (grayscale) or (h, w, 3) uint8 (RGB).
 
@@ -364,16 +373,7 @@ def _decode_markers_and_scan(
             pos = pos + 2 + ln
             break
         pos += 2 + ln
-    if not comps:
-        raise ValueError("JPEG has no frame header")
-    if len(comps) not in (1, 3):
-        # 4-component (Adobe CMYK/YCCK) would pass SOF0 but the output
-        # contract is grey/RGB — fail loudly, never mis-convert.
-        raise ValueError(
-            f"unsupported component count {len(comps)}: grey (1) or "
-            "YCbCr (3) only"
-        )
-
+    # comps validated in the SOS branch (the loop's only exit to here)
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
@@ -505,8 +505,7 @@ def _decode_prog_scan(
             and state["mcu"]
             and state["mcu"] % restart_interval == 0
         ):
-            reader.restart(state["rst"])
-            state["rst"] = (state["rst"] + 1) & 7
+            state["rst"] = _consume_restart(reader, state["rst"])
             state["pred"] = [0] * ns
             state["eobrun"] = 0
         state["mcu"] += 1
@@ -647,8 +646,7 @@ def _decode_scan(
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                reader.restart(rst_i)
-                rst_i = (rst_i + 1) & 7
+                rst_i = _consume_restart(reader, rst_i)
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
                 dc_t = hdec[(0, sel[c["id"]][0])]

@@ -958,28 +958,155 @@ def test_jpeg_progressive_decode_jvm_conformance(spark):
         ).max()
         assert d_dec <= 3, f"decoder disagreement {d_dec}"
         # and the roundtrip stays within a lossy-compression budget
-        assert _psnr(mat, ours if ours.ndim == mat.ndim else ours) > 30
+        assert _psnr(mat, ours) > 30
+
+
+def _encode_progressive_2scan(
+    mat, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """Test-side progressive encoder for GREY images: the simplest
+    spec-legal SOF2 stream — scan 1 = DC band (Ss=0, Se=0, Al=0),
+    scan 2 = full AC band (Ss=1, Se=63, Al=0) — whose quantized
+    coefficients are EXACTLY the baseline encoder's, so the
+    progressive decode must reproduce the baseline decode. With
+    `restart_interval` > 0 both scans emit RSTn every that-many blocks
+    (byte-aligned; DC predictor / EOB-run state resets), which is the
+    coverage the JVM writer cannot provide (it never emits DRI)."""
+    import numpy as np
+
+    from iceberg_tracking_spark.operators.jpegcodec import (
+        _AC_LUMA,
+        _BitWriter,
+        _csize,
+        _DC_LUMA,
+        _DCT_M,
+        _dht_segment,
+        _dqt_segment,
+        _build_encoder,
+        _quality_tables,
+        ZIGZAG,
+    )
+
+    m = np.ascontiguousarray(mat, dtype=np.uint8)
+    assert m.ndim == 2
+    h, w = m.shape
+    ql, _ = _quality_tables(quality)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    plane = np.pad(
+        m.astype(np.float64) - 128.0, ((0, ph - h), (0, pw - w)), mode="edge"
+    )
+    blocks = []
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _DCT_M @ block @ _DCT_M.T
+            blocks.append(
+                np.rint(coef / ql).astype(np.int64).reshape(64)[ZIGZAG]
+            )
+    dc_enc = _build_encoder(*_DC_LUMA)
+    ac_enc = _build_encoder(*_AC_LUMA)
+
+    def restart(wtr, i, rst):
+        if restart_interval and i and i % restart_interval == 0:
+            wtr.flush()
+            wtr.buf += bytes([0xFF, 0xD0 + (rst & 7)])
+            return (rst + 1) & 7, True
+        return rst, False
+
+    # scan 1: DC band
+    w1, pred, rst = _BitWriter(), 0, 0
+    for i, zz in enumerate(blocks):
+        rst, did = restart(w1, i, rst)
+        if did:
+            pred = 0
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        s = _csize(diff)
+        code, ln = dc_enc[s]
+        w1.write(code, ln)
+        if s:
+            w1.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    w1.flush()
+    # scan 2: AC band 1..63 (EOB = EOB-run of one block)
+    w2, rst = _BitWriter(), 0
+    for i, zz in enumerate(blocks):
+        rst, _ = restart(w2, i, rst)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if nz.size else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]
+                w2.write(code, ln)
+                run -= 16
+            s = _csize(v)
+            code, ln = ac_enc[(run << 4) | s]
+            w2.write(code, ln)
+            w2.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            code, ln = ac_enc[0x00]
+            w2.write(code, ln)
+    w2.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segment(0, ql)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([1, 1, 0x11, 0])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof
+    out += _dht_segment(0, 0, _DC_LUMA) + _dht_segment(1, 0, _AC_LUMA)
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
+    out += b"\xff\xda\x00\x08" + bytes([1, 1, 0x00, 0, 0, 0x00]) + w1.buf
+    out += b"\xff\xda\x00\x08" + bytes([1, 1, 0x00, 1, 63, 0x00]) + w2.buf
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def test_jpeg_progressive_restart_markers(spark):
-    """Progressive + DRI: restart markers reset the DC predictors AND
-    the EOB run mid-scan. ImageIO's writer does not emit DRI, so the
-    stream is built by our own transcoder-free trick: decode a
-    DRI-bearing BASELINE file and the SAME image as progressive, then
-    assert the progressive path also accepts a DRI segment placed
-    before its scans (the marker walk must carry restart_interval into
-    every scan decode; a file with DRI=0 is the common case and any
-    nonzero interval exercises _BitReader.restart inside scans)."""
+    """Progressive + DRI>0 for real: both scans of a hand-built
+    two-scan SOF2 stream carry RSTn every 3 blocks, so the decoder's
+    progressive restart path (RSTn consumption + byte realignment +
+    DC-predictor and EOB-run reset) is actually driven. The quantized
+    coefficients equal the baseline encoder's, so the progressive
+    decode must match the baseline decode of the same image — and the
+    JVM's independent ImageIO reader must accept the DRI-bearing
+    stream and agree, proving the restart placement is spec-conformant
+    rather than merely self-consistent."""
     import numpy as np
 
-    from iceberg_tracking_spark.operators.imagecodec import encode_png
-    from iceberg_tracking_spark.operators.jpegcodec import decode_jpeg
+    from iceberg_tracking_spark.operators.imagecodec import decode_png
+    from iceberg_tracking_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
 
-    jvm = spark._jvm
     gray, _ = _jpeg_test_images()
-    blob = _jvm_progressive_jpeg(jvm, encode_png(gray))
-    base = decode_jpeg(blob)
-    # splice a DRI=0 segment right after SOI: decode must be unchanged
-    # (interval 0 = no restarts; the walk must still parse the marker)
-    dri0 = blob[:2] + b"\xff\xdd\x00\x04\x00\x00" + blob[2:]
-    assert np.array_equal(decode_jpeg(dri0), base)
+    base = decode_jpeg(encode_jpeg(gray, 90))
+    for ri in (0, 3):
+        prog = _encode_progressive_2scan(gray, 90, restart_interval=ri)
+        assert b"\xff\xc2" in prog
+        assert (b"\xff\xd0" in prog) == (ri > 0)
+        got = decode_jpeg(prog)
+        # same quantized coefficients; <=1 gray level of IDCT-path
+        # float rounding slack (einsum vs chained matmul)
+        assert np.abs(
+            got.astype(np.int64) - base.astype(np.int64)
+        ).max() <= 1
+        # independent conformance: ImageIO parses the DRI stream
+        jvm = spark._jvm
+        bais = jvm.java.io.ByteArrayInputStream(bytearray(prog))
+        img = jvm.javax.imageio.ImageIO.read(bais)
+        assert img is not None, f"ImageIO rejected the stream (ri={ri})"
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+        theirs = decode_png(bytes(baos.toByteArray()))
+        if theirs.ndim == 3:
+            theirs = theirs[:, :, 0]
+        assert np.abs(
+            theirs.astype(np.int64) - got.astype(np.int64)
+        ).max() <= 3
