@@ -328,7 +328,9 @@ def decode_png(data: bytes) -> np.ndarray:
     PLTE-row gather to RGB. Adam7 interlacing (interlace=1, also r8)
     decodes as seven independently-filtered sub-images merged at their
     strided positions (spec §8.2) — works for all three color types.
-    8-bit depth only; tRNS alpha is ignored (the output contract is
+    16-bit grey/RGB decodes too (filters run on bytes at the doubled
+    lag; the uint8 output keeps each sample's high byte — the PIL
+    I;16→L convention). tRNS alpha is ignored (the output contract is
     opaque grey/RGB).
     """
     import zlib
@@ -354,16 +356,25 @@ def decode_png(data: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8 or color_type not in (0, 2, 3) or interlace not in (0, 1):
+    if (
+        depth not in (8, 16)
+        or color_type not in (0, 2, 3)
+        or interlace not in (0, 1)
+        or (depth == 16 and color_type == 3)  # spec: palette is <=8-bit
+    ):
         raise ValueError(
             f"unsupported PNG shape (depth={depth}, color={color_type}, "
-            f"interlace={interlace}): 8-bit grey/RGB/palette only"
+            f"interlace={interlace}): 8/16-bit grey/RGB + 8-bit palette only"
         )
     if color_type == 3:
         if plte is None or len(plte) == 0 or len(plte) % 3:
             raise ValueError("palette PNG missing a valid PLTE chunk")
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-    bpp = 3 if color_type == 2 else 1  # palette rows carry index bytes
+    nch = 3 if color_type == 2 else 1  # palette rows carry index bytes
+    # PNG filters operate on BYTES at a bpp-byte lag (spec 9.2), so a
+    # 16-bit sample doubles the filter unit; the 8-bit output contract
+    # then keeps the sample's HIGH byte (the PIL I;16->L convention)
+    bpp = nch * (depth // 8)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
@@ -391,12 +402,14 @@ def decode_png(data: bytes) -> np.ndarray:
             off += n
             m[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
         m = m.reshape(h, w * bpp)
+    if depth == 16:  # big-endian u16 samples -> high byte
+        m = m.reshape(h, w, nch, 2)[:, :, :, 0].reshape(h, w * nch)
     if color_type == 3:
         idx = m.reshape(h, w)
         if idx.max(initial=0) >= pal.shape[0]:
             raise ValueError("PNG palette index out of range")
         return pal[idx]  # (h, w, 3) gather
-    return m.reshape(h, w) if bpp == 1 else m.reshape(h, w, 3)
+    return m.reshape(h, w) if nch == 1 else m.reshape(h, w, 3)
 
 
 #: Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass

@@ -370,9 +370,13 @@ def test_png_decode_rejects_unsupported_shapes():
 
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"P5\n1 1\n255\n\x00")
-    # corrupt IHDR: declare 16-bit depth
+    # sub-byte depth (16-bit decodes for real since r8): still rejected
     data = bytearray(encode_png(np.zeros((3, 3), np.uint8)))
-    data[24] = 16  # IHDR bit-depth byte (offset 16+8)
+    data[24] = 4  # IHDR bit-depth byte (offset 16+8)
+    with pytest.raises(ValueError, match="unsupported PNG shape"):
+        decode_png(bytes(data))
+    # 16-bit palette is a spec violation: reject, never misgather
+    data[24], data[25] = 16, 3
     with pytest.raises(ValueError, match="unsupported PNG shape"):
         decode_png(bytes(data))
 
@@ -1110,3 +1114,83 @@ def test_jpeg_progressive_restart_markers(spark):
         assert np.abs(
             theirs.astype(np.int64) - got.astype(np.int64)
         ).max() <= 3
+
+
+def _encode_png16(u16: np.ndarray, interlaced: bool = False) -> bytes:
+    """Test-side 16-bit PNG writer: big-endian u16 samples, grey (h,w)
+    or RGB (h,w,3), filters cycling over BYTE rows at the doubled
+    filter lag (spec 9.2) via the module's own scanline machinery."""
+    from iceberg_tracking_spark.operators.imagecodec import (
+        PNG_SIG,
+        _png_chunk,
+        _scanline_stream,
+        _zlib_stored,
+    )
+
+    assert u16.dtype == np.uint16
+    nch = 1 if u16.ndim == 2 else u16.shape[2]
+    h, w = u16.shape[:2]
+    be = u16.reshape(h, w, nch).byteswap() if u16.dtype.byteorder in ("<", "=") else u16
+    rows = (
+        np.ascontiguousarray(be).view(np.uint8).reshape(h, w, 2 * nch)
+    )
+    raw = _scanline_stream(rows, filter_cycle=True, interlaced=interlaced)
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([16, 0 if nch == 1 else 2, 0, 0, 1 if interlaced else 0])
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib_stored(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_16bit_decode_high_byte_and_jvm_conformance(spark):
+    """16-bit PNG (depth=16): filters run on bytes at the doubled lag;
+    the uint8 output keeps each sample's high byte (PIL's I;16->L
+    convention). Pinned three ways: against the known high bytes of a
+    constructed u16 image (grey + RGB, sequential + Adam7), against a
+    16-bit file written by the JVM's OWN encoder (TYPE_USHORT_GRAY ->
+    ImageIO png is 16-bit), and ImageIO must read OUR 16-bit file back
+    to the exact u16 values."""
+    import numpy as np
+
+    from iceberg_tracking_spark.operators.imagecodec import decode_png
+
+    yy, xx = np.mgrid[0:9, 0:11]
+    u16 = ((xx * 4099 + yy * 257 * 31 + 5) % 65536).astype(np.uint16)
+    rgb16 = np.stack(
+        [u16, (u16 * 3 + 7) % 65536, (65535 - u16)], axis=2
+    ).astype(np.uint16)
+    for il in (False, True):
+        assert np.array_equal(
+            decode_png(_encode_png16(u16, interlaced=il)), (u16 >> 8)
+        ), il
+        assert np.array_equal(
+            decode_png(_encode_png16(rgb16, interlaced=il)),
+            (rgb16 >> 8).astype(np.uint8),
+        ), il
+    # cross-validation with the JVM's independent 16-bit codec
+    jvm = spark._jvm
+    h, w = u16.shape
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_USHORT_GRAY
+    )
+    raster = img.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, int(u16[y, x]))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+    theirs_bytes = bytes(baos.toByteArray())
+    assert theirs_bytes[24] == 16  # ImageIO wrote a real 16-bit file
+    assert np.array_equal(decode_png(theirs_bytes), (u16 >> 8))
+    # and ImageIO reads OUR 16-bit file to the exact u16 values
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(_encode_png16(u16)))
+    back = jvm.javax.imageio.ImageIO.read(bais)
+    assert back is not None
+    for y, x in [(0, 0), (3, 7), (8, 10)]:
+        assert back.getRaster().getSample(x, y, 0) == int(u16[y, x])
