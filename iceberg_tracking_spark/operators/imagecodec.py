@@ -224,26 +224,48 @@ def _filter_scanlines(rows: np.ndarray, filter_cycle: bool) -> bytes:
     return bytes(raw)
 
 
+def _pack_subbyte(mat: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) sample values < 2**depth → (h, row_bytes) packed bytes,
+    MSB-first within each byte (spec §7.2); pad bits at row ends are
+    zero (np.packbits row padding)."""
+    h, w = mat.shape
+    bits = (
+        (mat[:, :, None].astype(np.uint8) >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(h, w * depth)
+    return np.packbits(bits, axis=1)
+
+
 def _scanline_stream(
-    rows: np.ndarray, filter_cycle: bool, interlaced: bool
+    rows: np.ndarray, filter_cycle: bool, interlaced: bool, depth: int = 8
 ) -> bytes:
     """Filtered scanline stream for (h, w, bpp) samples — sequential
     (one filtered image) or Adam7 (seven independently-filtered
-    sub-images in pass order, spec §8.2)."""
+    sub-images in pass order, spec §8.2). For sub-byte depths each
+    (sub-)image's rows are bit-packed BEFORE filtering (filters always
+    operate on the packed scanline bytes, spec §9; filter lag = 1
+    byte)."""
+
+    def one(sub: np.ndarray) -> bytes:
+        sub = np.ascontiguousarray(sub)
+        if depth < 8:
+            sub = _pack_subbyte(sub[:, :, 0], depth)[:, :, None]
+        return _filter_scanlines(sub, filter_cycle)
+
     if not interlaced:
-        return _filter_scanlines(rows, filter_cycle)
+        return one(rows)
     h, w = rows.shape[:2]
     return b"".join(
-        _filter_scanlines(
-            np.ascontiguousarray(rows[y0::dy, x0::dx]), filter_cycle
-        )
+        one(rows[y0::dy, x0::dx])
         for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h)
         if pw and ph
     )
 
 
 def encode_png(
-    mat: np.ndarray, filter_cycle: bool = True, interlaced: bool = False
+    mat: np.ndarray,
+    filter_cycle: bool = True,
+    interlaced: bool = False,
+    depth: int = 8,
 ) -> bytes:
     """(h, w) or (h, w, 3) uint8 → PNG bytes.
 
@@ -253,7 +275,12 @@ def encode_png(
     not just the trivial one. Deflate is STORE-mode (no compression):
     real PNG per the spec, chosen for byte-addressability over size.
     `interlaced=True` writes Adam7 (each pass filtered independently).
+    `depth` of 1/2/4 writes sub-byte GREYSCALE (spec table 11.1 allows
+    sub-byte only for grey/palette): samples are raw values < 2**depth,
+    bit-packed MSB-first before filtering.
     """
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"PNG encode depth must be 1/2/4/8; got {depth}")
     m = np.ascontiguousarray(mat, dtype=np.uint8)
     if m.ndim == 2:
         color_type = 0
@@ -263,12 +290,17 @@ def encode_png(
         rows = m
     else:
         raise ValueError(f"PNG encode supports (h,w) or (h,w,3); got {m.shape}")
+    if depth < 8:
+        if color_type != 0:
+            raise ValueError("sub-byte PNG depth requires greyscale input")
+        if int(m.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"sample out of range for depth {depth}")
     h, w = rows.shape[:2]
-    raw = _scanline_stream(rows, filter_cycle, interlaced)
+    raw = _scanline_stream(rows, filter_cycle, interlaced, depth)
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 1 if interlaced else 0])
+        + bytes([depth, color_type, 0, 0, 1 if interlaced else 0])
     )
     return (
         PNG_SIG
@@ -283,11 +315,15 @@ def encode_png_palette(
     palette: np.ndarray,
     filter_cycle: bool = True,
     interlaced: bool = False,
+    depth: int = 8,
 ) -> bytes:
     """(h, w) uint8 index matrix + (n≤256, 3) uint8 palette →
     color-type-3 PNG bytes (PLTE chunk between IHDR and IDAT; filters
     run over the index bytes exactly as over grey samples, spec §9).
-    `interlaced=True` writes Adam7."""
+    `interlaced=True` writes Adam7. `depth` of 1/2/4 bit-packs the
+    indices (spec table 11.1; indices must fit the depth)."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette PNG depth must be 1/2/4/8; got {depth}")
     m = np.ascontiguousarray(idx, dtype=np.uint8)
     pal = np.ascontiguousarray(palette, dtype=np.uint8)
     if m.ndim != 2:
@@ -296,12 +332,14 @@ def encode_png_palette(
         raise ValueError(f"palette must be (1..256, 3); got {pal.shape}")
     if int(m.max(initial=0)) >= pal.shape[0]:
         raise ValueError("index out of palette range")
+    if depth < 8 and int(m.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"palette index out of range for depth {depth}")
     h, w = m.shape
-    raw = _scanline_stream(m[:, :, None], filter_cycle, interlaced)
+    raw = _scanline_stream(m[:, :, None], filter_cycle, interlaced, depth)
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, 3, 0, 0, 1 if interlaced else 0])
+        + bytes([depth, 3, 0, 0, 1 if interlaced else 0])
     )
     return (
         PNG_SIG
@@ -357,14 +395,16 @@ def decode_png(data: bytes) -> np.ndarray:
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, _comp, _filt, interlace = ihdr[8:13]
     if (
-        depth not in (8, 16)
+        depth not in (1, 2, 4, 8, 16)
         or color_type not in (0, 2, 3)
         or interlace not in (0, 1)
         or (depth == 16 and color_type == 3)  # spec: palette is <=8-bit
+        or (depth < 8 and color_type == 2)  # spec: RGB is 8/16-bit only
     ):
         raise ValueError(
             f"unsupported PNG shape (depth={depth}, color={color_type}, "
-            f"interlace={interlace}): 8/16-bit grey/RGB + 8-bit palette only"
+            f"interlace={interlace}): 8/16-bit grey/RGB + 1/2/4-bit "
+            f"grey/palette only"
         )
     if color_type == 3:
         if plte is None or len(plte) == 0 or len(plte) % 3:
@@ -372,43 +412,70 @@ def decode_png(data: bytes) -> np.ndarray:
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
     nch = 3 if color_type == 2 else 1  # palette rows carry index bytes
     # PNG filters operate on BYTES at a bpp-byte lag (spec 9.2), so a
-    # 16-bit sample doubles the filter unit; the 8-bit output contract
-    # then keeps the sample's HIGH byte (the PIL I;16->L convention)
-    bpp = nch * (depth // 8)
+    # 16-bit sample doubles the filter unit and sub-byte samples share
+    # a 1-byte lag; the scanline payload is ceil(w*bits/8) bytes.
+    bits_pp = nch * depth
+    bpp = max(1, bits_pp // 8)
+
+    def _rb(width: int) -> int:  # filtered scanline payload bytes
+        return (width * bits_pp + 7) // 8
+
+    def _to_samples(mb: np.ndarray, width: int) -> np.ndarray:
+        """(hh, row_bytes) unfiltered bytes → (hh, width*nch) uint8
+        samples: high byte for 16-bit (the PIL I;16→L convention),
+        MSB-first bit groups for sub-byte depths (raw values, not yet
+        scaled), identity for 8-bit."""
+        hh = mb.shape[0]
+        if depth == 8:
+            return mb
+        if depth == 16:
+            return mb.reshape(hh, width, nch, 2)[:, :, :, 0].reshape(
+                hh, width * nch
+            )
+        bits = np.unpackbits(mb, axis=1)
+        n = bits.shape[1] // depth
+        vals = bits[:, : n * depth].reshape(hh, n, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        return (vals * weights).sum(axis=2).astype(np.uint8)[:, :width]
+
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         # uniform codec contract (decode_jpeg normalizes the same way)
         raise ValueError("corrupt PNG IDAT stream") from None
     if interlace == 0:
-        if len(raw) != h * (w * bpp + 1):
+        if len(raw) != h * (_rb(w) + 1):
             raise ValueError("PNG scanline payload size mismatch")
-        m = _unfilter(raw, h, w, bpp)
+        m = _to_samples(_unfilter(raw, h, _rb(w), bpp), w)
     else:  # Adam7: 7 independently-filtered sub-images, strided merge
         expect = sum(
-            ph * (pw * bpp + 1)
+            ph * (_rb(pw) + 1)
             for _, _, _, _, pw, ph in _adam7_passes(w, h)
             if pw and ph
         )
         if len(raw) != expect:
             raise ValueError("PNG scanline payload size mismatch")
-        m = np.zeros((h, w * bpp), dtype=np.uint8).reshape(h, w, bpp)
+        m = np.zeros((h, w, nch), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
             if not pw or not ph:
                 continue
-            n = ph * (pw * bpp + 1)
-            sub = _unfilter(raw[off : off + n], ph, pw, bpp)
+            n = ph * (_rb(pw) + 1)
+            sub = _to_samples(_unfilter(raw[off : off + n], ph, _rb(pw), bpp), pw)
             off += n
-            m[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
-        m = m.reshape(h, w * bpp)
-    if depth == 16:  # big-endian u16 samples -> high byte
-        m = m.reshape(h, w, nch, 2)[:, :, :, 0].reshape(h, w * nch)
+            m[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+        m = m.reshape(h, w * nch)
     if color_type == 3:
         idx = m.reshape(h, w)
         if idx.max(initial=0) >= pal.shape[0]:
             raise ValueError("PNG palette index out of range")
         return pal[idx]  # (h, w, 3) gather
+    if depth < 8:
+        # grey sub-byte: scale to the full 8-bit range by bit
+        # replication (255 // (2^d - 1) is exact: ×255, ×85, ×17) —
+        # the PIL L;1/L;2/L;4 rawmode convention and what ImageIO's
+        # grey IndexColorModel exposes through getRGB
+        m = (m.astype(np.int32) * (255 // ((1 << depth) - 1))).astype(np.uint8)
     return m.reshape(h, w) if nch == 1 else m.reshape(h, w, 3)
 
 
@@ -433,13 +500,14 @@ def _adam7_passes(w: int, h: int):
         ) if h > y0 else 0
 
 
-def _unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+def _unfilter(raw: bytes, h: int, row_bytes: int, bpp: int) -> np.ndarray:
     """Reconstruct one filtered sub-image: `h` scanlines of
-    (filter byte + w*bpp samples) → (h, w*bpp) uint8. None/Up/Sub
-    vectorized; Average/Paeth carry the spec's true byte recurrence on
-    the reconstructed left neighbor (per-byte loop, bounded by row
-    width)."""
-    stride = w * bpp
+    (filter byte + row_bytes payload bytes) → (h, row_bytes) uint8,
+    with filters at a `bpp`-byte lag (spec 9.2; 1 for ≤8-bit grey /
+    palette, 2·nch for 16-bit). None/Up/Sub vectorized; Average/Paeth
+    carry the spec's true byte recurrence on the reconstructed left
+    neighbor (per-byte loop, bounded by row width)."""
+    stride = row_bytes
     out = np.zeros((h, stride), dtype=np.int32)
     for r in range(h):
         row = raw[r * (stride + 1) : (r + 1) * (stride + 1)]

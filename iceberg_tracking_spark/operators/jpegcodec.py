@@ -562,6 +562,10 @@ def _ac_first_pass(reader, block, hdec, at, ss, se, al, state) -> None:
         if s == 0:
             if r == 15:  # ZRL: sixteen zeros
                 k += 16
+                # same corrupt-stream check as the nonzero branch: a
+                # zero-run past the band end must fail loudly too
+                if k > se + 1:
+                    raise ValueError("AC index overflow")
                 continue
             state["eobrun"] = (1 << r) - 1
             if r:

@@ -436,20 +436,25 @@ def _png_decode_oracle() -> str:
     (operators/imagecodec.py:_zlib_stored), so the filtered scanline
     bytes sit at fixed hex offsets: sig(8) + IHDR chunk(25) + IDAT
     len/tag(8) + zlib hdr(2) + stored-block hdr(5) = raw stream at
-    byte 48. Width/height are big-endian u32 at bytes 16/20. A
-    recursive CTE then reconstructs EVERY pixel in row-major order,
-    applying the spec's per-row filter (None/Sub/Up/Average/Paeth —
-    the fixtures cycle through all five) against the already-
-    reconstructed left/up/up-left neighbors — a genuinely independent
-    implementation of the same recurrence the numpy codec vectorizes.
-    Color-type-3 (palette) files shift the raw stream past the PLTE
-    chunk (data offset 60 + PLTE length instead of 48), unfilter the
-    INDEX bytes identically, then gather each channel byte from the
-    PLTE body (fixed offset 41 + 3·index + channel) and collapse to
-    grey with the SAME integer channel mean (r+g+b)//3 the Spark side
-    applies in decode_media — the byte-level twin of decode_png's
-    `pal[idx]` + grey-collapse. Bounded by construction: fixture
-    images are ≤ 13×15 px."""
+    byte 48. Width/height are big-endian u32 at bytes 16/20; bit depth
+    and color type are IHDR bytes 24/25. A recursive CTE reconstructs
+    EVERY scanline byte in row-major order (rb = ceil(w·depth/8) bytes
+    per row; filter lag is 1 byte for all fixture shapes), applying
+    the spec's per-row filter (None/Sub/Up/Average/Paeth — the
+    fixtures cycle through all five) against the already-reconstructed
+    left/up/up-left neighbors — a genuinely independent implementation
+    of the same recurrence the numpy codec vectorizes. Samples are
+    then extracted with ONE generic bit expression,
+    (byte >> (8 - d - (col·d) % 8)) & (2^d - 1), which degenerates to
+    the byte itself at depth 8 and bit-unpacks MSB-first at 1/2/4
+    (r9: the sub-byte widening). Grey samples scale to 8-bit by bit
+    replication (×255/85/17 — decode_png's convention); color-type-3
+    files shift the raw stream past the PLTE chunk (data offset
+    60 + PLTE length instead of 48), then gather each channel byte
+    from the PLTE body (fixed offset 41 + 3·index + channel) and
+    collapse to grey with the SAME integer channel mean (r+g+b)//3
+    the Spark side applies in decode_media. Bounded by construction:
+    fixture images are ≤ 13×15 px."""
     from ..sources.binary import PNG_FIXTURE_DIR
 
     def pair(off: str, col: str = "hx") -> str:  # u8 at 0-based offset
@@ -464,20 +469,27 @@ def _png_decode_oracle() -> str:
     be32_h = " + ".join(
         f"{pair(str(20 + k))} * {256 ** (3 - k)}" for k in range(4)
     )
+    dep = pair("24")  # IHDR bit depth: byte 8+8+8 = 24
     ct = pair("25")  # IHDR color type: byte 8+8+9 = 25
     be32_plte = " + ".join(  # PLTE chunk length (chunk starts at 33)
         f"{pair(str(33 + k))} * {256 ** (3 - k)}" for k in range(4)
     )
-    f_byte = pair("doff + (k // w) * (w + 1)")
-    x_byte = pair("doff + (k // w) * (w + 1) + 1 + (k % w)")
-    # palette gather: PLTE body starts at byte 41 (33 + len/tag)
-    pal_r = pair("41 + 3*(v)", "d.hx")
-    pal_g = pair("41 + 3*(v) + 1", "d.hx")
-    pal_b = pair("41 + 3*(v) + 2", "d.hx")
-    # the Spark side grey-collapses RGB with an integer channel mean
+    f_byte = pair("doff + (k // rb) * (rb + 1)")
+    x_byte = pair("doff + (k // rb) * (rb + 1) + 1 + (k % rb)")
+    # generic sample extraction (i = row-major pixel index): byte at
+    # (row·rb + col·dep//8), shifted so the MSB-first dep-bit group
+    # lands at bit 0 — identity when dep = 8
+    samp = (
+        "((p.recon[(i // p.w) * p.rb + ((i % p.w) * d.dep) // 8 + 1]"
+        " >> (8 - d.dep - ((i % p.w) * d.dep) % 8)) & ((1 << d.dep) - 1))"
+    )
+    # palette gather: PLTE body starts at byte 41 (33 + len/tag); the
+    # Spark side grey-collapses RGB with an integer channel mean
     # (decode_media: sum(axis=2) // 3) — mirror it per pixel
+    pal_r = pair("41 + 3*(v)")
+    pal_g = pair("41 + 3*(v) + 1")
+    pal_b = pair("41 + 3*(v) + 2")
     pal_px = f"(({pal_r} + {pal_g} + {pal_b}) // 3)"
-    pal_vals = f"list_transform(p.recon, v -> {pal_px})"
     return f"""
     WITH RECURSIVE b AS (
         SELECT CAST(regexp_extract(filename, '(\\d+)\\.png$', 1) AS BIGINT)
@@ -489,17 +501,18 @@ def _png_decode_oracle() -> str:
     ),
     hdr AS (
         SELECT media_id, n_bytes, content_md5, hx,
-               ({be32}) AS w, ({be32_h}) AS h, ({ct}) AS ct,
+               ({be32}) AS w, ({be32_h}) AS h, ({ct}) AS ct, ({dep}) AS dep,
+               (({be32}) * ({dep}) + 7) // 8 AS rb,
                CASE WHEN ({ct}) = 3 THEN 60 + ({be32_plte}) ELSE 48 END
                    AS doff
         FROM b
     ),
-    pixels AS (
-        SELECT media_id, w, h, hx, doff, 0 AS k,
+    bytes_r AS (
+        SELECT media_id, w, h, rb, hx, doff, 0 AS k,
                CAST([] AS BIGINT[]) AS recon
         FROM hdr
         UNION ALL
-        SELECT media_id, w, h, hx, doff, k + 1,
+        SELECT media_id, w, h, rb, hx, doff, k + 1,
                list_append(recon, (x + CASE
                    WHEN f = 0 THEN 0
                    WHEN f = 1 THEN lft
@@ -511,27 +524,36 @@ def _png_decode_oracle() -> str:
                    ELSE ul
                END) % 256)
         FROM (
-            SELECT media_id, w, h, hx, doff, k, recon,
+            SELECT media_id, w, h, rb, hx, doff, k, recon,
                    {f_byte} AS f,
                    {x_byte} AS x,
-                   CASE WHEN k % w > 0 THEN recon[k] ELSE 0 END AS lft,
-                   CASE WHEN k >= w THEN recon[k - w + 1] ELSE 0 END AS up,
-                   CASE WHEN k >= w AND k % w > 0
-                        THEN recon[k - w] ELSE 0 END AS ul
-            FROM pixels WHERE k < w * h
+                   CASE WHEN k % rb > 0 THEN recon[k] ELSE 0 END AS lft,
+                   CASE WHEN k >= rb THEN recon[k - rb + 1] ELSE 0 END AS up,
+                   CASE WHEN k >= rb AND k % rb > 0
+                        THEN recon[k - rb] ELSE 0 END AS ul
+            FROM bytes_r WHERE k < rb * h
         )
+    ),
+    samples AS (
+        SELECT p.media_id, p.w, p.h, d.n_bytes, d.content_md5, d.hx,
+               d.ct, d.dep,
+               list_transform(range(0, p.w * p.h), i -> {samp}) AS samp
+        FROM bytes_r p JOIN hdr d ON d.media_id = p.media_id
+        WHERE p.k = p.rb * p.h
+    ),
+    vals AS (
+        SELECT media_id, w, h, n_bytes, content_md5,
+               CASE WHEN ct = 3 THEN list_transform(samp, v -> {pal_px})
+                    ELSE list_transform(
+                        samp, v -> v * (255 // ((1 << dep) - 1)))
+               END AS px
+        FROM samples
     )
-    SELECT p.media_id, p.w AS width, p.h AS height,
-           d.n_bytes, d.content_md5,
-           CAST(CASE WHEN d.ct = 3 THEN list_sum({pal_vals})
-                ELSE list_sum(p.recon) END AS BIGINT) AS px_sum,
-           CAST(CASE WHEN d.ct = 3 THEN list_max({pal_vals})
-                ELSE list_max(p.recon) END AS BIGINT) AS max_intensity,
-           round((CASE WHEN d.ct = 3 THEN list_sum({pal_vals})
-                  ELSE list_sum(p.recon) END) * 1.0 / (p.w * p.h), 6)
-               AS mean_intensity
-    FROM pixels p JOIN hdr d ON d.media_id = p.media_id
-    WHERE p.k = p.w * p.h
+    SELECT media_id, w AS width, h AS height, n_bytes, content_md5,
+           CAST(list_sum(px) AS BIGINT) AS px_sum,
+           CAST(list_max(px) AS BIGINT) AS max_intensity,
+           round(list_sum(px) * 1.0 / (w * h), 6) AS mean_intensity
+    FROM vals
     """
 
 

@@ -2880,9 +2880,12 @@ def q_int8_quantize(spark, sf_dir):
 
 # ------------------------------------------------ threshold confusion / F1
 
-# threshold grid in score units (scores land in ~[-0.4, 0.46]); exact
-# 0.1 steps expressed as integer tenths so the literals are identical
-# on both engines
+# threshold grid in score units (scores land in ~[-0.4, 0.46]); 0.1
+# steps are NOT exactly representable in binary doubles — cross-engine
+# agreement rests on both engines parsing the identical literal to the
+# identical nearest double, so the oracle CASTs its unnest literals to
+# DOUBLE (DuckDB would otherwise type them DECIMAL) to match Spark's
+# double-typed threshold column (r8 ADVICE)
 _CM_THRESHOLDS = [round(t / 10.0, 1) for t in range(-3, 4)]  # -0.3..0.3
 
 
@@ -2894,7 +2897,7 @@ _CM_THRESHOLDS = [round(t / 10.0, 1) for t in range(-3, 4)]  # -0.3..0.3
                round(embedding[1] + embedding[2] * 0.5, 9) AS score
         FROM embeddings
     ),
-    th AS (SELECT unnest([{", ".join(str(t) for t in _CM_THRESHOLDS)}]) AS t),
+    th AS (SELECT unnest([{", ".join(f"CAST({t} AS DOUBLE)" for t in _CM_THRESHOLDS)}]) AS t),
     cm AS (
         SELECT t,
                CAST(sum(CASE WHEN score >= t AND y = 1 THEN 1 ELSE 0 END)
@@ -2936,8 +2939,11 @@ def q_confusion_matrix(spark, sf_dir):
     2tp/(2tp+fp+fn) — the algebraic identity that avoids the float
     compound 2PR/(P+R) — so every emitted float is a single division
     of exact integers, rounded 6dp; degenerate cells NULL on both
-    engines. The threshold grid is integer tenths, exactly
-    representable, interpolated as the same literals into both plans.
+    engines. The threshold grid is integer tenths — NOT exactly
+    representable in binary doubles; agreement holds because both
+    engines parse the identical literal to the identical nearest
+    double (the oracle CASTs its unnest literals to DOUBLE so its
+    threshold type matches Spark's double column).
 
     Scale: the sweep is a 7× broadcast fan of a projection followed by
     ONE map-side-combined hash aggregate to 7 rows — the fact relation

@@ -163,18 +163,28 @@ def ensure_video_fixture(
 
 PNG_FIXTURE_DIR = os.path.join(_REPO_ROOT, ".png_fixture")
 PNG_FIXTURE_N = 10
+# ensure_png_fixture writes PNG_FIXTURE_N 8-bit greyscale files PLUS
+# one 8-bit palette file (index PNG_FIXTURE_N) PLUS four sub-byte
+# files (1/2/4-bit grey + 4-bit palette, indices N+1..N+4); size
+# expectations belong on this total, not on PNG_FIXTURE_N (r8 ADVICE).
+PNG_FIXTURE_TOTAL = PNG_FIXTURE_N + 5
 
 
 def ensure_png_fixture(
     path: str = PNG_FIXTURE_DIR, n: int = PNG_FIXTURE_N
 ) -> str:
     """Idempotently write `n` REAL 8-bit greyscale PNGs (full spec
-    chunks + CRCs; store-mode deflate). Image i is a deterministic
-    integer pattern, ≥5 rows so the cycling row filter exercises all
-    five PNG filter types (None/Sub/Up/Average/Paeth) in every file —
-    the decode path the oracle pins is the whole unfilter matrix, not
-    the trivial case. Dims stay small (≤ 12×15) because q_png_decode's
-    DuckDB oracle re-reconstructs every pixel through a recursive CTE."""
+    chunks + CRCs; store-mode deflate) PLUS one color-type-3 palette
+    PNG at index `n` PLUS four sub-byte-depth PNGs at indices n+1..n+4
+    (1/2/4-bit grey and a 4-bit palette — the land/water-mask shapes
+    of reference detection.py:1013-1030; r8 verdict task #3) —
+    `n + 5` files total (PNG_FIXTURE_TOTAL). Image i is a
+    deterministic integer pattern, ≥5 rows so the cycling row filter
+    exercises all five PNG filter types (None/Sub/Up/Average/Paeth)
+    in every file — the decode path the oracle pins is the whole
+    unfilter matrix, not the trivial case. Dims stay small (≤ 12×15)
+    because q_png_decode's DuckDB oracle re-reconstructs every
+    scanline byte through a recursive CTE."""
     import numpy as np
 
     from ..operators.imagecodec import encode_png
@@ -210,4 +220,30 @@ def ensure_png_fixture(
     if not (os.path.exists(fp) and os.path.getsize(fp) == len(payload)):
         with open(fp, "wb") as f:
             f.write(payload)
+    # files n+1..n+4: sub-byte depths (r8 verdict task #3 — the PNG
+    # matrix vs PIL). 1/2/4-bit grey + a 4-bit palette, deterministic
+    # integer patterns, filter cycle on (≥5 rows each). q_png_decode's
+    # oracle bit-unpacks these from the reconstructed scanline bytes.
+    subs: list[bytes] = []
+    for j, d in enumerate((1, 2, 4)):
+        h, w = 9 + j, 12 + j
+        yy, xx = np.mgrid[0:h, 0:w]
+        mat = ((xx * (j + 2) + yy * (2 * j + 3) + j) % (1 << d)).astype(
+            np.uint8
+        )
+        subs.append(encode_png(mat, depth=d))
+    h, w = 10, 13
+    yy, xx = np.mgrid[0:h, 0:w]
+    idx4 = ((xx * 2 + yy * 3 + 1) % 16).astype(np.uint8)
+    lut = np.arange(16)
+    pal4 = np.stack(
+        [(lut * 16 + 7) % 256, (lut * 11 + 40) % 256, (255 - lut * 13) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    subs.append(encode_png_palette(idx4, pal4, depth=4))
+    for j, payload in enumerate(subs):
+        fp = os.path.join(path, f"{n + 1 + j:04d}.png")
+        if not (os.path.exists(fp) and os.path.getsize(fp) == len(payload)):
+            with open(fp, "wb") as f:
+                f.write(payload)
     return path

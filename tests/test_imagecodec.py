@@ -370,14 +370,24 @@ def test_png_decode_rejects_unsupported_shapes():
 
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"P5\n1 1\n255\n\x00")
-    # sub-byte depth (16-bit decodes for real since r8): still rejected
+    # depth 3 is not a PNG depth (sub-byte 1/2/4 decode for real
+    # since r9; 16-bit since r8): reject
     data = bytearray(encode_png(np.zeros((3, 3), np.uint8)))
-    data[24] = 4  # IHDR bit-depth byte (offset 16+8)
+    data[24] = 3  # IHDR bit-depth byte (offset 16+8)
+    with pytest.raises(ValueError, match="unsupported PNG shape"):
+        decode_png(bytes(data))
+    # sub-byte RGB is a spec violation (table 11.1): reject
+    data[24], data[25] = 4, 2
     with pytest.raises(ValueError, match="unsupported PNG shape"):
         decode_png(bytes(data))
     # 16-bit palette is a spec violation: reject, never misgather
     data[24], data[25] = 16, 3
     with pytest.raises(ValueError, match="unsupported PNG shape"):
+        decode_png(bytes(data))
+    # a VALID sub-byte header over an 8-bit-sized payload: the scanline
+    # length check fires (rb shrinks to ceil(w·4/8)), never a misread
+    data[24], data[25] = 4, 0
+    with pytest.raises(ValueError, match="payload size mismatch"):
         decode_png(bytes(data))
 
 
@@ -393,6 +403,7 @@ def test_png_fixture_is_deterministic_and_multifilter(tmp_path):
     import os
 
     seen_ct = set()
+    seen_depth = set()
     for fn in sorted(os.listdir(d1)):
         b1 = open(os.path.join(d1, fn), "rb").read()
         b2 = open(os.path.join(d2, fn), "rb").read()
@@ -406,9 +417,13 @@ def test_png_fixture_is_deterministic_and_multifilter(tmp_path):
         assert b1[idat_at + 4 : idat_at + 8] == b"IDAT", fn
         idat_len = int.from_bytes(b1[idat_at : idat_at + 4], "big")
         raw = zlib.decompress(b1[idat_at + 8 : idat_at + 8 + idat_len])
-        filters = {raw[r * (w + 1)] for r in range(h)}
+        depth = b1[24]
+        seen_depth.add(depth)
+        rb = (w * depth + 7) // 8  # scanline payload bytes
+        filters = {raw[r * (rb + 1)] for r in range(h)}
         assert filters == {0, 1, 2, 3, 4}, (fn, filters)
-    assert seen_ct == {0, 3}  # grey files + the one palette file
+    assert seen_ct == {0, 3}  # grey files + the two palette files
+    assert seen_depth == {1, 2, 4, 8}  # r9: sub-byte depths present
 
 
 # ----------------------------------------------------------------- JPEG
@@ -756,6 +771,92 @@ def test_png_palette_jvm_imageio_agrees(spark):
     assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
     theirs = decode_png(bytes(baos.toByteArray()))
     if theirs.ndim == 2:  # ImageIO may re-encode a grey-only palette
+        theirs = np.stack([theirs] * 3, axis=2)
+    assert np.array_equal(theirs, pal[idx])
+
+
+def test_png_subbyte_roundtrip_matrix():
+    """1/2/4-bit PNG (r9: closes the sub-byte gap vs PIL —
+    reference embedding.py:234-250 reads low-bit-depth masks,
+    detection.py:1013-1030 land/water mask): exact roundtrip for grey
+    (scaled to 8-bit by bit replication ×255/85/17 — the PIL
+    L;1/L;2/L;4 convention) and palette (index gather), across filter
+    cycling, Adam7 interlacing, and widths that do / don't fill the
+    last packed byte."""
+    import numpy as np
+
+    from iceberg_tracking_spark.operators.imagecodec import (
+        decode_png,
+        encode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(41)
+    for d in (1, 2, 4):
+        scale = 255 // ((1 << d) - 1)
+        for interlaced in (False, True):
+            for cyc in (False, True):
+                # widths straddling byte boundaries for every depth
+                for h, w in [(1, 1), (5, 8), (7, 13), (9, 17)]:
+                    m = rng.integers(0, 1 << d, (h, w)).astype(np.uint8)
+                    out = decode_png(
+                        encode_png(
+                            m, filter_cycle=cyc, interlaced=interlaced, depth=d
+                        )
+                    )
+                    assert out.shape == (h, w)
+                    assert np.array_equal(out, m * scale), (d, interlaced, cyc)
+        # palette at the same depth: 2^d entries, full index range
+        pal = rng.integers(0, 256, (1 << d, 3)).astype(np.uint8)
+        idx = rng.integers(0, 1 << d, (11, 14)).astype(np.uint8)
+        for interlaced in (False, True):
+            out = decode_png(
+                encode_png_palette(idx, pal, interlaced=interlaced, depth=d)
+            )
+            assert np.array_equal(out, pal[idx]), (d, interlaced)
+
+
+def test_png_subbyte_jvm_imageio_agrees(spark):
+    """Spec conformance for sub-byte depths: the JVM's independent
+    ImageIO codec must read our 1/2/4-bit files to the same pixels our
+    decoder produces (PNG is lossless — zero tolerance). Grey values
+    cross the gateway through ImageIO's own PNG re-encode, which
+    exposes the IndexColorModel's bit-replicated grey levels — the
+    same ×255/85/17 scaling decode_png applies."""
+    import numpy as np
+
+    from iceberg_tracking_spark.operators.imagecodec import (
+        decode_png,
+        encode_png,
+        encode_png_palette,
+    )
+
+    jvm = spark._jvm
+
+    def through_imageio(data: bytes) -> np.ndarray:
+        bais = jvm.java.io.ByteArrayInputStream(bytearray(data))
+        img = jvm.javax.imageio.ImageIO.read(bais)
+        assert img is not None, "ImageIO rejected our sub-byte PNG"
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+        return decode_png(bytes(baos.toByteArray()))
+
+    rng = np.random.default_rng(43)
+    for d in (1, 2, 4):
+        scale = 255 // ((1 << d) - 1)
+        m = rng.integers(0, 1 << d, (10, 13)).astype(np.uint8)
+        ours = decode_png(encode_png(m, depth=d))
+        assert np.array_equal(ours, m * scale)
+        theirs = through_imageio(encode_png(m, depth=d))
+        if theirs.ndim == 3:  # writer may promote grey to RGB
+            assert (theirs == theirs[:, :, :1]).all()
+            theirs = theirs[:, :, 0]
+        assert np.array_equal(theirs, ours), f"depth {d} grey mismatch"
+    # 4-bit palette: gather must survive the JVM hop exactly
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (9, 12)).astype(np.uint8)
+    theirs = through_imageio(encode_png_palette(idx, pal, depth=4))
+    if theirs.ndim == 2:
         theirs = np.stack([theirs] * 3, axis=2)
     assert np.array_equal(theirs, pal[idx])
 
