@@ -136,6 +136,8 @@ EXTENDED = [
     "q_confusion_matrix",
     "q_knn_accuracy",
     "q_zipf_fit",
+    # round-9: real GIF decode (general LZW + literal-LZW oracle path)
+    "q_gif_decode",
 ]
 
 # Regression floors for the HEADLINE set (r6 verdict task: the
@@ -296,6 +298,10 @@ EXTENDED_FLOOR_SEC = {
     "q_confusion_matrix": 0.912,
     "q_knn_accuracy": 1.365,
     "q_zipf_fit": 0.894,
+    # r9 landing: solo min-of-3 at sf0.1 in the landing commit
+    # (0.862s; first run 9.0s is fixture+listing warm-up, absorbed by
+    # the harness's min-of-3)
+    "q_gif_decode": 0.862,
 }
 
 

@@ -110,14 +110,17 @@ def decode_media(
     """Decode one blob to a (h, w) uint8 matrix.
 
     Binary PGM, PNG (stdlib-zlib inflate + scanline unfiltering;
-    grey/RGB/palette, sequential + Adam7 interlaced) and JPEG
-    (pure-numpy Huffman + IDCT, baseline AND progressive, generic
-    chroma subsampling) decode FOR REAL via the numpy codecs — the formats a
-    training corpus actually ships. Other formats (WebP/GIF/AVIF…) use
-    the deterministic stub (decode_stub=True) or raise at the plug-in
-    point for PIL/cv2 (decode_stub=False). Color images are collapsed
-    to grey by integer channel mean so every consumer keeps its (h, w)
+    grey/RGB/palette at 1/2/4/8/16-bit, sequential + Adam7
+    interlaced), JPEG (pure-numpy Huffman + IDCT, baseline AND
+    progressive, generic chroma subsampling) and GIF (general LZW,
+    87a/89a, first composited frame) decode FOR REAL via the numpy
+    codecs — the formats a training corpus actually ships. Other
+    formats (WebP/AVIF…) use the deterministic stub
+    (decode_stub=True) or raise at the plug-in point for PIL/cv2
+    (decode_stub=False). Color images are collapsed to grey by
+    integer channel mean so every consumer keeps its (h, w)
     contract."""
+    from .gifcodec import decode_gif, is_gif
     from .imagecodec import decode_pgm, decode_png, is_pgm, is_png
     from .jpegcodec import decode_jpeg, is_jpeg
 
@@ -128,15 +131,18 @@ def decode_media(
         mat = decode_png(content)
     elif is_jpeg(content):
         mat = decode_jpeg(content)
+    elif is_gif(content):
+        mat = decode_gif(content, max_frames=1)[0][0]
     if mat is not None:
         if mat.ndim == 3:
             mat = (mat.astype(np.int32).sum(axis=2) // 3).astype(np.uint8)
         return mat
     if not decode_stub:
         raise NotImplementedError(
-            "format beyond PGM/PNG/JPEG (WebP/GIF/…) requires PIL/cv2, "
-            "not in this container; the common training-data formats "
-            "decode natively (operators/imagecodec.py, jpegcodec.py)"
+            "format beyond PGM/PNG/JPEG/GIF (WebP/AVIF/…) requires "
+            "PIL/cv2, not in this container; the common training-data "
+            "formats decode natively (operators/imagecodec.py, "
+            "jpegcodec.py, gifcodec.py)"
         )
     return _fake_decode(content, width, height)
 
@@ -190,6 +196,36 @@ def media_from_png_files(spark: SparkSession, path: str | None = None) -> DataFr
         F.lit("image/png").alias("mime_type"),
         F.conv(F.substring(hx, 33, 8), 16, 10).cast("int").alias("width"),
         F.conv(F.substring(hx, 41, 8), 16, 10).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def media_from_gif_files(spark: SparkSession, path: str | None = None) -> DataFrame:
+    """REAL GIF scan: binaryFile over the GIF fixture with width /
+    height parsed from the ACTUAL logical-screen descriptor in pure
+    Catalyst — u16 little-endian at byte offsets 6/8, read from the
+    hex encoding (the reference's loader sniffs and reads GIFs,
+    helpers.py:665-685 / embedding.py:234-250)."""
+    from ..sources.binary import ensure_gif_fixture, read_binary_files
+
+    raw = read_binary_files(spark, path or ensure_gif_fixture(), glob="*.gif")
+    hx = F.lower(F.hex(F.substring(F.col("content"), 1, 10)))
+
+    def _le16(off: int):  # 0-based byte offset → little-endian u16
+        lo = F.conv(F.substring(hx, 2 * off + 1, 2), 16, 10).cast("int")
+        hi = F.conv(F.substring(hx, 2 * off + 3, 2), 16, 10).cast("int")
+        return lo + hi * 256
+
+    media_id = F.element_at(
+        F.split(F.element_at(F.split(F.col("path"), "/"), -1), "\\."), 1
+    ).cast("long")
+    return raw.select(
+        media_id.alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.col("content"),
+        F.lit("image/gif").alias("mime_type"),
+        _le16(6).alias("width"),
+        _le16(8).alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
 

@@ -35,7 +35,7 @@ cluster-then-compare; these queries generalize it to corpus curation.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, shingles_from_tokens, tokens
@@ -576,38 +576,21 @@ _FUZZ_PREFIX = 40
 _FUZZ_MAXDIST = 5
 
 
-@query(
-    "q_fuzzy_match",
-    oracle=f"""
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           levenshtein(substr(a.text, 1, {_FUZZ_PREFIX}),
-                       substr(b.text, 1, {_FUZZ_PREFIX})) AS dist
-    FROM documents a JOIN documents b
-      ON a.lang = b.lang AND a.doc_id < b.doc_id
-     AND abs(length(a.text) - length(b.text)) <= {_FUZZ_BUCKET}
-    WHERE levenshtein(substr(a.text, 1, {_FUZZ_PREFIX}),
-                      substr(b.text, 1, {_FUZZ_PREFIX})) <= {_FUZZ_MAXDIST}
-    """,
-)
-def q_fuzzy_match(spark, sf_dir):
-    """Edit-distance fuzzy matching (record linkage / title dedup): doc
-    pairs in the same language whose lengths differ ≤ 20 and whose
-    40-char prefixes are within Levenshtein distance 5.
-
-    The oracle states the naive same-language theta join; the Spark
-    plan blocks first — each doc hashes to one ⌊len/20⌋ bucket, the
-    probe side explodes to its 3 neighboring buckets (lossless for the
-    |Δlen| ≤ 20 predicate, the 1-D grid-join trick), and candidates
-    come from an equi-join on (lang, bucket). Each qualifying pair
-    meets in EXACTLY one bucket (the candidate's own), so no post-join
-    dedup. Levenshtein runs JVM-side on bounded 40-char prefixes —
-    O(40²) per candidate, never on full documents.
-    """
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.length("text").alias("len"),
-        F.substring("text", 1, _FUZZ_PREFIX).alias("prefix"),
-    )
-    b = F.lit(_FUZZ_BUCKET)
+def fuzzy_match_pairs(
+    d: DataFrame,
+    bucket: int = _FUZZ_BUCKET,
+    max_dist: int = _FUZZ_MAXDIST,
+) -> DataFrame:
+    """The blocked fuzzy-match plan over a (doc_id, lang, len, prefix)
+    relation — factored out of q_fuzzy_match (r9) so the 500k-row
+    scale test drives the EXACT product plan without materializing
+    document text. Each doc hashes to one ⌊len/bucket⌋ bucket, the
+    probe side explodes to its 3 neighboring buckets (lossless for
+    |Δlen| ≤ bucket — the 1-D grid-join trick), candidates come from
+    an equi-join on (lang, bucket), and each qualifying pair meets in
+    EXACTLY one bucket (the candidate's own), so no post-join dedup.
+    Levenshtein runs JVM-side on the bounded prefixes only."""
+    b = F.lit(bucket)
     probe = d.select(
         F.col("doc_id").alias("a_id"), "lang",
         F.col("len").alias("a_len"), F.col("prefix").alias("a_prefix"),
@@ -632,8 +615,40 @@ def q_fuzzy_match(spark, sf_dir):
             & (F.abs(F.col("a_len") - F.col("b_len")) <= b)
         )
         .select("a_id", "b_id", dist.alias("dist"))
-        .filter(F.col("dist") <= _FUZZ_MAXDIST)
+        .filter(F.col("dist") <= max_dist)
     )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle=f"""
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           levenshtein(substr(a.text, 1, {_FUZZ_PREFIX}),
+                       substr(b.text, 1, {_FUZZ_PREFIX})) AS dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= {_FUZZ_BUCKET}
+    WHERE levenshtein(substr(a.text, 1, {_FUZZ_PREFIX}),
+                      substr(b.text, 1, {_FUZZ_PREFIX})) <= {_FUZZ_MAXDIST}
+    """,
+)
+def q_fuzzy_match(spark, sf_dir):
+    """Edit-distance fuzzy matching (record linkage / title dedup): doc
+    pairs in the same language whose lengths differ ≤ 20 and whose
+    40-char prefixes are within Levenshtein distance 5.
+
+    The oracle states the naive same-language theta join; the Spark
+    plan blocks first via fuzzy_match_pairs (factored for the 500k
+    scale test, r9): one ⌊len/20⌋ bucket per doc, 3-bucket probe
+    explode (lossless for |Δlen| ≤ 20), equi-join on (lang, bucket),
+    Levenshtein JVM-side on bounded 40-char prefixes — O(40²) per
+    candidate, never on full documents.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("len"),
+        F.substring("text", 1, _FUZZ_PREFIX).alias("prefix"),
+    )
+    return fuzzy_match_pairs(d)
 
 
 # ------------------------------------------------- data mixing / curriculum

@@ -35,98 +35,92 @@ QUERIES: dict[str, QueryDef] = {}
 # positions 1-50). Every §2 operator's primary evidence query must sit
 # inside that window, so ordering is explicit: names listed here come
 # first (in this order), everything else follows in registration order.
-# Round 8 rotation — exactly the r7 verdict's task #2: (a) the two
-# queries registered late in r7 AFTER that window froze, taking their
-# FIRST driver rows (q_minhash_fidelity — now with the candidate-
-# bounded exact-Jaccard side, the verdict's task #1 — and q_msprt),
-# (b) queries whose CODE or a shared dependency changed this round:
-# the minhash_bands unification (verdict task #3 — minhash_bands is
-# now bands_from_lanes∘minhash_lanes, so its consumers q_minhash_lsh
-# and q_neardup_gate get fresh rows per the house rule) and the image
-# codec hardening (palette-PNG decode + the four ADVICE fixes in
-# decode_png/decode_jpeg → the decode_media consumers q_png_decode,
-# q_image_decode, q_media_features, q_image_resize), (c) the FULL
-# r3-stale cohort — all 19 remaining pre-r4 names enumerated by the
-# r7 registry comment, (d) the oldest r4 cohort in registration order
-# for every remaining slot. After this window no registered query's
-# latest driver row is older than round 4. Window = 50.
+# Round 9 rotation — exactly the r8 verdict's task #1: (a) the one
+# query NEW this round taking its FIRST driver row (q_gif_decode —
+# the r8 verdict's #1 gap), (b) queries whose CODE or a shared
+# dependency changed this round: the sub-byte PNG widening
+# (decode_png + the fixture + the q_png_decode oracle) and the
+# decode_media dispatch gaining the GIF branch pull the decode_media
+# consumers q_png_decode / q_image_decode / q_media_features /
+# q_image_resize per the house rule; q_confusion_matrix's oracle
+# literals gained DOUBLE casts (r8 ADVICE #3); q_fuzzy_match's plan
+# body moved into the factored fuzzy_match_pairs (output-identical,
+# but code-changed consumers get fresh rows per the house rule — it
+# takes the slot q_approx_count_distinct would have had, both r5),
+# (c) the FULL 31-name r4-stale cohort enumerated by the r8 registry
+# comment, (d) the 13 oldest r5-stale names in registration order
+# for the remaining slots. After this window no registered query's
+# latest driver row is older than round 5. Window = 50.
 DRIVER_PRIORITY: list[str] = [
-    # (a) first driver rows: the two late-r7 registrations plus the
-    # four queries NEW this round (Mann-Whitney rank-sum, Benford
-    # first-digit audit, autocorrelation, weighted Slope One)
-    "q_minhash_fidelity",
-    "q_msprt",
-    "q_mann_whitney",
-    "q_benford",
-    "q_acf",
-    "q_slope_one",
-    "q_confusion_matrix",
-    "q_knn_accuracy",
-    "q_zipf_fit",
-    # (b) code changed this round — minhash_bands unification consumers,
-    # plus q_benjamini_hochberg (its A&S tail coefficients moved to
-    # their canonical home in operators/stats.py — literal-identical,
-    # but shared-code consumers get fresh rows per the house rule)
-    "q_minhash_lsh",
-    "q_neardup_gate",
-    "q_benjamini_hochberg",
-    # (b) code changed this round — image-codec hardening consumers
+    # (a) first driver row: new this round (real GIF decode with a
+    # byte-level literal-LZW oracle)
+    "q_gif_decode",
+    # (b) code changed this round — sub-byte PNG + GIF-dispatch
+    # consumers, and the confusion-matrix oracle cast
     "q_png_decode",
     "q_image_decode",
     "q_media_features",
     "q_image_resize",
-    # (c) the full r3-stale cohort (latest driver row = round 3)
-    "q_contamination",
-    "q_corpus_curate",
-    "q_corr_scalar_subquery",
-    "q_data_profile",
-    "q_date_funcs",
-    "q_event_pattern",
-    "q_grouping_sets",
-    "q_histogram",
-    "q_not_exists",
-    "q_pivot",
-    "q_rank_family",
-    "q_ratio_expr",
-    "q_salted_agg",
-    "q_scd2",
-    "q_simhash",
-    "q_stratified_sample",
-    "q_tfidf",
-    "q_unigram_logprob",
-    "q_vocab_topk",
-    # (d) the oldest r4-stale cohort, registration order (15 of 46;
-    # the rest rotate in r9 — seven slots went to the new queries and
-    # one to the BH refresh)
-    "q_minmax_by",
-    "q_unpivot",
-    "q_selfjoin_lead",
-    "q_containment_antijoin",
-    "q_session_window",
-    "q_funnel",
-    "q_cohort_retention",
-    "q_ab_test",
-    "q_drift_chi2",
-    "q_interval_join",
-    "q_repetition",
-    "q_ann_ivf",
-    "q_pq_encode",
-    "q_pq_topk",
-    "q_ivfpq_topk",
+    "q_confusion_matrix",
+    # (c) the full r4-stale cohort (latest driver row = round 4)
+    "q_sliding_window",
+    "q_cube",
+    "q_gap_fill",
+    "q_batch_infer",
+    "q_rolling_window",
+    "q_kmeans",
+    "q_forward_fill",
+    "q_weighted_sample",
+    "q_bm25",
+    "q_pii_scrub",
+    "q_iou_argmax",
+    "q_nms",
+    "q_greedy_match",
+    "q_eval_metrics",
+    "q_track",
+    "q_grid_join_2d",
+    "q_remove_nested",
+    "q_gen_embeddings",
+    "q_calibration",
+    "q_mask_filter",
+    "q_audio_decode",
+    "q_video_decode",
+    "q_image_similarity",
+    "q_semdedup",
+    "q_gopher_rules",
+    "q_dup_span_fraction",
+    "q_bpe_pair_count",
+    "q_char_entropy",
+    "q_zscore_anomaly",
+    "q_degree_centrality",
+    "q_triangle_count",
+    # (d) the 13 oldest r5-stale names, registration order (13 of 44;
+    # the remaining 31 rotate in r10)
+    "q_scan_project",
+    "q_distinct",
+    "q_embed_scan",
+    "q_group_collect",
+    "q_filter_conf",
+    "q_filter_expr",
+    "q_filter_range",
+    "q_string_fmt",
+    "q_limit_offset",
+    "q_json_extract",
+    "q_sum_count",
+    "q_count_distinct",
+    "q_fuzzy_match",
 ]
-# r4-stale names NOT fitting this window (remain latest-row=r4, rotate
-# r9): q_sliding_window (window family re-proven by r7-green
-# q_tumbling_window / q_cumsum_window), q_cube (rollup/cube machinery
-# re-proven by r7-green q_rollup + this window's q_grouping_sets
-# refresh),
-# q_gap_fill, q_batch_infer, q_rolling_window, q_kmeans,
-# q_forward_fill, q_weighted_sample,
-# q_bm25, q_pii_scrub, q_iou_argmax, q_nms, q_greedy_match,
-# q_eval_metrics, q_track, q_grid_join_2d, q_remove_nested,
-# q_gen_embeddings, q_calibration, q_mask_filter, q_audio_decode,
-# q_video_decode, q_image_similarity, q_semdedup, q_gopher_rules,
-# q_dup_span_fraction, q_bpe_pair_count, q_char_entropy,
-# q_zscore_anomaly, q_degree_centrality, q_triangle_count.
+# r5-stale names NOT fitting this window (remain latest-row=r5, rotate
+# r10, registration order): q_approx_count_distinct,
+# q_approx_quantile, q_stats, q_global_norm,
+# q_cond_agg, q_lag_change, q_count_min, q_bloom_filter, q_hll,
+# q_join_size_estimate, q_histogram_quantiles, q_ann_recall,
+# q_ann_recall_multiprobe, q_pack_sequences_sharded, q_rrf_fusion,
+# q_bigram_surprisal, q_expectations, q_k_anonymity,
+# q_domain_mixture, q_bpe_learn, q_training_manifest,
+# q_dedup_canonical, q_ewma, q_winsorize, q_seasonal_anomaly,
+# q_mad_outliers, q_hourly_percentiles, q_ohlc, q_cusum, q_pagerank,
+# q_clustering_coeff.
 
 
 def query(name: str, oracle: str | None = None):

@@ -247,3 +247,47 @@ def ensure_png_fixture(
             with open(fp, "wb") as f:
                 f.write(payload)
     return path
+
+
+GIF_FIXTURE_DIR = os.path.join(_REPO_ROOT, ".gif_fixture")
+GIF_FIXTURE_N = 8
+
+
+def ensure_gif_fixture(
+    path: str = GIF_FIXTURE_DIR, n: int = GIF_FIXTURE_N
+) -> str:
+    """Idempotently write `n` REAL single-frame GIF89a files (16-color
+    global palette, literal-code LZW with periodic CLEARs — valid LZW
+    any reader decodes; the reference's own example artifacts are GIFs,
+    examples/hill_2min_..._200-209.gif). `plain=True` keeps every
+    block at a fixed offset and the whole LZW payload in ONE
+    sub-block, which is what lets q_gif_decode's DuckDB oracle
+    re-derive every pixel from hex arithmetically. Image i is a
+    deterministic (9+i%5) × (11+i%4) index pattern over a
+    deterministic palette — no RNG, byte-identical everywhere."""
+    import numpy as np
+
+    from ..operators.gifcodec import encode_gif
+
+    os.makedirs(path, exist_ok=True)
+    for i in range(n):
+        h, w = 9 + i % 5, 11 + i % 4
+        yy, xx = np.mgrid[0:h, 0:w]
+        idx = ((xx * (i + 2) + yy * (i + 5) + i * 3) % 16).astype(np.uint8)[
+            None
+        ]
+        lut = np.arange(16)
+        pal = np.stack(
+            [
+                (lut * (17 + i)) % 256,
+                (lut * 23 + i * 11) % 256,
+                (255 - lut * (13 + i)) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        payload = encode_gif(idx, pal, plain=True)
+        fp = os.path.join(path, f"{i:04d}.gif")
+        if not (os.path.exists(fp) and os.path.getsize(fp) == len(payload)):
+            with open(fp, "wb") as f:
+                f.write(payload)
+    return path

@@ -1,0 +1,254 @@
+"""GIF codec (operators/gifcodec.py) — roundtrips, the general-LZW
+path against the JVM's independent ImageIO GIF codec, multi-frame
+compositing semantics (transparency + disposal), error contracts,
+fixture determinism, and (when the reference checkout is present) a
+conformance decode of the reference's own 1920×1280 example
+artifacts."""
+
+import numpy as np
+import pytest
+
+
+def _rng():
+    return np.random.default_rng(59)
+
+
+def test_gif_roundtrip_matrix():
+    """encode→decode is exact for every palette size, interlace, and
+    frame count the encoder supports (GIF is lossless: index gather
+    through the color table)."""
+    from iceberg_tracking_spark.operators.gifcodec import decode_gif, encode_gif
+
+    rng = _rng()
+    for ncol in (4, 16, 256):
+        pal = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+        for interlaced in (False, True):
+            for nf, h, w in [(1, 1, 1), (1, 9, 13), (3, 12, 17)]:
+                idx = rng.integers(0, ncol, (nf, h, w)).astype(np.uint8)
+                blob = encode_gif(
+                    idx, pal, delays_ms=[30 * (i + 1) for i in range(nf)],
+                    interlaced=interlaced,
+                )
+                frames, delays = decode_gif(blob)
+                assert frames.shape == (nf, h, w, 3)
+                for i in range(nf):
+                    assert np.array_equal(frames[i], pal[idx[i]]), (
+                        ncol, interlaced, nf, i,
+                    )
+                assert delays == [30 * (i + 1) for i in range(nf)]
+
+
+def test_gif_plain_mode_fixed_offsets():
+    """plain=True writes the oracle's fixed layout: no extensions, one
+    data sub-block, pixel data at byte 25 + 3·GCT-entries, and the
+    literal-LZW stream decodes with ANY conformant reader (ours)."""
+    from iceberg_tracking_spark.operators.gifcodec import decode_gif, encode_gif
+
+    rng = _rng()
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (1, 11, 13)).astype(np.uint8)
+    blob = encode_gif(idx, pal, plain=True)
+    g = 2 << (blob[10] & 7)
+    assert g == 16
+    assert blob[13 + 3 * g] == 0x2C  # image descriptor right after GCT
+    assert blob[13 + 3 * g + 10] == 4  # LZW minimum code size
+    assert blob[-2:] == b"\x00\x3b"  # sub-block terminator + trailer
+    frames, _ = decode_gif(blob)
+    assert np.array_equal(frames[0], pal[idx[0]])
+    # plain mode refuses multi-frame and oversized payloads
+    with pytest.raises(ValueError, match="single-frame"):
+        encode_gif(np.zeros((2, 4, 4), np.uint8), pal, plain=True)
+    with pytest.raises(ValueError, match="one sub-block"):
+        encode_gif(np.zeros((1, 40, 40), np.uint8), pal, plain=True)
+
+
+def test_gif_cross_validated_against_jvm_imageio(spark):
+    """Both halves against the JVM's independent GIF implementation:
+
+    * our literal-LZW encode → ImageIO decode must equal the source
+      pixels exactly (GIF is lossless);
+    * ImageIO's OWN encoder writes real dictionary-compressed LZW —
+      our decoder must read it back exactly (this is the general-LZW
+      evidence the literal-mode roundtrip cannot give).
+
+    Pixels cross the gateway as PNG bytes via our PNG codec, the
+    established lossless transport of the JPEG/PNG conformance
+    tests."""
+    from iceberg_tracking_spark.operators.gifcodec import decode_gif, encode_gif
+    from iceberg_tracking_spark.operators.imagecodec import decode_png, encode_png
+
+    jvm = spark._jvm
+    rng = _rng()
+    pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+    # smooth + repetitive regions so ImageIO's LZW actually builds a
+    # dictionary (pure noise would stay near-literal)
+    yy, xx = np.mgrid[0:37, 0:53]
+    idx = (((xx // 4) * 16 + (yy // 4)) % 256).astype(np.uint8)[None]
+
+    # direction 1: our encoder, their decoder
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(encode_gif(idx, pal, plain=False)))
+    img = jvm.javax.imageio.ImageIO.read(bais)
+    assert img is not None, "ImageIO rejected our GIF"
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+    theirs = decode_png(bytes(baos.toByteArray()))
+    assert np.array_equal(theirs, pal[idx[0]])
+
+    # direction 2: their encoder (real compressed LZW), our decoder,
+    # against their own read-back of the same bytes
+    rgb = pal[idx[0]]
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(encode_png(rgb)))
+    img = jvm.javax.imageio.ImageIO.read(bais)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "gif", baos), (
+        "ImageIO has no GIF writer?"
+    )
+    jdk_gif = bytes(baos.toByteArray())
+    frames, _ = decode_gif(jdk_gif)
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(jdk_gif))
+    img = jvm.javax.imageio.ImageIO.read(bais)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+    their_read = decode_png(bytes(baos.toByteArray()))
+    if their_read.ndim == 2:
+        their_read = np.stack([their_read] * 3, axis=2)
+    assert frames.shape[0] == 1
+    assert np.array_equal(frames[0], their_read), (
+        "our general-LZW decode disagrees with ImageIO on its own file"
+    )
+
+
+def test_gif_transparency_and_disposal_compositing():
+    """GCE semantics: a transparent index leaves the underlying canvas
+    pixel; disposal 2 restores the background before the next frame;
+    disposal 3 restores the previous canvas. Built by splicing GCE
+    blocks into encoder output."""
+    from iceberg_tracking_spark.operators.gifcodec import decode_gif, encode_gif
+
+    pal = np.zeros((4, 3), np.uint8)
+    pal[0] = (10, 10, 10)
+    pal[1] = (200, 0, 0)
+    pal[2] = (0, 200, 0)
+    pal[3] = (0, 0, 200)
+    base = np.full((1, 6, 6), 1, np.uint8)  # all red
+    over = np.full((1, 6, 6), 2, np.uint8)
+    over[0, :3, :] = 3  # top half transparent-index-3? no: mark below
+    blob1 = encode_gif(base, pal, delays_ms=[40])
+    blob2 = encode_gif(over, pal, delays_ms=[40])
+    # frame 2 of a composite: take blob2's GCE+image, flip its GCE to
+    # transparent-on-index-3, splice after blob1's image
+    i2 = blob1.index(b"\x21\xf9")  # first GCE in blob1
+    gce2_at = blob2.index(b"\x21\xf9")
+    img2 = bytearray(blob2[gce2_at:-1])  # GCE..data (drop trailer)
+    img2[3] |= 1  # transparency flag on
+    img2[6] = 3  # transparent index = 3
+    spliced = blob1[:-1] + bytes(img2) + b"\x3b"
+    frames, _ = decode_gif(spliced)
+    assert frames.shape[0] == 2
+    # bottom half overwritten with green, top (transparent) keeps red
+    assert (frames[1][:3] == pal[1]).all()
+    assert (frames[1][3:] == pal[2]).all()
+    # disposal 2 on frame 1: frame 2's transparent pixels then show
+    # the BACKGROUND (index 0), not frame 1's red
+    spliced2 = bytearray(spliced)
+    spliced2[i2 + 3] = (spliced2[i2 + 3] & ~0x1C) | (2 << 2)
+    frames2, _ = decode_gif(bytes(spliced2))
+    assert (frames2[1][:3] == pal[0]).all()
+    assert (frames2[1][3:] == pal[2]).all()
+    assert (frames2[0] == pal[1]).all()  # frame 1 itself untouched
+
+
+def test_gif_error_contracts():
+    from iceberg_tracking_spark.operators.gifcodec import (
+        decode_gif,
+        encode_gif,
+        is_gif,
+    )
+
+    assert not is_gif(b"\x89PNG")
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF")
+    pal = np.zeros((4, 3), np.uint8)
+    blob = encode_gif(np.zeros((1, 5, 5), np.uint8), pal, plain=True)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(blob[:20])
+    # out-of-palette index at encode time
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif(np.full((1, 3, 3), 9, np.uint8), pal)
+    # unknown block byte where a descriptor should be
+    mangled = bytearray(blob)
+    mangled[13 + 12] = 0x7E  # image descriptor 0x2C → junk
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        decode_gif(bytes(mangled))
+
+
+def test_gif_flows_through_decode_media():
+    """decode_media dispatches GIF for real (no stub, no gate) and
+    grey-collapses the first composited frame."""
+    from iceberg_tracking_spark.operators.gifcodec import encode_gif
+    from iceberg_tracking_spark.operators.multimodal import decode_media
+
+    rng = _rng()
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (1, 8, 9)).astype(np.uint8)
+    grey = decode_media(encode_gif(idx, pal, plain=True), 0, 0, decode_stub=False)
+    rgb = pal[idx[0]]
+    assert np.array_equal(
+        grey, (rgb.astype(np.int32).sum(axis=2) // 3).astype(np.uint8)
+    )
+
+
+def test_gif_fixture_is_deterministic():
+    from iceberg_tracking_spark.operators.gifcodec import decode_gif
+    from iceberg_tracking_spark.sources.binary import ensure_gif_fixture
+
+    import os
+
+    d1 = ensure_gif_fixture()
+    # two fresh directories agree byte-for-byte
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as t:
+        a = ensure_gif_fixture(os.path.join(t, "a"))
+        b = ensure_gif_fixture(os.path.join(t, "b"))
+        for fn in sorted(os.listdir(a)):
+            ba = open(os.path.join(a, fn), "rb").read()
+            bb = open(os.path.join(b, fn), "rb").read()
+            assert ba == bb
+            # every fixture file decodes and is single-frame
+            frames, _ = decode_gif(ba)
+            assert frames.shape[0] == 1
+            # plain layout: LZW payload is ONE sub-block (oracle
+            # precondition)
+            g = 2 << (ba[10] & 7)
+            ln = ba[13 + 3 * g + 11]
+            assert ba[13 + 3 * g + 12 + ln] == 0x00
+    assert os.path.isdir(d1)
+
+
+def test_gif_reference_artifacts_decode():
+    """The reference repo's OWN example GIFs (1920×1280 tracking
+    animations) decode through the general-LZW path — the strongest
+    real-world conformance evidence available. Gated on the checkout
+    being present (the repo stays standalone without it)."""
+    import os
+
+    ref = "/root/reference/examples"
+    if not os.path.isdir(ref):
+        pytest.skip("reference checkout not present")
+    gifs = sorted(f for f in os.listdir(ref) if f.endswith(".gif"))
+    if not gifs:
+        pytest.skip("no example GIFs in reference checkout")
+    from iceberg_tracking_spark.operators.gifcodec import decode_gif
+
+    for fn in gifs:
+        data = open(os.path.join(ref, fn), "rb").read()
+        frames, delays = decode_gif(data, max_frames=2)
+        n, h, w, c = frames.shape
+        assert (h, w, c) == (1280, 1920, 3), fn
+        assert n == 2 and delays[0] > 0, fn
+        # real imagery: non-constant pixels in every decoded frame
+        assert frames[0].std() > 1.0 and frames[1].std() > 1.0, fn
+        # consecutive animation frames differ but share most content
+        diff = (frames[0] != frames[1]).mean()
+        assert 0.0 < diff < 0.9, (fn, diff)

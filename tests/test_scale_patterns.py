@@ -1056,3 +1056,179 @@ def test_mann_whitney_grid_bounded_by_value_grid(spark):
         assert r["n_a"] + r["n_b"] == 400_000
         assert abs(r["z_score"]) < 4.0  # exchangeable variants: no signal
         assert r["p_value"] > 1e-4
+
+
+def test_tracker_throughput_scales_across_sequences(spark):
+    """The tracker family's 100× story, MEASURED (r8 verdict task #4 —
+    the one operator family whose scale claim was asserted, not
+    measured like ANN/dedup): sequences ride separate applyInPandas
+    tasks (tracker/batch.py:track_sequences shuffles once on
+    `sequence`; reference analog is the per-sequence loop,
+    tracking.py:711-762), so 4× more sequences on a 32-core host must
+    raise TOTAL throughput (tracks/sec), not just total time — serial
+    execution would hold throughput flat. Also pins correctness at
+    scale: deterministic linear motion with 120 px spacing means every
+    object keeps ONE track id end-to-end."""
+    import time
+
+    from iceberg_tracking_spark.tracker.batch import track_sequences
+
+    n_frames, n_obj = 200, 10
+
+    def dets(n_seq):
+        per_seq = n_frames * n_obj
+        base = spark.range(n_seq * per_seq, numPartitions=64)
+        rem = F.col("id") % per_seq
+        frame = F.floor(rem / n_obj)
+        obj = rem % n_obj
+        return base.select(
+            F.concat(
+                F.lit("seq"),
+                F.lpad((F.col("id") / per_seq).cast("long").cast("string"), 4, "0"),
+            ).alias("sequence"),
+            F.lpad(frame.cast("string"), 6, "0").alias("frame"),
+            (obj + 1000).alias("obj_id"),
+            (obj * 120.0 + frame * 1.5).alias("bb_left"),
+            (obj * 80.0 + frame * 1.0).alias("bb_top"),
+            F.lit(20.0).alias("bb_width"),
+            F.lit(30.0).alias("bb_height"),
+            F.lit(0.9).alias("conf"),
+        )
+
+    def run(n_seq) -> tuple[float, int, int]:
+        df = track_sequences(dets(n_seq)).localCheckpoint(eager=False)
+        t = time.time()
+        n_rows = df.count()
+        dt = time.time() - t
+        n_tracks = df.select("sequence", "track_id").distinct().count()
+        return dt, n_rows, n_tracks
+
+    # the conftest session pins shuffle.partitions=8 for small-data
+    # determinism, and AQE coalesces a ~2 MB shuffle into ONE
+    # partition (correct for tiny local data, but it serializes the
+    # groups and hides exactly the property under test — at 100 TB
+    # the shuffle is far above the advisory size and never coalesces
+    # below core count). Widen both for the measurement, restore after.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        run(2)  # warm-up: Arrow/pandas worker spin-up off the clock
+        t_small, rows_small, tracks_small = run(8)
+        t_big, rows_big, tracks_big = run(32)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev_coal
+        )
+    # every detection matched, one track per object per sequence
+    assert rows_small == 8 * n_frames * n_obj
+    assert rows_big == 32 * n_frames * n_obj
+    assert tracks_small == 8 * n_obj and tracks_big == 32 * n_obj
+    thr_small = rows_small / t_small
+    thr_big = rows_big / t_big
+    print(
+        f"\ntracker throughput: 8 seqs {thr_small:,.0f} tracks/s "
+        f"({t_small:.2f}s), 32 seqs {thr_big:,.0f} tracks/s "
+        f"({t_big:.2f}s), scale-up {thr_big / thr_small:.2f}x"
+    )
+    # parallel across sequences: 4x the work must lift throughput well
+    # clear of serial-flat (1.0x); 1.3x leaves room for co-tenant noise
+    assert thr_big > 1.3 * thr_small, (
+        f"tracker throughput flat across sequences: {thr_small:.0f} -> "
+        f"{thr_big:.0f} tracks/s"
+    )
+
+
+def test_fuzzy_match_candidate_growth_and_planted_recall(spark):
+    """q_fuzzy_match's blocking design, MEASURED at 500k docs (r8
+    verdict task #6 — dedup/ANN have growth curves, fuzzy match only
+    had the plan argument): drive the EXACT product plan
+    (fuzzy_match_pairs) over a synthetic (doc_id, lang, len, prefix)
+    relation with planted typo pairs.
+
+    Honest scale shape (pinned, not hand-waved): length-bucket
+    blocking is a CONSTANT-FACTOR reducer — candidates ≈ naive · 3/B
+    where B is the number of occupied length buckets per language —
+    so at a FIXED length range the fraction holds constant as the
+    corpus grows (unlike LSH, whose bucket count grows with content
+    diversity). The 100 TB lever is B itself: real corpora spread
+    lengths with size, and the third measurement shows the fraction
+    falling proportionally when the length range widens 4×. Recall
+    stays lossless by construction (|Δlen| < bucket ⇒ same-or-adjacent
+    bucket; the 3-probe explode covers both)."""
+    from iceberg_tracking_spark.plans.queries_curation import (
+        _FUZZ_BUCKET,
+        fuzzy_match_pairs,
+    )
+
+    n_planted = 500
+
+    def corpus(n_docs: int, len_range: int):
+        # base docs: hash-spread lengths over [200, 200+len_range) →
+        # len_range / 20 length buckets per language
+        base = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("lang"), (F.col("id") % 4).cast("string")).alias(
+                "lang"
+            ),
+            (200 + F.pmod(F.xxhash64("id"), F.lit(len_range))).alias("len"),
+            F.concat(
+                F.lit("prefix_"),
+                F.lpad(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100_000_000))
+                       .cast("string"), 9, "0"),
+            ).alias("prefix"),
+        )
+        # planted near-dups: doc_id n_docs+k is a typo twin of doc k —
+        # same lang, len shifted by < bucket width, ONE prefix char
+        # changed (edit distance 1)
+        twins = spark.range(n_planted).select(
+            (F.col("id") + n_docs).alias("doc_id"),
+            F.concat(F.lit("lang"), (F.col("id") % 4).cast("string")).alias(
+                "lang"
+            ),
+            (
+                200
+                + F.pmod(F.xxhash64("id"), F.lit(len_range))
+                + F.lit(_FUZZ_BUCKET - 1)
+            ).alias("len"),
+            F.concat(
+                F.lit("prefiy_"),  # one substitution vs "prefix_"
+                F.lpad(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100_000_000))
+                       .cast("string"), 9, "0"),
+            ).alias("prefix"),
+        )
+        return base.unionByName(twins)
+
+    def measure(n_docs: int, len_range: int = 10_000) -> tuple[int, float, int]:
+        d = corpus(n_docs, len_range).localCheckpoint(eager=False)
+        # candidate volume = the equi-join fan BEFORE the distance cut
+        cands = fuzzy_match_pairs(d, max_dist=10**9).count()
+        per_lang = (n_docs + n_planted) / 4
+        naive = 4 * per_lang * (per_lang - 1) / 2
+        hits = fuzzy_match_pairs(d).filter(F.col("dist") <= 1)
+        planted_found = hits.filter(
+            F.col("b_id") - F.col("a_id") == n_docs
+        ).count()
+        return cands, cands / naive, planted_found
+
+    c_small, frac_small, found_small = measure(125_000)
+    c_big, frac_big, found_big = measure(500_000)
+    # the B lever: same 500k docs, lengths spread over 4x the range
+    c_wide, frac_wide, found_wide = measure(500_000, len_range=40_000)
+    print(
+        f"\nfuzzy-match candidates: 125k docs {c_small:,} "
+        f"({frac_small:.2e} of naive), 500k docs {c_big:,} "
+        f"({frac_big:.2e}), 500k docs @4x length spread {c_wide:,} "
+        f"({frac_wide:.2e}); planted recall {found_small}/"
+        f"{n_planted}, {found_big}/{n_planted}, {found_wide}/{n_planted}"
+    )
+    # constant-factor blocker: fraction ~ 3/B (B = 500 buckets/lang
+    # here → ~6e-3 analytic), holds flat as the corpus grows
+    assert frac_small < 6e-3 and frac_big < 6e-3
+    assert abs(frac_big - frac_small) < 0.2 * frac_small
+    # the lever: 4x the buckets → ~4x lower fraction
+    assert frac_wide < 0.35 * frac_big
+    # lossless: every planted typo pair surfaces in every regime
+    assert found_small == found_big == found_wide == n_planted
