@@ -1397,7 +1397,7 @@ def q_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
         )
         .agg(F.sum("q").alias("r"))
-        # three consumers: both pair sides and the already-rated anti-join
+        # two consumers: both pair sides (via capped) and targets
         .localCheckpoint()
     )
     # two consumers (both sides of the deviation self-join) — without
@@ -1405,7 +1405,12 @@ def q_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = cap_group_size(
         ratings, ["u"], [F.col("i")], _BASKET_CAP
     ).localCheckpoint()
-    targets = ratings.filter(F.col("u") % _SO_USER_MOD == 1)
+    # three consumers (dev-join probe, anti-join build, t_items) AND the
+    # 1/_SO_USER_MOD user sample makes it broadcast-sized, so both of
+    # its joins below are shuffle-free on the big side
+    targets = ratings.filter(
+        F.col("u") % _SO_USER_MOD == 1
+    ).localCheckpoint()
     # deviation rows are only ever consumed joined on ib ∈ the target
     # users' item sets, so the b-side of the pair fan is left-semi-
     # bounded to those items BEFORE the explosion (provably identical
@@ -1413,7 +1418,7 @@ def q_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     # still aggregate over ALL co-rating users of a retained pair.
     t_items = targets.select("i").distinct()
     a = capped.alias("a")
-    b = capped.join(t_items, "i", "left_semi").alias("b")
+    b = capped.join(F.broadcast(t_items), "i", "left_semi").alias("b")
     dev = (
         a.join(
             b,
@@ -1428,10 +1433,20 @@ def q_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cnt") >= _SO_MIN_SUPPORT)
     )
+    # the NOT EXISTS probe only ever sees u ∈ targets (the left side's
+    # users are the sampled targets), and ratings restricted to target
+    # users IS `targets` — so the anti-join build side shrinks by
+    # _SO_USER_MOD× and broadcasts (provably identical output, same
+    # move as the dev-side semi-bound). `targets` also broadcasts as
+    # the dev join's small side, so the big deviation table is never
+    # shuffled after its aggregation.
     cand = (
-        targets.join(dev, F.col("ib") == F.col("i"))
+        F.broadcast(targets)
+        .join(dev, F.col("ib") == F.col("i"))
         .join(
-            ratings.select(F.col("u").alias("u2"), F.col("i").alias("j2")),
+            F.broadcast(
+                targets.select(F.col("u").alias("u2"), F.col("i").alias("j2"))
+            ),
             (F.col("u") == F.col("u2")) & (F.col("ia") == F.col("j2")),
             "left_anti",
         )
