@@ -138,6 +138,14 @@ EXTENDED = [
     "q_zipf_fit",
     # round-9: real GIF decode (general LZW + literal-LZW oracle path)
     "q_gif_decode",
+    # round-9 stats/graph/calibration wave: Spearman, Kruskal-Wallis,
+    # permutation test, isotonic PAV, Adamic-Adar, HITS
+    "q_spearman",
+    "q_kruskal_wallis",
+    "q_permutation_test",
+    "q_isotonic_calibration",
+    "q_adamic_adar",
+    "q_hits",
 ]
 
 # Regression floors for the HEADLINE set (r6 verdict task: the
@@ -302,6 +310,15 @@ EXTENDED_FLOOR_SEC = {
     # (0.862s; first run 9.0s is fixture+listing warm-up, absorbed by
     # the harness's min-of-3)
     "q_gif_decode": 0.862,
+    # r9 stats/graph wave: first solo sf0.1 min-of-3 recordings (host
+    # showed residual load-average ~1-8 from the same-session pytest
+    # sweep; tighten from a quieter end-of-round solo run if one lands)
+    "q_spearman": 4.413,
+    "q_kruskal_wallis": 1.452,
+    "q_permutation_test": 1.434,
+    "q_isotonic_calibration": 2.289,
+    "q_adamic_adar": 4.926,
+    "q_hits": 3.094,
 }
 
 

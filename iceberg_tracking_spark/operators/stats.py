@@ -250,3 +250,307 @@ def mw_from_grid(grid: DataFrame) -> DataFrame:
         "z_score",
         normal_two_sided_p(F.col("z_score")).alias("p_value"),
     )
+
+
+# ------------------------------------------ Spearman rank correlation
+
+_DEC = "decimal(38,0)"
+
+
+def spearman_from_cells(cells: DataFrame) -> DataFrame:
+    """(seg, n, rho) from a (seg, x, yc, cnt) CELL relation (rows
+    collapsed onto the two integer value grids): tie-corrected Spearman
+    = Pearson of pooled midranks, every rank lifted to the integer
+    2·rank grid (rx2 = 2·cum_before + t + 1, the mw_grid move) so all
+    six Pearson sums are exact DECIMAL algebra over the cells; rho is
+    a fixed float sequence (two cast-to-double factors, one sqrt, one
+    division) rounded 6dp. Degenerate segments (all x or all y tied)
+    are NULL. The cell relation must be materialized by the caller
+    (three consumers: both marginal rank tables and the cell join).
+
+    Scale: marginals and joins are grid-sized; windows partition by
+    segment over the bounded grid. n·S11 grows as 4n⁴ — inside
+    decimal(38) to n ~ 10⁹ rows per segment."""
+    from pyspark.sql import Window
+
+    def marginal(col: str, rank_col: str) -> DataFrame:
+        g = cells.groupBy("seg", col).agg(F.sum("cnt").alias("t"))
+        w = (
+            Window.partitionBy("seg")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cb = F.coalesce(F.sum("t").over(w), F.lit(0))
+        return g.select(
+            "seg", col, (2 * cb + F.col("t") + 1).alias(rank_col)
+        )
+
+    xg = marginal("x", "rx2")
+    yg = marginal("yc", "ry2")
+    j = cells.join(xg, ["seg", "x"]).join(yg, ["seg", "yc"])
+    cd = F.col("cnt").cast(_DEC)
+    rx = F.col("rx2").cast(_DEC)
+    ry = F.col("ry2").cast(_DEC)
+    s = j.groupBy("seg").agg(
+        F.sum("cnt").cast(_DEC).alias("n"),
+        F.sum(cd * rx).alias("s1"),
+        F.sum(cd * ry).alias("s2"),
+        F.sum(cd * rx * rx).alias("s11"),
+        F.sum(cd * ry * ry).alias("s22"),
+        F.sum(cd * rx * ry).alias("s12"),
+    )
+    n = F.col("n")
+    varx = n * F.col("s11") - F.col("s1") * F.col("s1")
+    vary = n * F.col("s22") - F.col("s2") * F.col("s2")
+    num = (n * F.col("s12") - F.col("s1") * F.col("s2")).cast("double")
+    return s.select(
+        "seg",
+        n.cast("long").alias("n"),
+        F.when(
+            (n > 1) & (varx > 0) & (vary > 0),
+            F.round(
+                num / F.sqrt(varx.cast("double") * vary.cast("double")), 6
+            ),
+        ).alias("rho"),
+    )
+
+
+# --------------------------------------------- Kruskal-Wallis (3 groups)
+
+
+def kw3_from_rows(rows: DataFrame) -> DataFrame:
+    """(event_type, n0, n1, n2, h_stat, p_value) from (event_type, grp,
+    cents) rows with grp ∈ {0,1,2}: tie-corrected Kruskal-Wallis H via
+    the 2R_j integer-grid rank sums; H a fixed float op sequence over
+    exact DECIMALs rounded 6dp; k = 3 ⇒ df = 2 ⇒ the chi² tail is
+    EXACTLY exp(−H/2), from the rounded H (the transcendental rule).
+    Segments missing a group drop; all-tied segments → NULL H/p."""
+    from pyspark.sql import Window
+
+    g = rows.groupBy("event_type", "cents").agg(
+        *[
+            F.sum(F.when(F.col("grp") == j, 1).otherwise(0))
+            .cast("long")
+            .alias(f"g{j}")
+            for j in range(3)
+        ]
+    )
+    t = F.col("g0") + F.col("g1") + F.col("g2")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn("t", t).withColumn(
+        "cb", F.coalesce(F.sum("t").over(w), F.lit(0))
+    )
+    mid2 = (2 * F.col("cb") + F.col("t") + 1).cast(_DEC)
+    td = F.col("t").cast(_DEC)
+    s = r.groupBy("event_type").agg(
+        F.sum("g0").alias("n0"),
+        F.sum("g1").alias("n1"),
+        F.sum("g2").alias("n2"),
+        F.sum(F.col("g0").cast(_DEC) * mid2).alias("r20"),
+        F.sum(F.col("g1").cast(_DEC) * mid2).alias("r21"),
+        F.sum(F.col("g2").cast(_DEC) * mid2).alias("r22"),
+        F.sum(td * td * td - td).alias("tie"),
+    ).filter((F.col("n0") > 0) & (F.col("n1") > 0) & (F.col("n2") > 0))
+    nd = (F.col("n0") + F.col("n1") + F.col("n2")).cast("double")
+    sumterm = (
+        (F.col("r20") * F.col("r20")).cast("double")
+        / (F.lit(4.0) * F.col("n0").cast("double"))
+        + (F.col("r21") * F.col("r21")).cast("double")
+        / (F.lit(4.0) * F.col("n1").cast("double"))
+        + (F.col("r22") * F.col("r22")).cast("double")
+        / (F.lit(4.0) * F.col("n2").cast("double"))
+    )
+    corr = F.lit(1.0) - F.col("tie").cast("double") / (nd * nd * nd - nd)
+    h = s.select(
+        "event_type",
+        "n0",
+        "n1",
+        "n2",
+        F.when(
+            corr > 0,
+            F.round(
+                (
+                    F.lit(12.0) * sumterm / (nd * (nd + F.lit(1.0)))
+                    - F.lit(3.0) * (nd + F.lit(1.0))
+                )
+                / corr,
+                6,
+            ),
+        ).alias("h_stat"),
+    )
+    return h.select(
+        "event_type",
+        "n0",
+        "n1",
+        "n2",
+        "h_stat",
+        F.round(F.exp(-F.col("h_stat") / F.lit(2.0)), 6).alias("p_value"),
+    )
+
+
+# ----------------------------------------------------- permutation test
+
+
+def permutation_mean_diff(ua: DataFrame, n_perms: int) -> DataFrame:
+    """(event_type, n_a, n_b, obs_diff, p_value) from the per-UNIT
+    aggregate (event_type, user_id, sc, nr): permutation test on the
+    variant mean difference (variant = user_id % 2 observed; relabeling
+    p = first-32-md5-bits(user:p) mod 2 — the q_kfold seeded hash, so
+    the label matrix is identical on any engine/partitioning/retry).
+    Sums exact integers; each mean ONE division; the add-one p-value
+    (Phipson & Smyth 2010) counts |d_p| ≥ |d_obs| over bit-identical
+    doubles. obs_diff is rescaled cents → units (÷100, rounded 6dp).
+
+    Scale: the ×(P+1) fan rides the |units|-row aggregate, never raw
+    rows; labels are projections (no shuffle); the final aggregate is
+    one row per (segment, permutation)."""
+    spark = ua.sparkSession
+    perms = spark.range(0, n_perms + 1).select(F.col("id").alias("p"))
+    lab = ua.crossJoin(F.broadcast(perms)).withColumn(
+        "variant",
+        F.when(F.col("p") == 0, F.col("user_id") % 2).otherwise(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("user_id").cast("string"),
+                            F.col("p").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ),
+    )
+    d = lab.groupBy("event_type", "p").agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("sc")).otherwise(0)).alias(
+            "sa"
+        ),
+        F.sum(F.when(F.col("variant") == 0, F.col("nr")).otherwise(0)).alias(
+            "ca"
+        ),
+        F.sum(F.when(F.col("variant") == 1, F.col("sc")).otherwise(0)).alias(
+            "sb"
+        ),
+        F.sum(F.when(F.col("variant") == 1, F.col("nr")).otherwise(0)).alias(
+            "cb"
+        ),
+    )
+    diff = F.when(
+        (F.col("ca") > 0) & (F.col("cb") > 0),
+        F.col("sa").cast("double") / F.col("ca").cast("double")
+        - F.col("sb").cast("double") / F.col("cb").cast("double"),
+    )
+    diffs = d.select(
+        "event_type", "p", "ca", "cb", diff.alias("diff")
+    ).localCheckpoint()  # two consumers: observed row + permutation rows
+    obs = diffs.filter(F.col("p") == 0).select(
+        "event_type",
+        F.col("ca").alias("n_a"),
+        F.col("cb").alias("n_b"),
+        F.col("diff").alias("obs_diff"),
+    )
+    # ≥ indicator BEFORE the aggregate, against the UNROUNDED
+    # cents-scale observed diff; only the displayed diff rescales
+    ge = (
+        F.broadcast(obs)
+        .join(diffs.filter(F.col("p") >= 1), "event_type")
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            "obs_diff",
+            F.when(F.abs(F.col("diff")) >= F.abs(F.col("obs_diff")), 1)
+            .otherwise(0)
+            .alias("ge"),
+        )
+    )
+    return (
+        ge.groupBy("event_type", "n_a", "n_b", "obs_diff")
+        .agg(F.sum("ge").alias("n_ge"))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round(F.col("obs_diff") / 100.0, 6).alias("obs_diff"),
+            F.round(
+                (F.lit(1.0) + F.col("n_ge").cast("double"))
+                / F.lit(1.0 + n_perms),
+                6,
+            ).alias("p_value"),
+        )
+    )
+
+
+# --------------------------------------------- isotonic fit (PAV minimax)
+
+
+def isotonic_fit(per_bin: DataFrame) -> DataFrame:
+    """(ib, g) from an ordered-bin relation (bin, n, s_y): the PAV
+    solution via the closed minimax form g(i) = max_{j≤i} min_{k≥i}
+    avg(y over bins j..k) (Robertson-Wright-Dykstra 1988, Thm 1.4.4) —
+    three bounded relational passes instead of the serial pool-merge
+    loop. Every interval average is ONE IEEE division of exact integer
+    prefix sums, so min/max match cross-engine bit-for-bit. The caller
+    materializes per_bin (three consumers). Cost is O(B³) on a B-row
+    relation — constant at any corpus size for fixed B."""
+    # prefix sums WITHOUT a global window (even on a B-row relation the
+    # house rule is no single-partition stages): each bin's (s_y, n)
+    # explodes onto every prefix position ≥ its index and a hash
+    # aggregate per position sums them — O(B²) rows, equi all the way
+    maxb = per_bin.agg(F.max("bin").alias("maxb"))
+    pref = (
+        per_bin.crossJoin(F.broadcast(maxb))
+        .select(
+            "s_y",
+            "n",
+            F.explode(F.sequence(F.col("bin"), F.col("maxb"))).alias("pbin"),
+        )
+        .groupBy("pbin")
+        .agg(F.sum("s_y").alias("cy"), F.sum("n").alias("cn"))
+    )
+    pb = per_bin.join(pref, per_bin.bin == pref.pbin).select(
+        "bin", "n", "s_y", "cy", "cn"
+    )
+    # the triangular (j ≤ k) pair set is generated by EXPLODING each
+    # j-row over its k-range and equi-joining the k prefix sums back —
+    # no non-equi join, no nested loop, no cartesian anywhere
+    jk = pb.crossJoin(F.broadcast(maxb)).select(
+        F.col("bin").alias("jb"),
+        (F.col("cy") - F.col("s_y")).alias("cyb"),
+        (F.col("cn") - F.col("n")).alias("cnb"),
+        F.explode(F.sequence(F.col("bin"), F.col("maxb"))).alias("kb"),
+    )
+    pairs = jk.join(
+        pb.select(
+            F.col("bin").alias("kb"),
+            F.col("cy").alias("kcy"),
+            F.col("cn").alias("kcn"),
+        ),
+        "kb",
+    ).select(
+        "jb",
+        "kb",
+        (
+            (F.col("kcy") - F.col("cyb")).cast("double")
+            / (F.col("kcn") - F.col("cnb")).cast("double")
+        ).alias("avg_jk"),
+    )
+    # i ∈ [jb, kb] likewise by explode; phantom i indices (bins absent
+    # from per_bin) are dropped by the caller's equi-join on ib
+    tri = pairs.select(
+        "jb",
+        "avg_jk",
+        F.explode(F.sequence(F.col("jb"), F.col("kb"))).alias("ib"),
+    )
+    mins = tri.groupBy("ib", "jb").agg(F.min("avg_jk").alias("m"))
+    return mins.groupBy("ib").agg(F.max("m").alias("g"))

@@ -2215,3 +2215,318 @@ def q_acf(spark, sf_dir):
         F.col("m_k").cast("long").alias("n_pairs"),
         F.round(F.col("c_k") / F.col("c_0"), 6).alias("acf"),
     )
+
+
+# ---------------------------------------------- Spearman rank correlation
+
+
+@query(
+    "q_spearman",
+    oracle="""
+    WITH cells AS (
+        SELECT l_returnflag AS seg,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS yc,
+               count(*) AS cnt
+        FROM lineitem GROUP BY 1, 2, 3
+    ),
+    xg AS (
+        SELECT seg, x, t,
+               2 * coalesce(sum(t) OVER (
+                   PARTITION BY seg ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + t + 1 AS rx2
+        FROM (SELECT seg, x, CAST(sum(cnt) AS BIGINT) AS t
+              FROM cells GROUP BY 1, 2)
+    ),
+    yg AS (
+        SELECT seg, yc, t,
+               2 * coalesce(sum(t) OVER (
+                   PARTITION BY seg ORDER BY yc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + t + 1 AS ry2
+        FROM (SELECT seg, yc, CAST(sum(cnt) AS BIGINT) AS t
+              FROM cells GROUP BY 1, 2)
+    ),
+    s AS (
+        SELECT c.seg,
+               CAST(sum(c.cnt) AS HUGEINT) AS n,
+               CAST(sum(c.cnt * CAST(xg.rx2 AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(sum(c.cnt * CAST(yg.ry2 AS HUGEINT)) AS HUGEINT) AS s2,
+               CAST(sum(c.cnt * CAST(xg.rx2 AS HUGEINT) * xg.rx2)
+                    AS HUGEINT) AS s11,
+               CAST(sum(c.cnt * CAST(yg.ry2 AS HUGEINT) * yg.ry2)
+                    AS HUGEINT) AS s22,
+               CAST(sum(c.cnt * CAST(xg.rx2 AS HUGEINT) * yg.ry2)
+                    AS HUGEINT) AS s12
+        FROM cells c
+        JOIN xg ON xg.seg = c.seg AND xg.x = c.x
+        JOIN yg ON yg.seg = c.seg AND yg.yc = c.yc
+        GROUP BY 1
+    )
+    SELECT seg AS returnflag, CAST(n AS BIGINT) AS n,
+           CASE WHEN n > 1 AND (n * s11 - s1 * s1) > 0
+                     AND (n * s22 - s2 * s2) > 0
+                THEN round(CAST(n * s12 - s1 * s2 AS DOUBLE)
+                           / sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE)
+                                  * CAST(n * s22 - s2 * s2 AS DOUBLE)), 6)
+           END AS rho
+    FROM s
+    """,
+)
+def q_spearman(spark, sf_dir):
+    """Tie-corrected Spearman rank correlation per segment — the
+    nonparametric monotone-association companion to q_corr_covar's
+    Pearson (rank-based, so it survives the skewed metrics that break
+    Pearson, the same motivation as q_mann_whitney). rho = Pearson of
+    the pooled midranks of quantity vs extended price within each
+    l_returnflag segment; ties get average ranks, making this the
+    tie-corrected (Kendall 1948) form.
+
+    Ranking WITHOUT sorting rows — the q_mann_whitney grid move, taken
+    one step further: rows collapse to (segment, x, y) CELLS, each
+    variable's midrank comes from per-value counts (midrank lifted to
+    the integer 2·rank grid: rx2 = 2·cum_before + t + 1), and every
+    Pearson sum lifts to the cells: Σ_rows rx·ry = Σ_cells cnt·rx·ry.
+    The scale factors of 2 cancel in rho, so computing on the 2×-grid
+    changes nothing. All six sums (n, Σrx, Σry, Σrx², Σry², Σrx·ry)
+    are exact DECIMAL/HUGEINT algebra; rho is a fixed float sequence
+    over those exact integers — two cast-to-double factors multiplied,
+    one sqrt, one division — rounded 6dp. Degenerate segments (all x
+    tied or all y tied) are NULL on both engines.
+
+    Scale: the shuffle reduces rows to the value-grid cells (bounded
+    by |x grid| × |y grid| per segment, not row count); rank tables
+    are marginal sums OVER the cells (windows partitioned by segment
+    on the bounded grid, never a global sort); the joins back are
+    grid-sized equi-joins. n·S11 grows as 4n⁴ — inside decimal(38)
+    up to n ~ 10⁹ per segment; beyond that the sums shift to the
+    centered/streaming form (document'd, not hit at any tested sf).
+    """
+    from ..operators.stats import spearman_from_cells
+
+    li = _t(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_returnflag").alias("seg"),
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("yc"),
+        )
+        .groupBy("seg", "x", "yc")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # three consumers: both marginal rank tables and the cell join
+        .localCheckpoint()
+    )
+    return spearman_from_cells(cells).select(
+        F.col("seg").alias("returnflag"), "n", "rho"
+    )
+
+
+# ------------------------------------------------------- Kruskal-Wallis
+
+_KW_GROUPS = 3  # user_id % 3 → k = 3 groups, df = 2: exact chi² tail
+
+
+@query(
+    "q_kruskal_wallis",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, user_id % {_KW_GROUPS} AS grp,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type, cents,
+               CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+               CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+               CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2
+        FROM e GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, g0 + g1 + g2 AS t,
+               coalesce(sum(g0 + g1 + g2) OVER (
+                   PARTITION BY event_type ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cb
+        FROM g
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(sum(g0) AS BIGINT) AS n0,
+               CAST(sum(g1) AS BIGINT) AS n1,
+               CAST(sum(g2) AS BIGINT) AS n2,
+               CAST(sum(CAST(g0 AS HUGEINT) * (2 * cb + t + 1)) AS HUGEINT)
+                 AS r20,
+               CAST(sum(CAST(g1 AS HUGEINT) * (2 * cb + t + 1)) AS HUGEINT)
+                 AS r21,
+               CAST(sum(CAST(g2 AS HUGEINT) * (2 * cb + t + 1)) AS HUGEINT)
+                 AS r22,
+               CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tie
+        FROM r GROUP BY 1
+    ),
+    h AS (
+        SELECT event_type, n0, n1, n2,
+               CAST(n0 + n1 + n2 AS DOUBLE) AS nd,
+               CAST(r20 * r20 AS DOUBLE) / (4.0 * CAST(n0 AS DOUBLE))
+                 + CAST(r21 * r21 AS DOUBLE) / (4.0 * CAST(n1 AS DOUBLE))
+                 + CAST(r22 * r22 AS DOUBLE) / (4.0 * CAST(n2 AS DOUBLE))
+                 AS sumterm,
+               CAST(tie AS DOUBLE) AS tied
+        FROM s
+        WHERE n0 > 0 AND n1 > 0 AND n2 > 0
+    ),
+    hh AS (
+        SELECT event_type, n0, n1, n2,
+               CASE WHEN (1.0 - tied / (nd * nd * nd - nd)) > 0
+                    THEN round((12.0 * sumterm / (nd * (nd + 1.0))
+                                - 3.0 * (nd + 1.0))
+                               / (1.0 - tied / (nd * nd * nd - nd)), 6)
+               END AS h_stat
+        FROM h
+    )
+    SELECT event_type, n0, n1, n2, h_stat,
+           round(exp(-h_stat / 2.0), 6) AS p_value
+    FROM hh
+    """,
+)
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H test with tie correction — the k-group
+    extension of q_mann_whitney (one-way ANOVA on ranks; the
+    nonparametric sibling of q_anova for skewed metrics). Three
+    groups (user_id % 3) per event_type segment on the cents grid:
+    H = [12/(N(N+1)) Σ_j R_j²/n_j − 3(N+1)] / (1 − Σ(t³−t)/(N³−N)).
+
+    Determinism, the mw_from_grid playbook: midranks from per-(segment,
+    cents) counts lifted to the integer 2R_j = Σ c_j(2·cum_before+t+1)
+    grid (so R_j²/n_j = (2R_j)²/(4n_j)), rank sums / squares / tie term
+    all exact HUGEINT/DECIMAL; H is a FIXED float op sequence over
+    those exact integers — three division terms added in explicit
+    j=0,1,2 order (column additions, never an aggregate over floats) —
+    rounded 6dp. k = 3 is chosen deliberately: df = 2 makes the chi²
+    tail EXACTLY exp(−H/2) — no incomplete-gamma approximation to
+    disagree on; evaluated from the ROUNDED H on both engines (the
+    normal_two_sided_p transcendental rule). Segments missing a group
+    are dropped; all-tied segments yield NULL H/p.
+
+    Scale: identical shape to q_mann_whitney — one hash aggregate to
+    the value grid (bounded by the grid, not rows), a window
+    partitioned by segment over that grid, then one row per segment.
+    The grid counts are additive, so the same relation streams via
+    merge_aggregate if maintained.
+    """
+    from ..operators.stats import kw3_from_rows
+
+    rows = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("user_id") % _KW_GROUPS).alias("grp"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    return kw3_from_rows(rows)
+
+
+# ----------------------------------------------------- permutation test
+
+_PERM_N = 19  # permutations beside the observed labeling → p-grid 1/20
+
+
+@query(
+    "q_permutation_test",
+    oracle=f"""
+    WITH ua AS (
+        SELECT event_type, user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS sc,
+               count(*) AS nr
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    perms AS (SELECT unnest(range(0, {_PERM_N} + 1)) AS p),
+    lab AS (
+        SELECT ua.*, p,
+               CASE WHEN p = 0 THEN user_id % 2
+                    ELSE ('0x' || substring(md5(CAST(user_id AS VARCHAR)
+                              || ':' || CAST(p AS VARCHAR)), 1, 8))::BIGINT % 2
+               END AS variant
+        FROM ua CROSS JOIN perms
+    ),
+    d AS (
+        SELECT event_type, p,
+               CAST(sum(CASE WHEN variant = 0 THEN sc ELSE 0 END) AS BIGINT)
+                 AS sa,
+               CAST(sum(CASE WHEN variant = 0 THEN nr ELSE 0 END) AS BIGINT)
+                 AS ca,
+               CAST(sum(CASE WHEN variant = 1 THEN sc ELSE 0 END) AS BIGINT)
+                 AS sb,
+               CAST(sum(CASE WHEN variant = 1 THEN nr ELSE 0 END) AS BIGINT)
+                 AS cb
+        FROM lab GROUP BY 1, 2
+    ),
+    diffs AS (
+        SELECT event_type, p, ca, cb,
+               CASE WHEN ca > 0 AND cb > 0
+                    THEN CAST(sa AS DOUBLE) / CAST(ca AS DOUBLE)
+                         - CAST(sb AS DOUBLE) / CAST(cb AS DOUBLE)
+               END AS diff
+        FROM d
+    ),
+    obs AS (
+        SELECT event_type, ca AS n_a, cb AS n_b, diff AS obs_diff
+        FROM diffs WHERE p = 0
+    )
+    SELECT o.event_type, o.n_a, o.n_b,
+           round(o.obs_diff / 100.0, 6) AS obs_diff,
+           round((1.0 + CAST(sum(CASE WHEN abs(x.diff) >= abs(o.obs_diff)
+                                      THEN 1 ELSE 0 END) AS DOUBLE))
+                 / (1.0 + {_PERM_N}), 6) AS p_value
+    FROM obs o JOIN diffs x
+      ON x.event_type = o.event_type AND x.p >= 1
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_permutation_test(spark, sf_dir):
+    """Permutation test on the variant mean difference — the
+    assumption-free inference path beside q_ab_test (t), q_mann_whitney
+    (ranks): relabel experiment units, recompute the statistic, and
+    read the p-value off the permutation distribution (Fisher 1935;
+    the add-one form p = (1+#{|d_p| ≥ |d_obs|})/(1+P) of Phipson &
+    Smyth 2010). Unit = USER (the randomization unit — rows of one
+    user never split across variants), 19 relabelings + the observed.
+
+    Determinism without randomness: relabeling p assigns variant =
+    first-32-md5-bits(user:p) mod 2 — the q_kfold seeded-hash move, so
+    every engine, partitioning, and retry derives the SAME label
+    matrix. Per-(segment, permutation) sums are exact cents integers;
+    each mean is ONE division, the difference a fixed float op; the
+    |d_p| ≥ |d_obs| comparisons run on bit-identical doubles, and the
+    p-value is a count on the exact 1/20 grid. Output means rescale
+    cents → original units (ONE more division by 100, rounded 6dp).
+
+    Scale: the fact table reduces ONCE to the (segment, user) relation
+    (hash aggregate, additive, streamable); the ×20 permutation fan
+    rides that small relation, never the raw events — at 100 TB the
+    explode is |users|·P rows, not |rows|·P. The label needs no
+    shuffle (it's a projection), and the final aggregate is one row
+    per (segment, permutation). This is why permutation tests — naive
+    cost P × the data — are FREE at scale when the statistic is a
+    per-unit-additive mean.
+    """
+    from ..operators.stats import permutation_mean_diff
+
+    ua = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("cents").alias("sc"), F.count(F.lit(1)).alias("nr"))
+    )
+    return permutation_mean_diff(ua, _PERM_N)

@@ -1405,9 +1405,8 @@ def q_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = cap_group_size(
         ratings, ["u"], [F.col("i")], _BASKET_CAP
     ).localCheckpoint()
-    # three consumers (dev-join probe, anti-join build, t_items) AND the
-    # 1/_SO_USER_MOD user sample makes it broadcast-sized, so both of
-    # its joins below are shuffle-free on the big side
+    # three consumers (dev-join probe, anti-join build, t_items):
+    # materialize the 1/_SO_USER_MOD user sample once
     targets = ratings.filter(
         F.col("u") % _SO_USER_MOD == 1
     ).localCheckpoint()
@@ -1418,7 +1417,7 @@ def q_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     # still aggregate over ALL co-rating users of a retained pair.
     t_items = targets.select("i").distinct()
     a = capped.alias("a")
-    b = capped.join(F.broadcast(t_items), "i", "left_semi").alias("b")
+    b = capped.join(t_items, "i", "left_semi").alias("b")
     dev = (
         a.join(
             b,
@@ -1436,17 +1435,15 @@ def q_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the NOT EXISTS probe only ever sees u ∈ targets (the left side's
     # users are the sampled targets), and ratings restricted to target
     # users IS `targets` — so the anti-join build side shrinks by
-    # _SO_USER_MOD× and broadcasts (provably identical output, same
-    # move as the dev-side semi-bound). `targets` also broadcasts as
-    # the dev join's small side, so the big deviation table is never
-    # shuffled after its aggregation.
+    # _SO_USER_MOD× (provably identical output, same move as the
+    # dev-side semi-bound). Join strategy stays AQE's call: at bench
+    # scale the shrunken sides broadcast; at extreme scale a 1% user
+    # sample can exceed the broadcast threshold and must be allowed
+    # to shuffle — a forced hint here would OOM the driver.
     cand = (
-        F.broadcast(targets)
-        .join(dev, F.col("ib") == F.col("i"))
+        targets.join(dev, F.col("ib") == F.col("i"))
         .join(
-            F.broadcast(
-                targets.select(F.col("u").alias("u2"), F.col("i").alias("j2"))
-            ),
+            targets.select(F.col("u").alias("u2"), F.col("i").alias("j2")),
             (F.col("u") == F.col("u2")) & (F.col("ia") == F.col("j2")),
             "left_anti",
         )
@@ -1471,4 +1468,144 @@ def q_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("den").alias("support"),
             F.round(pred, 6).alias("pred"),
         )
+    )
+
+
+# ------------------------------------------------- isotonic calibration
+
+_ISO_BINS = 20
+
+
+@query(
+    "q_isotonic_calibration",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+               CAST(round((CAST(embedding[1] AS DOUBLE)
+                           + CAST(embedding[2] AS DOUBLE) * 0.5)
+                          * {_SCORE_SCALE}) AS BIGINT) AS si,
+               vec_id
+        FROM embeddings
+    ),
+    nn AS (SELECT count(*) AS big_n FROM scored),
+    ranked AS (
+        SELECT y, si, row_number() OVER (ORDER BY si, vec_id) AS rnk
+        FROM scored
+    ),
+    per_bin AS (
+        SELECT ((rnk - 1) * {_ISO_BINS}) // (SELECT big_n FROM nn) AS bin,
+               count(*) AS n,
+               CAST(sum(y) AS BIGINT) AS s_y,
+               CAST(sum(si) AS BIGINT) AS s_si
+        FROM ranked GROUP BY 1
+    ),
+    pb AS (
+        SELECT bin, n, s_y, s_si,
+               CAST(sum(s_y) OVER (ORDER BY bin) AS BIGINT) AS cy,
+               CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn
+        FROM per_bin
+    ),
+    pairs AS (
+        SELECT j.bin AS jb, k.bin AS kb,
+               CAST(k.cy - (j.cy - j.s_y) AS DOUBLE)
+                 / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avg_jk
+        FROM pb j JOIN pb k ON k.bin >= j.bin
+    ),
+    mins AS (
+        SELECT i.bin AS ib, p.jb, min(p.avg_jk) AS m
+        FROM per_bin i
+        JOIN pairs p ON p.jb <= i.bin AND p.kb >= i.bin
+        GROUP BY 1, 2
+    ),
+    fit AS (SELECT ib AS bin, max(m) AS g FROM mins GROUP BY 1)
+    SELECT b.bin, b.n,
+           CAST(b.s_si AS DOUBLE)
+             / CAST(b.n * {_SCORE_SCALE} AS DOUBLE) AS mean_score,
+           CAST(b.s_y AS DOUBLE) / CAST(b.n AS DOUBLE) AS frac_pos,
+           round(f.g, 6) AS iso_fit
+    FROM per_bin b JOIN fit f ON f.bin = b.bin
+    """,
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression calibration (pool-adjacent-violators) over
+    score bins — the nonparametric calibration map beside q_calibration
+    (threshold sweep) and q_reliability_ece (calibration AUDIT): PAV
+    fits the best monotone non-decreasing approximation to the per-bin
+    positive rate, which is how detection confidences become usable
+    probabilities without assuming Platt's sigmoid shape (Zadrozny &
+    Elkan 2002; the reference thresholds raw scores in detection.py's
+    calibration pass — this is the principled version of that map).
+
+    PAV without the sequential pooling loop: on B pre-aggregated bins
+    the PAV solution has the closed minimax form g(i) = max_{{j≤i}}
+    min_{{k≥i}} avg(y over bins j..k) (Robertson-Wright-Dykstra 1988,
+    Thm 1.4.4) — three bounded relational passes (pairs, per-(i,j)
+    min, per-i max) instead of an inherently serial pool-merge loop.
+    That's what makes it SQL-expressible AND distributable; at B = 20
+    the pair/triple relations are ≤ B² and B³ rows on BOTH engines.
+
+    Determinism: bins are rank-equal-count (distributed_cumulative,
+    ties broken by vec_id); per-bin y/score sums are exact integers on
+    the 1e-9 si grid; every interval average is ONE IEEE division of
+    exact integers (bit-identical), so min/max over those doubles
+    match cross-engine; iso_fit rounds at 6dp only for display. The
+    fitted curve is monotone by construction — pinned by the unit
+    test, as is equality with a reference sequential-PAV on planted
+    non-monotone bins.
+
+    Scale: the N-row table reduces to B = 20 rows before any O(B²)
+    work (the ECE shape); ranking is the two-pass range-partitioned
+    cumulative (no single-partition window over data); the bin-level
+    windows/joins run on a 20-row broadcastable relation — constant
+    cost at ANY corpus size.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    scored = e.select(
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        F.round(
+            (
+                F.element_at("embedding", 1).cast("double")
+                + F.element_at("embedding", 2).cast("double") * 0.5
+            )
+            * _SCORE_SCALE
+        )
+        .cast("long")
+        .alias("si"),
+        "vec_id",
+    )
+    nn = scored.agg(F.count(F.lit(1)).alias("big_n"))
+    ranked = distributed_cumulative(scored, ["si", "vec_id"], out_col="rnk")
+    per_bin = (
+        ranked.crossJoin(F.broadcast(nn))
+        .select(
+            F.expr(f"((rnk - 1) * {_ISO_BINS}) div big_n").alias("bin"),
+            "y",
+            "si",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("s_y"),
+            F.sum("si").alias("s_si"),
+        )
+        # three consumers (prefix table, the i-axis, the output join):
+        # a 20-row relation — materialize once
+        .localCheckpoint()
+    )
+    from ..operators.stats import isotonic_fit
+
+    fit = isotonic_fit(per_bin)
+    return per_bin.join(
+        F.broadcast(fit), per_bin.bin == fit.ib
+    ).select(
+        "bin",
+        "n",
+        (
+            F.col("s_si").cast("double")
+            / (F.col("n") * _SCORE_SCALE).cast("double")
+        ).alias("mean_score"),
+        (F.col("s_y").cast("double") / F.col("n").cast("double")).alias(
+            "frac_pos"
+        ),
+        F.round(F.col("g"), 6).alias("iso_fit"),
     )

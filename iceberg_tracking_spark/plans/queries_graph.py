@@ -225,9 +225,10 @@ _BACKBONE_SQL = f"""
 """
 
 
-def _backbone_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K co-occurrence backbone as (src < dst) half-edges,
-    localCheckpoint-ed (consumers re-join it several times)."""
+def _backbone_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED top-K picks (s → d: s keeps d among its 8 strongest
+    partners) — the endorsement relation behind the backbone;
+    out-degree ≤ _TOPK by construction. localCheckpoint-ed."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
@@ -244,12 +245,19 @@ def _backbone_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     w = Window.partitionBy("s").orderBy(F.col("n").desc(), F.col("d").asc())
-    picks = (
+    return (
         cooc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOPK)
-        .select(
-            F.least("s", "d").alias("src"), F.greatest("s", "d").alias("dst")
-        )
+        .select("s", "d")
+        .localCheckpoint()
+    )
+
+
+def _backbone_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K co-occurrence backbone as (src < dst) half-edges,
+    localCheckpoint-ed (consumers re-join it several times)."""
+    picks = _backbone_picks(spark, sf_dir).select(
+        F.least("s", "d").alias("src"), F.greatest("s", "d").alias("dst")
     )
     return picks.distinct().localCheckpoint()
 
@@ -506,3 +514,212 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
         )
     return dist
+
+
+# ---------------------------------------------- Adamic-Adar link prediction
+
+_AA_SCALE = 1_000_000_000  # 1e-9 weight grid → exact integer sums
+_AA_TOPK = 100
+
+
+@query(
+    "q_adamic_adar",
+    oracle=f"""
+    WITH {_BACKBONE_SQL},
+    sym AS (
+        SELECT src AS a, dst AS b FROM pairs
+        UNION ALL
+        SELECT dst, src FROM pairs
+    ),
+    deg AS (SELECT a AS node, count(*) AS degree FROM sym GROUP BY 1),
+    wt AS (
+        SELECT node,
+               CAST(round({_AA_SCALE}.0 / ln(CAST(degree AS DOUBLE)))
+                    AS BIGINT) AS wq
+        FROM deg WHERE degree >= 2
+    ),
+    wedge AS (
+        SELECT e1.b AS u, e2.b AS v, e1.a AS w
+        FROM sym e1 JOIN sym e2 ON e1.a = e2.a AND e1.b < e2.b
+    ),
+    cand AS (
+        SELECT u, v, count(*) AS n_common,
+               CAST(sum(wt.wq) AS BIGINT) AS aa_scaled
+        FROM wedge JOIN wt ON wt.node = wedge.w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pairs p WHERE p.src = wedge.u AND p.dst = wedge.v
+        )
+        GROUP BY 1, 2
+    )
+    SELECT u, v, n_common,
+           round(aa_scaled / {_AA_SCALE}.0, 6) AS aa_score
+    FROM cand
+    ORDER BY aa_scaled DESC, u, v
+    LIMIT {_AA_TOPK}
+    """,
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the top-K backbone — the classic
+    common-neighbor score AA(u,v) = Σ_{{w∈N(u)∩N(v)}} 1/ln(deg w)
+    (Adamic & Adar 2003), ranking NON-edges most likely to form: the
+    recommendation primitive next to q_item_similarity (which scores
+    by co-counts; AA discounts promiscuous hubs). Top-100 candidate
+    pairs by score, existing edges anti-joined away.
+
+    Determinism with a transcendental inside a SUM: each common
+    neighbor contributes 1/ln(deg) — a float — and float sums are
+    order-dependent. House fix: the per-NODE weight is quantized ONCE
+    onto the integer 1e-9 grid (wq = round(1e9/ln(deg)), deg an exact
+    integer; libm's ≤1-ulp ln() spread is ~1e-8 on that grid — 10^7×
+    below the rounding step, the q_unigram_logprob argument), then
+    AA lifts to an exact BIGINT sum of wq. Ranking ties break on the
+    exact integer (aa_scaled DESC, u, v) — a total order; deg(w) ≥ 2
+    for every wedge center by construction (u ≠ v are both neighbors),
+    so ln() never sees 1.
+
+    Scale: wedges enumerate per-CENTER neighbor pairs, so work is
+    Σ_w deg(w)² on the BACKBONE (edges ≤ K·|V| by construction — the
+    q_triangle_count boundedness argument); candidates are only pairs
+    with ≥1 common neighbor, never all-pairs; the weight table is a
+    |V|-row broadcast; top-k is TakeOrdered (per-partition heads, no
+    global sort materialization).
+    """
+    return adamic_adar_topk(_backbone_edges(spark, sf_dir), _AA_TOPK)
+
+
+def adamic_adar_topk(edges: DataFrame, topk: int) -> DataFrame:
+    """Top-k Adamic-Adar candidates from a (src < dst) half-edge
+    relation — see q_adamic_adar for semantics and determinism."""
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionAll(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        # three consumers: degree table + both wedge sides
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    wt = deg.filter(F.col("degree") >= 2).select(
+        F.col("a").alias("node"),
+        F.round(
+            F.lit(float(_AA_SCALE)) / F.log(F.col("degree").cast("double"))
+        )
+        .cast("long")
+        .alias("wq"),
+    )
+    e1 = sym.alias("e1")
+    e2 = sym.alias("e2")
+    wedge = e1.join(
+        e2,
+        (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b")),
+    ).select(
+        F.col("e1.b").alias("u"),
+        F.col("e2.b").alias("v"),
+        F.col("e1.a").alias("w"),
+    )
+    cand = (
+        wedge.join(F.broadcast(wt), F.col("w") == F.col("node"))
+        .join(
+            edges,
+            (F.col("u") == F.col("src")) & (F.col("v") == F.col("dst")),
+            "left_anti",
+        )
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("wq").alias("aa_scaled"),
+        )
+    )
+    return (
+        cand.orderBy(F.col("aa_scaled").desc(), "u", "v")
+        .limit(topk)
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(F.col("aa_scaled") / float(_AA_SCALE), 6).alias(
+                "aa_score"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------- HITS hubs/authorities
+
+
+@query(
+    "q_hits",
+    oracle=f"""
+    WITH {_BACKBONE_SQL},
+    h1 AS (SELECT s AS node, count(*) AS h FROM picks GROUP BY 1),
+    a1 AS (
+        SELECT p.d AS node, CAST(sum(h1.h) AS BIGINT) AS a
+        FROM picks p JOIN h1 ON h1.node = p.s GROUP BY 1
+    ),
+    h2 AS (
+        SELECT p.s AS node, CAST(sum(a1.a) AS BIGINT) AS h
+        FROM picks p JOIN a1 ON a1.node = p.d GROUP BY 1
+    ),
+    a2 AS (
+        SELECT p.d AS node, CAST(sum(h2.h) AS BIGINT) AS a
+        FROM picks p JOIN h2 ON h2.node = p.s GROUP BY 1
+    )
+    SELECT coalesce(h2.node, a2.node) AS supp_key,
+           coalesce(h2.h, 0) AS hub_score,
+           coalesce(a2.a, 0) AS auth_score
+    FROM h2 FULL OUTER JOIN a2 ON a2.node = h2.node
+    """,
+)
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999), two mutual-
+    reinforcement iterations on the DIRECTED top-K endorsement graph
+    (s → d: s keeps d among its strongest partners — direction is
+    real information the symmetrized backbone erases: being PICKED is
+    endorsement, picking is curation). Completes the centrality family
+    beside q_pagerank (random-walk) and q_degree_centrality (local).
+
+    Exact by construction: HITS normalization is a per-iteration
+    SCALAR, so rankings are invariant to skipping it — and unnormalized
+    HITS from a0 = 1 is pure integer matrix algebra: hub¹ = out-degree,
+    auth¹(v) = Σ_{{u→v}} hub¹(u), hub²(u) = Σ_{{u→v}} auth¹(v),
+    auth²(v) = Σ_{{u→v}} hub²(u) — every score an exact BIGINT, no
+    floats anywhere (the one iterative-algorithm query with NOTHING to
+    round). Values stay ≤ K²·|V|·K per level — far inside int64.
+
+    Scale: each half-step is ONE equi-join + hash aggregate on the
+    picks relation (out-degree ≤ K = {_TOPK} by construction, edges ≤
+    K·|V|); the score vectors are |V|-row relations. Fixed iteration
+    count, lineage truncated at the checkpointed picks — the
+    q_pagerank treatment without the float-mass bookkeeping.
+    """
+    return hits_two_iters(_backbone_picks(spark, sf_dir))
+
+
+def hits_two_iters(picks: DataFrame) -> DataFrame:
+    """Two unnormalized HITS iterations over a directed (s, d) pick
+    relation — see q_hits for semantics and exactness."""
+    h1 = picks.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    a1 = (
+        picks.join(F.broadcast(h1), picks.s == h1.node)
+        .groupBy(F.col("d").alias("anode"))
+        .agg(F.sum("h").alias("a"))
+    )
+    h2 = (
+        picks.join(F.broadcast(a1), picks.d == F.col("anode"))
+        .groupBy(F.col("s").alias("hnode"))
+        .agg(F.sum("a").alias("h2"))
+    )
+    a2 = (
+        picks.join(F.broadcast(h2), picks.s == F.col("hnode"))
+        .groupBy(F.col("d").alias("anode2"))
+        .agg(F.sum("h2").alias("a2"))
+    )
+    return h2.join(
+        a2, F.col("hnode") == F.col("anode2"), "full_outer"
+    ).select(
+        F.coalesce(F.col("hnode"), F.col("anode2")).alias("supp_key"),
+        F.coalesce(F.col("h2"), F.lit(0)).alias("hub_score"),
+        F.coalesce(F.col("a2"), F.lit(0)).alias("auth_score"),
+    )

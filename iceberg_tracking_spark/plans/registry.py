@@ -52,9 +52,22 @@ QUERIES: dict[str, QueryDef] = {}
 # for the remaining slots. After this window no registered query's
 # latest driver row is older than round 5. Window = 50.
 DRIVER_PRIORITY: list[str] = [
-    # (a) first driver row: new this round (real GIF decode with a
-    # byte-level literal-LZW oracle)
+    # (a) first driver rows: new this round (real GIF decode with a
+    # byte-level literal-LZW oracle; the r9 stats/graph/calibration
+    # wave — Spearman, Kruskal-Wallis, permutation test, isotonic
+    # PAV, Adamic-Adar, HITS)
     "q_gif_decode",
+    "q_spearman",
+    "q_kruskal_wallis",
+    "q_permutation_test",
+    "q_isotonic_calibration",
+    "q_adamic_adar",
+    "q_hits",
+    # (b2) code changed this round: q_slope_one's prediction joins were
+    # restructured (broadcast sampled-user side, anti-join build
+    # shrunk to target users) — output-identical, fresh row per the
+    # house rule
+    "q_slope_one",
     # (b) code changed this round — sub-byte PNG + GIF-dispatch
     # consumers, and the confusion-matrix oracle cast
     "q_png_decode",
@@ -94,24 +107,22 @@ DRIVER_PRIORITY: list[str] = [
     "q_zscore_anomaly",
     "q_degree_centrality",
     "q_triangle_count",
-    # (d) the 13 oldest r5-stale names, registration order (13 of 44;
-    # the remaining 31 rotate in r10)
+    # (d) the 5 oldest r5-stale names, registration order (the 8 new
+    # first-row/code-changed slots above displaced 7 of the 13 this
+    # window held before the r9 stats/graph wave; the rest rotate
+    # r10), plus q_fuzzy_match (a (b)-slot: its plan body moved into
+    # the factored fuzzy_match_pairs this round)
     "q_scan_project",
     "q_distinct",
     "q_embed_scan",
     "q_group_collect",
     "q_filter_conf",
-    "q_filter_expr",
-    "q_filter_range",
-    "q_string_fmt",
-    "q_limit_offset",
-    "q_json_extract",
-    "q_sum_count",
-    "q_count_distinct",
     "q_fuzzy_match",
 ]
 # r5-stale names NOT fitting this window (remain latest-row=r5, rotate
-# r10, registration order): q_approx_count_distinct,
+# r10, registration order): q_filter_expr, q_filter_range,
+# q_string_fmt, q_limit_offset, q_json_extract, q_sum_count,
+# q_count_distinct, q_approx_count_distinct,
 # q_approx_quantile, q_stats, q_global_norm,
 # q_cond_agg, q_lag_change, q_count_min, q_bloom_filter, q_hll,
 # q_join_size_estimate, q_histogram_quantiles, q_ann_recall,

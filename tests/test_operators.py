@@ -1715,3 +1715,186 @@ def test_zipf_fit_detects_planted_zipf_corpus(spark, tmp_path):
     assert rows[0]["n_points"] == 200
     assert -1.05 < rows[0]["slope"] < -0.95, rows[0]["slope"]
     assert rows[0]["r2"] > 0.99, rows[0]["r2"]
+
+
+# ------------------------- Spearman / Kruskal-Wallis / permutation / PAV
+
+
+def test_spearman_planted_monotone(spark):
+    """Perfectly monotone cells → rho = 1; anti-monotone → −1; constant
+    y → NULL (zero variance guard)."""
+    from iceberg_tracking_spark.operators.stats import spearman_from_cells
+
+    rows = []
+    for i in range(1, 21):
+        rows.append(("up", i, i * 7 + 3, 1))      # strictly increasing
+        rows.append(("down", i, 1000 - i * 5, 1))  # strictly decreasing
+        rows.append(("flat", i, 42, 1))            # y constant
+    cells = spark.createDataFrame(rows, "seg string, x long, yc long, cnt long")
+    out = {r["seg"]: r for r in spearman_from_cells(cells).collect()}
+    assert out["up"]["rho"] == 1.0
+    assert out["down"]["rho"] == -1.0
+    assert out["flat"]["rho"] is None
+    assert out["up"]["n"] == 20
+
+
+def test_spearman_ties_match_scipy_formula(spark):
+    """Tie-corrected rho on a small planted sample equals the
+    textbook Pearson-of-midranks computed by hand in Python."""
+    from iceberg_tracking_spark.operators.stats import spearman_from_cells
+
+    xs = [1, 1, 2, 2, 2, 3, 5, 5, 8, 9]
+    ys = [4, 7, 4, 9, 9, 11, 2, 15, 15, 20]
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            mid = (i + 1 + j) / 2.0
+            for t in range(i, j):
+                ranks[order[t]] = mid
+            i = j
+        return ranks
+
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    ) ** 0.5
+    expected = round(num / den, 6)
+
+    from collections import Counter
+
+    cnt = Counter(zip(xs, ys))
+    cells = spark.createDataFrame(
+        [("s", x, y, c) for (x, y), c in cnt.items()],
+        "seg string, x long, yc long, cnt long",
+    )
+    rho = spearman_from_cells(cells).collect()[0]["rho"]
+    assert abs(rho - expected) < 2e-6, (rho, expected)
+
+
+def test_kruskal_wallis_planted_shift(spark):
+    """One group shifted far from the others → large H, tiny p; three
+    identical groups → H = 0 (up to ties) and p near 1. Also pins the
+    exact df=2 tail p = exp(−H/2)."""
+    import math
+
+    from iceberg_tracking_spark.operators.stats import kw3_from_rows
+
+    rows = []
+    for i in range(60):
+        rows.append(("shifted", i % 3, 1000 + i if i % 3 == 2 else i))
+        rows.append(("null3", i % 3, (i * 17) % 40))
+    df = spark.createDataFrame(
+        rows, "event_type string, grp long, cents long"
+    )
+    out = {r["event_type"]: r for r in kw3_from_rows(df).collect()}
+    sh = out["shifted"]
+    assert sh["h_stat"] > 20, sh
+    assert sh["p_value"] < 1e-4
+    assert abs(sh["p_value"] - round(math.exp(-sh["h_stat"] / 2), 6)) < 1e-9
+    assert out["null3"]["p_value"] > 0.05
+    assert out["null3"]["n0"] == out["null3"]["n1"] == out["null3"]["n2"] == 20
+
+
+def test_kruskal_wallis_missing_group_drops_segment(spark):
+    from iceberg_tracking_spark.operators.stats import kw3_from_rows
+
+    df = spark.createDataFrame(
+        [("only2", 0, 5), ("only2", 1, 9)],
+        "event_type string, grp long, cents long",
+    )
+    assert kw3_from_rows(df).count() == 0
+
+
+def test_permutation_test_planted_effect(spark):
+    """A huge variant-A shift → p at the grid floor 1/20; a true-null
+    segment (identical per-user sums) → p = 1. The observed labeling
+    is user_id % 2; permutations relabel by seeded hash."""
+    from iceberg_tracking_spark.operators.stats import permutation_mean_diff
+
+    rows = []
+    for u in range(40):
+        # effect: even users (variant A) get 10000, odd get 1
+        rows.append(("effect", u, 10000 if u % 2 == 0 else 1, 1))
+        # null: everyone identical → every permutation diff is 0 ≥ 0
+        rows.append(("null", u, 500, 1))
+    ua = spark.createDataFrame(
+        rows, "event_type string, user_id long, sc long, nr long"
+    )
+    out = {r["event_type"]: r for r in permutation_mean_diff(ua, 19).collect()}
+    assert out["effect"]["p_value"] == 0.05  # (1+0)/20: no relabel beats it
+    assert out["null"]["p_value"] == 1.0
+    assert out["effect"]["n_a"] == out["effect"]["n_b"] == 20
+    assert abs(out["effect"]["obs_diff"] - (10000 - 1) / 100.0) < 1e-9
+
+
+def test_isotonic_fit_equals_sequential_pav(spark):
+    """The minimax form must equal the classic sequential
+    pool-adjacent-violators on planted NON-monotone bins, and the fit
+    must be non-decreasing."""
+    from iceberg_tracking_spark.operators.stats import isotonic_fit
+
+    bins = [  # (bin, n, s_y) with deliberate violations
+        (0, 10, 1),
+        (1, 10, 5),
+        (2, 10, 3),   # violation vs bin 1
+        (3, 10, 9),
+        (4, 10, 2),   # deep violation
+        (5, 10, 9),
+        (6, 10, 10),
+    ]
+
+    def sequential_pav(bs):
+        # classic pooling: blocks of [sum_y, n, n_bins], merged while
+        # the previous block's average >= the current one's (exact
+        # cross-multiplied comparison), then each block's average
+        # expanded over its bins
+        blocks = []
+        for _, n, sy in bs:
+            blocks.append([sy, n, 1])
+            while len(blocks) > 1 and (
+                blocks[-2][0] * blocks[-1][1]
+                >= blocks[-1][0] * blocks[-2][1]
+            ):
+                sy2, n2, c2 = blocks.pop()
+                blocks[-1][0] += sy2
+                blocks[-1][1] += n2
+                blocks[-1][2] += c2
+        out = []
+        for sy, n, c in blocks:
+            out.extend([sy / n] * c)
+        return out
+
+    expected = sequential_pav(bins)
+    df = spark.createDataFrame(bins, "bin long, n long, s_y long")
+    got = {
+        r["ib"]: r["g"] for r in isotonic_fit(df.localCheckpoint()).collect()
+    }
+    fit_seq = [got[b] for b, _, _ in bins]
+    assert all(
+        abs(a - b) < 1e-12 for a, b in zip(fit_seq, expected)
+    ), (fit_seq, expected)
+    assert all(
+        fit_seq[i] <= fit_seq[i + 1] + 1e-12 for i in range(len(fit_seq) - 1)
+    )
+
+
+def test_isotonic_query_monotone_at_sf(spark, sf_dir):
+    """The registered query's fitted curve is monotone non-decreasing
+    in bin order on real data."""
+    from iceberg_tracking_spark.plans.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["q_isotonic_calibration"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    fits = [r["iso_fit"] for r in rows]
+    assert all(fits[i] <= fits[i + 1] + 1e-9 for i in range(len(fits) - 1))

@@ -85,6 +85,13 @@ NESTED_LOOP_OK = {
     "q_item_cooccurrence",  # 1-row order-count broadcast into lift scoring
     "q_reliability_ece",   # 1-row N + 1-row ECE broadcast onto ≤10 bins
                            # (plus distributed_cumulative offsets join)
+    "q_isotonic_calibration",  # 1-row N + 1-row max-bin broadcasts onto
+                               # the ≤20-bin relation; the O(B³) PAV
+                               # minimax itself is explode+equi-join
+                               # (plus distributed_cumulative offsets)
+    "q_permutation_test",  # 20-row permutation-axis broadcast crossJoin
+                           # on the per-(segment, user) aggregate (the
+                           # q_acf lag-axis pattern), never raw rows
     "q_mutual_information",  # 1-row contingency total broadcast onto the
                              # |X|*|Y|-cell relation
     "q_quantile_binning",  # 1-row N broadcast onto ranked rows (plus
