@@ -317,17 +317,33 @@ def spearman_from_cells(cells: DataFrame) -> DataFrame:
 
 # --------------------------------------------- Kruskal-Wallis (3 groups)
 
+#: additive per-(segment, cents) count columns `kw3_grid` emits — like
+#: MW_GRID_COLS, the relation a streaming deployment maintains via
+#: make_aggregate_merge_fn
+KW_GRID_COLS = ["g0", "g1", "g2"]
 
-def kw3_from_rows(rows: DataFrame) -> DataFrame:
-    """(event_type, n0, n1, n2, h_stat, p_value) from (event_type, grp,
-    cents) rows with grp ∈ {0,1,2}: tie-corrected Kruskal-Wallis H via
-    the 2R_j integer-grid rank sums; H a fixed float op sequence over
-    exact DECIMALs rounded 6dp; k = 3 ⇒ df = 2 ⇒ the chi² tail is
-    EXACTLY exp(−H/2), from the rounded H (the transcendental rule).
-    Segments missing a group drop; all-tied segments → NULL H/p."""
-    from pyspark.sql import Window
 
-    g = rows.groupBy("event_type", "cents").agg(
+def kw3_grid(events: DataFrame) -> DataFrame:
+    """(event_type, cents, g0, g1, g2) from raw (event_type, user_id,
+    value) rows: per-group counts (grp = user_id % 3) on the exact
+    cents grid — the Kruskal-Wallis sibling of `mw_grid`, with the
+    same additivity contract (counts of a union == summed counts of
+    the parts), so the grid streams via the generic additive fold.
+    NULLs drop up front for the same reasons as mw_grid."""
+    rows = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("user_id") % 3).alias("grp"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    return _kw3_grid_from_projected(rows)
+
+
+def _kw3_grid_from_projected(rows: DataFrame) -> DataFrame:
+    """Grid counts from already-projected (event_type, grp, cents)."""
+    return rows.groupBy("event_type", "cents").agg(
         *[
             F.sum(F.when(F.col("grp") == j, 1).otherwise(0))
             .cast("long")
@@ -335,6 +351,25 @@ def kw3_from_rows(rows: DataFrame) -> DataFrame:
             for j in range(3)
         ]
     )
+
+
+def kw3_from_rows(rows: DataFrame) -> DataFrame:
+    """(event_type, n0, n1, n2, h_stat, p_value) from (event_type, grp,
+    cents) rows with grp ∈ {0,1,2} — projection-level entry point for
+    planted-data tests; the production path is
+    kw3_from_grid(kw3_grid(events))."""
+    return kw3_from_grid(_kw3_grid_from_projected(rows))
+
+
+def kw3_from_grid(g: DataFrame) -> DataFrame:
+    """(event_type, n0, n1, n2, h_stat, p_value) from the grid relation
+    (maintained table or fresh aggregate): tie-corrected Kruskal-Wallis
+    H via the 2R_j integer-grid rank sums; H a fixed float op sequence
+    over exact DECIMALs rounded 6dp; k = 3 ⇒ df = 2 ⇒ the chi² tail is
+    EXACTLY exp(−H/2), from the rounded H (the transcendental rule).
+    Segments missing a group drop; all-tied segments → NULL H/p."""
+    from pyspark.sql import Window
+
     t = F.col("g0") + F.col("g1") + F.col("g2")
     w = (
         Window.partitionBy("event_type")

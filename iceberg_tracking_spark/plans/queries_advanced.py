@@ -2416,18 +2416,9 @@ def q_kruskal_wallis(spark, sf_dir):
     The grid counts are additive, so the same relation streams via
     merge_aggregate if maintained.
     """
-    from ..operators.stats import kw3_from_rows
+    from ..operators.stats import kw3_from_grid, kw3_grid
 
-    rows = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
-        .select(
-            "event_type",
-            (F.col("user_id") % _KW_GROUPS).alias("grp"),
-            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-        )
-    )
-    return kw3_from_rows(rows)
+    return kw3_from_grid(kw3_grid(_t(spark, sf_dir, "events")))
 
 
 # ----------------------------------------------------- permutation test

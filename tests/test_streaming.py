@@ -1122,3 +1122,67 @@ def test_streaming_mann_whitney_equals_batch(spark, sf_dir, tmp_path):
     v = table.current_version()
     merge(spark.read.parquet(src), 0)
     assert table.current_version() == v
+
+
+def test_streaming_kruskal_wallis_equals_batch(spark, sf_dir, tmp_path):
+    """The incrementally-maintained Kruskal-Wallis grid equals the
+    batch q_kruskal_wallis EXACTLY — the second consumer of the generic
+    additive-fold factory after Mann-Whitney (same grid shape, three
+    group-count columns instead of two): stream the event fact in two
+    availableNow passes folding kw3_grid deltas, then run the shared
+    kw3_from_grid over the maintained table. The user_id % 3 split puts
+    both halves on the same (segment, cents) keys, exercising old+delta
+    merges. Replay is a no-op (txn gate)."""
+    from iceberg_tracking_spark.operators.stats import (
+        KW_GRID_COLS,
+        kw3_from_grid,
+        kw3_grid,
+    )
+    from iceberg_tracking_spark.plans import QUERIES
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+    from iceberg_tracking_spark.streaming.materialized import (
+        make_aggregate_merge_fn,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    src = str(tmp_path / "src")
+    # split on event_id parity proxy (user_id % 2) — ORTHOGONAL to the
+    # % 3 grouping, so every group appears in both halves
+    events.filter(F.col("user_id") % 2 == 0).write.mode("overwrite").parquet(src)
+    table = VersionedTable(str(tmp_path / "kw_grid"))
+    merge = make_aggregate_merge_fn(
+        table, kw3_grid, ["event_type", "cents"], KW_GRID_COLS,
+        app_id="kw-test",
+    )
+    stream = (
+        spark.readStream.schema(events.schema).parquet(src).writeStream
+        .foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    q = stream.start()
+    q.awaitTermination(120)
+    events.filter(F.col("user_id") % 2 != 0).write.mode("append").parquet(src)
+    q2 = stream.start()
+    q2.awaitTermination(120)
+
+    val = lambda r: (  # noqa: E731
+        r["n0"], r["n1"], r["n2"], r["h_stat"], r["p_value"],
+    )
+    got = {
+        r["event_type"]: val(r)
+        for r in kw3_from_grid(table.read(spark)).collect()
+    }
+    want = {
+        r["event_type"]: val(r)
+        for r in QUERIES["q_kruskal_wallis"].fn(spark, sf_dir).collect()
+    }
+    assert got == want  # bit-identical, not approximately equal
+    assert len(got) == 5
+
+    # replaying a committed batch id is a no-op
+    v = table.current_version()
+    merge(spark.read.parquet(src), 0)
+    assert table.current_version() == v
