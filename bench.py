@@ -146,6 +146,8 @@ EXTENDED = [
     "q_isotonic_calibration",
     "q_adamic_adar",
     "q_hits",
+    "q_theil_sen",
+    "q_video_motion",
 ]
 
 # Regression floors for the HEADLINE set (r6 verdict task: the
@@ -319,6 +321,8 @@ EXTENDED_FLOOR_SEC = {
     "q_isotonic_calibration": 2.289,
     "q_adamic_adar": 4.926,
     "q_hits": 3.094,
+    "q_theil_sen": 1.381,
+    "q_video_motion": 0.453,
 }
 
 

@@ -540,3 +540,47 @@ def extract_video_frames(media: DataFrame) -> DataFrame:
             "frame_mean double, frame_std double"
         ),
     )
+
+
+def extract_video_motion(media: DataFrame) -> DataFrame:
+    """Consecutive-frame motion energy via mapInPandas: decode the Y4M
+    stream once per clip and emit, for every frame f ≥ 1, the EXACT
+    integer sum of absolute luma differences vs frame f−1 — the shot-
+    boundary / motion-detection primitive (a cut is a motion_mean
+    spike). Integer-exact by construction: uint8 planes widened to
+    int64 before the subtraction, so the sum is the same number on any
+    engine or summation order. Same scale shape as
+    extract_video_frames: per-file splits, embarrassingly parallel."""
+    from .audiocodec import decode_y4m
+
+    def _motion(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                frames, _fps = decode_y4m(bytes(r.content))
+                a = frames.astype(np.int64)
+                for idx in range(1, a.shape[0]):
+                    d = int(np.abs(a[idx] - a[idx - 1]).sum())
+                    rows.append(
+                        (
+                            r.media_id,
+                            int(idx),
+                            int(a.shape[2]),
+                            int(a.shape[1]),
+                            d,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height", "motion_sum",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        _motion,
+        schema=(
+            "media_id long, frame_idx int, width int, height int, "
+            "motion_sum long"
+        ),
+    )

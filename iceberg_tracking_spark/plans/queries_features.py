@@ -1609,3 +1609,120 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("g"), 6).alias("iso_fit"),
     )
+
+
+# -------------------------------------------------- Theil-Sen robust slope
+
+_TS_CAP = 120  # rows kept per brand before the O(cap²) pair fan
+
+
+@query(
+    "q_theil_sen",
+    oracle=f"""
+    WITH pt AS (
+        SELECT p_brand, p_partkey,
+               CAST(p_size AS BIGINT) AS x,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) AS y
+        FROM part
+    ),
+    capped AS (
+        SELECT p_brand, x, y FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY p_brand ORDER BY x, y, p_partkey
+                   ) AS rn
+            FROM pt
+        ) WHERE rn <= {_TS_CAP}
+    ),
+    slopes AS (
+        SELECT a.p_brand,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+        FROM capped a JOIN capped b
+          ON a.p_brand = b.p_brand AND a.x < b.x
+    ),
+    ranked AS (
+        SELECT p_brand, s,
+               row_number() OVER (PARTITION BY p_brand ORDER BY s) AS rn,
+               count(*) OVER (PARTITION BY p_brand) AS m
+        FROM slopes
+    )
+    SELECT p_brand, CAST(max(m) AS BIGINT) AS n_pairs,
+           round(avg(s), 6) AS ts_slope_cents
+    FROM ranked
+    WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+    GROUP BY p_brand
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope per group — the median of all pairwise
+    slopes (Theil 1950, Sen 1968): the outlier-resistant companion to
+    q_linear_fit's OLS (29% breakdown point vs OLS's zero; the
+    standard robust trend estimate for pricing/drift curves where one
+    bad row wrecks least squares).
+
+    Determinism: every pairwise slope is ONE IEEE division of exact
+    integers (x integer grid, y cents grid) — bit-identical doubles
+    cross-engine — and the median picks by VALUE rank, so slope ties
+    cannot change the selected value; even pair-counts average the two
+    middles (one 2-element addition: IEEE-commutative, then one
+    halving), rounded 6dp. Same-x pairs are excluded on both engines
+    (undefined slope). The capped prefix is made engine-stable by the
+    (x, y, p_partkey) total order — the q_slope_one basket-cap rule.
+
+    Scale: the full estimator is O(|group|²) — a scale-killer on an
+    unbounded group, so the pair fan runs on a `cap_group_size` prefix
+    ({_TS_CAP} rows → ≤{_TS_CAP * (_TS_CAP - 1) // 2} pairs per group,
+    oracle mirrored row-for-row); the pair join is brand-equi
+    (hash-partitioned, never cross-group); the median window
+    partitions by brand over the bounded pair relation. This is the
+    textbook trade every distributed Theil-Sen makes (Sen's estimator
+    on a bounded sample keeps the breakdown guarantee on the sample).
+    """
+    pt = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.col("p_size").cast("long").alias("x"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("y"),
+    )
+    return theil_sen_from_points(pt)
+
+
+def theil_sen_from_points(pt: DataFrame) -> DataFrame:
+    """Theil-Sen median pairwise slope from (p_brand, p_partkey, x, y)
+    integer-grid points — see q_theil_sen for semantics/determinism."""
+    capped = cap_group_size(
+        pt,
+        ["p_brand"],
+        [F.col("x"), F.col("y"), F.col("p_partkey")],
+        _TS_CAP,
+    ).select("p_brand", "x", "y").localCheckpoint()  # both pair sides
+    a = capped.alias("a")
+    b = capped.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.p_brand").alias("p_brand"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("s"),
+    )
+    w = Window.partitionBy("p_brand").orderBy("s")
+    wc = Window.partitionBy("p_brand")
+    ranked = slopes.select(
+        "p_brand",
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("m"),
+    )
+    mid_lo = F.floor((F.col("m") + 1) / 2)
+    mid_hi = F.floor((F.col("m") + 2) / 2)
+    return (
+        ranked.filter((F.col("rn") == mid_lo) | (F.col("rn") == mid_hi))
+        .groupBy("p_brand")
+        .agg(
+            F.max("m").cast("long").alias("n_pairs"),
+            F.round(F.avg("s"), 6).alias("ts_slope_cents"),
+        )
+    )

@@ -988,3 +988,105 @@ def q_image_resize(spark, sf_dir):
         _resample, schema="media_id long, r long, c long, val double"
     )
     return res.select("media_id", "r", "c", F.round("val", 6).alias("val"))
+
+
+# ------------------------------------------------- video motion energy
+
+_MOTION_CUT = 40.0  # motion_mean spike threshold for the cut flag
+
+
+def _video_motion_oracle() -> str:
+    """Byte-level SQL re-derivation of consecutive-frame motion energy
+    on the same Y4M fixture: same header arithmetic as
+    _video_decode_oracle, per-pixel |frame_f − frame_{f−1}| summed as
+    exact integers."""
+    from ..sources.binary import VIDEO_FIXTURE_DIR
+
+    def pair(off: str) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substr(hx, 2*({off}) + 1, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(hx, 2*({off}) + 2, 1)) - 1))"
+        )
+
+    cur = pair("hl + frame_idx * (6 + w * h) + 6 + i")
+    prv = pair("hl + (frame_idx - 1) * (6 + w * h) + 6 + i")
+    return f"""
+    WITH b AS (
+        SELECT CAST(regexp_extract(filename, '(\\d+)\\.y4m$', 1) AS BIGINT)
+                   AS media_id,
+               octet_length(content) AS n_bytes,
+               lower(hex(content)) AS hx
+        FROM read_blob('{VIDEO_FIXTURE_DIR}/*.y4m')
+    ),
+    hdr AS (
+        SELECT media_id, n_bytes, hx,
+               CAST(regexp_replace(regexp_extract(hx,
+                    '^595556344d504547322057((?:3[0-9])+)20', 1),
+                    '3(.)', '\\1', 'g') AS INTEGER) AS w,
+               CAST(regexp_replace(regexp_extract(hx,
+                    '^595556344d504547322057(?:3[0-9])+2048((?:3[0-9])+)20', 1),
+                    '3(.)', '\\1', 'g') AS INTEGER) AS h
+        FROM b
+    ),
+    meta AS (
+        SELECT media_id, hx, w, h,
+               34 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) AS hl,
+               (n_bytes - 34 - length(CAST(w AS VARCHAR))
+                        - length(CAST(h AS VARCHAR))) / (6 + w * h) AS nf
+        FROM hdr
+    ),
+    per_pair AS (
+        SELECT media_id, w, h, hl, hx, CAST(u.f AS INTEGER) AS frame_idx
+        FROM meta, unnest(range(1, CAST(nf AS BIGINT))) AS u(f)
+    ),
+    m AS (
+        SELECT media_id, frame_idx, w AS width, h AS height,
+               CAST(list_sum(list_transform(range(0, w * h),
+                    i -> abs({cur} - {prv}))) AS BIGINT) AS motion_sum
+        FROM per_pair
+    )
+    SELECT media_id, frame_idx, width, height, motion_sum,
+           round(CAST(motion_sum AS DOUBLE)
+                 / CAST(width * height AS DOUBLE), 6) AS motion_mean,
+           CAST(motion_sum AS DOUBLE) / CAST(width * height AS DOUBLE)
+             > {_MOTION_CUT} AS is_cut
+    FROM m
+    """
+
+
+@query("q_video_motion", oracle=_video_motion_oracle())
+def q_video_motion(spark, sf_dir):
+    """Consecutive-frame motion energy + cut detection over REAL Y4M
+    clips — the shot-boundary primitive every video curation pipeline
+    runs before frame sampling (a cut is a |Δluma| spike; the reference
+    samples frames blindly by stride, tracking.py's frame loop — cut-
+    aware sampling is the upgrade). One row per adjacent frame pair:
+    exact integer Σ|luma_f − luma_{f−1}|, its per-pixel mean, and the
+    cut flag at a fixed literal threshold.
+
+    Determinism: the motion sum is EXACT INTEGER arithmetic end-to-end
+    (uint8 planes widened before subtraction — numpy on the Spark side,
+    hex-walk arithmetic in the oracle), motion_mean is ONE IEEE
+    division of exact integers, and the cut comparison runs on those
+    bit-identical doubles against the same literal.
+
+    Scale shape: identical to q_video_decode — per-file splits,
+    embarrassingly parallel mapInPandas, state bounded by ONE clip
+    (two frames at a time in principle; the fixture clips decode whole).
+    """
+    from ..operators.multimodal import extract_video_motion, media_from_video_files
+
+    media = media_from_video_files(spark)
+    m = extract_video_motion(media)
+    mean = F.col("motion_sum").cast("double") / (
+        F.col("width") * F.col("height")
+    ).cast("double")
+    return m.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        "motion_sum",
+        F.round(mean, 6).alias("motion_mean"),
+        (mean > _MOTION_CUT).alias("is_cut"),
+    )

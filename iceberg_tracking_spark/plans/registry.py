@@ -63,6 +63,8 @@ DRIVER_PRIORITY: list[str] = [
     "q_isotonic_calibration",
     "q_adamic_adar",
     "q_hits",
+    "q_theil_sen",
+    "q_video_motion",
     # (b2) code changed this round: q_slope_one's prediction joins were
     # restructured (broadcast sampled-user side, anti-join build
     # shrunk to target users) — output-identical, fresh row per the
@@ -107,20 +109,19 @@ DRIVER_PRIORITY: list[str] = [
     "q_zscore_anomaly",
     "q_degree_centrality",
     "q_triangle_count",
-    # (d) the 5 oldest r5-stale names, registration order (the 8 new
-    # first-row/code-changed slots above displaced 7 of the 13 this
-    # window held before the r9 stats/graph wave; the rest rotate
-    # r10), plus q_fuzzy_match (a (b)-slot: its plan body moved into
-    # the factored fuzzy_match_pairs this round)
+    # (d) the 3 oldest r5-stale names, registration order (the 10 new
+    # first-row/code-changed slots above displaced 9 of the 13 this
+    # window held before the r9 stats/graph/video wave; the rest
+    # rotate r10), plus q_fuzzy_match (a (b)-slot: its plan body moved
+    # into the factored fuzzy_match_pairs this round)
     "q_scan_project",
     "q_distinct",
     "q_embed_scan",
-    "q_group_collect",
-    "q_filter_conf",
     "q_fuzzy_match",
 ]
 # r5-stale names NOT fitting this window (remain latest-row=r5, rotate
-# r10, registration order): q_filter_expr, q_filter_range,
+# r10, registration order): q_group_collect, q_filter_conf,
+# q_filter_expr, q_filter_range,
 # q_string_fmt, q_limit_offset, q_json_extract, q_sum_count,
 # q_count_distinct, q_approx_count_distinct,
 # q_approx_quantile, q_stats, q_global_norm,

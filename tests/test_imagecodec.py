@@ -1295,3 +1295,33 @@ def test_png_16bit_decode_high_byte_and_jvm_conformance(spark):
     assert back is not None
     for y, x in [(0, 0), (3, 7), (8, 10)]:
         assert back.getRaster().getSample(x, y, 0) == int(u16[y, x])
+
+
+def test_extract_video_motion_exact_planted_diffs(spark):
+    """Motion energy on synthetic frames equals the hand-computed exact
+    integer sums, including the uint8-widening edge (a 255 → 0 step
+    must count as 255, not wrap)."""
+    import numpy as np
+
+    from iceberg_tracking_spark.operators.audiocodec import encode_y4m
+    from iceberg_tracking_spark.operators.multimodal import (
+        extract_video_motion,
+    )
+
+    h, w = 4, 6
+    f0 = np.zeros((h, w), dtype=np.uint8)
+    f1 = np.full((h, w), 10, dtype=np.uint8)        # |Δ| = 10 per px
+    f2 = np.full((h, w), 255, dtype=np.uint8)       # |Δ| = 245 per px
+    f3 = np.zeros((h, w), dtype=np.uint8)           # |Δ| = 255 per px (wrap trap)
+    clip = encode_y4m(np.stack([f0, f1, f2, f3]))
+    media = spark.createDataFrame(
+        [(7, bytearray(clip))], "media_id long, content binary"
+    )
+    rows = {
+        r["frame_idx"]: r for r in extract_video_motion(media).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["motion_sum"] == 10 * h * w
+    assert rows[2]["motion_sum"] == 245 * h * w
+    assert rows[3]["motion_sum"] == 255 * h * w
+    assert rows[1]["width"] == w and rows[1]["height"] == h

@@ -1898,3 +1898,55 @@ def test_isotonic_query_monotone_at_sf(spark, sf_dir):
     )
     fits = [r["iso_fit"] for r in rows]
     assert all(fits[i] <= fits[i + 1] + 1e-9 for i in range(len(fits) - 1))
+
+
+def test_theil_sen_resists_planted_outlier(spark):
+    """On y = 3x + noiseless data with ONE wild outlier, the median
+    pairwise slope stays 3 exactly while OLS is dragged; also pins the
+    even-pair-count middle averaging."""
+    from iceberg_tracking_spark.plans.queries_features import (
+        theil_sen_from_points,
+    )
+
+    rows = [("g", i, i, 3 * i) for i in range(1, 12)]
+    rows.append(("g", 99, 12, 100000))  # one wild point
+    pt = spark.createDataFrame(
+        rows, "p_brand string, p_partkey long, x long, y long"
+    )
+    out = theil_sen_from_points(pt).collect()[0]
+    # 66 clean pairs nail slope 3; 11 outlier pairs are a minority, so
+    # the median survives
+    assert out["ts_slope_cents"] == 3.0, out
+    # OLS on the same points is wrecked (sanity of the contrast)
+    import statistics
+
+    xs = [r[2] for r in rows]
+    ys = [r[3] for r in rows]
+    mx, my = statistics.mean(xs), statistics.mean(ys)
+    ols = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / sum(
+        (a - mx) ** 2 for a in xs
+    )
+    assert ols > 100  # dragged three orders above the true slope
+
+
+def test_theil_sen_even_pairs_averages_middles(spark):
+    """Two x-levels with two y values each → 4 pairs, even count: the
+    estimate is the mean of the 2nd and 3rd sorted slopes."""
+    from iceberg_tracking_spark.plans.queries_features import (
+        theil_sen_from_points,
+    )
+
+    # slopes between x=0 and x=2: (10-0)/2=5, (16-0)/2=8, (10-4)/2=3,
+    # (16-4)/2=6 → sorted 3,5,6,8 → median = (5+6)/2 = 5.5
+    rows = [
+        ("g", 1, 0, 0),
+        ("g", 2, 0, 4),
+        ("g", 3, 2, 10),
+        ("g", 4, 2, 16),
+    ]
+    pt = spark.createDataFrame(
+        rows, "p_brand string, p_partkey long, x long, y long"
+    )
+    out = theil_sen_from_points(pt).collect()[0]
+    assert out["n_pairs"] == 4
+    assert out["ts_slope_cents"] == 5.5
