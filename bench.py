@@ -148,6 +148,7 @@ EXTENDED = [
     "q_hits",
     "q_theil_sen",
     "q_video_motion",
+    "q_label_propagation",
 ]
 
 # Regression floors for the HEADLINE set (r6 verdict task: the
@@ -323,6 +324,7 @@ EXTENDED_FLOOR_SEC = {
     "q_hits": 3.094,
     "q_theil_sen": 1.381,
     "q_video_motion": 0.453,
+    "q_label_propagation": 3.016,
 }
 
 

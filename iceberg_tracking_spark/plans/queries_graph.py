@@ -723,3 +723,101 @@ def hits_two_iters(picks: DataFrame) -> DataFrame:
         F.coalesce(F.col("h2"), F.lit(0)).alias("hub_score"),
         F.coalesce(F.col("a2"), F.lit(0)).alias("auth_score"),
     )
+
+
+# ------------------------------------------------------ label propagation
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_round_sql(prev: str, nxt: str) -> str:
+    """One synchronous LPA round as SQL: count neighbor labels, argmax
+    with (count DESC, label ASC) total order."""
+    return f"""
+    {nxt} AS (
+        SELECT node, lab FROM (
+            SELECT s.b AS node, p.lab, count(*) AS c,
+                   row_number() OVER (
+                       PARTITION BY s.b ORDER BY count(*) DESC, p.lab ASC
+                   ) AS rn
+            FROM sym s JOIN {prev} p ON p.node = s.a
+            GROUP BY s.b, p.lab
+        ) WHERE rn = 1
+    )
+    """
+
+
+def _lpa_oracle() -> str:
+    steps = ",".join(
+        _lpa_round_sql(f"l{i}", f"l{i + 1}") for i in range(_LPA_ROUNDS)
+    )
+    return f"""
+    WITH {_BACKBONE_SQL},
+    sym AS (
+        SELECT src AS a, dst AS b FROM pairs
+        UNION ALL
+        SELECT dst, src FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+    {steps}
+    SELECT node AS supp_key, lab AS community FROM l{_LPA_ROUNDS}
+    """
+
+
+@query("q_label_propagation", oracle=_lpa_oracle())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), 2 unrolled
+    rounds on the backbone — the lightweight community detector that
+    completes the graph family: centrality (PageRank/HITS/degree),
+    density (triangles/clustering coefficient), reachability
+    (BFS/connected components), and now COMMUNITIES. Each node adopts
+    the most frequent label among its NEIGHBORS, ties to the smallest
+    label; labels start as node ids.
+
+    Determinism: LPA's notorious nondeterminism comes from asynchronous
+    updates and random tie-breaks — this is the SYNCHRONOUS variant
+    (all nodes update from the same previous-round snapshot, the only
+    form expressible as pure relational rounds) with a (count DESC,
+    label ASC) total-order argmax, so every engine and partitioning
+    yields the same labeling. All counts are exact integers; there is
+    nothing to round.
+
+    Scale: each round is ONE equi-join (edge ⋈ labels on the
+    contributing end) + one hash aggregate + a hash-partitioned argmax
+    window — the q_pagerank per-round shape with an argmax instead of
+    a float sum; the label relation is |V| rows. Fixed unroll keeps
+    the oracle CTE-mirrorable; deep iteration would ride
+    localCheckpoint like operators/graph.py's connected components.
+    """
+    return label_propagation_rounds(
+        _backbone_edges(spark, sf_dir), _LPA_ROUNDS
+    )
+
+
+def label_propagation_rounds(edges: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous LPA over (src < dst) half-edges — see
+    q_label_propagation for semantics and determinism."""
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionAll(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .localCheckpoint()  # re-joined every round
+    )
+    labels = sym.select(F.col("a").alias("node"), F.col("a").alias("lab")).distinct()
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lab").asc()
+    )
+    for _ in range(rounds):
+        labels = (
+            sym.join(labels, sym.a == labels.node)
+            .groupBy(F.col("b").alias("nnode"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.col("nnode").alias("node"), "lab", "c")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+    return labels.select(
+        F.col("node").alias("supp_key"), F.col("lab").alias("community")
+    )

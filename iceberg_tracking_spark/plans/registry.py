@@ -35,22 +35,21 @@ QUERIES: dict[str, QueryDef] = {}
 # positions 1-50). Every §2 operator's primary evidence query must sit
 # inside that window, so ordering is explicit: names listed here come
 # first (in this order), everything else follows in registration order.
-# Round 9 rotation — exactly the r8 verdict's task #1: (a) the one
-# query NEW this round taking its FIRST driver row (q_gif_decode —
-# the r8 verdict's #1 gap), (b) queries whose CODE or a shared
-# dependency changed this round: the sub-byte PNG widening
-# (decode_png + the fixture + the q_png_decode oracle) and the
-# decode_media dispatch gaining the GIF branch pull the decode_media
-# consumers q_png_decode / q_image_decode / q_media_features /
-# q_image_resize per the house rule; q_confusion_matrix's oracle
-# literals gained DOUBLE casts (r8 ADVICE #3); q_fuzzy_match's plan
-# body moved into the factored fuzzy_match_pairs (output-identical,
-# but code-changed consumers get fresh rows per the house rule — it
-# takes the slot q_approx_count_distinct would have had, both r5),
-# (c) the FULL 31-name r4-stale cohort enumerated by the r8 registry
-# comment, (d) the 13 oldest r5-stale names in registration order
-# for the remaining slots. After this window no registered query's
-# latest driver row is older than round 5. Window = 50.
+# Round 9 rotation — the r8 verdict's task #1 plus this round's new
+# surface: (a) first driver rows for the 10 queries NEW this round
+# (q_gif_decode — the r8 verdict's #1 gap — and the stats/graph/
+# calibration/video wave), (b) queries whose CODE or a shared
+# dependency changed this round: q_slope_one's restructured prediction
+# joins; the sub-byte PNG widening (decode_png + fixture + oracle) and
+# the decode_media GIF branch pull the decode_media consumers
+# q_png_decode / q_image_decode / q_media_features / q_image_resize;
+# q_confusion_matrix's oracle literals gained DOUBLE casts (r8 ADVICE
+# #3); q_fuzzy_match's plan body moved into the factored
+# fuzzy_match_pairs, (c) the FULL 31-name r4-stale cohort enumerated
+# by the r8 registry comment, (d) the oldest r5-stale names in
+# registration order for the remaining slots. After this window no
+# registered query's latest driver row is older than round 5.
+# Window = 50.
 DRIVER_PRIORITY: list[str] = [
     # (a) first driver rows: new this round (real GIF decode with a
     # byte-level literal-LZW oracle; the r9 stats/graph/calibration
@@ -65,6 +64,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_hits",
     "q_theil_sen",
     "q_video_motion",
+    "q_label_propagation",
     # (b2) code changed this round: q_slope_one's prediction joins were
     # restructured (broadcast sampled-user side, anti-join build
     # shrunk to target users) — output-identical, fresh row per the
@@ -109,18 +109,17 @@ DRIVER_PRIORITY: list[str] = [
     "q_zscore_anomaly",
     "q_degree_centrality",
     "q_triangle_count",
-    # (d) the 3 oldest r5-stale names, registration order (the 10 new
-    # first-row/code-changed slots above displaced 9 of the 13 this
+    # (d) the 2 oldest r5-stale names, registration order (the 11 new
+    # first-row/code-changed slots above displaced 10 of the 13 this
     # window held before the r9 stats/graph/video wave; the rest
     # rotate r10), plus q_fuzzy_match (a (b)-slot: its plan body moved
     # into the factored fuzzy_match_pairs this round)
     "q_scan_project",
     "q_distinct",
-    "q_embed_scan",
     "q_fuzzy_match",
 ]
 # r5-stale names NOT fitting this window (remain latest-row=r5, rotate
-# r10, registration order): q_group_collect, q_filter_conf,
+# r10, registration order): q_embed_scan, q_group_collect, q_filter_conf,
 # q_filter_expr, q_filter_range,
 # q_string_fmt, q_limit_offset, q_json_extract, q_sum_count,
 # q_count_distinct, q_approx_count_distinct,

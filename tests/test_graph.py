@@ -118,3 +118,29 @@ def test_hits_planted_authority(spark):
     assert out[99]["hub_score"] == 3
     top_auth = max(out.values(), key=lambda r: r["auth_score"])
     assert top_auth["supp_key"] == 99
+
+
+def test_label_propagation_two_cliques_one_bridge(spark):
+    """Two 4-cliques joined by one bridge edge → after 2 synchronous
+    rounds each clique converges to its minimum node id; the bridge
+    does not merge them (each side's internal majority dominates)."""
+    from itertools import combinations
+
+    from iceberg_tracking_spark.plans.queries_graph import (
+        label_propagation_rounds,
+    )
+
+    c1 = list(combinations([1, 2, 3, 4], 2))
+    c2 = list(combinations([10, 11, 12, 13], 2))
+    bridge = [(4, 10)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in c1 + c2 + bridge], "src long, dst long"
+    )
+    out = {
+        r["supp_key"]: r["community"]
+        for r in label_propagation_rounds(edges, 2).collect()
+    }
+    assert {out[n] for n in (1, 2, 3)} == {1}
+    assert {out[n] for n in (11, 12, 13)} == {10}
+    # the bridge endpoints join their own cliques, not each other's
+    assert out[4] == 1 and out[10] == 10
