@@ -10,7 +10,8 @@ applies an exact 8×8 float IDCT, handles ANY sampling-factor layout
 (4:4:4, 4:2:0, 4:2:2, …) via the generic MCU walk + nearest-neighbor
 upsampling, and converts JFIF YCbCr→RGB. The encoder mirrors it
 (FDCT, quality-scaled Annex K quantization, spec Annex K Huffman
-tables, byte stuffing) at 4:4:4 or grayscale.
+tables, byte stuffing) at 4:4:4 or grayscale. Lossless (SOF3)
+decode + encode live at the bottom of the module.
 
 Independence of the evidence: the decoder takes ALL tables from the
 file, so tests/test_imagecodec.py cross-checks both directions against
@@ -230,7 +231,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     Annex G, with EOB runs, AC refinement and restart markers,
     accumulated into a per-component coefficient store and IDCT'd
     once (conformance-tested against the JVM's own progressive
-    writer/reader). Lossless/arithmetic processes raise. All
+    writer/reader) AND — since round 9 — LOSSLESS (SOF3): Annex-H
+    predictive coding, all 7 predictors, point transform, modulo-2¹⁶
+    reconstruction, 2-16-bit precision (exact roundtrip with the
+    encode_jpeg_lossless twin; wire format pinned by a hand-built
+    bitstream test). Arithmetic processes raise. All
     quantization/Huffman tables come from the file. Generic sampling
     factors via the interleaved MCU walk; chroma upsampling is
     nearest-neighbor (the JFIF-common choice)."""
@@ -266,6 +271,8 @@ def _decode_markers_and_scan(
 ) -> np.ndarray:
     w = h = 0
     progressive = False
+    lossless = False
+    prec = 8
     prog = None  # per-component coefficient store, built at first scan
     while True:
         if data[pos] != 0xFF:
@@ -298,9 +305,17 @@ def _decode_markers_and_scan(
                 nat[ZIGZAG] = tbl  # stored zigzag → natural
                 qt[tq] = nat.reshape(8, 8)
                 i += 65
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
-            if seg[0] != 8:
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 seq, SOF2 prog,
+            #                                       SOF3 lossless
+            lossless = marker == 0xC3
+            if lossless:
+                prec = seg[0]
+                if not 2 <= prec <= 16:
+                    raise ValueError("invalid lossless JPEG precision")
+            elif seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
+            else:
+                prec = 8
             progressive = marker == 0xC2
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
@@ -320,11 +335,11 @@ def _decode_markers_and_scan(
                 # declared sampling factors up front (libjpeg does the
                 # same) so both decode paths use consistent geometry
                 comps[0] = {**comps[0], "hs": 1, "vs": 1}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG coding process (SOF marker 0x{marker:02X}); "
-                "baseline sequential and progressive only"
+                "baseline sequential, progressive, and lossless (SOF3) only"
             )
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
@@ -347,6 +362,11 @@ def _decode_markers_and_scan(
                 raise ValueError(
                     f"unsupported component count {len(comps)}: grey (1) "
                     "or YCbCr (3) only"
+                )
+            if lossless:
+                reader = _BitReader(data, pos + 2 + ln)
+                return _decode_lossless_scan(
+                    reader, seg, comps, hdec, h, w, prec, restart_interval
                 )
             if progressive:
                 if prog is None:
@@ -864,4 +884,172 @@ def encode_jpeg(
     out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
     out += writer.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------- lossless (SOF3, T.81 H)
+
+#: static Huffman spec for lossless difference categories SSSS 0..16:
+#: lengths 2,2,2,3,4,...,15,16 (canonical, Kraft sum 1 − 2⁻¹⁶ so no
+#: all-ones code exists at any length)
+_LL_HUFF = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+    list(range(17)),
+)
+
+
+def _ll_predict(plane, y: int, x: int, psel: int, default: int,
+                seg_y: int, seg_x: int) -> int:
+    """T.81 H.1 prediction. The first sample of a scan (and of each
+    restart interval) takes the default 2^(P−1−Pt); the remainder of
+    that first line uses Ra; later lines use Rb at x = 0 and the
+    selected predictor elsewhere."""
+    if y == seg_y:
+        if x == seg_x:
+            return default
+        return int(plane[y, x - 1])
+    if x == 0:
+        return int(plane[y - 1, x])
+    ra = int(plane[y, x - 1])
+    rb = int(plane[y - 1, x])
+    rc = int(plane[y - 1, x - 1])
+    if psel == 1:
+        return ra
+    if psel == 2:
+        return rb
+    if psel == 3:
+        return rc
+    if psel == 4:
+        return ra + rb - rc
+    if psel == 5:
+        return ra + ((rb - rc) >> 1)
+    if psel == 6:
+        return rb + ((ra - rc) >> 1)
+    if psel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"invalid lossless predictor {psel}")
+
+
+def _decode_lossless_scan(
+    reader, seg, comps, hdec, h: int, w: int, prec: int,
+    restart_interval: int,
+) -> np.ndarray:
+    """One lossless scan (all components interleaved, hs=vs=1) per
+    T.81 Annex H: Huffman SSSS category + EXTEND difference, modulo-2¹⁶
+    reconstruction, point-transform shift on output. Returns (h, w) for
+    one component, (h, w, nc) RAW components otherwise (lossless JPEG
+    defines no color transform — components pass through untouched)."""
+    ns = seg[0]
+    if ns != len(comps):
+        raise ValueError("lossless scan must cover every frame component")
+    if any(c["hs"] != 1 or c["vs"] != 1 for c in comps):
+        raise ValueError("subsampled lossless JPEG unsupported")
+    psel = seg[1 + 2 * ns]  # Ss = predictor selector
+    pt = seg[3 + 2 * ns] & 15  # Al = point transform
+    if not 1 <= psel <= 7:
+        raise ValueError(f"invalid lossless predictor {psel}")
+    tables = []
+    for c in range(ns):
+        td = seg[2 + 2 * c] >> 4
+        tables.append(hdec[(0, td)])
+    default = 1 << (prec - 1 - pt)
+    planes = [np.zeros((h, w), np.int64) for _ in comps]
+    rst_i = 0
+    count = 0
+    seg_y = seg_x = 0  # restart-segment start (prediction reset point)
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and count == restart_interval:
+                rst_i = _consume_restart(reader, rst_i)
+                count = 0
+                seg_y, seg_x = y, x
+            for ci in range(ns):
+                ssss = reader.huff(tables[ci])
+                if ssss == 16:
+                    diff = 32768
+                elif ssss > 16:
+                    raise ValueError("invalid lossless difference category")
+                else:
+                    diff = _extend(reader.bits(ssss), ssss)
+                px = _ll_predict(planes[ci], y, x, psel, default, seg_y, seg_x)
+                planes[ci][y, x] = (px + diff) & 0xFFFF
+            count += 1
+    mask = (1 << prec) - 1
+    out = [(p & mask) << pt for p in planes]
+    dtype = np.uint8 if prec + pt <= 8 else np.uint16
+    if ns == 1:
+        return out[0].astype(dtype)
+    return np.stack([p.astype(dtype) for p in out], axis=-1)
+
+
+def encode_jpeg_lossless(
+    mat: np.ndarray, predictor: int = 1, point_transform: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w[, nc]) uint8/uint16 → lossless JPEG (SOF3) bytes — exact:
+    decode_jpeg(encode_jpeg_lossless(m)) == m for point_transform = 0.
+    With point_transform = Pt the encoder codes sample >> Pt and the
+    decoder reconstructs sample & ~(2^Pt − 1) (the spec's lossy knob).
+    Components are stored raw (no color transform). Restart intervals
+    (in samples) reset the prediction exactly like the decoder expects."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    prec = 8 if mat.dtype == np.uint8 else 16
+    pt = point_transform
+    if not 0 <= pt < prec:
+        raise ValueError("point transform out of range")
+    img = mat[:, :, None] if mat.ndim == 2 else mat
+    h, w, nc = img.shape
+    samples = (img.astype(np.int64) >> pt)
+    enc = _build_encoder(*_LL_HUFF)
+    out = bytearray(b"\xff\xd8")
+    out += _dht_segment(0, 0, _LL_HUFF)
+    sof = bytearray([prec])
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xc3" + (len(sof) + 2).to_bytes(2, "big") + sof
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
+    sos = bytearray([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([predictor, 0, pt])  # Ss / Se / AhAl
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    bw = _BitWriter()
+    default = 1 << (prec - 1 - pt)
+    planes = [samples[:, :, c] for c in range(nc)]
+    rst_i = 0
+    count = 0
+    seg_y = seg_x = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and count == restart_interval:
+                bw.flush()
+                out += bw.buf
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (rst_i & 7)])
+                rst_i = (rst_i + 1) & 7
+                count = 0
+                seg_y, seg_x = y, x
+            for ci in range(nc):
+                px = _ll_predict(
+                    planes[ci], y, x, predictor, default, seg_y, seg_x
+                )
+                v = (int(planes[ci][y, x]) - px) & 0xFFFF
+                if v >= 32768:
+                    v -= 65536
+                if v == -32768:
+                    code, length = enc[16]
+                    bw.write(code, length)
+                else:
+                    ssss = _csize(v)
+                    code, length = enc[ssss]
+                    bw.write(code, length)
+                    if ssss:
+                        bw.write(v if v >= 0 else v - 1 + (1 << ssss), ssss)
+            count += 1
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
     return bytes(out)

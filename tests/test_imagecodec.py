@@ -548,9 +548,11 @@ def test_jpeg_cross_validated_against_jvm_imageio(spark):
 
 
 def test_jpeg_decode_rejects_unsupported_processes_and_garbage():
-    """Progressive (SOF2) decodes for real since r8, so the rejection
-    contract now covers the genuinely unimplemented processes:
-    lossless (SOF3) and arithmetic coding (SOF9)."""
+    """Progressive (SOF2) decodes since r8 and lossless (SOF3) since
+    r9, so the rejection contract now covers the one genuinely
+    unimplemented process — arithmetic coding (SOF9) — plus loud
+    failure on a BASELINE stream mislabeled as lossless (its scan
+    header carries Ss = 0, an invalid predictor)."""
     import numpy as np
     import pytest
 
@@ -558,12 +560,14 @@ def test_jpeg_decode_rejects_unsupported_processes_and_garbage():
 
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG")
-    for sof in (0xC3, 0xC9):  # lossless / arithmetic-coded
-        data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
-        i = bytes(data).find(b"\xff\xc0")
-        data[i + 1] = sof
-        with pytest.raises(ValueError, match="unsupported JPEG coding"):
-            decode_jpeg(bytes(data))
+    data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC9  # arithmetic-coded
+    with pytest.raises(ValueError, match="unsupported JPEG coding"):
+        decode_jpeg(bytes(data))
+    data[i + 1] = 0xC3  # lossless label on a baseline stream
+    with pytest.raises(ValueError, match="invalid lossless predictor"):
+        decode_jpeg(bytes(data))
 
 
 def test_jpeg_flows_through_decode_media():
@@ -1325,3 +1329,97 @@ def test_extract_video_motion_exact_planted_diffs(spark):
     assert rows[2]["motion_sum"] == 245 * h * w
     assert rows[3]["motion_sum"] == 255 * h * w
     assert rows[1]["width"] == w and rows[1]["height"] == h
+
+
+# ---------------------------------------------------- lossless JPEG (SOF3)
+
+
+def test_jpeg_lossless_roundtrip_all_predictors():
+    """decode(encode_lossless(m)) == m EXACTLY for every predictor 1-7,
+    grey + RGB + 16-bit — the defining property of the process."""
+    import numpy as np
+
+    from iceberg_tracking_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(42)
+    cases = [
+        (rng.integers(0, 256, size=(13, 17)).astype(np.uint8)),
+        (rng.integers(0, 256, size=(9, 11, 3)).astype(np.uint8)),
+        (rng.integers(0, 65536, size=(8, 6)).astype(np.uint16)),
+    ]
+    for m in cases:
+        for pred in range(1, 8):
+            got = decode_jpeg(encode_jpeg_lossless(m, predictor=pred))
+            assert got.dtype == m.dtype and got.shape == m.shape
+            assert np.array_equal(got, m), (m.shape, pred)
+
+
+def test_jpeg_lossless_restart_and_point_transform():
+    """Mid-row restart intervals reset prediction consistently on both
+    sides; point transform Pt codes sample >> Pt and reconstructs the
+    <<-Pt value (the spec's controlled-loss knob)."""
+    import numpy as np
+
+    from iceberg_tracking_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(3)
+    m = rng.integers(0, 256, size=(10, 7)).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg_lossless(m, predictor=4, restart_interval=11))
+    assert np.array_equal(got, m)
+    got = decode_jpeg(encode_jpeg_lossless(m, predictor=1, point_transform=1))
+    assert np.array_equal(got, (m >> 1) << 1)
+
+
+def test_jpeg_lossless_hand_built_bitstream():
+    """Decoder-only direction: a 2×2 SOF3 file assembled BY HAND, bit
+    by bit, so the wire format (marker layout, canonical code
+    assignment, SSSS+EXTEND differences, default prediction 2^(P−1))
+    is pinned independently of our own encoder.
+
+    Pixels [[100, 101], [102, 104]], predictor 1, Pt 0:
+      (0,0): pred 128, diff −28 → SSSS 5 code '11110', bits '00011'
+      (0,1): Ra 100,  diff  +1 → SSSS 1 code '01',    bit  '1'
+      (1,0): Rb 100,  diff  +2 → SSSS 2 code '10',    bits '10'
+      (1,1): Ra 102,  diff  +2 → SSSS 2 code '10',    bits '10'
+    → 21 bits, padded with 1s: 0xF0 0xDD 0x57.
+    """
+    import numpy as np
+
+    from iceberg_tracking_spark.operators.jpegcodec import decode_jpeg
+
+    dht = bytes([0x00]) + bytes(
+        [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1]
+    ) + bytes(range(17))
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
+        + b"\xff\xc3\x00\x0b" + bytes([8, 0, 2, 0, 2, 1, 1, 0x11, 0])
+        + b"\xff\xda\x00\x08" + bytes([1, 1, 0x00, 1, 0, 0])
+        + bytes([0xF0, 0xDD, 0x57])
+        + b"\xff\xd9"
+    )
+    got = decode_jpeg(data)
+    assert np.array_equal(
+        got, np.array([[100, 101], [102, 104]], dtype=np.uint8)
+    )
+
+
+def test_jpeg_lossless_rejects_bad_shapes():
+    import numpy as np
+    import pytest
+
+    from iceberg_tracking_spark.operators.jpegcodec import (
+        encode_jpeg_lossless,
+    )
+
+    m = np.zeros((4, 4), np.uint8)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(m, predictor=0)
+    with pytest.raises(ValueError, match="point transform"):
+        encode_jpeg_lossless(m, point_transform=8)
