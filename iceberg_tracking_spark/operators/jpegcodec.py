@@ -974,9 +974,12 @@ def _decode_lossless_scan(
                 px = _ll_predict(planes[ci], y, x, psel, default, seg_y, seg_x)
                 planes[ci][y, x] = (px + diff) & 0xFFFF
             count += 1
+    # coded samples are P−Pt bits; reconstruction (<< Pt) fits P bits —
+    # mask AFTER the shift so even a nonconforming stream cannot emit
+    # values wider than the declared precision
     mask = (1 << prec) - 1
-    out = [(p & mask) << pt for p in planes]
-    dtype = np.uint8 if prec + pt <= 8 else np.uint16
+    out = [(p << pt) & mask for p in planes]
+    dtype = np.uint8 if prec <= 8 else np.uint16
     if ns == 1:
         return out[0].astype(dtype)
     return np.stack([p.astype(dtype) for p in out], axis=-1)

@@ -589,3 +589,26 @@ def isotonic_fit(per_bin: DataFrame) -> DataFrame:
     )
     mins = tri.groupBy("ib", "jb").agg(F.min("avg_jk").alias("m"))
     return mins.groupBy("ib").agg(F.max("m").alias("g"))
+
+
+#: additive per-(seg, x, yc) count column `spearman_cells` emits — the
+#: third maintained grid after MW and KW
+SPEARMAN_CELL_COLS = ["cnt"]
+
+
+def spearman_cells(lineitem: DataFrame) -> DataFrame:
+    """(seg, x, yc, cnt) cells from raw lineitem rows — the additive
+    aggregate stage of q_spearman (counts of a union == summed counts
+    of the parts), so the cell relation streams via the generic
+    additive fold like the MW/KW grids."""
+    return (
+        lineitem.select(
+            F.col("l_returnflag").alias("seg"),
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("yc"),
+        )
+        .groupBy("seg", "x", "yc")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -2303,22 +2303,11 @@ def q_spearman(spark, sf_dir):
     up to n ~ 10⁹ per segment; beyond that the sums shift to the
     centered/streaming form (document'd, not hit at any tested sf).
     """
-    from ..operators.stats import spearman_from_cells
+    from ..operators.stats import spearman_cells, spearman_from_cells
 
-    li = _t(spark, sf_dir, "lineitem")
-    cells = (
-        li.select(
-            F.col("l_returnflag").alias("seg"),
-            F.col("l_quantity").cast("long").alias("x"),
-            F.round(F.col("l_extendedprice") * 100, 0)
-            .cast("long")
-            .alias("yc"),
-        )
-        .groupBy("seg", "x", "yc")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        # three consumers: both marginal rank tables and the cell join
-        .localCheckpoint()
-    )
+    # three consumers of the cell relation (both marginal rank tables
+    # and the cell join) — materialize once
+    cells = spearman_cells(_t(spark, sf_dir, "lineitem")).localCheckpoint()
     return spearman_from_cells(cells).select(
         F.col("seg").alias("returnflag"), "n", "rho"
     )

@@ -1186,3 +1186,59 @@ def test_streaming_kruskal_wallis_equals_batch(spark, sf_dir, tmp_path):
     v = table.current_version()
     merge(spark.read.parquet(src), 0)
     assert table.current_version() == v
+
+
+def test_streaming_spearman_equals_batch(spark, sf_dir, tmp_path):
+    """The incrementally-maintained Spearman cell grid equals the batch
+    q_spearman EXACTLY — third consumer of the generic additive-fold
+    factory (after the MW and KW grids; this one is a two-variable
+    cell relation, proving the factory is not rank-test-specific).
+    Split on l_orderkey parity so every (seg, x, yc) cell appears in
+    both halves, exercising old+delta merges. Replay is a no-op."""
+    from iceberg_tracking_spark.operators.stats import (
+        SPEARMAN_CELL_COLS,
+        spearman_cells,
+        spearman_from_cells,
+    )
+    from iceberg_tracking_spark.plans import QUERIES
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+    from iceberg_tracking_spark.streaming.materialized import (
+        make_aggregate_merge_fn,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    src = str(tmp_path / "src")
+    li.filter(F.col("l_orderkey") % 2 == 0).write.mode("overwrite").parquet(src)
+    table = VersionedTable(str(tmp_path / "sp_cells"))
+    merge = make_aggregate_merge_fn(
+        table, spearman_cells, ["seg", "x", "yc"], SPEARMAN_CELL_COLS,
+        app_id="sp-test",
+    )
+    stream = (
+        spark.readStream.schema(li.schema).parquet(src).writeStream
+        .foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    q = stream.start()
+    q.awaitTermination(120)
+    li.filter(F.col("l_orderkey") % 2 != 0).write.mode("append").parquet(src)
+    q2 = stream.start()
+    q2.awaitTermination(120)
+
+    got = {
+        r["seg"]: (r["n"], r["rho"])
+        for r in spearman_from_cells(table.read(spark)).collect()
+    }
+    want = {
+        r["returnflag"]: (r["n"], r["rho"])
+        for r in QUERIES["q_spearman"].fn(spark, sf_dir).collect()
+    }
+    assert got == want  # bit-identical, not approximately equal
+    assert len(got) == 3
+
+    v = table.current_version()
+    merge(spark.read.parquet(src), 0)
+    assert table.current_version() == v
