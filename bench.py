@@ -183,7 +183,9 @@ HEADLINE_FLOOR_SEC = {
 
 # Regression floor for the extended set: each entry's first solo
 # sf0.1 min-of-3 recording, tightened whenever a later solo run beats
-# it (last sweep: the round-7 end-of-round solo bench — an unusually
+# it (last sweep: the round-9 end-of-round full bench on an idle host
+# — load average 0.06, 32 floors tightened, the r9-wave entries by
+# 2-3x off their noisy-day first recordings; before that the round-7
 # quiet host window that re-floored 43 of 61 entries). A query running
 # >2x its floor at
 # sf0.1 is flagged loudly in the JSON ("regressions") and on stderr —
@@ -195,11 +197,11 @@ EXTENDED_FLOOR_SEC = {
     # re-floored r6 after the single-checkpoint broadcast-degree
     # reshape (min-of-5 solo recording)
     "q_pagerank": 3.246,
-    "q_interval_join": 0.884,
+    "q_interval_join": 0.752,
     "q_fuzzy_match": 0.467,
-    "q_char_entropy": 0.534,
+    "q_char_entropy": 0.504,
     "q_hll": 0.482,
-    "q_count_min": 0.667,
+    "q_count_min": 0.608,
     "q_image_decode": 0.403,
     "q_rrf_fusion": 1.711,
     # round-5 families: first sf0.1 min-of-3 recordings (local run).
@@ -214,8 +216,8 @@ EXTENDED_FLOOR_SEC = {
     "q_pack_sequences_sharded": 0.234,
     "q_histogram_quantiles": 0.39,
     "q_bpe_learn": 1.195,
-    "q_domain_mixture": 0.495,
-    "q_curriculum": 1.099,
+    "q_domain_mixture": 0.478,
+    "q_curriculum": 0.972,
     "q_training_manifest": 0.588,
     # ANN recall monitors: first sf0.1 recording = BENCH_r05 (r5
     # verdict task #2 — every extended entry regression-guarded)
@@ -225,16 +227,16 @@ EXTENDED_FLOOR_SEC = {
     # min over two back-to-back bench runs that themselves spanned a
     # 23% environment swing — see README "Performance")
     "q_average_precision": 0.658,
-    "q_eval_identity": 2.731,
+    "q_eval_identity": 2.667,
     "q_eval_combined": 3.249,
     # round-6 second wave: first solo sf0.1 min-of-3 recordings
     # (bloom_pruned_join floored at its post-xxhash-family number)
-    "q_heavy_hitters": 0.773,
+    "q_heavy_hitters": 0.769,
     "q_bloom_pruned_join": 1.159,
-    "q_neardup_gate": 1.054,
-    "q_classifier_score": 0.535,
+    "q_neardup_gate": 0.929,
+    "q_classifier_score": 0.522,
     "q_chunk_documents": 0.301,
-    "q_retrieval_metrics": 0.909,
+    "q_retrieval_metrics": 0.798,
     "q_ann_ivf_recall": 0.549,
     # round-6 third wave (first solo sf0.1 recording, min-of-3)
     "q_target_encoding": 0.254,
@@ -261,7 +263,7 @@ EXTENDED_FLOOR_SEC = {
     "q_psi": 1.12,
     "q_markov_transitions": 0.394,
     "q_attribution": 0.34,
-    "q_dsir_weights": 1.088,
+    "q_dsir_weights": 0.942,
     # RFM + Kaplan-Meier: first solo sf0.1 min-of-3 recordings (three
     # resp. two distributed_cumulative passes over bounded relations —
     # the cost is fixed job overhead, not data volume)
@@ -276,7 +278,7 @@ EXTENDED_FLOOR_SEC = {
     # — decode cost scales with file count, not sf)
     "q_png_decode": 0.286,
     "q_int8_quantize": 0.173,
-    "q_length_buckets": 0.327,
+    "q_length_buckets": 0.298,
     "q_dup_span_removal": 0.384,
     # round-7 second wave (first solo sf0.1 min-of-3 recordings; BH is
     # job-count bound — distributed_cumulative boundary collect +
@@ -287,44 +289,44 @@ EXTENDED_FLOOR_SEC = {
     # the rank's bucket tree AND replaces 3 redundant upstream
     # evaluations with 1 — ~0.45s of fixed job overhead at sf0.1, a
     # win at real test-family sizes)
-    "q_benjamini_hochberg": 1.239,
+    "q_benjamini_hochberg": 1.087,
     # round-7 third wave (first solo sf0.1 min-of-3 recordings);
     # fidelity re-floored r8 after the exact-Jaccard side was bounded
     # by the candidate set (r7 verdict task #1 — cand routed through
     # the semi-joined shingle relation, no shingle self-join; solo
     # min-of-3 2.390s in the same commit as the plan change)
-    "q_minhash_fidelity": 2.390,
-    "q_msprt": 1.175,
+    "q_minhash_fidelity": 1.837,
+    "q_msprt": 1.02,
     # round-8 first solo sf0.1 min-of-3 recordings, same commit as the
     # queries landed (slope_one's basis includes the target-item
     # semi-join bound on the deviation pair fan)
     # (mann_whitney re-floored in the same round after its grid/rank
     # stages moved to operators/stats.py:mw_grid+mw_from_grid)
-    "q_mann_whitney": 0.524,
-    "q_benford": 0.733,
+    "q_mann_whitney": 0.421,
+    "q_benford": 0.314,
     # acf re-floored after the decimal-before-sum overflow fix
     # (solo min-of-3 in the same commit)
-    "q_acf": 1.001,
-    "q_slope_one": 4.858,
-    "q_confusion_matrix": 0.912,
-    "q_knn_accuracy": 1.365,
-    "q_zipf_fit": 0.894,
+    "q_acf": 0.531,
+    "q_slope_one": 3.939,
+    "q_confusion_matrix": 0.563,
+    "q_knn_accuracy": 0.775,
+    "q_zipf_fit": 0.654,
     # r9 landing: solo min-of-3 at sf0.1 in the landing commit
     # (0.862s; first run 9.0s is fixture+listing warm-up, absorbed by
     # the harness's min-of-3)
-    "q_gif_decode": 0.862,
+    "q_gif_decode": 0.405,
     # r9 stats/graph wave: first solo sf0.1 min-of-3 recordings (host
     # showed residual load-average ~1-8 from the same-session pytest
     # sweep; tighten from a quieter end-of-round solo run if one lands)
-    "q_spearman": 4.413,
-    "q_kruskal_wallis": 1.452,
-    "q_permutation_test": 1.434,
-    "q_isotonic_calibration": 2.289,
-    "q_adamic_adar": 4.926,
-    "q_hits": 3.094,
-    "q_theil_sen": 1.381,
-    "q_video_motion": 0.453,
-    "q_label_propagation": 3.016,
+    "q_spearman": 1.954,
+    "q_kruskal_wallis": 0.533,
+    "q_permutation_test": 0.856,
+    "q_isotonic_calibration": 1.139,
+    "q_adamic_adar": 2.444,
+    "q_hits": 2.184,
+    "q_theil_sen": 0.692,
+    "q_video_motion": 0.365,
+    "q_label_propagation": 2.563,
 }
 
 

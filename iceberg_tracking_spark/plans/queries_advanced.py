@@ -2293,7 +2293,10 @@ def q_spearman(spark, sf_dir):
     are exact DECIMAL/HUGEINT algebra; rho is a fixed float sequence
     over those exact integers — two cast-to-double factors multiplied,
     one sqrt, one division — rounded 6dp. Degenerate segments (all x
-    tied or all y tied) are NULL on both engines.
+    tied or all y tied) are NULL on both engines. The cell relation is
+    ADDITIVE, so a streaming deployment maintains it via the generic
+    fold factory (test_streaming_spearman_equals_batch pins streamed
+    ≡ batch bit-identically).
 
     Scale: the shuffle reduces rows to the value-grid cells (bounded
     by |x grid| × |y grid| per segment, not row count); rank tables
@@ -2403,7 +2406,8 @@ def q_kruskal_wallis(spark, sf_dir):
     the value grid (bounded by the grid, not rows), a window
     partitioned by segment over that grid, then one row per segment.
     The grid counts are additive, so the same relation streams via
-    merge_aggregate if maintained.
+    the generic fold factory (test_streaming_kruskal_wallis_equals_
+    batch pins streamed ≡ batch bit-identically).
     """
     from ..operators.stats import kw3_from_grid, kw3_grid
 

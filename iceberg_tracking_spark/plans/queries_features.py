@@ -1556,8 +1556,9 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the N-row table reduces to B = 20 rows before any O(B²)
     work (the ECE shape); ranking is the two-pass range-partitioned
     cumulative (no single-partition window over data); the bin-level
-    windows/joins run on a 20-row broadcastable relation — constant
-    cost at ANY corpus size.
+    prefix sums and the triangular pair/index sets are explode +
+    equi-join on a 20-row broadcastable relation (no window, no
+    nested loop) — constant cost at ANY corpus size.
     """
     e = _t(spark, sf_dir, "embeddings")
     scored = e.select(
