@@ -997,6 +997,10 @@ def encode_jpeg_lossless(
     (in samples) reset the prediction exactly like the decoder expects."""
     if not 1 <= predictor <= 7:
         raise ValueError(f"invalid lossless predictor {predictor}")
+    if mat.dtype not in (np.uint8, np.uint16):
+        raise ValueError(
+            f"lossless JPEG encoder takes uint8/uint16 samples, got {mat.dtype}"
+        )
     prec = 8 if mat.dtype == np.uint8 else 16
     pt = point_transform
     if not 0 <= pt < prec:

@@ -558,15 +558,21 @@ def extract_video_motion(media: DataFrame) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 frames, _fps = decode_y4m(bytes(r.content))
-                a = frames.astype(np.int64)
-                for idx in range(1, a.shape[0]):
-                    d = int(np.abs(a[idx] - a[idx - 1]).sum())
+                # Rolling two-frame buffer: widen only the current pair
+                # to int64 (never the whole clip at 8x raw size), so
+                # peak state really is two frames regardless of clip
+                # length.
+                prev = frames[0].astype(np.int64)
+                for idx in range(1, frames.shape[0]):
+                    cur = frames[idx].astype(np.int64)
+                    d = int(np.abs(cur - prev).sum())
+                    prev = cur
                     rows.append(
                         (
                             r.media_id,
                             int(idx),
-                            int(a.shape[2]),
-                            int(a.shape[1]),
+                            int(frames.shape[2]),
+                            int(frames.shape[1]),
                             d,
                         )
                     )

@@ -581,7 +581,9 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ_w deg(w)² on the BACKBONE (edges ≤ K·|V| by construction — the
     q_triangle_count boundedness argument); candidates are only pairs
     with ≥1 common neighbor, never all-pairs; the weight table is a
-    |V|-row broadcast; top-k is TakeOrdered (per-partition heads, no
+    |V|-row relation whose join strategy AQE decides (broadcast at
+    test scale, shuffle-hash beyond the threshold — no forced hint on
+    an unbounded side); top-k is TakeOrdered (per-partition heads, no
     global sort materialization).
     """
     return adamic_adar_topk(_backbone_edges(spark, sf_dir), _AA_TOPK)
@@ -618,7 +620,9 @@ def adamic_adar_topk(edges: DataFrame, topk: int) -> DataFrame:
         F.col("e1.a").alias("w"),
     )
     cand = (
-        wedge.join(F.broadcast(wt), F.col("w") == F.col("node"))
+        # wt is |V|-row: AQE decides the join strategy (broadcast at
+        # test scale, shuffle-hash when |V| outgrows the threshold)
+        wedge.join(wt, F.col("w") == F.col("node"))
         .join(
             edges,
             (F.col("u") == F.col("src")) & (F.col("v") == F.col("dst")),
@@ -698,21 +702,26 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hits_two_iters(picks: DataFrame) -> DataFrame:
     """Two unnormalized HITS iterations over a directed (s, d) pick
     relation — see q_hits for semantics and exactness."""
+    # The score vectors are |V|-row relations: no forced broadcast
+    # hints here (the q_slope_one rationale — a forced hint on an
+    # unbounded-cardinality side is a latent driver OOM at extreme
+    # scale). AQE picks broadcast at test scale and shuffle-hash
+    # beyond the threshold.
     h1 = picks.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("h")
     )
     a1 = (
-        picks.join(F.broadcast(h1), picks.s == h1.node)
+        picks.join(h1, picks.s == h1.node)
         .groupBy(F.col("d").alias("anode"))
         .agg(F.sum("h").alias("a"))
     )
     h2 = (
-        picks.join(F.broadcast(a1), picks.d == F.col("anode"))
+        picks.join(a1, picks.d == F.col("anode"))
         .groupBy(F.col("s").alias("hnode"))
         .agg(F.sum("a").alias("h2"))
     )
     a2 = (
-        picks.join(F.broadcast(h2), picks.s == F.col("hnode"))
+        picks.join(h2, picks.s == F.col("hnode"))
         .groupBy(F.col("d").alias("anode2"))
         .agg(F.sum("h2").alias("a2"))
     )
