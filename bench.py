@@ -149,6 +149,8 @@ EXTENDED = [
     "q_theil_sen",
     "q_video_motion",
     "q_label_propagation",
+    # round-10: animated GIF per-frame decode
+    "q_gif_frames",
 ]
 
 # Regression floors for the HEADLINE set (r6 verdict task: the
@@ -327,6 +329,9 @@ EXTENDED_FLOOR_SEC = {
     "q_theil_sen": 0.692,
     "q_video_motion": 0.365,
     "q_label_propagation": 2.563,
+    # r10 landing: solo min-of-3 at sf0.1 in the landing commit, on a
+    # load-3.4 host (fixture-sized decode; tighten from an idle run)
+    "q_gif_frames": 0.572,
 }
 
 

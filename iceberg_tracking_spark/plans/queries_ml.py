@@ -706,6 +706,134 @@ def q_gif_decode(spark, sf_dir):
     return meta.join(stats, "media_id")
 
 
+def _gif_frames_oracle() -> str:
+    """Byte-level SQL re-decode of EVERY frame of the animated-GIF
+    fixture. The multi-frame encoder writes, per frame, a fixed-layout
+    block: GCE (8 B, delay centiseconds little-endian at +4) + image
+    descriptor (10 B, full-screen) + LZW minimum code size (1 B at
+    +18) + ONE data sub-block (1 B length at +19, payload at +20) +
+    terminator (1 B). The literal-LZW payload length is a pure
+    function of the header: L = ceil((w·h + ceil(w·h/m) + 1)·cw / 8)
+    with cw = mcs+1 and m = min(8, 2^mcs − 3), so frame f's block
+    starts at 13 + 3·G + f·(21+L), the frame count is
+    (n_bytes − 14 − 3·G) / (21+L), and pixel k of frame f sits at the
+    same literal-LZW bit offset q_gif_decode pins — every number read
+    from the file itself, an independent SQL re-walk of the per-frame
+    read path (GCE delay included) against the same bytes."""
+    from ..sources.binary import GIF_ANIM_FIXTURE_DIR
+
+    def pair(off: str) -> str:  # u8 at 0-based offset
+        return (
+            f"((strpos('0123456789abcdef', substr(hx, 2*({off}) + 1, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(hx, 2*({off}) + 2, 1)) - 1))"
+        )
+
+    boff = "(((k // m) * (m + 1) + (k % m) + 1) * cw)"
+    b0 = f"(doff + ({boff}) // 8)"
+    b1 = f"(doff + ({boff}) // 8 + 1)"
+    code = (
+        f"((({pair(b0)}) + 256 * ({pair(b1)})) >> (({boff}) % 8))"
+        f" & ((1 << cw) - 1)"
+    )
+    pal_r = pair("13 + 3*(v)")
+    pal_g = pair("13 + 3*(v) + 1")
+    pal_b = pair("13 + 3*(v) + 2")
+    return f"""
+    WITH b AS (
+        SELECT CAST(regexp_extract(filename, '(\\d+)\\.gif$', 1) AS BIGINT)
+                   AS media_id,
+               octet_length(content) AS n_bytes,
+               lower(hex(content)) AS hx
+        FROM read_blob('{GIF_ANIM_FIXTURE_DIR}/*.gif')
+    ),
+    hdr AS (
+        SELECT media_id, n_bytes, hx,
+               ({pair("6")}) + 256 * ({pair("7")}) AS w,
+               ({pair("8")}) + 256 * ({pair("9")}) AS h,
+               (1 << ((({pair("10")}) & 7) + 1)) AS g
+        FROM b
+    ),
+    hdr2 AS (
+        SELECT *, ({pair("13 + 3*g + 18")}) AS mcs FROM hdr
+    ),
+    hdr3 AS (
+        SELECT *, mcs + 1 AS cw,
+               greatest(1, least(8, (1 << mcs) - 3)) AS m
+        FROM hdr2
+    ),
+    hdr4 AS (
+        SELECT *,
+               21 + ((w * h + ((w * h + m - 1) // m) + 1) * cw + 7) // 8
+                   AS fb
+        FROM hdr3
+    ),
+    hdr5 AS (
+        SELECT *, (n_bytes - 14 - 3 * g) // fb AS nf FROM hdr4
+    ),
+    pf AS (
+        SELECT media_id, w, h, hx, cw, m, g,
+               CAST(u.f AS INTEGER) AS frame_idx,
+               13 + 3 * g + CAST(u.f AS INTEGER) * fb AS f0
+        FROM hdr5, unnest(range(0, CAST(nf AS BIGINT))) AS u(f)
+    ),
+    pf2 AS (
+        SELECT *, f0 + 20 AS doff,
+               (({pair("f0 + 4")}) + 256 * ({pair("f0 + 5")})) * 10
+                   AS delay_ms
+        FROM pf
+    ),
+    samp AS (
+        SELECT media_id, frame_idx, w, h, delay_ms, hx,
+               list_transform(range(0, w * h), k -> {code}) AS samp
+        FROM pf2
+    ),
+    vals AS (
+        SELECT media_id, frame_idx, w, h, delay_ms,
+               list_transform(
+                   samp, v -> (({pal_r}) + ({pal_g}) + ({pal_b})) // 3
+               ) AS px
+        FROM samp
+    )
+    SELECT media_id, frame_idx, w AS width, h AS height, delay_ms,
+           CAST(list_sum(px) AS BIGINT) AS px_sum,
+           CAST(list_max(px) AS BIGINT) AS max_intensity,
+           round(list_sum(px) * 1.0 / (w * h), 6) AS frame_mean
+    FROM vals
+    """
+
+
+@query("q_gif_frames", oracle=_gif_frames_oracle())
+def q_gif_frames(spark, sf_dir):
+    """ANIMATED GIF decode, one row per composited frame, oracle-
+    checked end-to-end (r9 verdict task #4: the codec composites
+    multi-frame animations — tests/test_gifcodec.py — and the
+    reference's example artifacts ARE 10-frame animations, but only
+    single-frame decode had a driver row). Scans genuine multi-frame
+    GIF89a files (`binaryFile`), runs the FULL animation path
+    (per-frame GCE delay parsing, LZW decode, logical-screen
+    compositing) inside Arrow-batched mapInPandas, and emits each
+    composited frame's delay and exact grey-pixel moments. The DuckDB
+    oracle re-walks the SAME files byte-by-byte — deriving the
+    per-frame block size from the header arithmetic the fixture
+    encoder guarantees (one LZW sub-block per full-screen frame),
+    reading every GCE delay and every pixel code from hex — so the
+    multi-frame read path is hash-pinned, not just pytest-pinned.
+    The q_video_decode shape: (media_id, frame_idx) grain.
+
+    Scale shape: identical to q_gif_decode — binaryFile splits per
+    file, embarrassingly parallel decode, fixture-sized by design
+    (decode cost scales with file count, not sf)."""
+    from ..operators.multimodal import extract_gif_frames, media_from_gif_files
+    from ..sources.binary import ensure_gif_anim_fixture
+
+    media = media_from_gif_files(spark, ensure_gif_anim_fixture())
+    return extract_gif_frames(media).select(
+        "media_id", "frame_idx", "width", "height", "delay_ms",
+        "px_sum", "max_intensity",
+        F.round("frame_mean", 6).alias("frame_mean"),
+    )
+
+
 def _video_decode_oracle() -> str:
     """Byte-level SQL re-decode of the Y4M fixture: the canonical header
     the encoder writes is 'YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\\n'

@@ -291,3 +291,61 @@ def ensure_gif_fixture(
             with open(fp, "wb") as f:
                 f.write(payload)
     return path
+
+
+GIF_ANIM_FIXTURE_DIR = os.path.join(_REPO_ROOT, ".gif_anim_fixture")
+GIF_ANIM_FIXTURE_N = 6
+
+
+def ensure_gif_anim_fixture(
+    path: str = GIF_ANIM_FIXTURE_DIR, n: int = GIF_ANIM_FIXTURE_N
+) -> str:
+    """Idempotently write `n` REAL multi-frame GIF89a animations
+    (16-color global palette, per-frame GCE with distinct delays,
+    full-screen opaque frames, literal-code LZW) — the shape of the
+    reference's own example artifacts (10-frame tracking animations,
+    examples/hill_2min_..._200-209.gif). Because every frame is
+    full-screen with one LZW sub-block, the per-frame block size is a
+    pure function of (w, h, mcs) and q_gif_frames' DuckDB oracle can
+    walk EVERY frame's GCE delay and pixel stream arithmetically from
+    hex: frame f's block starts at 13 + 3·G + f·(21 + L) with
+    L = ceil((w·h + ceil(w·h/m) + 1)·(mcs+1) / 8). File i has
+    3 + i%3 frames of a deterministic drifting index pattern — no
+    RNG, byte-identical everywhere."""
+    import numpy as np
+
+    from ..operators.gifcodec import encode_gif
+
+    os.makedirs(path, exist_ok=True)
+    for i in range(n):
+        nf = 3 + i % 3
+        h, w = 9 + i % 4, 11 + i % 3
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = np.stack(
+            [
+                ((xx * (i + 2) + yy * (i + 5) + f * 7 + i * 3) % 16).astype(
+                    np.uint8
+                )
+                for f in range(nf)
+            ]
+        )
+        lut = np.arange(16)
+        pal = np.stack(
+            [
+                (lut * (19 + i)) % 256,
+                (lut * 29 + i * 7) % 256,
+                (255 - lut * (11 + i)) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        # delays 40+10f ms land exactly on centiseconds, so the
+        # encoder's (ms+5)//10 rounding round-trips: decode returns
+        # the same 40+10f the oracle reads from the GCE bytes.
+        payload = encode_gif(
+            frames, pal, delays_ms=[40 + 10 * f for f in range(nf)]
+        )
+        fp = os.path.join(path, f"{i:04d}.gif")
+        if not (os.path.exists(fp) and os.path.getsize(fp) == len(payload)):
+            with open(fp, "wb") as f:
+                f.write(payload)
+    return path

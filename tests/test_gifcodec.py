@@ -226,6 +226,63 @@ def test_gif_fixture_is_deterministic():
     assert os.path.isdir(d1)
 
 
+def test_gif_anim_fixture_layout_and_roundtrip():
+    """The animated fixture honors the q_gif_frames oracle's layout
+    contract: fixed per-frame block size 21+L with ONE LZW sub-block,
+    GCE delays 40+10f ms, frame count 3+i%3, and decode round-trips
+    the encoded index patterns exactly."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from iceberg_tracking_spark.operators.gifcodec import decode_gif
+    from iceberg_tracking_spark.sources.binary import ensure_gif_anim_fixture
+
+    with tempfile.TemporaryDirectory() as t:
+        a = ensure_gif_anim_fixture(os.path.join(t, "a"))
+        b = ensure_gif_anim_fixture(os.path.join(t, "b"))
+        for i, fn in enumerate(sorted(os.listdir(a))):
+            ba = open(os.path.join(a, fn), "rb").read()
+            assert ba == open(os.path.join(b, fn), "rb").read()
+            frames, delays = decode_gif(ba)
+            nf = 3 + i % 3
+            assert frames.shape[0] == nf
+            assert delays == [40 + 10 * f for f in range(nf)]
+            # oracle layout contract: per-frame block size is the
+            # header arithmetic 21 + ceil((wh + ceil(wh/m) + 1)*cw/8)
+            w = ba[6] | ba[7] << 8
+            h = ba[8] | ba[9] << 8
+            g = 2 << (ba[10] & 7)
+            mcs = ba[13 + 3 * g + 18]
+            cw, m = mcs + 1, max(1, min(8, (1 << mcs) - 3))
+            wh = w * h
+            L = ((wh + -(-wh // m) + 1) * cw + 7) // 8
+            fb = 21 + L
+            assert len(ba) == 13 + 3 * g + nf * fb + 1
+            for f in range(nf):
+                f0 = 13 + 3 * g + f * fb
+                assert ba[f0] == 0x21 and ba[f0 + 1] == 0xF9  # GCE
+                assert ba[f0 + 4] | ba[f0 + 5] << 8 == 4 + f  # delay cs
+                assert ba[f0 + 8] == 0x2C  # descriptor
+                assert ba[f0 + 19] == L  # one sub-block
+                assert ba[f0 + 20 + L] == 0x00  # terminator
+            # full-screen opaque frames: composited == per-frame decode
+            yy, xx = np.mgrid[0:h, 0:w]
+            pal_lut = np.arange(16)
+            pal = np.stack(
+                [
+                    (pal_lut * (19 + i)) % 256,
+                    (pal_lut * 29 + i * 7) % 256,
+                    (255 - pal_lut * (11 + i)) % 256,
+                ],
+                axis=1,
+            ).astype(np.uint8)
+            for f in range(nf):
+                idx = ((xx * (i + 2) + yy * (i + 5) + f * 7 + i * 3) % 16)
+                assert np.array_equal(frames[f], pal[idx])
+
+
 def test_gif_reference_artifacts_decode():
     """The reference repo's OWN example GIFs (1920×1280 tracking
     animations) decode through the general-LZW path — the strongest
