@@ -149,8 +149,9 @@ EXTENDED = [
     "q_theil_sen",
     "q_video_motion",
     "q_label_propagation",
-    # round-10: animated GIF per-frame decode
+    # round-10: animated GIF per-frame decode, lossless-WebP decode
     "q_gif_frames",
+    "q_webp_decode",
 ]
 
 # Regression floors for the HEADLINE set (r6 verdict task: the
@@ -332,6 +333,7 @@ EXTENDED_FLOOR_SEC = {
     # r10 landing: solo min-of-3 at sf0.1 in the landing commit, on a
     # load-3.4 host (fixture-sized decode; tighten from an idle run)
     "q_gif_frames": 0.572,
+    "q_webp_decode": 0.925,
 }
 
 

@@ -14,10 +14,11 @@ operators/jpegcodec.py (T.81 Huffman + IDCT, generic chroma
 subsampling, cross-validated against the JVM's javax.imageio); the
 fixtures (sources/binary.ensure_image_fixture / ensure_png_fixture)
 ship genuine files, so the whole decode → transform → feature path
-runs on actual pixels. Formats beyond those (WebP/GIF/AVIF…) fall
-back to a deterministic stub when `decode_stub=True` (default) and
-raise NotImplementedError — at the exact point PIL/cv2 would plug
-in — when `decode_stub=False`.
+runs on actual pixels. GIF (operators/gifcodec.py) and lossless WebP
+(operators/webpcodec.py, VP8L) decode natively too. Formats beyond
+those (lossy-VP8 WebP, AVIF…) fall back to a deterministic stub when
+`decode_stub=True` (default) and raise NotImplementedError — at the
+exact point PIL/cv2 would plug in — when `decode_stub=False`.
 """
 
 from __future__ import annotations
@@ -112,17 +113,19 @@ def decode_media(
     Binary PGM, PNG (stdlib-zlib inflate + scanline unfiltering;
     grey/RGB/palette at 1/2/4/8/16-bit, sequential + Adam7
     interlaced), JPEG (pure-numpy Huffman + IDCT, baseline AND
-    progressive, generic chroma subsampling) and GIF (general LZW,
-    87a/89a, first composited frame) decode FOR REAL via the numpy
-    codecs — the formats a training corpus actually ships. Other
-    formats (WebP/AVIF…) use the deterministic stub
-    (decode_stub=True) or raise at the plug-in point for PIL/cv2
-    (decode_stub=False). Color images are collapsed to grey by
-    integer channel mean so every consumer keeps its (h, w)
-    contract."""
+    progressive, generic chroma subsampling), GIF (general LZW,
+    87a/89a, first composited frame) and lossless WebP (VP8L: prefix
+    codes, color cache, LZ77, all four transforms) decode FOR REAL
+    via the numpy codecs — the formats a training corpus actually
+    ships. Other formats (lossy-VP8 WebP, AVIF…) use the
+    deterministic stub (decode_stub=True) or raise at the plug-in
+    point for PIL/cv2 (decode_stub=False). Color images are collapsed
+    to grey by integer channel mean so every consumer keeps its
+    (h, w) contract."""
     from .gifcodec import decode_gif, is_gif
     from .imagecodec import decode_pgm, decode_png, is_pgm, is_png
     from .jpegcodec import decode_jpeg, is_jpeg
+    from .webpcodec import decode_webp, is_webp, is_webp_lossless
 
     mat = None
     if is_pgm(content):
@@ -133,16 +136,19 @@ def decode_media(
         mat = decode_jpeg(content)
     elif is_gif(content):
         mat = decode_gif(content, max_frames=1)[0][0]
+    elif is_webp(content) and is_webp_lossless(content):
+        mat = decode_webp(content)[:, :, :3]  # alpha excluded from grey
     if mat is not None:
         if mat.ndim == 3:
             mat = (mat.astype(np.int32).sum(axis=2) // 3).astype(np.uint8)
         return mat
     if not decode_stub:
         raise NotImplementedError(
-            "format beyond PGM/PNG/JPEG/GIF (WebP/AVIF/…) requires "
-            "PIL/cv2, not in this container; the common training-data "
-            "formats decode natively (operators/imagecodec.py, "
-            "jpegcodec.py, gifcodec.py)"
+            "format beyond PGM/PNG/JPEG/GIF/lossless-WebP (lossy-VP8 "
+            "WebP, AVIF, …) requires PIL/cv2, not in this container; "
+            "the common training-data formats decode natively "
+            "(operators/imagecodec.py, jpegcodec.py, gifcodec.py, "
+            "webpcodec.py)"
         )
     return _fake_decode(content, width, height)
 
@@ -287,6 +293,41 @@ def extract_media_features(
             "media_id long, n_bytes long, mean_intensity double, "
             "std_intensity double, phash string"
         ),
+    )
+
+
+def media_from_webp_files(spark: SparkSession, path: str | None = None) -> DataFrame:
+    """REAL lossless-WebP scan: binaryFile over the WebP fixture with
+    width/height parsed from the ACTUAL VP8L header in pure Catalyst —
+    the 14-bit dimension fields start at payload bit 8 (file byte 21,
+    payload = RIFF 12 + chunk header 8 + signature byte), read
+    LSB-first: w−1 = b21 | (b22 & 0x3f)<<8, h−1 = b22>>6 | b23<<2 |
+    (b24 & 0xf)<<10 (the reference's loader sniffs and reads WebP,
+    helpers.py:665-685 / embedding.py:234-250)."""
+    from ..sources.binary import ensure_webp_fixture, read_binary_files
+
+    raw = read_binary_files(spark, path or ensure_webp_fixture(), glob="*.webp")
+    hx = F.lower(F.hex(F.substring(F.col("content"), 1, 25)))
+
+    def _u8(off: int):  # 0-based byte offset
+        return F.conv(F.substring(hx, 2 * off + 1, 2), 16, 10).cast("int")
+
+    media_id = F.element_at(
+        F.split(F.element_at(F.split(F.col("path"), "/"), -1), "\\."), 1
+    ).cast("long")
+    return raw.select(
+        media_id.alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.col("content"),
+        F.lit("image/webp").alias("mime_type"),
+        (
+            F.lit(1) + _u8(21) + (_u8(22) % 64) * 256
+        ).alias("width"),
+        (
+            F.lit(1) + F.floor(_u8(22) / 64).cast("int")
+            + _u8(23) * 4 + (_u8(24) % 16) * 1024
+        ).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
     )
 
 

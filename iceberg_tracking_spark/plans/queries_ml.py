@@ -834,6 +834,103 @@ def q_gif_frames(spark, sf_dir):
     )
 
 
+def _webp_decode_oracle() -> str:
+    """Byte-level SQL re-decode of the lossless-WebP fixture. The
+    plain VP8L profile (operators/webpcodec.py:_encode_plain_grey)
+    has a bit-exact fixed header — signature byte, 14+14 dimension
+    bits, SUBTRACT_GREEN, no cache/meta, an all-length-8 green code
+    declared through the code-length code, and 0-bit simple codes for
+    red/blue/alpha/distance — totalling WEBP_PLAIN_PIXEL_BIT_OFFSET
+    = 293 payload bits (encoder-asserted and layout-test-pinned), so
+    pixel k's 8-bit prefix code occupies payload bits 293+8k..300+8k.
+    The payload starts at file byte 20 (RIFF 12 + chunk header 8), so
+    the code word sits in file bytes 56+k / 57+k at bit shift 5; VP8L
+    prefix codes are walked MSB-first out of an LSB-first byte stream,
+    so the grey value is the BIT-REVERSAL of the extracted window —
+    which the oracle performs arithmetically. Dimensions are read
+    from the actual VP8L header bits (w−1 = b21 | (b22&0x3f)<<8,
+    h−1 = b22>>6 | b23<<2 | (b24&0xf)<<10). An independent SQL
+    re-walk of the prefix-coded read path against the same bytes."""
+    from ..sources.binary import WEBP_FIXTURE_DIR
+
+    def pair(off: str) -> str:  # u8 at 0-based offset
+        return (
+            f"((strpos('0123456789abcdef', substr(hx, 2*({off}) + 1, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(hx, 2*({off}) + 2, 1)) - 1))"
+        )
+
+    win = f"((({pair('56 + k')}) + 256 * ({pair('57 + k')})) >> 5) & 255"
+    rev = " + ".join(f"(((v >> {j}) & 1) << {7 - j})" for j in range(8))
+    return f"""
+    WITH b AS (
+        SELECT CAST(regexp_extract(filename, '(\\d+)\\.webp$', 1) AS BIGINT)
+                   AS media_id,
+               octet_length(content) AS n_bytes,
+               md5(lower(hex(content))) AS content_md5,
+               lower(hex(content)) AS hx
+        FROM read_blob('{WEBP_FIXTURE_DIR}/*.webp')
+    ),
+    hdr AS (
+        SELECT media_id, n_bytes, content_md5, hx,
+               1 + ({pair("21")}) + 256 * (({pair("22")}) % 64) AS w,
+               1 + (({pair("22")}) // 64) + 4 * ({pair("23")})
+                 + 1024 * (({pair("24")}) % 16) AS h
+        FROM b
+    ),
+    samp AS (
+        SELECT media_id, w, h, n_bytes, content_md5,
+               list_transform(
+                   list_transform(range(0, w * h), k -> {win}),
+                   v -> {rev}
+               ) AS px
+        FROM hdr
+    )
+    SELECT media_id, w AS width, h AS height, n_bytes, content_md5,
+           CAST(list_sum(px) AS BIGINT) AS px_sum,
+           CAST(list_max(px) AS BIGINT) AS max_intensity,
+           round(list_sum(px) * 1.0 / (w * h), 6) AS mean_intensity
+    FROM samp
+    """
+
+
+@query("q_webp_decode", oracle=_webp_decode_oracle())
+def q_webp_decode(spark, sf_dir):
+    """REAL lossless-WebP decode, oracle-checked end-to-end (r9
+    verdict task #2 — WebP is the highest-frequency scraped-corpus
+    format the engine rejected; the reference reads it transparently
+    through PIL, embedding.py:234-250, extension sniffing
+    helpers.py:665-685): scan genuine VP8L files (`binaryFile`),
+    parse width/height from the actual 14-bit header fields in pure
+    Catalyst, decode the prefix-coded pixel stream with the numpy
+    VP8L codec (decode_media dispatches on the RIFF/WEBP magic and
+    the VP8L chunk; canonical prefix codes + SUBTRACT_GREEN inverse)
+    inside Arrow-batched mapInPandas, and emit exact pixel moments.
+    The DuckDB oracle re-derives the SAME files byte-by-byte from hex
+    — reading the dimension bits and bit-reversing every MSB-first
+    code word out of the LSB-first stream — so the prefix-decode math
+    is hash-pinned. The general paths (LZ77 backrefs + 2-D distance
+    table, color cache, meta-prefix groups, predictor/cross-color/
+    palette transforms) are pinned by round-trip and hand-built-
+    bitstream tests (tests/test_webpcodec.py); lossy VP8 stays a
+    documented rejection.
+
+    Scale shape: identical to q_gif_decode — binaryFile splits per
+    file, embarrassingly parallel decode, fixture-sized by design."""
+    from ..operators.multimodal import extract_pixel_stats, media_from_webp_files
+
+    media = media_from_webp_files(spark)
+    meta = media.select(
+        "media_id", "width", "height",
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        F.md5(F.lower(F.hex("content"))).alias("content_md5"),
+    )
+    stats = extract_pixel_stats(media).select(
+        "media_id", "px_sum", "max_intensity",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+    return meta.join(stats, "media_id")
+
+
 def _video_decode_oracle() -> str:
     """Byte-level SQL re-decode of the Y4M fixture: the canonical header
     the encoder writes is 'YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\\n'

@@ -293,6 +293,39 @@ def ensure_gif_fixture(
     return path
 
 
+WEBP_FIXTURE_DIR = os.path.join(_REPO_ROOT, ".webp_fixture")
+WEBP_FIXTURE_N = 7
+
+
+def ensure_webp_fixture(
+    path: str = WEBP_FIXTURE_DIR, n: int = WEBP_FIXTURE_N
+) -> str:
+    """Idempotently write `n` REAL lossless-WebP (VP8L) files in the
+    plain grey profile (operators/webpcodec.py:_encode_plain_grey):
+    SUBTRACT_GREEN + a fixed all-length-8 green code, so pixel k's
+    8-bit code sits at payload bit WEBP_PLAIN_PIXEL_BIT_OFFSET + 8k
+    and q_webp_decode's DuckDB oracle re-walks the prefix-coded
+    stream from hex (bit-reversing each MSB-first code word out of
+    the LSB-first byte stream). Image i is a deterministic
+    (9+i%5) × (11+i%4) grey gradient — no RNG, byte-identical
+    everywhere."""
+    import numpy as np
+
+    from ..operators.webpcodec import encode_webp_lossless
+
+    os.makedirs(path, exist_ok=True)
+    for i in range(n):
+        h, w = 9 + i % 5, 11 + i % 4
+        yy, xx = np.mgrid[0:h, 0:w]
+        g = ((xx * (i + 3) + yy * (i + 7) + i * 5) % 256).astype(np.uint8)
+        payload = encode_webp_lossless(g, plain=True)
+        fp = os.path.join(path, f"{i:04d}.webp")
+        if not (os.path.exists(fp) and os.path.getsize(fp) == len(payload)):
+            with open(fp, "wb") as f:
+                f.write(payload)
+    return path
+
+
 GIF_ANIM_FIXTURE_DIR = os.path.join(_REPO_ROOT, ".gif_anim_fixture")
 GIF_ANIM_FIXTURE_N = 6
 
