@@ -13,6 +13,22 @@ upsampling, and converts JFIF YCbCr→RGB. The encoder mirrors it
 tables, byte stuffing) at 4:4:4 or grayscale. Lossless (SOF3)
 decode + encode live at the bottom of the module.
 
+Arithmetic-coded processes (SOF9/SOF10/SOF13/SOF14) are a DELIBERATE,
+closed rejection, not a TODO (r10 decision, r9 verdict task #5): the
+QM-coder's probability-estimation state machine is T.81 Table D.3 —
+113 rows of (Qe, NMPS, NLPS, SWITCH) constants that CANNOT be derived,
+only transcribed, and no trustworthy source exists in this offline
+container (a full-filesystem search for the table's first constant
+0x5A1D returns nothing; PIL is absent; the JVM's ImageIO JPEG plugin
+is Huffman-only, so there would also be no independent decoder to
+conform against — the standard every other codec path here meets).
+Hand-transcribing 452 constants from memory is precisely the
+silent-corruption risk this codec family's loud-failure convention
+exists to prevent. Practical cost ~nil: arithmetic JPEGs are
+vanishingly rare (historically patent-encumbered; libjpeg shipped
+decode off by default for decades and most tooling, PIL included,
+rejects them). The rejection stays loud at the SOF dispatch below.
+
 Independence of the evidence: the decoder takes ALL tables from the
 file, so tests/test_imagecodec.py cross-checks both directions against
 the JVM's OWN JPEG implementation (javax.imageio through the running
@@ -337,9 +353,12 @@ def _decode_markers_and_scan(
                 comps[0] = {**comps[0], "hs": 1, "vs": 1}
         elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
+            # arithmetic modes: a CLOSED decision, not a gap — see the
+            # module docstring (Table D.3 untranscribable here)
             raise ValueError(
                 f"unsupported JPEG coding process (SOF marker 0x{marker:02X}); "
-                "baseline sequential, progressive, and lossless (SOF3) only"
+                "baseline sequential, progressive, and lossless (SOF3) only "
+                "(arithmetic coding deliberately out of scope)"
             )
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0

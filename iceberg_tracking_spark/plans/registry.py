@@ -35,103 +35,94 @@ QUERIES: dict[str, QueryDef] = {}
 # positions 1-50). Every §2 operator's primary evidence query must sit
 # inside that window, so ordering is explicit: names listed here come
 # first (in this order), everything else follows in registration order.
-# Round 9 rotation — the r8 verdict's task #1 plus this round's new
-# surface: (a) first driver rows for the 10 queries NEW this round
-# (q_gif_decode — the r8 verdict's #1 gap — and the stats/graph/
-# calibration/video wave), (b) queries whose CODE or a shared
-# dependency changed this round: q_slope_one's restructured prediction
-# joins; the sub-byte PNG widening (decode_png + fixture + oracle) and
-# the decode_media GIF branch pull the decode_media consumers
-# q_png_decode / q_image_decode / q_media_features / q_image_resize;
-# q_confusion_matrix's oracle literals gained DOUBLE casts (r8 ADVICE
-# #3); q_fuzzy_match's plan body moved into the factored
-# fuzzy_match_pairs, (c) the FULL 31-name r4-stale cohort enumerated
-# by the r8 registry comment, (d) the oldest r5-stale names in
-# registration order for the remaining slots. After this window no
-# registered query's latest driver row is older than round 5.
-# Window = 50.
+# Round 10 rotation — exactly the r9 verdict's task #1 prescription:
+# (a) first driver rows for the 2 queries NEW this round (q_webp_decode
+# — the r9 verdict's #2 gap — and q_gif_frames, its task #4), (b)
+# queries whose CODE or a shared dependency changed this round:
+# q_hits / q_adamic_adar dropped forced broadcast hints on |V|-row
+# relations (r9 ADVICE #2), q_video_motion moved to a rolling
+# two-frame buffer (ADVICE #3), and the decode_media WebP dispatch
+# branch pulls its consumers q_png_decode / q_image_decode /
+# q_media_features / q_image_resize (the same rule that pulled them
+# for the GIF branch in r9), (c) the FULL 41-name r5-stale cohort
+# enumerated by the r9 registry comment. 2 + 7 + 41 = 50; after this
+# window no registered query's latest driver row is older than
+# round 6. Window = 50.
 DRIVER_PRIORITY: list[str] = [
-    # (a) first driver rows: new this round (real GIF decode with a
-    # byte-level literal-LZW oracle; the r9 stats/graph/calibration
-    # wave — Spearman, Kruskal-Wallis, permutation test, isotonic
-    # PAV, Adamic-Adar, HITS)
-    "q_gif_decode",
-    "q_spearman",
-    "q_kruskal_wallis",
-    "q_permutation_test",
-    "q_isotonic_calibration",
-    "q_adamic_adar",
+    # (a) first driver rows: new this round (lossless-WebP VP8L decode
+    # with a bit-reversal prefix-code oracle; animated-GIF per-frame
+    # decode with a multi-frame block-arithmetic oracle)
+    "q_webp_decode",
+    "q_gif_frames",
+    # (b) code changed this round (output-identical, fresh row per
+    # the house rule): AQE-decided graph joins, rolling video-motion
+    # buffer, decode_media WebP-dispatch consumers
     "q_hits",
-    "q_theil_sen",
+    "q_adamic_adar",
     "q_video_motion",
-    "q_label_propagation",
-    # (b2) code changed this round: q_slope_one's prediction joins were
-    # restructured (broadcast sampled-user side, anti-join build
-    # shrunk to target users) — output-identical, fresh row per the
-    # house rule
-    "q_slope_one",
-    # (b) code changed this round — sub-byte PNG + GIF-dispatch
-    # consumers, and the confusion-matrix oracle cast
     "q_png_decode",
     "q_image_decode",
     "q_media_features",
     "q_image_resize",
-    "q_confusion_matrix",
-    # (c) the full r4-stale cohort (latest driver row = round 4)
-    "q_sliding_window",
-    "q_cube",
-    "q_gap_fill",
-    "q_batch_infer",
-    "q_rolling_window",
-    "q_kmeans",
-    "q_forward_fill",
-    "q_weighted_sample",
-    "q_bm25",
-    "q_pii_scrub",
-    "q_iou_argmax",
-    "q_nms",
-    "q_greedy_match",
-    "q_eval_metrics",
-    "q_track",
-    "q_grid_join_2d",
-    "q_remove_nested",
-    "q_gen_embeddings",
-    "q_calibration",
-    "q_mask_filter",
-    "q_audio_decode",
-    "q_video_decode",
-    "q_image_similarity",
-    "q_semdedup",
-    "q_gopher_rules",
-    "q_dup_span_fraction",
-    "q_bpe_pair_count",
-    "q_char_entropy",
-    "q_zscore_anomaly",
-    "q_degree_centrality",
-    "q_triangle_count",
-    # (d) the 2 oldest r5-stale names, registration order (the 11 new
-    # first-row/code-changed slots above displaced 10 of the 13 this
-    # window held before the r9 stats/graph/video wave; the rest
-    # rotate r10), plus q_fuzzy_match (a (b)-slot: its plan body moved
-    # into the factored fuzzy_match_pairs this round)
-    "q_scan_project",
-    "q_distinct",
-    "q_fuzzy_match",
+    # (c) the full r5-stale cohort (latest driver row = round 5),
+    # registration order — the r9 comment's enumerated list
+    "q_embed_scan",
+    "q_group_collect",
+    "q_filter_conf",
+    "q_filter_expr",
+    "q_filter_range",
+    "q_string_fmt",
+    "q_limit_offset",
+    "q_json_extract",
+    "q_sum_count",
+    "q_count_distinct",
+    "q_approx_count_distinct",
+    "q_approx_quantile",
+    "q_stats",
+    "q_global_norm",
+    "q_cond_agg",
+    "q_lag_change",
+    "q_count_min",
+    "q_bloom_filter",
+    "q_hll",
+    "q_join_size_estimate",
+    "q_histogram_quantiles",
+    "q_ann_recall",
+    "q_ann_recall_multiprobe",
+    "q_pack_sequences_sharded",
+    "q_rrf_fusion",
+    "q_bigram_surprisal",
+    "q_expectations",
+    "q_k_anonymity",
+    "q_domain_mixture",
+    "q_bpe_learn",
+    "q_training_manifest",
+    "q_dedup_canonical",
+    "q_ewma",
+    "q_winsorize",
+    "q_seasonal_anomaly",
+    "q_mad_outliers",
+    "q_hourly_percentiles",
+    "q_ohlc",
+    "q_cusum",
+    "q_pagerank",
+    "q_clustering_coeff",
 ]
-# r5-stale names NOT fitting this window (remain latest-row=r5, rotate
-# r10, registration order): q_embed_scan, q_group_collect, q_filter_conf,
-# q_filter_expr, q_filter_range,
-# q_string_fmt, q_limit_offset, q_json_extract, q_sum_count,
-# q_count_distinct, q_approx_count_distinct,
-# q_approx_quantile, q_stats, q_global_norm,
-# q_cond_agg, q_lag_change, q_count_min, q_bloom_filter, q_hll,
-# q_join_size_estimate, q_histogram_quantiles, q_ann_recall,
-# q_ann_recall_multiprobe, q_pack_sequences_sharded, q_rrf_fusion,
-# q_bigram_surprisal, q_expectations, q_k_anonymity,
-# q_domain_mixture, q_bpe_learn, q_training_manifest,
-# q_dedup_canonical, q_ewma, q_winsorize, q_seasonal_anomaly,
-# q_mad_outliers, q_hourly_percentiles, q_ohlc, q_cusum, q_pagerank,
-# q_clustering_coeff.
+# Oldest after this window: the 46-name r6 cohort (latest driver row =
+# round 6), to rotate across r11(+r12 for the overflow), registration
+# order: q_antijoin_sample, q_corr_covar, q_array_funcs, q_big_orders,
+# q_dedup_rank, q_ks_test, q_psi, q_markov_transitions, q_attribution,
+# q_cuped, q_poisson_bootstrap, q_anova, q_chi2_independence,
+# q_doc_fingerprint, q_dedup_exact, q_cosine_topk, q_auc,
+# q_average_precision, q_heavy_hitters, q_bloom_pruned_join,
+# q_retrieval_metrics, q_ann_ivf_recall, q_pack_sequences,
+# q_eval_identity, q_eval_combined, q_curriculum, q_classifier_score,
+# q_chunk_documents, q_l_diversity, q_bpe_encode, q_dsir_weights,
+# q_type_correlation, q_seasonal_decompose, q_kaplan_meier,
+# q_shortest_path, q_target_encoding, q_feature_hashing,
+# q_lag_features, q_reliability_ece, q_merge_upsert, q_linear_fit,
+# q_mutual_information, q_quantile_binning, q_gini_skew, q_conformal,
+# q_rfm.
 
 
 def query(name: str, oracle: str | None = None):
