@@ -149,9 +149,13 @@ EXTENDED = [
     "q_theil_sen",
     "q_video_motion",
     "q_label_propagation",
-    # round-10: animated GIF per-frame decode, lossless-WebP decode
+    # round-10: animated GIF per-frame decode, lossless-WebP decode,
+    # and the stats wave (binned tau-b, Cliff's delta, JSD)
     "q_gif_frames",
     "q_webp_decode",
+    "q_kendall_tau",
+    "q_cliffs_delta",
+    "q_js_divergence",
 ]
 
 # Regression floors for the HEADLINE set (r6 verdict task: the
@@ -334,6 +338,9 @@ EXTENDED_FLOOR_SEC = {
     # load-3.4 host (fixture-sized decode; tighten from an idle run)
     "q_gif_frames": 0.572,
     "q_webp_decode": 0.925,
+    "q_kendall_tau": 1.836,
+    "q_cliffs_delta": 1.352,
+    "q_js_divergence": 1.491,
 }
 
 

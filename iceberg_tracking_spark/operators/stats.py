@@ -612,3 +612,154 @@ def spearman_cells(lineitem: DataFrame) -> DataFrame:
         .groupBy("seg", "x", "yc")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# --------------------------------------------- Kendall tau-b (binned)
+
+
+def kendall_cells(lineitem: DataFrame) -> DataFrame:
+    """(seg, x, yb, cnt) cells for q_kendall_tau — quantity vs a
+    BOUNDED price grid (5000-unit buckets, ~22 values). Additive like
+    spearman_cells, so the relation streams via the generic fold.
+
+    The bounded y-grid is the honest scale contract: tau needs
+    PAIRWISE concordance, and the cell-pair fan is |X|·|Y| squared —
+    fixed by the schema's value grids (50 × ~22 here), never by the
+    row count. Exact continuous-value tau would need a global
+    merge-sort inversion count (not relational); the binned tau IS
+    the streaming-maintainable statistic, stated as such."""
+    return (
+        lineitem.select(
+            F.col("l_returnflag").alias("seg"),
+            F.col("l_quantity").cast("long").alias("x"),
+            F.floor(F.col("l_extendedprice") / 5000).cast("long").alias("yb"),
+        )
+        .groupBy("seg", "x", "yb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def kendall_from_cells(cells: DataFrame) -> DataFrame:
+    """(seg, n, concordant, discordant, tau_b) from a (seg, x, yb,
+    cnt) cell relation: tau-b with full tie correction, every count
+    exact DECIMAL algebra. C − D comes from ONE cell self-join per
+    segment restricted to x1 < x2 (pair fan = cells², bounded by the
+    value grids — the kendall_cells contract); tie terms n1/n2 come
+    from the marginals. The ½ factors cancel: with N0 = n(n−1),
+    N1 = Σ tx(tx−1), N2 = Σ ty(ty−1), tau_b = 2(C−D) /
+    sqrt((N0−N1)(N0−N2)) — every term a PURE-INTEGER decimal (no
+    decimal division anywhere), then one fixed float sequence (one
+    sqrt, one division) rounded 6dp. Degenerate segments (all x or
+    all y tied) are NULL. N0² stays inside the double's range and
+    decimal(38) to n ~ 1e9 rows per segment."""
+    c1 = cells.select(
+        "seg",
+        F.col("x").alias("x1"),
+        F.col("yb").alias("y1"),
+        F.col("cnt").alias("c1"),
+    )
+    c2 = cells.select(
+        F.col("seg").alias("seg2"),
+        F.col("x").alias("x2"),
+        F.col("yb").alias("y2"),
+        F.col("cnt").alias("c2"),
+    )
+    pair = c1.join(
+        c2, (F.col("seg") == F.col("seg2")) & (F.col("x1") < F.col("x2"))
+    )
+    prod = (F.col("c1") * F.col("c2")).cast(_DEC)
+    cd = pair.groupBy("seg").agg(
+        F.sum(F.when(F.col("y1") < F.col("y2"), prod).otherwise(0)).alias(
+            "conc"
+        ),
+        F.sum(F.when(F.col("y1") > F.col("y2"), prod).otherwise(0)).alias(
+            "disc"
+        ),
+    )
+    tx = (
+        cells.groupBy("seg", "x")
+        .agg(F.sum("cnt").alias("t"))
+        .groupBy("seg")
+        .agg(
+            F.sum("t").cast(_DEC).alias("n_x"),
+            F.sum(F.col("t").cast(_DEC) * (F.col("t") - 1)).alias("n1"),
+        )
+    )
+    ty = (
+        cells.groupBy("seg", "yb")
+        .agg(F.sum("cnt").alias("t"))
+        .groupBy("seg")
+        .agg(
+            F.sum(F.col("t").cast(_DEC) * (F.col("t") - 1)).alias("n2"),
+        )
+    )
+    s = cd.join(tx, "seg").join(ty, "seg")
+    n = F.col("n_x")
+    n0 = n * (n - 1)
+    dx = (n0 - F.col("n1")).cast("double")
+    dy = (n0 - F.col("n2")).cast("double")
+    num = (F.col("conc") - F.col("disc")).cast("double")
+    return s.select(
+        "seg",
+        n.cast("long").alias("n"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(F.lit(2.0) * num / F.sqrt(dx * dy), 6),
+        ).alias("tau_b"),
+    )
+
+
+# --------------------------------------------- Cliff's delta
+
+
+def cliffs_from_grid(grid: DataFrame) -> DataFrame:
+    """(event_type, n_a, n_b, cliffs_delta) from the mw_grid relation:
+    the dominance effect size δ = Σ sign(a − b) / (n_a·n_b) — the
+    magnitude companion to mw_from_grid's significance (a huge n makes
+    tiny shifts 'significant'; δ says whether they MATTER). Entirely
+    exact: Σ sign = Σ_cells na_c·(B_below − B_above) over the bounded
+    value grid (the same cumulative window, partitioned by segment),
+    ONE division rounded 6dp — no float sums at all."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("na_c").alias("n_a"), F.sum("nb_c").alias("n_b")
+    )
+    r = grid.withColumn(
+        "b_below", F.coalesce(F.sum("nb_c").over(w), F.lit(0))
+    )
+    s = (
+        r.join(tot, "event_type")
+        .groupBy("event_type", "n_a", "n_b")
+        .agg(
+            F.sum(
+                F.col("na_c").cast(_DEC)
+                * (
+                    F.col("b_below")
+                    - (F.col("n_b") - F.col("b_below") - F.col("nb_c"))
+                ).cast(_DEC)
+            ).alias("signsum")
+        )
+    )
+    return s.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("signsum").cast("double")
+                / (
+                    F.col("n_a").cast("double") * F.col("n_b").cast("double")
+                ),
+                6,
+            ),
+        ).alias("cliffs_delta"),
+    )

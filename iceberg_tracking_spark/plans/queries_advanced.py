@@ -2316,6 +2316,149 @@ def q_spearman(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- Kendall tau-b (binned)
+
+
+@query(
+    "q_kendall_tau",
+    oracle="""
+    WITH cells AS (
+        SELECT l_returnflag AS seg,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice / 5000) AS BIGINT) AS yb,
+               count(*) AS cnt
+        FROM lineitem GROUP BY 1, 2, 3
+    ),
+    cd AS (
+        SELECT c1.seg,
+               CAST(sum(CASE WHEN c1.yb < c2.yb
+                    THEN CAST(c1.cnt AS HUGEINT) * c2.cnt ELSE 0 END)
+                    AS HUGEINT) AS conc,
+               CAST(sum(CASE WHEN c1.yb > c2.yb
+                    THEN CAST(c1.cnt AS HUGEINT) * c2.cnt ELSE 0 END)
+                    AS HUGEINT) AS disc
+        FROM cells c1 JOIN cells c2
+          ON c2.seg = c1.seg AND c1.x < c2.x
+        GROUP BY 1
+    ),
+    tx AS (
+        SELECT seg, CAST(sum(t) AS HUGEINT) AS n_x,
+               CAST(sum(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) AS n1
+        FROM (SELECT seg, x, CAST(sum(cnt) AS BIGINT) AS t
+              FROM cells GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    ty AS (
+        SELECT seg,
+               CAST(sum(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) AS n2
+        FROM (SELECT seg, yb, CAST(sum(cnt) AS BIGINT) AS t
+              FROM cells GROUP BY 1, 2)
+        GROUP BY 1
+    )
+    SELECT cd.seg AS returnflag,
+           CAST(n_x AS BIGINT) AS n,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           CASE WHEN n_x * (n_x - 1) - n1 > 0
+                 AND n_x * (n_x - 1) - n2 > 0
+                THEN round(2.0 * CAST(conc - disc AS DOUBLE)
+                     / sqrt(CAST(n_x * (n_x - 1) - n1 AS DOUBLE)
+                          * CAST(n_x * (n_x - 1) - n2 AS DOUBLE)), 6)
+           END AS tau_b
+    FROM cd JOIN tx ON tx.seg = cd.seg JOIN ty ON ty.seg = cd.seg
+    """,
+)
+def q_kendall_tau(spark, sf_dir):
+    """Tie-corrected Kendall tau-b per segment — completing the
+    rank-correlation family beside q_spearman (rho weighs rank
+    DISTANCES; tau counts pair INVERSIONS, the Kemeny-distance view,
+    and is the standard companion statistic). Quantity vs the 5000-
+    unit price bucket within each l_returnflag segment.
+
+    The honest scale contract, stated in kendall_cells: tau needs
+    PAIRWISE concordance, so it is computed on a BOUNDED value grid —
+    rows collapse to (seg, x, yb) cells (additive, stream-foldable
+    like the Spearman cells), and C−D is ONE cell self-join per
+    segment restricted to x1 < x2, a fan of at most |X grid|·|Y grid|
+    squared cells (50 × ~22 here), FIXED by the schema, never by row
+    count. Exact continuous-value tau would need a global merge-sort
+    inversion count — not relational; the binned tau-b IS the
+    streaming-maintainable statistic. Tie terms ride the marginals;
+    the ½ factors cancel (tau_b = 2(C−D)/sqrt((N0−N1)(N0−N2)) with
+    N0 = n(n−1), N1 = Σt(t−1), N2 = Σu(u−1)), so every aggregate is a
+    pure-integer DECIMAL/HUGEINT; tau is one sqrt + one division over
+    those exact integers, rounded 6dp. Degenerate segments NULL."""
+    from ..operators.stats import kendall_cells, kendall_from_cells
+
+    # three consumers of the cell relation (both pair sides + two
+    # marginals) — materialize once
+    cells = kendall_cells(_t(spark, sf_dir, "lineitem")).localCheckpoint()
+    return kendall_from_cells(cells).select(
+        F.col("seg").alias("returnflag"),
+        "n", "concordant", "discordant", "tau_b",
+    )
+
+
+# ------------------------------------------------------- Cliff's delta
+
+
+@query(
+    "q_cliffs_delta",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, user_id % 2 AS variant,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type, cents,
+               CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS na_c,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nb_c
+        FROM e GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, cents, na_c, nb_c,
+               coalesce(sum(nb_c) OVER (
+                   PARTITION BY event_type ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS b_below
+        FROM g
+    ),
+    tot AS (
+        SELECT event_type, CAST(sum(na_c) AS BIGINT) AS n_a,
+               CAST(sum(nb_c) AS BIGINT) AS n_b
+        FROM g GROUP BY 1
+    )
+    SELECT r.event_type, n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+               round(CAST(sum(CAST(na_c AS HUGEINT)
+                     * (b_below - (n_b - b_below - nb_c))) AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+           END AS cliffs_delta
+    FROM r JOIN tot ON tot.event_type = r.event_type
+    GROUP BY r.event_type, n_a, n_b
+    """,
+)
+def q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta dominance effect size per event_type — the
+    MAGNITUDE companion to q_mann_whitney's significance (at large n
+    a trivial shift is 'significant'; δ = P(a > b) − P(a < b) says
+    whether it matters; |δ| < .147 is Romano's 'negligible' band).
+    Same A/B split and exact cents grid as the MW family, and the
+    SAME maintained relation: mw_grid's additive counts feed both.
+
+    Entirely exact: Σ sign(a−b) = Σ_cells na_c·(B_below − B_above)
+    over the bounded value grid (one cumulative window partitioned by
+    segment — never a global sort), δ is ONE division of exact
+    integers rounded 6dp. No float sums anywhere — the strongest
+    determinism class in the stats family."""
+    from ..operators.stats import cliffs_from_grid, mw_grid
+
+    return cliffs_from_grid(mw_grid(_t(spark, sf_dir, "events")))
+
+
 # ------------------------------------------------------- Kruskal-Wallis
 
 _KW_GROUPS = 3  # user_id % 3 → k = 3 groups, df = 2: exact chi² tail

@@ -541,6 +541,124 @@ def q_char_entropy(spark: SparkSession, sf_dir: str):
     )
 
 
+# ------------------------------------------ Jensen-Shannon divergence
+
+
+@query(
+    "q_js_divergence",
+    oracle="""
+    WITH al AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS a
+        FROM documents GROUP BY 1, 2
+    ),
+    tl AS (SELECT lang, CAST(count(*) AS BIGINT) AS t
+           FROM documents GROUP BY 1),
+    sa AS (SELECT source, CAST(count(*) AS BIGINT) AS a_tot
+           FROM documents GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM documents),
+    grid AS (
+        SELECT sa.source, tl.lang, tl.t, sa.a_tot, n.n_all,
+               coalesce(al.a, 0) AS a
+        FROM sa CROSS JOIN tl CROSS JOIN n
+        LEFT JOIN al ON al.source = sa.source AND al.lang = tl.lang
+    ),
+    terms AS (
+        SELECT source, a_tot, n_all - a_tot AS b_tot, a, t - a AS b
+        FROM grid
+    ),
+    s AS (
+        SELECT source, a_tot, b_tot,
+               sum(CASE WHEN a > 0 THEN a * (log2(CAST(a AS DOUBLE))
+                   - log2(CAST(a * b_tot + b * a_tot AS DOUBLE)))
+                   ELSE 0 END) AS sum_a,
+               sum(CASE WHEN b > 0 THEN b * (log2(CAST(b AS DOUBLE))
+                   - log2(CAST(a * b_tot + b * a_tot AS DOUBLE)))
+                   ELSE 0 END) AS sum_b
+        FROM terms GROUP BY 1, 2, 3
+    )
+    SELECT source, a_tot AS n_docs,
+           CASE WHEN b_tot > 0 THEN
+               round(0.5 * (sum_a / a_tot + 1 + log2(CAST(b_tot AS DOUBLE))
+                          + sum_b / b_tot + 1 + log2(CAST(a_tot AS DOUBLE))),
+                     6)
+           END AS jsd_bits
+    FROM s
+    """,
+)
+def q_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence (bits) between each source's language
+    distribution and the REST of the corpus — the domain-drift audit
+    behind data-mixing decisions (q_domain_mixture picks weights; JSD
+    quantifies how far a source's composition sits from the corpus —
+    symmetric and bounded [0,1] bits, unlike raw KL which is neither).
+
+    Exactness discipline (the q_char_entropy log-identity move, taken
+    through both KL terms): with integer counts a_i (in-source per
+    lang, total A) and b_i (rest, total B), m-terms reduce to logs of
+    INTEGERS — KL(P‖M) = 1 + log2 B + (1/A)·Σ a_i·(log2 a_i −
+    log2(a_i·B + b_i·A)) and symmetrically — so both engines evaluate
+    the identical integer-argument log2 chain, rounded 6dp. Zero
+    cells contribute exactly 0 on both sides by the CASE guard.
+
+    Scale: two hash aggregates to the (source × lang) grid — BOUNDED
+    by the schema's category counts, never row count — then one
+    grid-sized cross join + left join; totals are broadcast-sized.
+    The long products a·B + b·A hold to ~3·10⁹ docs; past that the
+    products lift to decimal before the double cast (documented, not
+    hit at any tested sf)."""
+    d = _t(spark, sf_dir, "documents")
+    al = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("a"))
+    tl = d.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
+    sa = d.groupBy("source").agg(F.count(F.lit(1)).alias("a_tot"))
+    n = d.agg(F.count(F.lit(1)).alias("n_all"))
+    grid = (
+        sa.crossJoin(F.broadcast(tl))
+        .crossJoin(F.broadcast(n))
+        .join(al, ["source", "lang"], "left")
+        .select(
+            "source",
+            "a_tot",
+            (F.col("n_all") - F.col("a_tot")).alias("b_tot"),
+            F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+            (F.col("t") - F.coalesce(F.col("a"), F.lit(0))).alias("b"),
+        )
+    )
+    mlog = F.log2((F.col("a") * F.col("b_tot") + F.col("b") * F.col("a_tot")).cast("double"))
+    s = grid.groupBy("source", "a_tot", "b_tot").agg(
+        F.sum(
+            F.when(
+                F.col("a") > 0,
+                F.col("a") * (F.log2(F.col("a").cast("double")) - mlog),
+            ).otherwise(F.lit(0.0))
+        ).alias("sum_a"),
+        F.sum(
+            F.when(
+                F.col("b") > 0,
+                F.col("b") * (F.log2(F.col("b").cast("double")) - mlog),
+            ).otherwise(F.lit(0.0))
+        ).alias("sum_b"),
+    )
+    return s.select(
+        "source",
+        F.col("a_tot").alias("n_docs"),
+        F.when(
+            F.col("b_tot") > 0,
+            F.round(
+                F.lit(0.5)
+                * (
+                    F.col("sum_a") / F.col("a_tot")
+                    + 1
+                    + F.log2(F.col("b_tot").cast("double"))
+                    + F.col("sum_b") / F.col("b_tot")
+                    + 1
+                    + F.log2(F.col("a_tot").cast("double"))
+                ),
+                6,
+            ),
+        ).alias("jsd_bits"),
+    )
+
+
 # ------------------------------------------------ governance / fuzzy
 
 @query(

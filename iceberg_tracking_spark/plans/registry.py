@@ -35,35 +35,40 @@ QUERIES: dict[str, QueryDef] = {}
 # positions 1-50). Every §2 operator's primary evidence query must sit
 # inside that window, so ordering is explicit: names listed here come
 # first (in this order), everything else follows in registration order.
-# Round 10 rotation — exactly the r9 verdict's task #1 prescription:
-# (a) first driver rows for the 2 queries NEW this round (q_webp_decode
-# — the r9 verdict's #2 gap — and q_gif_frames, its task #4), (b)
-# queries whose CODE or a shared dependency changed this round:
+# Round 10 rotation — the r9 verdict's task #1 prescription: (a)
+# first driver rows for the 5 queries NEW this round (q_webp_decode —
+# the r9 verdict's #2 gap; q_gif_frames, its task #4; the r10 stats
+# wave — Kendall tau-b, Cliff's delta, Jensen-Shannon divergence),
+# (b) queries whose CODE or a shared dependency changed this round:
 # q_hits / q_adamic_adar dropped forced broadcast hints on |V|-row
 # relations (r9 ADVICE #2), q_video_motion moved to a rolling
-# two-frame buffer (ADVICE #3), and the decode_media WebP dispatch
-# branch pulls its consumers q_png_decode / q_image_decode /
-# q_media_features / q_image_resize (the same rule that pulled them
-# for the GIF branch in r9), (c) the FULL 41-name r5-stale cohort
-# enumerated by the r9 registry comment. 2 + 7 + 41 = 50; after this
-# window no registered query's latest driver row is older than
-# round 6. Window = 50.
+# two-frame buffer (ADVICE #3), and q_image_decode represents the
+# decode_media consumers for the ADDITIVE WebP dispatch branch (the
+# branch adds a new magic check; the PGM/PNG/JPEG/GIF byte paths its
+# siblings q_png_decode / q_media_features / q_image_resize exercise
+# are untouched — their refresh rides the r11 rotation; the r9
+# analog pulled all four because decode_png ITSELF changed), (c) the
+# FULL 41-name r5-stale cohort enumerated by the r9 registry
+# comment. 5 + 4 + 41 = 50; after this window no registered query's
+# latest driver row is older than round 6. Window = 50.
 DRIVER_PRIORITY: list[str] = [
     # (a) first driver rows: new this round (lossless-WebP VP8L decode
     # with a bit-reversal prefix-code oracle; animated-GIF per-frame
-    # decode with a multi-frame block-arithmetic oracle)
+    # decode with a multi-frame block-arithmetic oracle; the stats
+    # wave — binned tau-b on cell pairs, exact-integer Cliff's delta
+    # on the MW grid, integer-log JSD per source)
     "q_webp_decode",
     "q_gif_frames",
+    "q_kendall_tau",
+    "q_cliffs_delta",
+    "q_js_divergence",
     # (b) code changed this round (output-identical, fresh row per
     # the house rule): AQE-decided graph joins, rolling video-motion
-    # buffer, decode_media WebP-dispatch consumers
+    # buffer, the decode_media WebP-dispatch representative
     "q_hits",
     "q_adamic_adar",
     "q_video_motion",
-    "q_png_decode",
     "q_image_decode",
-    "q_media_features",
-    "q_image_resize",
     # (c) the full r5-stale cohort (latest driver row = round 5),
     # registration order — the r9 comment's enumerated list
     "q_embed_scan",

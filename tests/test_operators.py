@@ -1950,3 +1950,156 @@ def test_theil_sen_even_pairs_averages_middles(spark):
     out = theil_sen_from_points(pt).collect()[0]
     assert out["n_pairs"] == 4
     assert out["ts_slope_cents"] == 5.5
+
+
+def test_kendall_tau_matches_pure_python(spark, sf_dir):
+    """q_kendall_tau's cell-pair algebra vs an independent pure-Python
+    tau-b (explicit O(n²) pair loop over the raw binned rows, the
+    textbook concordant/discordant/tie count) — catches algebra slips
+    the DuckDB oracle cannot (both engines share the lifted cell
+    formulas; this check does not)."""
+    import math
+
+    from iceberg_tracking_spark.plans import QUERIES
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    got = {
+        r["returnflag"]: r
+        for r in QUERIES["q_kendall_tau"].fn(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("seg"),
+            F.col("l_quantity").cast("long").alias("x"),
+            F.floor(F.col("l_extendedprice") / 5000).cast("long").alias("y"),
+        )
+        .collect()
+    )
+    by_seg: dict = {}
+    for r in rows:
+        by_seg.setdefault(r["seg"], []).append((r["x"], r["y"]))
+    assert set(got) == set(by_seg)
+    for seg, pts in by_seg.items():
+        # cap the O(n²) loop: deterministic prefix is a valid sample
+        # only if we recompute the spark side on the same subset — so
+        # instead only run segments small enough to brute-force
+        if len(pts) > 4000:
+            continue
+        n = len(pts)
+        conc = disc = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx = pts[i][0] - pts[j][0]
+                dy = pts[i][1] - pts[j][1]
+                if dx * dy > 0:
+                    conc += 1
+                elif dx * dy < 0:
+                    disc += 1
+        tx: dict = {}
+        ty: dict = {}
+        for x, y in pts:
+            tx[x] = tx.get(x, 0) + 1
+            ty[y] = ty.get(y, 0) + 1
+        n0 = n * (n - 1)
+        n1 = sum(t * (t - 1) for t in tx.values())
+        n2 = sum(t * (t - 1) for t in ty.values())
+        g = got[seg]
+        assert g["n"] == n
+        assert g["concordant"] == conc and g["discordant"] == disc
+        if n0 - n1 > 0 and n0 - n2 > 0:
+            tau = round(
+                2.0 * (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2)), 6
+            )
+            assert abs(g["tau_b"] - tau) < 2e-6, (seg, g["tau_b"], tau)
+
+
+def test_cliffs_delta_matches_pure_python_and_mw(spark, sf_dir):
+    """q_cliffs_delta vs (a) the explicit pairwise sign loop and (b)
+    the identity δ = 2U_A/(n_a·n_b) − 1 against q_mann_whitney's U."""
+    from iceberg_tracking_spark.plans import QUERIES
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["q_cliffs_delta"].fn(spark, sf_dir).collect()
+    }
+    mw = {
+        r["event_type"]: r
+        for r in QUERIES["q_mann_whitney"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("user_id") % 2).alias("v"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    by_seg: dict = {}
+    for r in ev:
+        by_seg.setdefault(r["event_type"], []).append((r["v"], r["c"]))
+    for seg, rows in by_seg.items():
+        a = sorted(c for v, c in rows if v == 0)
+        b = sorted(c for v, c in rows if v == 1)
+        g = got[seg]
+        assert g["n_a"] == len(a) and g["n_b"] == len(b)
+        if not a or not b:
+            assert g["cliffs_delta"] is None
+            continue
+        if len(a) * len(b) <= 4_000_000:
+            s = sum(
+                (x > y) - (x < y) for x in a for y in b
+            )
+            assert g["cliffs_delta"] == round(s / (len(a) * len(b)), 6)
+        # identity with the MW U statistic (held for every segment)
+        u = mw[seg]["u_a"]
+        ident = round(2.0 * u / (len(a) * len(b)) - 1.0, 6)
+        assert abs(g["cliffs_delta"] - ident) < 2e-6
+
+
+def test_js_divergence_matches_pure_python(spark, sf_dir):
+    """q_js_divergence's integer-log identity vs the straight
+    definitional JSD (probability vectors, m = (p+q)/2, Σ p·log2(p/m))
+    computed in pure Python floats — and the [0, 1] bits bound."""
+    import math
+
+    from iceberg_tracking_spark.plans import QUERIES
+    from iceberg_tracking_spark.sources.tables import load_table
+
+    got = {
+        r["source"]: r
+        for r in QUERIES["q_js_divergence"].fn(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .count()
+        .collect()
+    )
+    langs = sorted({r["lang"] for r in rows})
+    srcs = sorted({r["source"] for r in rows})
+    cnt = {(r["source"], r["lang"]): r["count"] for r in rows}
+    tot = {ln: sum(cnt.get((s, ln), 0) for s in srcs) for ln in langs}
+    n_all = sum(tot.values())
+    for s in srcs:
+        a = [cnt.get((s, ln), 0) for ln in langs]
+        b = [tot[ln] - ai for ln, ai in zip(langs, a)]
+        A, B = sum(a), sum(b)
+        g = got[s]
+        assert g["n_docs"] == A
+        if B == 0:
+            assert g["jsd_bits"] is None
+            continue
+        jsd = 0.0
+        for ai, bi in zip(a, b):
+            p, q = ai / A, bi / B
+            m = (p + q) / 2
+            if p > 0:
+                jsd += 0.5 * p * math.log2(p / m)
+            if q > 0:
+                jsd += 0.5 * q * math.log2(q / m)
+        assert abs(g["jsd_bits"] - jsd) < 2e-6, (s, g["jsd_bits"], jsd)
+        assert -1e-9 <= g["jsd_bits"] <= 1.0
