@@ -1307,3 +1307,49 @@ def test_adamic_adar_wedge_bounded_by_degree_cap(spark):
     top = adamic_adar_topk(synth_edges(200_000), 100).collect()
     assert len(top) == 100
     assert all(r["aa_score"] > 0 for r in top)
+
+
+def test_kendall_pair_fan_bounded_by_value_grid(spark):
+    """q_kendall_tau's scale claim, measured: the pairwise-concordance
+    fan is cells², and the CELL relation is bounded by the value grids
+    (|X| × |Y| per segment), not row count — 40× more rows must not
+    mean more cells once the grid saturates. Also a large-sample
+    sanity: a planted monotone relation must give tau_b near +1 and a
+    hash-scrambled one near 0."""
+    from iceberg_tracking_spark.operators.stats import (
+        kendall_from_cells,
+        kendall_cells,
+    )
+
+    def synth(n: int, monotone: bool):
+        x = F.pmod(F.xxhash64("id"), F.lit(50))
+        if monotone:
+            yb = x * 2  # strictly increasing in x
+        else:
+            yb = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(22))
+        return spark.range(0, n).select(
+            F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias(
+                "l_returnflag"
+            ),
+            (x + 1).cast("double").alias("l_quantity"),
+            (yb * 5000 + 17).cast("double").alias("l_extendedprice"),
+        )
+
+    c_small = kendall_cells(synth(50_000, False)).count()
+    big = kendall_cells(synth(2_000_000, False)).localCheckpoint()
+    c_big = big.count()
+    assert c_big <= 3 * 50 * 22  # segments x |X| x |Y|, NOT row count
+    assert c_big < 2 * c_small  # saturates: cell growth decouples from rows
+    out = {r["seg"]: r for r in kendall_from_cells(big).collect()}
+    assert len(out) == 3
+    for r in out.values():
+        assert abs(r["tau_b"]) < 0.01  # scrambled: no association
+    mono = kendall_from_cells(
+        kendall_cells(synth(100_000, True)).localCheckpoint()
+    ).collect()
+    for r in mono:
+        assert r["tau_b"] == 1.0 and r["discordant"] == 0
+    print(
+        f"\nkendall cells @2M rows: {c_big} cells (50k rows -> {c_small}); "
+        f"scrambled max|tau|={max(abs(r['tau_b']) for r in out.values()):.4f}"
+    )
