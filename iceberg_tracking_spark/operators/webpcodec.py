@@ -676,6 +676,12 @@ def _emit_prefix_code(
         if ebits:
             bw.write(extra, ebits)
     codes = _canonical_codes(lengths)
+    if len(used) == 1:
+        # single-symbol normal code (symbol ≥ 256, e.g. a meta group
+        # whose only green tokens are backrefs): the DECODER's
+        # single-symbol special case reads ZERO bits per occurrence —
+        # emit zero bits too, or the streams desync
+        return {used[0]: (0, 0)}
     return {s: (codes[s], lengths[s]) for s in used}
 
 

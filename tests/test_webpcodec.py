@@ -137,6 +137,23 @@ def test_roundtrip_cache_backrefs_meta():
         assert np.array_equal(decode_webp(data)[:, :, :3], flat), kw
 
 
+def test_constant_image_backref_only_groups():
+    """A constant image under backrefs + meta groups can leave a group
+    whose green tree has a SINGLE used symbol ≥ 256 (backref length
+    code only — no literal ever starts in it). The decoder's
+    single-symbol special case reads zero bits; the encoder must emit
+    zero bits for it too (regression: the canonical length-1 code word
+    was being written, desyncing the streams)."""
+    flat = np.full((16, 64, 3), 200, np.uint8)
+    for kw in (
+        dict(use_backrefs=True),
+        dict(use_backrefs=True, meta_bits=2),
+        dict(use_backrefs=True, cache_bits=3, meta_bits=2),
+    ):
+        out = decode_webp(encode_webp_lossless(flat, **kw))
+        assert np.array_equal(out[:, :, :3], flat), kw
+
+
 def test_alpha_channel_survives():
     rng = np.random.default_rng(19)
     m = rng.integers(0, 256, (8, 9, 4), dtype=np.uint8)
