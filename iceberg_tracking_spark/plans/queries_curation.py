@@ -601,11 +601,14 @@ def q_js_divergence(spark, sf_dir):
     cells contribute exactly 0 on both sides by the CASE guard.
 
     Scale: two hash aggregates to the (source × lang) grid — BOUNDED
-    by the schema's category counts, never row count — then one
-    grid-sized cross join + left join; totals are broadcast-sized.
-    The long products a·B + b·A hold to ~3·10⁹ docs; past that the
-    products lift to decimal before the double cast (documented, not
-    hit at any tested sf)."""
+    by the schema's category counts, never row count — then the
+    source × lang fan is a BROADCAST cross join of the two bounded
+    dimension relations (the q_benford scalar-fan class, whitelisted
+    in the plan guard: a dimension fan, not a pair explosion) + one
+    left equi-join; totals are broadcast-sized. The long products
+    a·B + b·A hold to ~3·10⁹ docs; past that the products lift to
+    decimal before the double cast (documented, not hit at any
+    tested sf)."""
     d = _t(spark, sf_dir, "documents")
     al = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("a"))
     tl = d.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))

@@ -58,6 +58,9 @@ NESTED_LOOP_OK = {
     "q_tfidf",             # corpus doc-count (1 row) broadcast into scoring
     "q_unigram_logprob",   # corpus token-total (1 row) broadcast into scoring
     "q_benford",           # 1-row total broadcast onto the 9-digit axis
+    "q_js_divergence",     # source x lang dimension fan (bounded grids
+                           # broadcast; a=0 cells need the full grid) +
+                           # 1-row corpus total
     "q_confusion_matrix",  # 7-row literal threshold axis broadcast fan
                            # (scan once, one hash agg to 7 rows)
     "q_knn_accuracy",      # deliberate brute-force eval: broadcast
