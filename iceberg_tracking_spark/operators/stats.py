@@ -616,6 +616,10 @@ def spearman_cells(lineitem: DataFrame) -> DataFrame:
 
 # --------------------------------------------- Kendall tau-b (binned)
 
+#: additive count column of the kendall cell relation — streamed via
+#: the same generic fold as the Spearman/MW/KW grids
+KENDALL_CELL_COLS = ["cnt"]
+
 
 def kendall_cells(lineitem: DataFrame) -> DataFrame:
     """(seg, x, yb, cnt) cells for q_kendall_tau — quantity vs a
