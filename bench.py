@@ -207,7 +207,7 @@ EXTENDED_FLOOR_SEC = {
     "q_pagerank": 3.246,
     "q_interval_join": 0.745,
     "q_fuzzy_match": 0.467,
-    "q_char_entropy": 0.504,
+    "q_char_entropy": 0.496,
     "q_hll": 0.482,
     "q_count_min": 0.608,
     "q_image_decode": 0.403,
@@ -219,7 +219,7 @@ EXTENDED_FLOOR_SEC = {
     # bucket ids are plan constants — correctness at multi-executor
     # scale, bought with one extra job submission per call, which at
     # sf0.1 is mostly fixed scheduling overhead.
-    "q_auc": 0.944,  # REBASED r10: the 0.537 basis never reproduced again (judge r9 solo 1.02; r10 verified-near-idle 0.944/0.968) — a floor below the reproducible minimum only manufactures false alarms,
+    "q_auc": 0.866,  # REBASED r10: the 0.537 basis never reproduced again (judge r9 solo 1.02; r10 verified-near-idle 0.944/0.968) — a floor below the reproducible minimum only manufactures false alarms,
     "q_pack_sequences": 0.885,
     "q_pack_sequences_sharded": 0.234,
     "q_histogram_quantiles": 0.39,
@@ -438,34 +438,58 @@ def main() -> None:
     )
 
     canary_rechecks: dict[str, float] = {}
+    flag_reruns: dict[str, float] = {}
+
+    def _suspect(name: str, msg: str) -> None:
+        host_noise_suspects[name] = msg
+        print(f"# host-noise suspect {name}: {msg}", file=sys.stderr)
 
     def _check_floor(name: str, t: float, floor: float | None) -> None:
         if sf != "0.1" or floor is None or t <= 2 * floor:
             return
-        # raw breach: re-time the canary NOW — a co-tenant load wave
-        # that started after the opening canary would otherwise read
-        # as a plan regression (and vice versa: a wave that ended
-        # leaves the scaled test honest via max())
+        # Raw breach. Step 1: re-time the canary NOW — a co-tenant
+        # load wave that started after the opening canary would
+        # otherwise read as a plan regression.
         recheck = round(_canary_sec(spark), 3)
         canary_rechecks[name] = recheck
         factor = max(host_factor, recheck / CANARY_FLOOR_SEC, 1.0)
-        if t / factor > 2 * floor:
-            regressions[name] = (
-                f"{t:.3f}s > 2x floor {floor:.3f}s "
-                f"(canary-scaled {t / factor:.3f}s at factor {factor:.2f} "
-                "also breaches)"
-            )
-            print(f"# REGRESSION {name}: {regressions[name]}", file=sys.stderr)
-        else:
-            host_noise_suspects[name] = (
+        if t / factor <= 2 * floor:
+            _suspect(
+                name,
                 f"{t:.3f}s > 2x floor {floor:.3f}s raw, but canary-scaled "
-                f"{t / factor:.3f}s clears (factor {factor:.2f}, "
-                f"recheck canary {recheck:.3f}s)"
+                f"{t / factor:.3f}s clears (factor {factor:.2f}, recheck "
+                f"canary {recheck:.3f}s)",
             )
-            print(
-                f"# host-noise suspect {name}: {host_noise_suspects[name]}",
-                file=sys.stderr,
+            return
+        # Step 2: the wave may have ENDED between the measurement and
+        # the recheck (measured r10: canary idle at flag time while the
+        # query's three runs all sat in the wave) — re-time the QUERY
+        # itself before recording a regression; a real plan regression
+        # reproduces, a wave artifact does not.
+        try:
+            fresh = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name].fn(spark, sf_dir).count()
+                fresh = min(fresh, time.perf_counter() - t0)
+            flag_reruns[name] = round(fresh, 3)
+        except Exception:  # noqa: BLE001 — keep the original flag
+            fresh = t
+        best = min(t, fresh)
+        if best <= 2 * floor or best / factor <= 2 * floor:
+            _suspect(
+                name,
+                f"{t:.3f}s > 2x floor {floor:.3f}s raw, but the flag-time "
+                f"re-run measured {fresh:.3f}s (factor {factor:.2f}) — "
+                "wave artifact, not a plan regression",
             )
+            return
+        regressions[name] = (
+            f"{t:.3f}s > 2x floor {floor:.3f}s (canary-scaled "
+            f"{best / factor:.3f}s at factor {factor:.2f} AND flag-time "
+            f"re-run {fresh:.3f}s both breach)"
+        )
+        print(f"# REGRESSION {name}: {regressions[name]}", file=sys.stderr)
 
     for name in HEADLINE:
         # Per-query isolation: one failing query must never zero the
@@ -521,6 +545,8 @@ def main() -> None:
         doc["host_noise_suspects"] = host_noise_suspects
     if canary_rechecks:
         doc["canary_rechecks"] = canary_rechecks
+    if flag_reruns:
+        doc["flag_reruns"] = flag_reruns
     if errors:
         doc["errors"] = errors
     # Round-over-round deltas vs the latest recorded BENCH_r*.json (same

@@ -24,6 +24,13 @@ grey profile — SUBTRACT_GREEN + fixed 8-bit green code, 0-bit
 red/blue/alpha/distance codes — whose pixel stream sits at a fixed
 bit offset so q_webp_decode's DuckDB oracle re-walks it from hex
 (the q_gif_decode pattern).
+
+Performance shape (the jpegcodec note, same class): the prefix-decode
+loop is per-pixel Python — this codec is for fixture-scale correctness
+evidence and modest blob sizes inside mapInPandas batches; a production
+deployment drops in PIL/cv2 behind the same decode_media() dispatch
+without touching any plan. The transform inverses vectorize where
+L-dependence allows (subtract-green, palette unbundling).
 """
 
 from __future__ import annotations
