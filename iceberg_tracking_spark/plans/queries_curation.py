@@ -600,20 +600,26 @@ def q_js_divergence(spark, sf_dir):
     the identical integer-argument log2 chain, rounded 6dp. Zero
     cells contribute exactly 0 on both sides by the CASE guard.
 
-    Scale: two hash aggregates to the (source × lang) grid — BOUNDED
-    by the schema's category counts, never row count — then the
-    source × lang fan is a BROADCAST cross join of the two bounded
-    dimension relations (the q_benford scalar-fan class, whitelisted
-    in the plan guard: a dimension fan, not a pair explosion) + one
-    left equi-join; totals are broadcast-sized. The long products
-    a·B + b·A hold to ~3·10⁹ docs; past that the products lift to
-    decimal before the double cast (documented, not hit at any
-    tested sf)."""
+    Scale: ONE corpus scan — the (source, lang) grid aggregate — and
+    every marginal (per-lang totals, per-source totals, the corpus
+    total) re-aggregates the BOUNDED grid, so the corpus is read
+    exactly once (the grid is materialized for its four consumers).
+    The source × lang fan is a BROADCAST cross join of the two
+    bounded dimension relations (the q_benford scalar-fan class,
+    whitelisted in the plan guard: a dimension fan, not a pair
+    explosion) + one left equi-join; totals are broadcast-sized. The
+    long products a·B + b·A hold to ~3·10⁹ docs; past that the
+    products lift to decimal before the double cast (documented, not
+    hit at any tested sf)."""
     d = _t(spark, sf_dir, "documents")
-    al = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("a"))
-    tl = d.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
-    sa = d.groupBy("source").agg(F.count(F.lit(1)).alias("a_tot"))
-    n = d.agg(F.count(F.lit(1)).alias("n_all"))
+    al = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("a"))
+        .localCheckpoint()
+    )
+    tl = al.groupBy("lang").agg(F.sum("a").alias("t"))
+    sa = al.groupBy("source").agg(F.sum("a").alias("a_tot"))
+    n = al.agg(F.sum("a").alias("n_all"))
     grid = (
         sa.crossJoin(F.broadcast(tl))
         .crossJoin(F.broadcast(n))
