@@ -724,8 +724,11 @@ def cliffs_from_grid(grid: DataFrame) -> DataFrame:
     magnitude companion to mw_from_grid's significance (a huge n makes
     tiny shifts 'significant'; δ says whether they MATTER). Entirely
     exact: Σ sign = Σ_cells na_c·(B_below − B_above) over the bounded
-    value grid (the same cumulative window, partitioned by segment),
-    ONE division rounded 6dp — no float sums at all."""
+    value grid, ONE division rounded 6dp — no float sums at all.
+    Single pass: the per-segment totals ride an unbounded window over
+    the same grid partition the cumulative uses, so the grid relation
+    has ONE consumer chain (no join-back, no second scan — the
+    mw_from_grid shape)."""
     from pyspark.sql import Window
 
     w = (
@@ -733,24 +736,27 @@ def cliffs_from_grid(grid: DataFrame) -> DataFrame:
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    tot = grid.groupBy("event_type").agg(
-        F.sum("na_c").alias("n_a"), F.sum("nb_c").alias("n_b")
+    wall = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    r = grid.withColumn(
-        "b_below", F.coalesce(F.sum("nb_c").over(w), F.lit(0))
+    r = grid.select(
+        "event_type",
+        "na_c",
+        "nb_c",
+        F.coalesce(F.sum("nb_c").over(w), F.lit(0)).alias("b_below"),
+        F.sum("na_c").over(wall).alias("n_a"),
+        F.sum("nb_c").over(wall).alias("n_b"),
     )
-    s = (
-        r.join(tot, "event_type")
-        .groupBy("event_type", "n_a", "n_b")
-        .agg(
-            F.sum(
-                F.col("na_c").cast(_DEC)
-                * (
-                    F.col("b_below")
-                    - (F.col("n_b") - F.col("b_below") - F.col("nb_c"))
-                ).cast(_DEC)
-            ).alias("signsum")
-        )
+    s = r.groupBy("event_type").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(
+            F.col("na_c").cast(_DEC)
+            * (
+                F.col("b_below")
+                - (F.col("n_b") - F.col("b_below") - F.col("nb_c"))
+            ).cast(_DEC)
+        ).alias("signsum"),
     )
     return s.select(
         "event_type",
