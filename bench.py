@@ -340,8 +340,8 @@ EXTENDED_FLOOR_SEC = {
     "q_gif_frames": 0.31,
     "q_webp_decode": 0.422,
     "q_kendall_tau": 0.611,
-    "q_cliffs_delta": 0.392,
-    "q_js_divergence": 0.451,
+    "q_cliffs_delta": 0.518,  # re-floored on the one-pass plan (window totals replace the join-back; idle canary 0.482 on record),
+    "q_js_divergence": 0.926,  # re-floored on the scan-once plan: the grid localCheckpoint is ~0.4s of fixed job overhead at sf0.1 that buys 1 corpus scan instead of 4 at real scale (the q_rfm cost note),
 }
 
 
