@@ -137,6 +137,74 @@ def test_roundtrip_cache_backrefs_meta():
         assert np.array_equal(decode_webp(data)[:, :, :3], flat), kw
 
 
+def test_hand_built_bitstream_plane_code_and_max_symbol():
+    """Decoder pinned against a bitstream written BIT BY BIT from the
+    spec — fully independent of the encoder (which never writes the
+    max_symbol shortcut and only emits distances that map to plane
+    code 2). 3×2 image: green is a hand-declared NORMAL code over
+    {64 → '0', 256 → '1'} (code lengths delivered through the
+    code-length code using 18-runs AND the max_symbol read-budget
+    path), red/blue/alpha/distance are 1-symbol simple codes (0
+    bits), pixels are three literals, two backrefs through distance
+    PLANE CODE 1 — the spec table's first entry (0, 1), i.e. the
+    pixel directly above (dist = 1·w + 0) — and one more literal.
+    Expected: every pixel (r, g, b, a) = (10, 64, 20, 255)."""
+    from iceberg_tracking_spark.operators.webpcodec import (
+        _BitWriter,
+        _riff_wrap,
+    )
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)  # signature
+    bw.write(3 - 1, 14)  # w = 3
+    bw.write(2 - 1, 14)  # h = 2
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta-prefix image
+    # --- green: normal code, lengths {64: 1, 256: 1}
+    bw.write(0, 1)  # not simple
+    bw.write(0, 4)  # num_code_lengths = 4 (covers clc symbols 17,18,0,1)
+    for ln in (0, 1, 0, 1):  # order 17, 18, 0, 1 → 18→len1, 1→len1
+        bw.write(ln, 3)
+    # clc canonical: symbol 1 → '0', symbol 18 → '1'
+    bw.write(1, 1)  # USE the max_symbol read budget
+    bw.write(3, 3)  # length_nbits = 2 + 2*3 = 8
+    bw.write(3, 8)  # max_symbol = 2 + 3 = 5 codes, then implicit zeros
+    bw.write_code(1, 1)  # 18: zero-run
+    bw.write(64 - 11, 7)  # 64 zeros → symbols 0..63
+    bw.write_code(0, 1)  # literal length 1 → symbol 64
+    bw.write_code(1, 1)  # 18: zero-run
+    bw.write(138 - 11, 7)  # 138 zeros → symbols 65..202
+    bw.write_code(1, 1)  # 18: zero-run
+    bw.write(53 - 11, 7)  # 53 zeros → symbols 203..255
+    bw.write_code(0, 1)  # literal length 1 → symbol 256
+    # budget exhausted (5 codes) → symbols 257..279 stay 0
+    # --- red / blue / alpha / distance: 1-symbol simple codes
+    for sym in (10, 20, 255, 0):
+        bw.write(1, 1)  # simple
+        bw.write(0, 1)  # one symbol
+        bw.write(1, 1)  # 8-bit field
+        bw.write(sym, 8)
+    # --- pixels: green canonical {64 → '0', 256 → '1'}
+    bw.write_code(0, 1)  # lit g=64 (r/b/a decode 0 bits)
+    bw.write_code(0, 1)  # lit
+    bw.write_code(0, 1)  # lit
+    bw.write_code(1, 1)  # backref: length prefix 0 → 1 px, 0 extra
+    #                      distance: 0-bit symbol 0 → prefix value 1
+    #                      → plane code 1 → (dx, dy) = (0, 1) → dist 3
+    bw.write_code(1, 1)  # backref again
+    bw.write_code(0, 1)  # lit
+    data = _riff_wrap(bw.bytes())
+    out = decode_webp(data)
+    assert out.shape == (2, 3, 4)
+    expect = np.tile(
+        np.array([10, 64, 20, 255], np.uint8), (2, 3, 1)
+    )
+    assert np.array_equal(out, expect)
+
+
 def test_constant_image_backref_only_groups():
     """A constant image under backrefs + meta groups can leave a group
     whose green tree has a SINGLE used symbol ≥ 256 (backref length
