@@ -462,32 +462,42 @@ def main() -> None:
             )
             return
         # Step 2: the wave may have ENDED between the measurement and
-        # the recheck (measured r10: canary idle at flag time while the
-        # query's three runs all sat in the wave) — re-time the QUERY
-        # itself before recording a regression; a real plan regression
-        # reproduces, a wave artifact does not.
+        # the recheck, or be OSCILLATING (measured r10: canary 0.5s
+        # and 2.6s within one bench run) — re-time the QUERY itself,
+        # each run BRACKETED by canaries, so every measurement window
+        # carries its own load factor. A real plan regression breaches
+        # in every window; a wave artifact clears in at least one.
         try:
-            fresh = float("inf")
+            windows: list[tuple[float, float]] = [(t, factor)]
+            c_prev = recheck
+            fresh_best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
                 QUERIES[name].fn(spark, sf_dir).count()
-                fresh = min(fresh, time.perf_counter() - t0)
-            flag_reruns[name] = round(fresh, 3)
+                q = time.perf_counter() - t0
+                c_next = _canary_sec(spark)
+                windows.append(
+                    (q, max(1.0, max(c_prev, c_next) / CANARY_FLOOR_SEC))
+                )
+                c_prev = c_next
+                fresh_best = min(fresh_best, q)
+            flag_reruns[name] = round(fresh_best, 3)
+            canary_rechecks[name] = round(max(recheck, c_prev), 3)
         except Exception:  # noqa: BLE001 — keep the original flag
-            fresh = t
-        best = min(t, fresh)
-        if best <= 2 * floor or best / factor <= 2 * floor:
+            pass
+        if any(v <= 2 * floor or v / f <= 2 * floor for v, f in windows):
+            best_v, best_f = min(windows, key=lambda wf: wf[0] / wf[1])
             _suspect(
                 name,
-                f"{t:.3f}s > 2x floor {floor:.3f}s raw, but the flag-time "
-                f"re-run measured {fresh:.3f}s (factor {factor:.2f}) — "
-                "wave artifact, not a plan regression",
+                f"{t:.3f}s > 2x floor {floor:.3f}s raw, but a bracketed "
+                f"re-run window clears ({best_v:.3f}s at factor "
+                f"{best_f:.2f}) — wave artifact, not a plan regression",
             )
             return
         regressions[name] = (
-            f"{t:.3f}s > 2x floor {floor:.3f}s (canary-scaled "
-            f"{best / factor:.3f}s at factor {factor:.2f} AND flag-time "
-            f"re-run {fresh:.3f}s both breach)"
+            f"{t:.3f}s > 2x floor {floor:.3f}s — breaches in EVERY "
+            "canary-bracketed window: "
+            + ", ".join(f"{v:.3f}s@x{f:.2f}" for v, f in windows)
         )
         print(f"# REGRESSION {name}: {regressions[name]}", file=sys.stderr)
 
