@@ -303,11 +303,21 @@ def media_from_webp_files(spark: SparkSession, path: str | None = None) -> DataF
     payload = RIFF 12 + chunk header 8 + signature byte), read
     LSB-first: w−1 = b21 | (b22 & 0x3f)<<8, h−1 = b22>>6 | b23<<2 |
     (b24 & 0xf)<<10 (the reference's loader sniffs and reads WebP,
-    helpers.py:665-685 / embedding.py:234-250)."""
+    helpers.py:665-685 / embedding.py:234-250).
+
+    The fixed byte-21 offset is only valid when the VP8L chunk is the
+    FIRST chunk at offset 12, so the scan GUARDS on bytes 12-16 ==
+    'VP8L' and filters everything else out (r10 ADVICE #2: a
+    VP8X-wrapped lossless file would otherwise yield garbage dims
+    while its pixels still decode). VP8X/VP8-lossy blobs are the
+    media_catalog operator's job (parse_media_header walks the RIFF
+    chunk list generically), not this plain-profile scan's."""
     from ..sources.binary import ensure_webp_fixture, read_binary_files
 
     raw = read_binary_files(spark, path or ensure_webp_fixture(), glob="*.webp")
     hx = F.lower(F.hex(F.substring(F.col("content"), 1, 25)))
+    # bytes 12-15 == 'VP8L' (hex 5650384c): hex chars 25..32
+    raw = raw.where(F.substring(hx, 25, 8) == F.lit("5650384c"))
 
     def _u8(off: int):  # 0-based byte offset
         return F.conv(F.substring(hx, 2 * off + 1, 2), 16, 10).cast("int")

@@ -654,8 +654,13 @@ def kendall_from_cells(cells: DataFrame) -> DataFrame:
     sqrt((N0−N1)(N0−N2)) — every term a PURE-INTEGER decimal (no
     decimal division anywhere), then one fixed float sequence (one
     sqrt, one division) rounded 6dp. Degenerate segments (all x or
-    all y tied) are NULL. N0² stays inside the double's range and
-    decimal(38) to n ~ 1e9 rows per segment."""
+    all y tied) EMIT a row with tau_b NULL: the marginals (tx/ty)
+    always have one row per segment, and cd — empty when a segment
+    has a single distinct x, since the x1 < x2 self-join fans zero
+    pairs — is LEFT-joined onto them with conc/disc coalesced to 0
+    (r10 ADVICE #1: an inner join silently dropped such segments,
+    contradicting this contract). N0² stays inside the double's
+    range and decimal(38) to n ~ 1e9 rows per segment."""
     c1 = cells.select(
         "seg",
         F.col("x").alias("x1"),
@@ -697,7 +702,12 @@ def kendall_from_cells(cells: DataFrame) -> DataFrame:
             F.sum(F.col("t").cast(_DEC) * (F.col("t") - 1)).alias("n2"),
         )
     )
-    s = cd.join(tx, "seg").join(ty, "seg")
+    s = (
+        tx.join(ty, "seg")
+        .join(cd, "seg", "left")
+        .withColumn("conc", F.coalesce(F.col("conc"), F.lit(0).cast(_DEC)))
+        .withColumn("disc", F.coalesce(F.col("disc"), F.lit(0).cast(_DEC)))
+    )
     n = F.col("n_x")
     n0 = n * (n - 1)
     dx = (n0 - F.col("n1")).cast("double")

@@ -2355,17 +2355,18 @@ def q_spearman(spark, sf_dir):
               FROM cells GROUP BY 1, 2)
         GROUP BY 1
     )
-    SELECT cd.seg AS returnflag,
+    SELECT tx.seg AS returnflag,
            CAST(n_x AS BIGINT) AS n,
-           CAST(conc AS BIGINT) AS concordant,
-           CAST(disc AS BIGINT) AS discordant,
+           CAST(coalesce(conc, 0) AS BIGINT) AS concordant,
+           CAST(coalesce(disc, 0) AS BIGINT) AS discordant,
            CASE WHEN n_x * (n_x - 1) - n1 > 0
                  AND n_x * (n_x - 1) - n2 > 0
-                THEN round(2.0 * CAST(conc - disc AS DOUBLE)
+                THEN round(2.0 * CAST(coalesce(conc, 0) - coalesce(disc, 0)
+                          AS DOUBLE)
                      / sqrt(CAST(n_x * (n_x - 1) - n1 AS DOUBLE)
                           * CAST(n_x * (n_x - 1) - n2 AS DOUBLE)), 6)
            END AS tau_b
-    FROM cd JOIN tx ON tx.seg = cd.seg JOIN ty ON ty.seg = cd.seg
+    FROM tx JOIN ty ON ty.seg = tx.seg LEFT JOIN cd ON cd.seg = tx.seg
     """,
 )
 def q_kendall_tau(spark, sf_dir):
@@ -2387,7 +2388,9 @@ def q_kendall_tau(spark, sf_dir):
     the ½ factors cancel (tau_b = 2(C−D)/sqrt((N0−N1)(N0−N2)) with
     N0 = n(n−1), N1 = Σt(t−1), N2 = Σu(u−1)), so every aggregate is a
     pure-integer DECIMAL/HUGEINT; tau is one sqrt + one division over
-    those exact integers, rounded 6dp. Degenerate segments NULL."""
+    those exact integers, rounded 6dp. Degenerate segments (all x or
+    all y tied) emit their row with tau_b NULL — the marginals drive
+    the output and the empty pair relation left-joins in as 0/0."""
     from ..operators.stats import kendall_cells, kendall_from_cells
 
     # three consumers of the cell relation (both pair sides + two

@@ -569,10 +569,12 @@ def q_char_entropy(spark: SparkSession, sf_dir: str):
     s AS (
         SELECT source, a_tot, b_tot,
                sum(CASE WHEN a > 0 THEN a * (log2(CAST(a AS DOUBLE))
-                   - log2(CAST(a * b_tot + b * a_tot AS DOUBLE)))
+                   - log2(CAST(CAST(a AS HUGEINT) * b_tot
+                     + CAST(b AS HUGEINT) * a_tot AS DOUBLE)))
                    ELSE 0 END) AS sum_a,
                sum(CASE WHEN b > 0 THEN b * (log2(CAST(b AS DOUBLE))
-                   - log2(CAST(a * b_tot + b * a_tot AS DOUBLE)))
+                   - log2(CAST(CAST(a AS HUGEINT) * b_tot
+                     + CAST(b AS HUGEINT) * a_tot AS DOUBLE)))
                    ELSE 0 END) AS sum_b
         FROM terms GROUP BY 1, 2, 3
     )
@@ -608,9 +610,9 @@ def q_js_divergence(spark, sf_dir):
     bounded dimension relations (the q_benford scalar-fan class,
     whitelisted in the plan guard: a dimension fan, not a pair
     explosion) + one left equi-join; totals are broadcast-sized. The
-    long products a·B + b·A hold to ~3·10⁹ docs; past that the
-    products lift to decimal before the double cast (documented, not
-    hit at any tested sf)."""
+    products a·B + b·A are computed in decimal(38,0) (HUGEINT on the
+    oracle side), exact to ~10¹⁹ docs — a long product would have
+    silently wrapped past ~3·10⁹ docs with ANSI off (r10 ADVICE #3)."""
     d = _t(spark, sf_dir, "documents")
     al = (
         d.groupBy("source", "lang")
@@ -632,7 +634,15 @@ def q_js_divergence(spark, sf_dir):
             (F.col("t") - F.coalesce(F.col("a"), F.lit(0))).alias("b"),
         )
     )
-    mlog = F.log2((F.col("a") * F.col("b_tot") + F.col("b") * F.col("a_tot")).cast("double"))
+    # a·B + b·A in decimal(38,0): a long product would silently wrap
+    # past ~3e9 docs with ANSI off (r10 ADVICE #3) — the decimal lift
+    # is exact to ~1e19 docs and costs nothing on the bounded grid
+    mlog = F.log2(
+        (
+            F.col("a").cast("decimal(38,0)") * F.col("b_tot")
+            + F.col("b").cast("decimal(38,0)") * F.col("a_tot")
+        ).cast("double")
+    )
     s = grid.groupBy("source", "a_tot", "b_tot").agg(
         F.sum(
             F.when(

@@ -23,8 +23,10 @@ Scale design (100 TB):
   every iteration re-reads it, and without lineage truncation the plan
   doubles per round (the iterative-Spark trap; same treatment as
   `operators/graph.py:connected_components`). The degree relation is a
-  broadcast (|V|-row) aggregate over it, its exchange reused across
-  rounds.
+  |V|-row aggregate over it whose join strategy AQE decides per round
+  (broadcast at test scale, shuffle-hash when |V| outgrows the
+  threshold — no forced hint on a with-sf-growing side, the r10
+  HITS/AA house rule applied repo-wide in r11).
 * A fixed iteration count keeps the oracle exactly mirrorable (the
   DuckDB side unrolls the same three rounds as CTEs, like q_kmeans).
 """
@@ -125,26 +127,29 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     a symmetric edge list that is exactly Σ over neighbors, in one
     equi-join plus one hash aggregate per round.
 
-    Constant-factor shape (r5 verdict task #5, re-measured r6): ONE
-    materialization — the symmetric edge list — then the degree
-    relation (|V| rows after map-side combine) is BROADCAST into every
-    unrolled round. The identical deg subtree reuses one broadcast
-    exchange across rounds, so each round is a broadcast join + a
-    broadcast join + one hash re-aggregate. Measured min-of-5 at
-    sf0.1: 3.46s vs 5.03s for the previous two-checkpoint shape (the
-    second checkpoint's write+read of the ~|V|²-row annotated edge
-    list cost more than the per-round broadcast joins it saved); a
-    window-count degree annotation (one checkpoint, but a full
-    edge-list sort on src) sat between at 3.76s — and at 100 TB the
-    hash-agg + broadcast also beats the window shape on skewed (hub)
-    degree distributions, where the sort concentrates hot partitions.
+    Constant-factor shape (r5 verdict task #5, re-measured r6; hint
+    policy aligned r11): ONE materialization — the symmetric edge
+    list — then the degree relation (|V| rows after map-side combine)
+    joins into every unrolled round with the strategy AQE DECIDES
+    (broadcast at test scale, shuffle-hash beyond the threshold) —
+    the r10 HITS/Adamic-Adar house rule: |V| is supplier-count-sized,
+    which GROWS with sf (10k·sf rows — ~1 GB of keys at the 100-TB
+    sf), so a forced broadcast hint on it is exactly the
+    unbounded-side hint that rule bans. Measured min-of-3 at sf0.1,
+    same session: 4.08 s hint-free vs 4.54 s forced — AQE picks the
+    same broadcast at test scale from runtime shuffle stats, for
+    free. The earlier shape findings stand: one checkpoint beats two
+    (the ~|V|²-row annotated-edge checkpoint cost more than the
+    per-round joins it saved, 5.03 s vs 3.46 s r6) and beats a
+    window-count degree annotation (3.76 s r6, and the sort
+    concentrates hot partitions under skewed hub degrees at 100 TB).
     Per-round rank checkpoints remain pointless at this unroll depth;
     lineage truncation only pays for deep/unbounded iteration
     (operators/graph.py).
     """
     sym = _supplier_edges(spark, sf_dir).localCheckpoint()
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
-    edges = sym.join(F.broadcast(deg), "src").select("src", "dst", "deg")
+    edges = sym.join(deg, "src").select("src", "dst", "deg")
     n = deg.count()  # node count: k-row metadata scalar, not data-sized
 
     ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
@@ -502,10 +507,14 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(_BFS_SRC, 0)], "node long, dist int"
     )
     for _ in range(_BFS_HOPS):
-        # The distance relation is bounded by |V| (≪ |E|): broadcast it
-        # into the edge scan — without the hint the unknown-stats
-        # checkpoint side demotes every round to a sort-merge join.
-        relaxed = F.broadcast(dist).join(sym, dist.node == sym.s).select(
+        # The distance relation is |V|-bounded (≪ |E|) but |V| GROWS
+        # with sf, so the join strategy is AQE's call (the r10
+        # HITS/AA house rule — no forced hint on an unbounded side):
+        # broadcast at test scale from runtime shuffle stats,
+        # shuffle-hash once |V| outgrows the threshold. Measured
+        # min-of-3 at sf0.1, same session: 3.10 s hint-free vs
+        # 3.12 s with the old forced broadcast.
+        relaxed = dist.join(sym, dist.node == sym.s).select(
             F.col("d").alias("node"), (F.col("dist") + 1).alias("dist")
         )
         dist = (

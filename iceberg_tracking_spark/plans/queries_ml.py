@@ -869,6 +869,9 @@ def _webp_decode_oracle() -> str:
                md5(lower(hex(content))) AS content_md5,
                lower(hex(content)) AS hx
         FROM read_blob('{WEBP_FIXTURE_DIR}/*.webp')
+        -- mirror the scan's plain-profile guard (bytes 12-16 = 'VP8L';
+        -- the fixed-offset dimension parse is only valid then)
+        WHERE substr(lower(hex(content)), 25, 8) = '5650384c'
     ),
     hdr AS (
         SELECT media_id, n_bytes, content_md5, hx,

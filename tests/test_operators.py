@@ -2014,6 +2014,35 @@ def test_kendall_tau_matches_pure_python(spark, sf_dir):
             assert abs(g["tau_b"] - tau) < 2e-6, (seg, g["tau_b"], tau)
 
 
+def test_kendall_degenerate_segment_emits_null_row(spark):
+    """kendall_from_cells' documented contract on degenerate segments
+    (r10 ADVICE #1): a segment whose x values are ALL tied fans zero
+    pairs in the x1 < x2 self-join — it must still EMIT its row (the
+    marginals drive the output) with concordant = discordant = 0 and
+    tau_b NULL, not vanish from the result."""
+    from iceberg_tracking_spark.operators.stats import kendall_from_cells
+
+    cells = spark.createDataFrame(
+        [
+            # degenerate in x: one distinct x, two y cells
+            ("dx", 5, 1, 3), ("dx", 5, 2, 4),
+            # degenerate in y: tau undefined (N0 == N2), row still out
+            ("dy", 1, 7, 2), ("dy", 2, 7, 5),
+            # healthy monotone segment: tau_b = 1
+            ("ok", 1, 1, 2), ("ok", 2, 2, 3),
+        ],
+        "seg string, x long, yb long, cnt long",
+    )
+    out = {r["seg"]: r for r in kendall_from_cells(cells).collect()}
+    assert set(out) == {"dx", "dy", "ok"}
+    assert out["dx"]["n"] == 7
+    assert out["dx"]["concordant"] == 0 and out["dx"]["discordant"] == 0
+    assert out["dx"]["tau_b"] is None
+    # the dy pair has y1 == y2: neither concordant nor discordant
+    assert out["dy"]["tau_b"] is None and out["dy"]["concordant"] == 0
+    assert out["ok"]["tau_b"] == 1.0
+
+
 def test_cliffs_delta_matches_pure_python_and_mw(spark, sf_dir):
     """q_cliffs_delta vs (a) the explicit pairwise sign loop and (b)
     the identity δ = 2U_A/(n_a·n_b) − 1 against q_mann_whitney's U."""
