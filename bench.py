@@ -156,6 +156,10 @@ EXTENDED = [
     "q_kendall_tau",
     "q_cliffs_delta",
     "q_js_divergence",
+    # round-11: header-level media cataloging (lossy WebP/VP8X/AVIF)
+    # and exact unbinned tau-b on the hash-capped sample
+    "q_media_catalog",
+    "q_kendall_exact",
 ]
 
 # Regression floors for the HEADLINE set (r6 verdict task: the
@@ -194,7 +198,16 @@ HEADLINE_FLOOR_SEC = {
 # bench runs, canary 0.475/0.552s on record, 26 floors tightened and
 # q_auc REBASED upward to its reproducible minimum; before that the
 # round-9 idle sweep of 32 and the round-7 quiet window that
-# re-floored 43 of 61 entries). A query running
+# re-floored 43 of 61 entries).
+#
+# FLOOR LINEAGE RULE (r10 verdict task #5, formalized r11): a floor
+# may only be SET or TIGHTENED from a run whose recorded canary is
+# <= ~1.2x CANARY_FLOOR_SEC, and every floor group's comment must
+# name its basis canary. Bases recorded before the canary era (the
+# r6-r9 groups above/below without a canary note) carry the weaker
+# "solo run, load observed via control queries" provenance — they are
+# kept as-is and only ever replaced by canary-verified runs; do NOT
+# tighten from an unverified window. A query running
 # >2x its floor at
 # sf0.1 is flagged loudly in the JSON ("regressions") and on stderr —
 # the 2x budget absorbs the measured 1.5-2x co-tenant load swings, so
@@ -342,6 +355,13 @@ EXTENDED_FLOOR_SEC = {
     "q_kendall_tau": 0.611,
     "q_cliffs_delta": 0.518,  # re-floored on the one-pass plan (window totals replace the join-back; idle canary 0.482 on record),
     "q_js_divergence": 0.926,  # re-floored on the scan-once plan: the grid localCheckpoint is ~0.4s of fixed job overhead at sf0.1 that buys 1 corpus scan instead of 4 at real scale (the q_rfm cost note),
+    # r11 landing: solo min-of-3 at sf0.1 in the landing commit;
+    # basis canary 0.495-0.698s (run bracketed by canaries — the
+    # closing 0.495s is within 1.05x of the canary floor, so these
+    # bases are near-idle quality). kendall_exact's basis is the
+    # two-phase-cap plan (threshold prefilter + cap-bounded window).
+    "q_media_catalog": 0.348,
+    "q_kendall_exact": 2.564,
 }
 
 

@@ -148,7 +148,9 @@ def decode_media(
             "WebP, AVIF, …) requires PIL/cv2, not in this container; "
             "the common training-data formats decode natively "
             "(operators/imagecodec.py, jpegcodec.py, gifcodec.py, "
-            "webpcodec.py)"
+            "webpcodec.py) and every format CATALOGS header-level "
+            "(dims/alpha/animation/decodability) via "
+            "operators/mediacatalog.py:parse_media_header"
         )
     return _fake_decode(content, width, height)
 

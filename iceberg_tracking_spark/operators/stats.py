@@ -783,3 +783,129 @@ def cliffs_from_grid(grid: DataFrame) -> DataFrame:
             ),
         ).alias("cliffs_delta"),
     )
+
+
+# --------------------------------------------- Kendall tau-b (capped exact)
+
+
+def kendall_exact_capped(pts: DataFrame, cap: int) -> DataFrame:
+    """(seg, n, concordant, discordant, tau_b) — EXACT (unbinned)
+    tie-corrected tau-b on a per-segment hash-capped sample of
+    (seg, x, y, hk, k1, k2) points. Closes the one stated
+    approximation in kendall_from_cells: that operator bins y onto a
+    bounded grid because exact continuous tau needs pairwise
+    concordance over raw values, which is quadratic. Here the
+    quadratic runs — but on a BOUNDED sample: each segment keeps its
+    first `cap` rows in (hk, k1, k2, x, y) order, where hk is the
+    engine-portable md5 row hash (functions/keys.py:stable_id_hash's
+    move) and the trailing (x, y) make the order total even when the
+    caller's (k1, k2) key is NOT unique (the synthetic lineitem has
+    duplicate (orderkey, linenumber) rows — without the value
+    tie-break, engines disagreed at tie boundaries and even DuckDB
+    was nondeterministic run-to-run); remaining ties are fully
+    IDENTICAL rows, interchangeable for the statistic. The kept set
+    is a UNIFORM deterministic subsample
+    (hash order is independent of x and y — ordering by data columns
+    would truncate the distribution and bias tau) and both engines
+    select identical rows. tau-b on a uniform subsample is the
+    U-statistic estimator: consistent, s.e. ~ O(1/cap).
+
+    The pair fan is the Theil-Sen cap pattern
+    (plans/queries_features.py): seg-equi self-join restricted to
+    rn1 < rn2 — at most cap(cap−1)/2 pairs per segment, FIXED by the
+    cap, never by row count. Every count is integer (conc/disc ≤
+    cap²/2 ≈ 10⁶ — longs, no decimal needed); tau is one sqrt + one
+    division, rounded 6dp. Degenerate segments emit tau_b NULL with
+    0/0 counts (the kendall_from_cells left-join contract).
+
+    The cap itself is TWO-PHASE so no full-table per-segment sort
+    ever runs (a row_number window partitioned by a few-valued seg
+    funnels the whole table through |seg| tasks — the scale-killer
+    class): first a scan-level THRESHOLD filter keeps rows whose
+    32-bit hash prefix falls below ~2·cap/n_seg of the keyspace
+    (md5 is uniform, so survivors ≈ 2·cap per segment; the per-seg
+    counts are a broadcast-sized dimension aggregate, the
+    q_winsorize baseline pattern), then the row_number window runs
+    on that cap-bounded relation only. The filtered set contains the
+    full hk-order prefix whenever ≥ cap rows survive (all rows below
+    the threshold are kept, so the cap-th row's prefix is complete —
+    P(<cap survivors) < e^(−cap/4) by Chernoff, and segments smaller
+    than the margin pass entirely); both engines apply the identical
+    filter + cap, so cross-engine row selection is exact
+    UNCONDITIONALLY."""
+    from pyspark.sql import Window
+
+    cnt = pts.groupBy("seg").agg(F.count(F.lit(1)).alias("n_seg"))
+    # threshold on the first 8 hex chars of hk (32-bit keyspace):
+    # the SAME float literal and op order as the SQL mirror
+    thr = F.least(
+        F.lit(4294967296),
+        F.ceil(F.lit(float(4294967296.0 * 2 * cap)) / F.col("n_seg")).cast(
+            "long"
+        ),
+    )
+    pre = (
+        pts.join(F.broadcast(cnt), "seg")
+        .filter(F.conv(F.substring("hk", 1, 8), 16, 10).cast("long") < thr)
+        .select("seg", "x", "y", "hk", "k1", "k2")
+    )
+    w = Window.partitionBy("seg").orderBy("hk", "k1", "k2", "x", "y")
+    capped = (
+        pre.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select("seg", "x", "y", "rn")
+        .localCheckpoint()  # three consumers: both pair sides + marginals
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    dprod = (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
+    cd = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.rn") < F.col("b.rn")),
+        )
+        .groupBy(F.col("a.seg").alias("seg"))
+        .agg(
+            F.sum(F.when(dprod > 0, 1).otherwise(0)).alias("conc"),
+            F.sum(F.when(dprod < 0, 1).otherwise(0)).alias("disc"),
+        )
+    )
+    tx = (
+        capped.groupBy("seg", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("seg")
+        .agg(
+            F.sum("t").alias("n"),
+            F.sum(F.col("t") * (F.col("t") - 1)).alias("n1"),
+        )
+    )
+    ty = (
+        capped.groupBy("seg", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("seg")
+        .agg(F.sum(F.col("t") * (F.col("t") - 1)).alias("n2"))
+    )
+    s = (
+        tx.join(ty, "seg")
+        .join(cd, "seg", "left")
+        .withColumn("conc", F.coalesce(F.col("conc"), F.lit(0)))
+        .withColumn("disc", F.coalesce(F.col("disc"), F.lit(0)))
+    )
+    n0 = F.col("n") * (F.col("n") - 1)
+    dx = (n0 - F.col("n1")).cast("double")
+    dy = (n0 - F.col("n2")).cast("double")
+    return s.select(
+        "seg",
+        "n",
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                F.lit(2.0)
+                * (F.col("conc") - F.col("disc")).cast("double")
+                / F.sqrt(dx * dy),
+                6,
+            ),
+        ).alias("tau_b"),
+    )

@@ -2402,6 +2402,119 @@ def q_kendall_tau(spark, sf_dir):
     )
 
 
+# --------------------------------------------- Kendall tau-b (capped exact)
+
+_KT_CAP = 1500  # rows kept per segment before the O(cap²) pair fan
+
+
+@query(
+    "q_kendall_exact",
+    oracle=f"""
+    WITH pt AS (
+        SELECT l_returnflag AS seg,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y,
+               md5(CAST(l_orderkey AS VARCHAR) || '_'
+                   || CAST(l_linenumber AS VARCHAR)) AS hk,
+               l_orderkey AS k1, l_linenumber AS k2
+        FROM lineitem
+    ),
+    cnt AS (SELECT seg, count(*) AS n_seg FROM pt GROUP BY 1),
+    pre AS (
+        SELECT pt.* FROM pt JOIN cnt ON cnt.seg = pt.seg
+        WHERE ('0x' || substring(hk, 1, 8))::BIGINT
+              < LEAST(4294967296,
+                      CAST(ceil({4294967296.0 * 2 * _KT_CAP!r} / n_seg)
+                           AS BIGINT))
+    ),
+    capped AS (
+        SELECT seg, x, y, rn FROM (
+            SELECT seg, x, y, row_number() OVER (
+                       PARTITION BY seg ORDER BY hk, k1, k2, x, y) AS rn
+            FROM pre
+        ) WHERE rn <= {_KT_CAP}
+    ),
+    cd AS (
+        SELECT a.seg,
+               CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+               CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS disc
+        FROM capped a JOIN capped b
+          ON a.seg = b.seg AND a.rn < b.rn
+        GROUP BY 1
+    ),
+    tx AS (
+        SELECT seg, CAST(sum(t) AS BIGINT) AS n,
+               CAST(sum(t * (t - 1)) AS BIGINT) AS n1
+        FROM (SELECT seg, x, count(*) AS t FROM capped GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    ty AS (
+        SELECT seg, CAST(sum(t * (t - 1)) AS BIGINT) AS n2
+        FROM (SELECT seg, y, count(*) AS t FROM capped GROUP BY 1, 2)
+        GROUP BY 1
+    )
+    SELECT tx.seg AS returnflag, n,
+           coalesce(conc, 0) AS concordant,
+           coalesce(disc, 0) AS discordant,
+           CASE WHEN n * (n - 1) - n1 > 0 AND n * (n - 1) - n2 > 0
+                THEN round(2.0 * (coalesce(conc, 0) - coalesce(disc, 0))
+                     / sqrt(CAST(n * (n - 1) - n1 AS DOUBLE)
+                          * CAST(n * (n - 1) - n2 AS DOUBLE)), 6)
+           END AS tau_b
+    FROM tx JOIN ty ON ty.seg = tx.seg LEFT JOIN cd ON cd.seg = tx.seg
+    """,
+)
+def q_kendall_exact(spark, sf_dir):
+    """EXACT (unbinned) Kendall tau-b per segment on a hash-capped
+    uniform sample — closing the one stated approximation in the
+    stats family (r10 verdict task #4): q_kendall_tau bins price onto
+    a bounded grid because exact continuous tau is pairwise-quadratic;
+    this query runs the exact quadratic on a per-segment sample of
+    {_KT_CAP} rows selected by the engine-portable md5 row hash (the
+    q_kfold/stable_id_hash move — hash order is independent of the
+    data values, so the kept set is a uniform deterministic subsample
+    and both engines pick identical rows; ordering by a DATA column
+    would truncate the distribution and bias tau). Quantity vs exact
+    price CENTS within each l_returnflag segment.
+
+    tau-b on a uniform subsample is the U-statistic estimator:
+    unbiased in C−D, consistent, s.e. ~ O(1/cap) — the standard trade
+    every distributed exact-tau makes (the q_theil_sen cap argument).
+    The binned q_kendall_tau remains the streaming-maintainable
+    full-data statistic; this is the exact-on-sample companion.
+
+    Scale: the pair fan is the Theil-Sen cap pattern — a seg-equi
+    self-join restricted to rn1 < rn2, at most cap(cap−1)/2 ≈ 1.1M
+    pairs per segment, FIXED by the cap, never by row count; the
+    row_number cap window is hash-partitioned by segment (no global
+    sort). Counts are exact longs (≤ cap²); tau is one sqrt + one
+    division, rounded 6dp. Degenerate segments emit tau_b NULL
+    (the kendall_from_cells left-join contract)."""
+    from ..operators.stats import kendall_exact_capped
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("seg"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+        F.md5(
+            F.concat_ws(
+                "_",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("hk"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+    )
+    return kendall_exact_capped(pts, _KT_CAP).select(
+        F.col("seg").alias("returnflag"),
+        "n", "concordant", "discordant", "tau_b",
+    )
+
+
 # ------------------------------------------------------- Cliff's delta
 
 

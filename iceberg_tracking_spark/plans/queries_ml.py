@@ -1318,3 +1318,179 @@ def q_video_motion(spark, sf_dir):
         F.round(mean, 6).alias("motion_mean"),
         (mean > _MOTION_CUT).alias("is_cut"),
     )
+
+
+def _media_catalog_oracle() -> str:
+    """Byte-level SQL re-parse of the catalog fixture headers. The
+    engine side walks containers GENERICALLY (RIFF chunk list, ISOBMFF
+    box tree — operators/mediacatalog.py); the oracle re-derives the
+    same fields arithmetically from hex under the fixture's known
+    layouts (the q_webp_decode/q_gif_frames precedent): VP8L dims from
+    the 14-bit header fields, VP8 dims past the 9d012a start code,
+    VP8X canvas dims + flag bits, the animated profile's first-ANMF
+    subchunk fourcc at byte 68 (VP8X 30 + ANIM 14 + ANMF hdr 8+16),
+    and AVIF dims from the ispe box located by strpos (generation
+    asserts exactly one byte-aligned occurrence)."""
+    from ..sources.binary import CATALOG_FIXTURE_DIR
+
+    def pair(off: str) -> str:  # u8 at 0-based byte offset
+        return (
+            f"((strpos('0123456789abcdef', substr(hx, 2*({off}) + 1, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(hx, 2*({off}) + 2, 1)) - 1))"
+        )
+
+    # byte offset of the ispe fourcc (0-based): strpos is 1-based hex
+    ispe = "((strpos(hx, '69737065') - 1) // 2)"
+    be32 = lambda k: (
+        f"({pair(f'{k}')} * 16777216 + {pair(f'({k}) + 1')} * 65536"
+        f" + {pair(f'({k}) + 2')} * 256 + {pair(f'({k}) + 3')})"
+    )
+    sub_cc = (  # codec fourcc of a VP8X file: first ANMF subchunk when
+        # animated (byte 68 in the fixture profile), else the chunk
+        # right after VP8X (byte 30)
+        "CASE WHEN anim THEN substr(hx, 137, 8) ELSE substr(hx, 61, 8) END"
+    )
+    return f"""
+    WITH b AS (
+        SELECT CAST(regexp_extract(filename, '(\\d+)\\.[a-z]+$', 1) AS BIGINT)
+                   AS media_id,
+               CAST(octet_length(content) AS BIGINT) AS n_bytes,
+               lower(hex(content)) AS hx
+        FROM read_blob('{CATALOG_FIXTURE_DIR}/*')
+    ),
+    cls AS (
+        SELECT media_id, n_bytes, hx,
+               substr(hx, 1, 8) = '52494646'
+                   AND substr(hx, 17, 8) = '57454250' AS is_webp,
+               substr(hx, 9, 8) = '66747970' AS is_bmff,
+               substr(hx, 25, 8) AS cc12,
+               substr(hx, 17, 8) AS brand
+        FROM b
+    ),
+    fl AS (
+        SELECT *,
+               CASE WHEN is_webp AND cc12 = '56503858'
+                    THEN (({pair('20')}) // 2) % 2 = 1
+                    WHEN is_bmff THEN brand = '61766973'
+                    ELSE FALSE END AS anim,
+               CASE WHEN is_webp AND cc12 = '5650384c'
+                    THEN (({pair('24')}) // 16) % 2 = 1
+                    WHEN is_webp AND cc12 = '56503858'
+                    THEN (({pair('20')}) // 16) % 2 = 1
+                    WHEN is_bmff THEN strpos(hx, '61757843') > 0
+                    ELSE FALSE END AS has_alpha
+        FROM cls
+    ),
+    cod AS (
+        SELECT *,
+               CASE WHEN is_webp AND cc12 = '5650384c' THEN 'vp8l'
+                    WHEN is_webp AND cc12 = '56503820' THEN 'vp8'
+                    WHEN is_webp AND cc12 = '56503858' THEN
+                        CASE {sub_cc}
+                             WHEN '5650384c' THEN 'vp8l'
+                             WHEN '56503820' THEN 'vp8' END
+                    WHEN is_bmff THEN 'av01' END AS codec,
+               CASE WHEN is_webp AND cc12 = '5650384c'
+                    THEN 1 + ({pair('21')}) + 256 * (({pair('22')}) % 64)
+                    WHEN is_webp AND cc12 = '56503820'
+                    THEN ({pair('26')}) + 256 * (({pair('27')}) % 64)
+                    WHEN is_webp AND cc12 = '56503858'
+                    THEN 1 + ({pair('24')}) + 256 * ({pair('25')})
+                         + 65536 * ({pair('26')})
+                    WHEN is_bmff THEN {be32(f"{ispe} + 8")} END AS width,
+               CASE WHEN is_webp AND cc12 = '5650384c'
+                    THEN 1 + (({pair('22')}) // 64) + 4 * ({pair('23')})
+                         + 1024 * (({pair('24')}) % 16)
+                    WHEN is_webp AND cc12 = '56503820'
+                    THEN ({pair('28')}) + 256 * (({pair('29')}) % 64)
+                    WHEN is_webp AND cc12 = '56503858'
+                    THEN 1 + ({pair('27')}) + 256 * ({pair('28')})
+                         + 65536 * ({pair('29')})
+                    WHEN is_bmff THEN {be32(f"{ispe} + 12")} END AS height
+        FROM fl
+    )
+    SELECT media_id, n_bytes,
+           CASE WHEN is_webp THEN 'webp'
+                WHEN is_bmff THEN 'avif' END AS format,
+           codec,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           has_alpha, anim AS is_animated,
+           coalesce(codec = 'vp8l' AND NOT anim, FALSE) AS decodable
+    FROM cod
+    """
+
+
+@query("q_media_catalog", oracle=_media_catalog_oracle())
+def q_media_catalog(spark, sf_dir):
+    """Header-level media catalog — format, codec, dimensions, alpha/
+    animation flags, and native decodability for EVERY blob, without
+    decoding a pixel (r10 verdict task #2, closing its missing #1:
+    the reference reads lossy WebP and AVIF transparently through PIL,
+    reference embedding.py:234-250 / helpers.py:665-685; the engine's
+    numpy codecs deliberately don't, so curation pipelines need to
+    CATALOG those blobs — filter by size, account by format, route
+    decodables — before any decode decision).
+
+    The engine side is a GENERAL parser (operators/mediacatalog.py):
+    RIFF chunk walk for WebP (plain VP8L, VP8X-wrapped, lossy VP8,
+    animated with ANMF subchunk sniffing), ISOBMFF box-tree walk for
+    AVIF (ftyp brands, meta/iprp/ipco recursion to ispe + av1C,
+    auxC alpha, avis image-sequence brand), plus PNG/GIF/JPEG/PGM/
+    WAV/Y4M for complete corpus coverage — malformed blobs catalog
+    as 'unknown' instead of raising (the S2 tolerance convention).
+    The DuckDB oracle re-derives every field arithmetically from the
+    same bytes under the fixture's layouts.
+
+    Scale shape: headers are O(1) bytes per blob; one binaryFile
+    split per file, Arrow-batched mapInPandas, no shuffle at all —
+    the catalog of a 100-TB media corpus is a pure map job."""
+    from ..operators.mediacatalog import parse_media_header
+    from ..sources.binary import ensure_catalog_fixture, read_binary_files
+
+    raw = read_binary_files(spark, ensure_catalog_fixture(), glob="*")
+    media_id = F.element_at(
+        F.split(F.element_at(F.split(F.col("path"), "/"), -1), "\\."), 1
+    ).cast("long")
+    scan = raw.select(
+        media_id.alias("media_id"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        "content",
+    )
+
+    def _catalog(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                info = parse_media_header(bytes(r.content))
+                rows.append(
+                    (
+                        r.media_id,
+                        r.n_bytes,
+                        info["format"],
+                        info["codec"],
+                        info["width"],
+                        info["height"],
+                        info["has_alpha"],
+                        info["is_animated"],
+                        info["decodable"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_bytes", "format", "codec", "width",
+                    "height", "has_alpha", "is_animated", "decodable",
+                ],
+            )
+
+    return scan.mapInPandas(
+        _catalog,
+        schema=(
+            "media_id long, n_bytes long, format string, codec string, "
+            "width int, height int, has_alpha boolean, "
+            "is_animated boolean, decodable boolean"
+        ),
+    )

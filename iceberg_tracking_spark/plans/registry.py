@@ -35,99 +35,85 @@ QUERIES: dict[str, QueryDef] = {}
 # positions 1-50). Every §2 operator's primary evidence query must sit
 # inside that window, so ordering is explicit: names listed here come
 # first (in this order), everything else follows in registration order.
-# Round 10 rotation — the r9 verdict's task #1 prescription: (a)
-# first driver rows for the 5 queries NEW this round (q_webp_decode —
-# the r9 verdict's #2 gap; q_gif_frames, its task #4; the r10 stats
-# wave — Kendall tau-b, Cliff's delta, Jensen-Shannon divergence),
-# (b) queries whose CODE or a shared dependency changed this round:
-# q_hits / q_adamic_adar dropped forced broadcast hints on |V|-row
-# relations (r9 ADVICE #2), q_video_motion moved to a rolling
-# two-frame buffer (ADVICE #3), and q_image_decode represents the
-# decode_media consumers for the ADDITIVE WebP dispatch branch (the
-# branch adds a new magic check; the PGM/PNG/JPEG/GIF byte paths its
-# siblings q_png_decode / q_media_features / q_image_resize exercise
-# are untouched — their refresh rides the r11 rotation; the r9
-# analog pulled all four because decode_png ITSELF changed), (c) the
-# FULL 41-name r5-stale cohort enumerated by the r9 registry
-# comment. 5 + 4 + 41 = 50; after this window no registered query's
-# latest driver row is older than round 6. Window = 50.
+# Round 11 rotation — the r10 verdict's task #1 prescription: (a)
+# first driver rows for the 2 queries NEW this round (q_media_catalog
+# — the r10 verdict's task #2 / missing #1, header-level cataloging
+# of lossy-WebP/VP8X/AVIF blobs; q_kendall_exact — its task #4,
+# exact unbinned tau-b on a hash-capped sample), (b) queries whose
+# CODE or a shared dependency changed this round: q_kendall_tau
+# (kendall_from_cells now emits degenerate segments via a left join,
+# r10 ADVICE #1), q_js_divergence (decimal-lifted products, ADVICE
+# #3), q_webp_decode (the scan's VP8L-first guard, ADVICE #2),
+# q_pagerank (forced |V|-row broadcast dropped for AQE, verdict task
+# #3 — q_shortest_path made the same change but already sits in the
+# r6 cohort below), (c) the three decode_media siblings the r10
+# rotation comment deferred to r11 (q_png_decode, q_media_features,
+# q_image_resize), (d) the first 41 names of the 46-name r6-stale
+# cohort in registration order. 2 + 4 + 3 + 41 = 50; the 5-name
+# overflow (q_mutual_information, q_quantile_binning, q_gini_skew,
+# q_conformal, q_rfm) rides r12, after which no query's latest
+# driver row is older than round 7. Window = 50.
 DRIVER_PRIORITY: list[str] = [
-    # (a) first driver rows: new this round (lossless-WebP VP8L decode
-    # with a bit-reversal prefix-code oracle; animated-GIF per-frame
-    # decode with a multi-frame block-arithmetic oracle; the stats
-    # wave — binned tau-b on cell pairs, exact-integer Cliff's delta
-    # on the MW grid, integer-log JSD per source)
-    "q_webp_decode",
-    "q_gif_frames",
+    # (a) first driver rows: new this round
+    "q_media_catalog",
+    "q_kendall_exact",
+    # (b) code changed this round (fresh row per the house rule)
     "q_kendall_tau",
-    "q_cliffs_delta",
     "q_js_divergence",
-    # (b) code changed this round (output-identical, fresh row per
-    # the house rule): AQE-decided graph joins, rolling video-motion
-    # buffer, the decode_media WebP-dispatch representative
-    "q_hits",
-    "q_adamic_adar",
-    "q_video_motion",
-    "q_image_decode",
-    # (c) the full r5-stale cohort (latest driver row = round 5),
-    # registration order — the r9 comment's enumerated list
-    "q_embed_scan",
-    "q_group_collect",
-    "q_filter_conf",
-    "q_filter_expr",
-    "q_filter_range",
-    "q_string_fmt",
-    "q_limit_offset",
-    "q_json_extract",
-    "q_sum_count",
-    "q_count_distinct",
-    "q_approx_count_distinct",
-    "q_approx_quantile",
-    "q_stats",
-    "q_global_norm",
-    "q_cond_agg",
-    "q_lag_change",
-    "q_count_min",
-    "q_bloom_filter",
-    "q_hll",
-    "q_join_size_estimate",
-    "q_histogram_quantiles",
-    "q_ann_recall",
-    "q_ann_recall_multiprobe",
-    "q_pack_sequences_sharded",
-    "q_rrf_fusion",
-    "q_bigram_surprisal",
-    "q_expectations",
-    "q_k_anonymity",
-    "q_domain_mixture",
-    "q_bpe_learn",
-    "q_training_manifest",
-    "q_dedup_canonical",
-    "q_ewma",
-    "q_winsorize",
-    "q_seasonal_anomaly",
-    "q_mad_outliers",
-    "q_hourly_percentiles",
-    "q_ohlc",
-    "q_cusum",
+    "q_webp_decode",
     "q_pagerank",
-    "q_clustering_coeff",
+    # (c) the deferred decode_media siblings (r10 comment's promise)
+    "q_png_decode",
+    "q_media_features",
+    "q_image_resize",
+    # (d) the r6-stale cohort (latest driver row = round 6), first 41
+    # names in registration order
+    "q_antijoin_sample",
+    "q_corr_covar",
+    "q_array_funcs",
+    "q_big_orders",
+    "q_dedup_rank",
+    "q_ks_test",
+    "q_psi",
+    "q_markov_transitions",
+    "q_attribution",
+    "q_cuped",
+    "q_poisson_bootstrap",
+    "q_anova",
+    "q_chi2_independence",
+    "q_doc_fingerprint",
+    "q_dedup_exact",
+    "q_cosine_topk",
+    "q_auc",
+    "q_average_precision",
+    "q_heavy_hitters",
+    "q_bloom_pruned_join",
+    "q_retrieval_metrics",
+    "q_ann_ivf_recall",
+    "q_pack_sequences",
+    "q_eval_identity",
+    "q_eval_combined",
+    "q_curriculum",
+    "q_classifier_score",
+    "q_chunk_documents",
+    "q_l_diversity",
+    "q_bpe_encode",
+    "q_dsir_weights",
+    "q_type_correlation",
+    "q_seasonal_decompose",
+    "q_kaplan_meier",
+    "q_shortest_path",
+    "q_target_encoding",
+    "q_feature_hashing",
+    "q_lag_features",
+    "q_reliability_ece",
+    "q_merge_upsert",
+    "q_linear_fit",
 ]
-# Oldest after this window: the 46-name r6 cohort (latest driver row =
-# round 6), to rotate across r11(+r12 for the overflow), registration
-# order: q_antijoin_sample, q_corr_covar, q_array_funcs, q_big_orders,
-# q_dedup_rank, q_ks_test, q_psi, q_markov_transitions, q_attribution,
-# q_cuped, q_poisson_bootstrap, q_anova, q_chi2_independence,
-# q_doc_fingerprint, q_dedup_exact, q_cosine_topk, q_auc,
-# q_average_precision, q_heavy_hitters, q_bloom_pruned_join,
-# q_retrieval_metrics, q_ann_ivf_recall, q_pack_sequences,
-# q_eval_identity, q_eval_combined, q_curriculum, q_classifier_score,
-# q_chunk_documents, q_l_diversity, q_bpe_encode, q_dsir_weights,
-# q_type_correlation, q_seasonal_decompose, q_kaplan_meier,
-# q_shortest_path, q_target_encoding, q_feature_hashing,
-# q_lag_features, q_reliability_ece, q_merge_upsert, q_linear_fit,
-# q_mutual_information, q_quantile_binning, q_gini_skew, q_conformal,
-# q_rfm.
+# Oldest after this window: the r6 cohort's 5-name overflow
+# (q_mutual_information, q_quantile_binning, q_gini_skew, q_conformal,
+# q_rfm — still round-6 rows), to lead the r12 window; then the 41
+# r7-row names become the next-oldest cohort for r12(+r13).
 
 
 def query(name: str, oracle: str | None = None):

@@ -382,3 +382,126 @@ def ensure_gif_anim_fixture(
             with open(fp, "wb") as f:
                 f.write(payload)
     return path
+
+
+CATALOG_FIXTURE_DIR = os.path.join(_REPO_ROOT, ".catalog_fixture")
+CATALOG_FIXTURE_N = 12
+
+
+def ensure_catalog_fixture(
+    path: str = CATALOG_FIXTURE_DIR, n: int = CATALOG_FIXTURE_N
+) -> str:
+    """Idempotently write `n` deterministic media blobs mixing the
+    formats a scraped corpus ships but the engine does NOT decode —
+    the q_media_catalog inputs. Six kinds, cycling by index:
+
+      i%6==0  plain lossless WebP (VP8L, the real encoder)
+      i%6==1  VP8X-wrapped lossless WebP (extended container, canvas
+              dims in the VP8X chunk, the same real VP8L bitstream)
+      i%6==2  lossy WebP (VP8): spec-correct frame tag + 9d012a start
+              code + 14-bit dims, deterministic filler payload (the
+              catalog reads HEADERS; no VP8 pixel data is decoded)
+      i%6==3  animated WebP: VP8X(ANIM flag) + ANIM + one ANMF whose
+              embedded subchunk is the real VP8L bitstream
+      i%6==4  AVIF still: ftyp(avif) + meta(hdlr/pitm/iprp(ipco(
+              ispe, av1C))) + mdat filler — a spec-shaped box tree
+      i%6==5  AVIF image sequence: same tree, brand avis
+
+    Every byte is deterministic (md5-based filler; the VP8L payload
+    comes from the pure-numpy encoder), so the DuckDB oracle re-reads
+    the same headers from hex. Generation asserts each AVIF file has
+    exactly ONE byte-aligned 'ispe' occurrence so the oracle's
+    strpos-based locate cannot alias into filler bytes."""
+    import struct
+
+    import numpy as np
+
+    from ..operators.webpcodec import encode_webp_lossless
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return (
+            fourcc
+            + struct.pack("<I", len(payload))
+            + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+
+    def riff(chunks: bytes) -> bytes:
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+    os.makedirs(path, exist_ok=True)
+    for i in range(n):
+        h, w = 9 + i % 5, 11 + i % 4
+        yy, xx = np.mgrid[0:h, 0:w]
+        g = ((xx * (i + 3) + yy * (i + 7) + i * 5) % 256).astype(np.uint8)
+        kind = i % 6
+        filler = hashlib.md5(f"catalog{i}".encode()).digest() * 4
+        if kind in (0, 1, 3):
+            vp8l_file = encode_webp_lossless(g, plain=True)
+            vp8l_chunk = vp8l_file[12:]  # the VP8L chunk incl. header
+        if kind == 0:
+            data, ext = vp8l_file, "webp"
+        elif kind == 1:
+            vp8x = chunk(
+                b"VP8X",
+                bytes([0x00, 0, 0, 0])
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"),
+            )
+            data, ext = riff(vp8x + vp8l_chunk), "webp"
+        elif kind == 2:
+            # frame tag: keyframe, version 0, show_frame, part size 100
+            tag = (1 << 4) | (100 << 5)
+            vp8 = chunk(
+                b"VP8 ",
+                tag.to_bytes(3, "little")
+                + b"\x9d\x01\x2a"
+                + struct.pack("<HH", w, h)
+                + filler,
+            )
+            data, ext = riff(vp8), "webp"
+        elif kind == 3:
+            vp8x = chunk(
+                b"VP8X",
+                bytes([0x02, 0, 0, 0])
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"),
+            )
+            anim = chunk(b"ANIM", b"\xff\xff\xff\xff\x00\x00")
+            anmf_hdr = (
+                (0).to_bytes(3, "little")  # frame x/2
+                + (0).to_bytes(3, "little")  # frame y/2
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little")
+                + (40).to_bytes(3, "little")  # duration ms
+                + bytes([0x02])  # dispose/blend flags
+            )
+            anmf = chunk(b"ANMF", anmf_hdr + vp8l_chunk)
+            data, ext = riff(vp8x + anim + anmf), "webp"
+        else:
+            brand = b"avis" if kind == 5 else b"avif"
+            ftyp = box(b"ftyp", brand + b"\x00\x00\x00\x00" + brand + b"mif1")
+            hdlr = box(
+                b"hdlr",
+                b"\x00\x00\x00\x00" + b"\x00" * 4 + b"pict" + b"\x00" * 13,
+            )
+            pitm = box(b"pitm", b"\x00\x00\x00\x00\x00\x01")
+            ispe = box(
+                b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", w, h)
+            )
+            av1c = box(b"av1C", bytes([0x81, 0x04, 0x0C, 0x00]))
+            iprp = box(b"iprp", box(b"ipco", ispe + av1c))
+            meta = box(b"meta", b"\x00\x00\x00\x00" + hdlr + pitm + iprp)
+            data = ftyp + meta + box(b"mdat", filler)
+            ext = "avif"
+            hx = data.hex()
+            assert data.count(b"ispe") == 1 and hx.count("69737065") == 1
+            assert hx.find("69737065") % 2 == 0  # byte-aligned
+        fp = os.path.join(path, f"{i:04d}.{ext}")
+        if not (os.path.exists(fp) and os.path.getsize(fp) == len(data)):
+            with open(fp, "wb") as f:
+                f.write(data)
+    return path

@@ -1,0 +1,224 @@
+"""parse_media_header: general container walks, beyond the fixture
+profiles the q_media_catalog oracle pins (the oracle re-derives the
+FIXTURE layouts arithmetically; these tests cover the layouts the
+generic parser must also survive — real encoder outputs for every
+natively-decodable format, hand-built containers for the rest, and
+malformed input tolerance)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from iceberg_tracking_spark.operators.mediacatalog import parse_media_header
+
+
+def _info(data: bytes) -> dict:
+    return parse_media_header(data)
+
+
+# --------------------------------------------------- native encoders
+
+
+def test_pgm_header():
+    from iceberg_tracking_spark.operators.imagecodec import encode_pgm
+
+    mat = np.arange(35, dtype=np.uint8).reshape(5, 7)
+    i = _info(encode_pgm(mat))
+    assert (i["format"], i["width"], i["height"]) == ("pgm", 7, 5)
+    assert i["decodable"] and not i["is_animated"]
+
+
+def test_png_header_grey_and_rgba():
+    from iceberg_tracking_spark.operators.imagecodec import encode_png
+
+    grey = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    i = _info(encode_png(grey))
+    assert (i["format"], i["width"], i["height"]) == ("png", 6, 4)
+    assert not i["has_alpha"] and i["decodable"]
+    # RGBA: hand-built IHDR with color type 6 (the encoder is grey/RGB
+    # only — alpha detection is a header read, not a decode)
+    ihdr = struct.pack(">II", 5, 3) + bytes([8, 6, 0, 0, 0])
+    rgba = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+    )
+    j = _info(rgba)
+    assert j["has_alpha"] and (j["width"], j["height"]) == (5, 3)
+
+
+def test_gif_single_vs_animated():
+    from iceberg_tracking_spark.operators.gifcodec import encode_gif
+
+    pal = np.stack([np.arange(16)] * 3, axis=1).astype(np.uint8)
+    one = np.zeros((1, 4, 5), dtype=np.uint8)
+    i = _info(encode_gif(one, pal, delays_ms=[40]))
+    assert (i["format"], i["width"], i["height"]) == ("gif", 5, 4)
+    assert not i["is_animated"] and i["decodable"]
+    three = np.zeros((3, 4, 5), dtype=np.uint8)
+    j = _info(encode_gif(three, pal, delays_ms=[40, 50, 60]))
+    assert j["is_animated"]
+
+
+def test_jpeg_header_baseline():
+    from iceberg_tracking_spark.operators.jpegcodec import encode_jpeg
+
+    mat = (np.arange(64, dtype=np.int32) * 3 % 256).astype(np.uint8)
+    data = encode_jpeg(mat.reshape(8, 8))
+    i = _info(data)
+    assert (i["format"], i["width"], i["height"]) == ("jpeg", 8, 8)
+    assert i["codec"] == "jpeg-baseline" and i["decodable"]
+
+
+def test_webp_vp8l_direct_and_vp8x_wrapped():
+    from iceberg_tracking_spark.operators.webpcodec import encode_webp_lossless
+
+    g = (np.arange(6 * 9, dtype=np.int32) % 256).astype(np.uint8).reshape(6, 9)
+    plain = encode_webp_lossless(g, plain=True)
+    i = _info(plain)
+    assert (i["format"], i["codec"]) == ("webp", "vp8l")
+    assert (i["width"], i["height"]) == (9, 6) and i["decodable"]
+    # VP8X wrap: canvas dims now come from the VP8X chunk — the exact
+    # case the fixed-offset scan mis-parsed before the r11 guard
+    vp8x = (
+        b"VP8X" + struct.pack("<I", 10)
+        + bytes([0x10, 0, 0, 0])  # alpha flag set
+        + (8).to_bytes(3, "little") + (5).to_bytes(3, "little")
+    )
+    chunks = vp8x + plain[12:]
+    wrapped = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+    j = _info(wrapped)
+    assert (j["width"], j["height"]) == (9, 6) and j["codec"] == "vp8l"
+    assert j["has_alpha"] and j["decodable"]
+
+
+def test_wav_and_y4m_classify():
+    from iceberg_tracking_spark.operators.audiocodec import encode_wav
+
+    wav = encode_wav(np.zeros(100, dtype=np.int16), 8000)
+    assert _info(wav)["format"] == "wav"
+    y4m = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 Cmono\nFRAME\n" + b"\x00" * 8
+    i = _info(y4m)
+    assert i["format"] == "y4m" and i["is_animated"]
+
+
+# ------------------------------------------------ hand-built headers
+
+
+def test_lossy_vp8_dims_and_rejection_flag():
+    tag = ((1 << 4) | (77 << 5)).to_bytes(3, "little")
+    body = tag + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480) + b"\x00" * 16
+    chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    i = _info(data)
+    assert i["codec"] == "vp8" and not i["decodable"]
+    assert (i["width"], i["height"]) == (640, 480)
+
+
+def test_avif_box_tree_with_alpha_and_largesize():
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+
+    ftyp = box(b"ftyp", b"avif\x00\x00\x00\x00avifmif1")
+    ispe = box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", 300, 200))
+    auxc = box(b"auxC", b"\x00\x00\x00\x00urn:mpeg:mpegB:cicp:systems:auxiliary:alpha\x00")
+    ipco = box(b"ipco", ispe + box(b"av1C", b"\x81\x04\x0c\x00") + auxc)
+    meta = box(b"meta", b"\x00\x00\x00\x00" + box(b"iprp", ipco))
+    # mdat with a 64-bit largesize header: the walk must honor it
+    payload = b"\x00" * 10
+    mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(payload)) + payload
+    i = _info(ftyp + meta + mdat)
+    assert (i["format"], i["codec"]) == ("avif", "av01")
+    assert (i["width"], i["height"]) == (300, 200)
+    assert i["has_alpha"] and not i["is_animated"] and not i["decodable"]
+
+
+def test_avis_brand_marks_animated():
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+
+    data = box(b"ftyp", b"avis\x00\x00\x00\x00avismif1")
+    i = _info(data)
+    assert i["format"] == "avif" and i["is_animated"]
+
+
+def test_apng_actl_marks_animated_not_decodable():
+    from iceberg_tracking_spark.operators.imagecodec import encode_png
+
+    png = encode_png(np.zeros((2, 2), dtype=np.uint8))
+    # splice an acTL chunk right after IHDR (byte 33)
+    actl = struct.pack(">I", 8) + b"acTL" + struct.pack(">II", 2, 0) + b"\x00\x00\x00\x00"
+    data = png[:33] + actl + png[33:]
+    i = _info(data)
+    assert i["is_animated"] and not i["decodable"]
+
+
+# --------------------------------------------------------- tolerance
+
+
+@pytest.mark.parametrize(
+    "junk",
+    [
+        b"",
+        b"\x00",
+        b"RIFF",
+        b"RIFF\x00\x00\x00\x00WEBP",
+        b"RIFF\xff\xff\xff\xffWEBPVP8L\xff\xff\xff\xff\x00",
+        b"\x00\x00\x00\x08ftyp",  # truncated ftyp
+        b"\x89PNG\r\n\x1a\n\x00\x00",
+        b"GIF89a\x05",
+        b"\xff\xd8\xff",
+        b"not media at all" * 3,
+    ],
+)
+def test_malformed_inputs_never_raise(junk):
+    i = _info(junk)
+    assert isinstance(i, dict) and "format" in i
+
+
+def test_catalog_fixture_roundtrip():
+    """Every fixture blob catalogs with the values the oracle derives
+    (kind table from ensure_catalog_fixture's docstring)."""
+    import os
+
+    from iceberg_tracking_spark.sources.binary import (
+        CATALOG_FIXTURE_N,
+        ensure_catalog_fixture,
+    )
+
+    p = ensure_catalog_fixture()
+    seen = 0
+    for fn in sorted(os.listdir(p)):
+        idx = int(fn.split(".")[0])
+        data = open(os.path.join(p, fn), "rb").read()
+        i = _info(data)
+        kind = idx % 6
+        seen += 1
+        h, w = 9 + idx % 5, 11 + idx % 4
+        if kind < 4:
+            assert i["format"] == "webp"
+            assert (i["width"], i["height"]) == (w, h)
+            assert i["codec"] == ("vp8" if kind == 2 else "vp8l")
+            assert i["is_animated"] == (kind == 3)
+            assert i["decodable"] == (kind in (0, 1))
+        else:
+            assert i["format"] == "avif" and i["codec"] == "av01"
+            assert (i["width"], i["height"]) == (w, h)
+            assert i["is_animated"] == (kind == 5)
+            assert not i["decodable"]
+    assert seen == CATALOG_FIXTURE_N
+
+
+def test_vp8x_wrapped_fixture_still_decodes():
+    """The kind-1 fixture files (VP8X-wrapped VP8L) must decode through
+    the real codec — cataloging 'decodable' has to be TRUE in fact."""
+    import os
+
+    from iceberg_tracking_spark.operators.multimodal import decode_media
+    from iceberg_tracking_spark.sources.binary import ensure_catalog_fixture
+
+    p = ensure_catalog_fixture()
+    data = open(os.path.join(p, "0001.webp"), "rb").read()
+    i = _info(data)
+    mat = decode_media(data, i["width"], i["height"], decode_stub=False)
+    assert mat.shape == (i["height"], i["width"])

@@ -2043,6 +2043,74 @@ def test_kendall_degenerate_segment_emits_null_row(spark):
     assert out["ok"]["tau_b"] == 1.0
 
 
+def test_kendall_exact_matches_pure_python(spark):
+    """kendall_exact_capped's pair algebra vs the textbook O(n²) loop
+    (tie-corrected tau-b on raw values) — cap above n so no sampling,
+    making the check independent of the hash order."""
+    import math
+
+    from iceberg_tracking_spark.operators.stats import kendall_exact_capped
+
+    pts = [
+        ("g", 1, 10), ("g", 1, 12), ("g", 2, 11), ("g", 3, 9),
+        ("g", 3, 15), ("g", 5, 15), ("g", 6, 2), ("g", 7, 20),
+        ("h", 1, 1), ("h", 2, 2), ("h", 3, 3),
+        # degenerate: single distinct x — must emit a NULL-tau row
+        ("z", 4, 1), ("z", 4, 2),
+    ]
+    df = spark.createDataFrame(
+        [(s, x, y, f"{i:03d}", i, 0) for i, (s, x, y) in enumerate(pts)],
+        "seg string, x long, y long, hk string, k1 long, k2 long",
+    )
+    got = {r["seg"]: r for r in kendall_exact_capped(df, cap=100).collect()}
+    by_seg: dict = {}
+    for s, x, y in pts:
+        by_seg.setdefault(s, []).append((x, y))
+    assert set(got) == set(by_seg)
+    for seg, p in by_seg.items():
+        n = len(p)
+        conc = disc = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = (p[i][0] - p[j][0]) * (p[i][1] - p[j][1])
+                conc += d > 0
+                disc += d < 0
+        g = got[seg]
+        assert g["n"] == n
+        assert (g["concordant"], g["discordant"]) == (conc, disc)
+        tx: dict = {}
+        ty: dict = {}
+        for x, y in p:
+            tx[x] = tx.get(x, 0) + 1
+            ty[y] = ty.get(y, 0) + 1
+        n0 = n * (n - 1)
+        n1 = sum(t * (t - 1) for t in tx.values())
+        n2 = sum(t * (t - 1) for t in ty.values())
+        if n0 - n1 > 0 and n0 - n2 > 0:
+            tau = round(2.0 * (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2)), 6)
+            assert abs(g["tau_b"] - tau) < 2e-6
+        else:
+            assert g["tau_b"] is None
+
+
+def test_kendall_exact_cap_bounds_sample(spark):
+    """With more rows than the cap, exactly `cap` rows per segment
+    survive, selected by the hash order (n == cap in the output), and
+    the pair fan is cap-bounded regardless of input size."""
+    from iceberg_tracking_spark.operators.stats import kendall_exact_capped
+
+    rows = [
+        ("g", i % 17, (i * 7) % 101, f"{(i * 2654435761) % 997:04d}_{i}", i, 0)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "seg string, x long, y long, hk string, k1 long, k2 long"
+    )
+    out = kendall_exact_capped(df, cap=50).collect()
+    assert len(out) == 1 and out[0]["n"] == 50
+    assert out[0]["concordant"] + out[0]["discordant"] <= 50 * 49 // 2
+
+
 def test_cliffs_delta_matches_pure_python_and_mw(spark, sf_dir):
     """q_cliffs_delta vs (a) the explicit pairwise sign loop and (b)
     the identity δ = 2U_A/(n_a·n_b) − 1 against q_mann_whitney's U."""
