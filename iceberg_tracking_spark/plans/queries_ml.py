@@ -1347,8 +1347,12 @@ def _media_catalog_oracle() -> str:
     )
     sub_cc = (  # codec fourcc of a VP8X file: first ANMF subchunk when
         # animated (byte 68 in the fixture profile), else the chunk
-        # right after VP8X (byte 30)
-        "CASE WHEN anim THEN substr(hx, 137, 8) ELSE substr(hx, 61, 8) END"
+        # right after VP8X (byte 30) — or, when that is the ALPH
+        # chunk (fixture alpha profile: 16-byte payload), the chunk
+        # after it at byte 30 + 8 + 16 = 54
+        "CASE WHEN anim THEN substr(hx, 137, 8) "
+        "WHEN substr(hx, 61, 8) = '414c5048' THEN substr(hx, 109, 8) "
+        "ELSE substr(hx, 61, 8) END"
     )
     return f"""
     WITH b AS (

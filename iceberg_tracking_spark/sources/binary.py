@@ -385,7 +385,7 @@ def ensure_gif_anim_fixture(
 
 
 CATALOG_FIXTURE_DIR = os.path.join(_REPO_ROOT, ".catalog_fixture")
-CATALOG_FIXTURE_N = 12
+CATALOG_FIXTURE_N = 14
 
 
 def ensure_catalog_fixture(
@@ -406,6 +406,16 @@ def ensure_catalog_fixture(
       i%6==4  AVIF still: ftyp(avif) + meta(hdlr/pitm/iprp(ipco(
               ispe, av1C))) + mdat filler — a spec-shaped box tree
       i%6==5  AVIF image sequence: same tree, brand avis
+
+    Two APPENDED alpha-bearing files (indices 12-13, fixed kinds so
+    earlier indices never change bytes under the size-keyed
+    idempotence check) drive the has_alpha=TRUE branches through the
+    driver oracle as well:
+
+      i==12   alpha lossy WebP: VP8X(ALPHA flag) + ALPH (16-byte
+              filler payload) + the kind-2 VP8 chunk — the codec
+              fourcc sits AFTER the ALPH chunk (file byte 54)
+      i==13   AVIF still with an auxC alpha property in ipco
 
     Every byte is deterministic (md5-based filler; the VP8L payload
     comes from the pure-numpy encoder), so the DuckDB oracle re-reads
@@ -437,7 +447,9 @@ def ensure_catalog_fixture(
         h, w = 9 + i % 5, 11 + i % 4
         yy, xx = np.mgrid[0:h, 0:w]
         g = ((xx * (i + 3) + yy * (i + 7) + i * 5) % 256).astype(np.uint8)
-        kind = i % 6
+        # appended alpha files keep fixed kinds (7 = ALPH webp, 8 =
+        # auxC avif) so indices < 12 never change bytes
+        kind = i % 6 if i < 12 else 7 + (i - 12)
         filler = hashlib.md5(f"catalog{i}".encode()).digest() * 4
         if kind in (0, 1, 3):
             vp8l_file = encode_webp_lossless(g, plain=True)
@@ -481,6 +493,26 @@ def ensure_catalog_fixture(
             )
             anmf = chunk(b"ANMF", anmf_hdr + vp8l_chunk)
             data, ext = riff(vp8x + anim + anmf), "webp"
+        elif kind == 7:
+            # alpha lossy WebP: VP8X(ALPHA flag) + ALPH + VP8 — the
+            # codec fourcc sits after the 16-byte ALPH payload at file
+            # byte 30 + 8 + 16 = 54 (oracle CASE on the ALPH fourcc)
+            vp8x = chunk(
+                b"VP8X",
+                bytes([0x10, 0, 0, 0])
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"),
+            )
+            alph = chunk(b"ALPH", filler[:16])
+            tag = (1 << 4) | (100 << 5)
+            vp8 = chunk(
+                b"VP8 ",
+                tag.to_bytes(3, "little")
+                + b"\x9d\x01\x2a"
+                + struct.pack("<HH", w, h)
+                + filler,
+            )
+            data, ext = riff(vp8x + alph + vp8), "webp"
         else:
             brand = b"avis" if kind == 5 else b"avif"
             ftyp = box(b"ftyp", brand + b"\x00\x00\x00\x00" + brand + b"mif1")
@@ -493,7 +525,16 @@ def ensure_catalog_fixture(
                 b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", w, h)
             )
             av1c = box(b"av1C", bytes([0x81, 0x04, 0x0C, 0x00]))
-            iprp = box(b"iprp", box(b"ipco", ispe + av1c))
+            auxc = (
+                box(
+                    b"auxC",
+                    b"\x00\x00\x00\x00"
+                    b"urn:mpeg:mpegB:cicp:systems:auxiliary:alpha\x00",
+                )
+                if kind == 8
+                else b""
+            )
+            iprp = box(b"iprp", box(b"ipco", ispe + av1c + auxc))
             meta = box(b"meta", b"\x00\x00\x00\x00" + hdlr + pitm + iprp)
             data = ftyp + meta + box(b"mdat", filler)
             ext = "avif"

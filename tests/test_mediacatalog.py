@@ -142,6 +142,27 @@ def test_avis_brand_marks_animated():
     assert i["format"] == "avif" and i["is_animated"]
 
 
+def test_heic_brand_classifies_heif():
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+
+    data = box(b"ftyp", b"heic\x00\x00\x00\x00heicmif1") + box(
+        b"meta",
+        b"\x00\x00\x00\x00"
+        + box(
+            b"iprp",
+            box(
+                b"ipco",
+                box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", 64, 48))
+                + box(b"hvcC", b"\x01\x02"),
+            ),
+        ),
+    )
+    i = _info(data)
+    assert (i["format"], i["codec"]) == ("heif", "hvc1")
+    assert (i["width"], i["height"]) == (64, 48) and not i["decodable"]
+
+
 def test_apng_actl_marks_animated_not_decodable():
     from iceberg_tracking_spark.operators.imagecodec import encode_png
 
@@ -192,9 +213,16 @@ def test_catalog_fixture_roundtrip():
         idx = int(fn.split(".")[0])
         data = open(os.path.join(p, fn), "rb").read()
         i = _info(data)
-        kind = idx % 6
         seen += 1
         h, w = 9 + idx % 5, 11 + idx % 4
+        if idx >= 12:  # appended alpha profiles (ALPH webp / auxC avif)
+            assert i["has_alpha"] and not i["is_animated"]
+            assert (i["width"], i["height"]) == (w, h)
+            assert not i["decodable"]
+            assert i["codec"] == ("vp8" if idx == 12 else "av01")
+            assert i["format"] == ("webp" if idx == 12 else "avif")
+            continue
+        kind = idx % 6
         if kind < 4:
             assert i["format"] == "webp"
             assert (i["width"], i["height"]) == (w, h)
