@@ -156,10 +156,12 @@ EXTENDED = [
     "q_kendall_tau",
     "q_cliffs_delta",
     "q_js_divergence",
-    # round-11: header-level media cataloging (lossy WebP/VP8X/AVIF)
-    # and exact unbinned tau-b on the hash-capped sample
+    # round-11: header-level media cataloging (lossy WebP/VP8X/AVIF),
+    # exact unbinned tau-b on the hash-capped sample, and the
+    # Mann-Kendall trend monitor
     "q_media_catalog",
     "q_kendall_exact",
+    "q_mann_kendall",
 ]
 
 # Regression floors for the HEADLINE set (r6 verdict task: the
@@ -362,6 +364,11 @@ EXTENDED_FLOOR_SEC = {
     # two-phase-cap plan (threshold prefilter + cap-bounded window).
     "q_media_catalog": 0.348,
     "q_kendall_exact": 2.564,
+    # q_mann_kendall landed later the same round: solo min-of-3 at
+    # sf0.1, basis canaries 0.523/0.488s bracketing the run (the cost
+    # is the bounded 22M-row cell-pair join: |days|x|value grid|
+    # squared per segment, fixed by window and range, not volume)
+    "q_mann_kendall": 2.731,
 }
 
 

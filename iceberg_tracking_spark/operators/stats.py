@@ -909,3 +909,152 @@ def kendall_exact_capped(pts: DataFrame, cap: int) -> DataFrame:
             ),
         ).alias("tau_b"),
     )
+
+
+# --------------------------------------------- Mann-Kendall trend test
+
+#: additive count column of the MK cell relation — streamable via the
+#: same generic fold as the Spearman/Kendall/MW/KW grids
+MK_CELL_COLS = ["cnt"]
+
+
+def mk_cells(events: DataFrame) -> DataFrame:
+    """(seg, x, y, cnt) cells for q_mann_kendall: x = UTC epoch day of
+    ts, y = the 5-unit value bucket. Additive (counts of a union ==
+    summed counts of the parts) like the sibling grids, so a stream
+    maintains it via merge_aggregate. NULL values dropped up front
+    (the mw_grid convention — a trend test cannot rank them and a
+    NULL key orders differently across engines). The y-grid is
+    bounded by the value RANGE; the x-grid grows with the OBSERVATION
+    WINDOW (days), not with row volume — the honest MK contract
+    (see mann_kendall_from_cells)."""
+    return (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("seg"),
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("x"),
+            F.floor(F.col("value") / 5).cast("long").alias("y"),
+        )
+        .groupBy("seg", "x", "y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def mann_kendall_from_cells(cells: DataFrame) -> DataFrame:
+    """(seg, n, s_stat, z, p_value, trend) — the Mann-Kendall trend
+    test from a (seg, x=time-bucket, y=value-bucket, cnt) cell
+    relation: S = Σ_{t_i<t_j} sign(y_j − y_i) is EXACTLY Kendall's
+    C − D between time and value, so S reuses the kendall_from_cells
+    pair algebra (ONE cell self-join per segment restricted to
+    x1 < x2, fan bounded by the two grids). The tie-corrected
+    variance (Kendall 1975, the form Hirsch-Slack-Smith water-quality
+    MK uses, with BOTH margins tied — time buckets tie heavily by
+    construction):
+
+      Var(S) = [A0 − Vx − Vy]/18
+             + A2x·A2y / (9·n(n−1)(n−2))
+             + A3x·A3y / (2·n(n−1))
+
+    with A0 = n(n−1)(2n+5), V = Σ t(t−1)(2t+5), A2 = Σ t(t−1)(t−2),
+    A3 = Σ t(t−1) over each margin's tie groups — every A-term an
+    exact DECIMAL integer from the marginals (n ≤ 1e9 keeps n³ inside
+    decimal(38)); the three variance terms are ONE fixed double
+    sequence each (the cross products lift to double BEFORE
+    multiplying — A2x·A2y can exceed decimal(38) as integers), then
+    z = (S ∓ 1)/sqrt(Var) continuity-corrected, rounded 6dp, and the
+    two-sided p comes from the house A&S 26.2.17 polynomial
+    (normal_two_sided_p — both engines evaluate the identical literal
+    chain). trend labels at α = 0.05. Segments with n < 3 or
+    non-positive variance emit NULL z/p (and 'no trend' stays NULL).
+
+    Scale: the pair fan is |X grid|·|Y grid| squared PER SEGMENT —
+    the y-grid is bounded by the value range, the x-grid by the
+    OBSERVATION WINDOW (days), so cost grows with window length
+    squared, never with row volume; production MK runs on bounded
+    windows (seasonal/monthly MK) exactly because of this, and the
+    cell relation itself is streaming-maintainable (additive)."""
+    c1 = cells.select(
+        "seg",
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        F.col("cnt").alias("c1"),
+    )
+    c2 = cells.select(
+        F.col("seg").alias("seg2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+        F.col("cnt").alias("c2"),
+    )
+    pair = c1.join(
+        c2, (F.col("seg") == F.col("seg2")) & (F.col("x1") < F.col("x2"))
+    )
+    prod = (F.col("c1") * F.col("c2")).cast(_DEC)
+    cd = pair.groupBy("seg").agg(
+        F.sum(F.when(F.col("y1") < F.col("y2"), prod).otherwise(0)).alias("conc"),
+        F.sum(F.when(F.col("y1") > F.col("y2"), prod).otherwise(0)).alias("disc"),
+    )
+
+    def _margin(col: str, pfx: str) -> DataFrame:
+        t = F.col("t").cast(_DEC)
+        agg = [
+            F.sum(t * (t - 1) * (2 * t + 5)).alias(f"v{pfx}"),
+            F.sum(t * (t - 1) * (t - 2)).alias(f"a2{pfx}"),
+            F.sum(t * (t - 1)).alias(f"a3{pfx}"),
+        ]
+        if pfx == "x":
+            agg.insert(0, F.sum("t").cast(_DEC).alias("n"))
+        return (
+            cells.groupBy("seg", col)
+            .agg(F.sum("cnt").alias("t"))
+            .groupBy("seg")
+            .agg(*agg)
+        )
+
+    s = (
+        _margin("x", "x")
+        .join(_margin("y", "y"), "seg")
+        .join(cd, "seg", "left")
+        .withColumn("conc", F.coalesce(F.col("conc"), F.lit(0).cast(_DEC)))
+        .withColumn("disc", F.coalesce(F.col("disc"), F.lit(0).cast(_DEC)))
+    )
+    n = F.col("n")
+    a0 = n * (n - 1) * (2 * n + 5)
+    term1 = (a0 - F.col("vx") - F.col("vy")).cast("double") / F.lit(18.0)
+    term2 = (
+        F.col("a2x").cast("double")
+        * F.col("a2y").cast("double")
+        / (F.lit(9.0) * (n * (n - 1) * (n - 2)).cast("double"))
+    )
+    term3 = (
+        F.col("a3x").cast("double")
+        * F.col("a3y").cast("double")
+        / (F.lit(2.0) * (n * (n - 1)).cast("double"))
+    )
+    var_s = term1 + term2 + term3
+    s_stat = (F.col("conc") - F.col("disc")).cast("double")
+    z_raw = F.when(
+        (n >= 3) & (var_s > 0),
+        F.when(s_stat > 0, (s_stat - 1) / F.sqrt(var_s))
+        .when(s_stat < 0, (s_stat + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)),
+    )
+    out = s.select(
+        "seg",
+        n.cast("long").alias("n"),
+        (F.col("conc") - F.col("disc")).cast("long").alias("s_stat"),
+        F.round(z_raw, 6).alias("z"),
+    )
+    p = normal_two_sided_p(F.col("z"))
+    return out.select(
+        "seg",
+        "n",
+        "s_stat",
+        "z",
+        p.alias("p_value"),
+        F.when(
+            F.col("z").isNotNull(),
+            F.when((p < 0.05) & (F.col("s_stat") > 0), F.lit("increasing"))
+            .when((p < 0.05) & (F.col("s_stat") < 0), F.lit("decreasing"))
+            .otherwise(F.lit("no trend")),
+        ).alias("trend"),
+    )

@@ -2515,6 +2515,124 @@ def q_kendall_exact(spark, sf_dir):
     )
 
 
+# --------------------------------------------------- Mann-Kendall trend
+
+
+@query(
+    "q_mann_kendall",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type AS seg,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS x,
+               CAST(floor(value / 5) AS BIGINT) AS y,
+               count(*) AS cnt
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    cd AS (
+        SELECT c1.seg,
+               CAST(sum(CASE WHEN c1.y < c2.y
+                    THEN CAST(c1.cnt AS HUGEINT) * c2.cnt ELSE 0 END)
+                    AS HUGEINT) AS conc,
+               CAST(sum(CASE WHEN c1.y > c2.y
+                    THEN CAST(c1.cnt AS HUGEINT) * c2.cnt ELSE 0 END)
+                    AS HUGEINT) AS disc
+        FROM cells c1 JOIN cells c2
+          ON c2.seg = c1.seg AND c1.x < c2.x
+        GROUP BY 1
+    ),
+    mx AS (
+        SELECT seg, CAST(sum(t) AS HUGEINT) AS n,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS HUGEINT) AS vx,
+               CAST(sum(t * (t - 1) * (t - 2)) AS HUGEINT) AS a2x,
+               CAST(sum(t * (t - 1)) AS HUGEINT) AS a3x
+        FROM (SELECT seg, x, CAST(sum(cnt) AS HUGEINT) AS t
+              FROM cells GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    my AS (
+        SELECT seg,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS HUGEINT) AS vy,
+               CAST(sum(t * (t - 1) * (t - 2)) AS HUGEINT) AS a2y,
+               CAST(sum(t * (t - 1)) AS HUGEINT) AS a3y
+        FROM (SELECT seg, y, CAST(sum(cnt) AS HUGEINT) AS t
+              FROM cells GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    v AS (
+        SELECT mx.seg, n,
+               coalesce(conc, 0) - coalesce(disc, 0) AS s,
+               CAST(n * (n - 1) * (2 * n + 5) - vx - vy AS DOUBLE) / 18.0
+               + CAST(a2x AS DOUBLE) * CAST(a2y AS DOUBLE)
+                 / (9.0 * CAST(n * (n - 1) * (n - 2) AS DOUBLE))
+               + CAST(a3x AS DOUBLE) * CAST(a3y AS DOUBLE)
+                 / (2.0 * CAST(n * (n - 1) AS DOUBLE)) AS var_s
+        FROM mx JOIN my ON my.seg = mx.seg LEFT JOIN cd ON cd.seg = mx.seg
+    ),
+    zt AS (
+        SELECT seg, n, s,
+               CASE WHEN n >= 3 AND var_s > 0 THEN
+                   round(CASE WHEN s > 0
+                              THEN (CAST(s AS DOUBLE) - 1) / sqrt(var_s)
+                              WHEN s < 0
+                              THEN (CAST(s AS DOUBLE) + 1) / sqrt(var_s)
+                              ELSE 0.0 END, 6)
+               END AS z
+        FROM v
+    ),
+    pt AS (
+        SELECT seg, n, s, z,
+               1.0 / (1.0 + 0.2316419 * abs(z)) AS tt,
+               {_BH_INV_SQRT_2PI} * exp(-(abs(z) * abs(z)) / 2.0) AS pdf
+        FROM zt
+    ),
+    pv AS (
+        SELECT seg, n, s, z,
+               round(2.0 * pdf * (tt * ({_BH_B[0]} + tt * ({_BH_B[1]}
+                     + tt * ({_BH_B[2]} + tt * ({_BH_B[3]}
+                     + tt * {_BH_B[4]}))))), 6) AS p_value
+        FROM pt
+    )
+    SELECT seg AS event_type, CAST(n AS BIGINT) AS n,
+           CAST(s AS BIGINT) AS s_stat, z, p_value,
+           CASE WHEN z IS NULL THEN NULL
+                WHEN p_value < 0.05 AND s > 0 THEN 'increasing'
+                WHEN p_value < 0.05 AND s < 0 THEN 'decreasing'
+                ELSE 'no trend' END AS trend
+    FROM pv
+    """,
+)
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test per event_type — the standard
+    distribution-free "is this metric drifting?" monitor (the test
+    every data-quality/ops pipeline runs on daily aggregates before
+    alerting; Hirsch's seasonal variant is the water-quality
+    workhorse). S = Σ_{t_i<t_j} sign(v_j − v_i) over (UTC day, 5-unit
+    value bucket) cells — S is EXACTLY Kendall's C−D between time and
+    value, so the pair algebra is the q_kendall_tau cell self-join;
+    the tie-corrected variance uses BOTH margins' tie terms (time
+    buckets tie heavily by construction), every A-term an exact
+    HUGEINT/DECIMAL from the marginals; z is continuity-corrected and
+    the two-sided p rides the house A&S 26.2.17 polynomial
+    (`operators/stats.py:mann_kendall_from_cells`).
+
+    Scale: ONE corpus scan into the additive cell grid (streaming-
+    maintainable like the MW/KW/Spearman/Kendall grids); the pair fan
+    is |days|·|value grid| squared per segment — bounded by the
+    OBSERVATION WINDOW and the value range, never row volume (the
+    binned-MK contract; production MK runs on bounded windows for the
+    same reason)."""
+    from ..operators.stats import mann_kendall_from_cells, mk_cells
+
+    # three consumers of the cell relation (both pair sides + the two
+    # marginals) — materialize once
+    cells = mk_cells(_t(spark, sf_dir, "events")).localCheckpoint()
+    return mann_kendall_from_cells(cells).select(
+        F.col("seg").alias("event_type"),
+        "n", "s_stat", "z", "p_value", "trend",
+    )
+
+
 # ------------------------------------------------------- Cliff's delta
 
 

@@ -1446,9 +1446,16 @@ def q_media_catalog(spark, sf_dir):
     The DuckDB oracle re-derives every field arithmetically from the
     same bytes under the fixture's layouts.
 
-    Scale shape: headers are O(1) bytes per blob; one binaryFile
-    split per file, Arrow-batched mapInPandas, no shuffle at all —
-    the catalog of a 100-TB media corpus is a pure map job."""
+    Scale shape: a pure map job — one binaryFile task per file,
+    Arrow-batched mapInPandas, no shuffle at all — and the PARSE
+    touches O(#chunks/#boxes) bytes per blob (container walks skip
+    payloads via their length fields; JPEG/PNG exit at the first
+    SOF/IDAT). Honest caveat: `binaryFile` itself materializes the
+    FULL blob into the content column, so the scan IO is corpus-sized
+    even though the parse isn't; a production 100-TB catalog would
+    push a head-range read into the source (or run this parser at
+    ingest time, which is where a catalog belongs) — the operator
+    contract (bytes → header row) is unchanged either way."""
     from ..operators.mediacatalog import parse_media_header
     from ..sources.binary import ensure_catalog_fixture, read_binary_files
 

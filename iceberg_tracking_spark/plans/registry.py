@@ -36,10 +36,11 @@ QUERIES: dict[str, QueryDef] = {}
 # inside that window, so ordering is explicit: names listed here come
 # first (in this order), everything else follows in registration order.
 # Round 11 rotation — the r10 verdict's task #1 prescription: (a)
-# first driver rows for the 2 queries NEW this round (q_media_catalog
+# first driver rows for the 3 queries NEW this round (q_media_catalog
 # — the r10 verdict's task #2 / missing #1, header-level cataloging
 # of lossy-WebP/VP8X/AVIF blobs; q_kendall_exact — its task #4,
-# exact unbinned tau-b on a hash-capped sample), (b) queries whose
+# exact unbinned tau-b on a hash-capped sample; q_mann_kendall —
+# the trend-test companion riding the kendall cell machinery), (b) queries whose
 # CODE or a shared dependency changed this round: q_kendall_tau
 # (kendall_from_cells now emits degenerate segments via a left join,
 # r10 ADVICE #1), q_js_divergence (decimal-lifted products, ADVICE
@@ -48,15 +49,16 @@ QUERIES: dict[str, QueryDef] = {}
 # #3 — q_shortest_path made the same change but already sits in the
 # r6 cohort below), (c) the three decode_media siblings the r10
 # rotation comment deferred to r11 (q_png_decode, q_media_features,
-# q_image_resize), (d) the first 41 names of the 46-name r6-stale
-# cohort in registration order. 2 + 4 + 3 + 41 = 50; the 5-name
-# overflow (q_mutual_information, q_quantile_binning, q_gini_skew,
-# q_conformal, q_rfm) rides r12, after which no query's latest
-# driver row is older than round 7. Window = 50.
+# q_image_resize), (d) the first 40 names of the 46-name r6-stale
+# cohort in registration order. 3 + 4 + 3 + 40 = 50; the 6-name
+# overflow (q_linear_fit, q_mutual_information, q_quantile_binning,
+# q_gini_skew, q_conformal, q_rfm) rides r12, after which no query's
+# latest driver row is older than round 7. Window = 50.
 DRIVER_PRIORITY: list[str] = [
     # (a) first driver rows: new this round
     "q_media_catalog",
     "q_kendall_exact",
+    "q_mann_kendall",
     # (b) code changed this round (fresh row per the house rule)
     "q_kendall_tau",
     "q_js_divergence",
@@ -66,7 +68,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_png_decode",
     "q_media_features",
     "q_image_resize",
-    # (d) the r6-stale cohort (latest driver row = round 6), first 41
+    # (d) the r6-stale cohort (latest driver row = round 6), first 40
     # names in registration order
     "q_antijoin_sample",
     "q_corr_covar",
@@ -108,12 +110,12 @@ DRIVER_PRIORITY: list[str] = [
     "q_lag_features",
     "q_reliability_ece",
     "q_merge_upsert",
-    "q_linear_fit",
 ]
-# Oldest after this window: the r6 cohort's 5-name overflow
-# (q_mutual_information, q_quantile_binning, q_gini_skew, q_conformal,
-# q_rfm — still round-6 rows), to lead the r12 window; then the 41
-# r7-row names become the next-oldest cohort for r12(+r13).
+# Oldest after this window: the r6 cohort's 6-name overflow
+# (q_linear_fit, q_mutual_information, q_quantile_binning,
+# q_gini_skew, q_conformal, q_rfm — still round-6 rows), to lead the
+# r12 window; then the 40 r7-row names become the next-oldest cohort
+# for r12(+r13).
 
 
 def query(name: str, oracle: str | None = None):

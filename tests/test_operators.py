@@ -2111,6 +2111,90 @@ def test_kendall_exact_cap_bounds_sample(spark):
     assert out[0]["concordant"] + out[0]["discordant"] <= 50 * 49 // 2
 
 
+def test_mann_kendall_matches_pure_python(spark):
+    """mann_kendall_from_cells vs the textbook computation: S from the
+    explicit O(n²) pair loop and the full two-margin tie-corrected
+    variance (Kendall 1975), z continuity-corrected, p from the same
+    A&S polynomial — on a deterministic set with heavy ties in BOTH
+    margins."""
+    import math
+
+    from iceberg_tracking_spark.operators.stats import (
+        INV_SQRT_2PI,
+        NORMAL_TAIL_B,
+        mann_kendall_from_cells,
+    )
+
+    pts = [(i % 7, (i * i + 3 * i) % 5) for i in range(40)]
+    cells: dict = {}
+    for x, y in pts:
+        cells[(x, y)] = cells.get((x, y), 0) + 1
+    df = spark.createDataFrame(
+        [("g", x, y, c) for (x, y), c in sorted(cells.items())],
+        "seg string, x long, y long, cnt long",
+    )
+    got = mann_kendall_from_cells(df).collect()[0]
+    n = len(pts)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            (xa, ya), (xb, yb) = pts[i], pts[j]
+            if xa == xb:
+                continue
+            if xa > xb:  # orient every pair by TIME, not list order
+                ya, yb = yb, ya
+            s += (yb > ya) - (yb < ya)
+    tx: dict = {}
+    ty: dict = {}
+    for x, y in pts:
+        tx[x] = tx.get(x, 0) + 1
+        ty[y] = ty.get(y, 0) + 1
+    def V(tt):
+        return sum(t * (t - 1) * (2 * t + 5) for t in tt.values())
+    def A2(tt):
+        return sum(t * (t - 1) * (t - 2) for t in tt.values())
+    def A3(tt):
+        return sum(t * (t - 1) for t in tt.values())
+    var = (
+        (n * (n - 1) * (2 * n + 5) - V(tx) - V(ty)) / 18.0
+        + A2(tx) * A2(ty) / (9.0 * n * (n - 1) * (n - 2))
+        + A3(tx) * A3(ty) / (2.0 * n * (n - 1))
+    )
+    z = round((s - (1 if s > 0 else -1 if s < 0 else 0)) / math.sqrt(var), 6)
+    tt_ = 1.0 / (1.0 + 0.2316419 * abs(z))
+    pdf = INV_SQRT_2PI * math.exp(-(abs(z) * abs(z)) / 2.0)
+    b = NORMAL_TAIL_B
+    p = round(
+        2.0 * pdf * (tt_ * (b[0] + tt_ * (b[1] + tt_ * (b[2] + tt_ * (b[3] + tt_ * b[4]))))),
+        6,
+    )
+    assert got["n"] == n and got["s_stat"] == s
+    assert abs(got["z"] - z) < 2e-6 and abs(got["p_value"] - p) < 2e-6
+
+
+def test_mann_kendall_planted_trends(spark):
+    """Planted monotone series are detected with the right sign; a
+    CONSTANT series is fully degenerate (every pair a y-tie, variance
+    exactly 0) and emits the documented NULL z/p/trend row — the
+    kendall degenerate-segment convention, not a fake 'no trend'."""
+    from iceberg_tracking_spark.operators.stats import mann_kendall_from_cells
+
+    rows = []
+    for d in range(12):
+        rows.append(("up", d, d, 1))
+        rows.append(("dn", d, 20 - d, 1))
+        rows.append(("flat", d, 7, 1))
+        # noisy-null: alternating values, no monotone drift
+        rows.append(("null", d, 5 + (d % 2), 1))
+    df = spark.createDataFrame(rows, "seg string, x long, y long, cnt long")
+    out = {r["seg"]: r for r in mann_kendall_from_cells(df).collect()}
+    assert out["up"]["trend"] == "increasing" and out["up"]["s_stat"] == 66
+    assert out["dn"]["trend"] == "decreasing" and out["dn"]["s_stat"] == -66
+    assert out["flat"]["s_stat"] == 0 and out["flat"]["z"] is None
+    assert out["flat"]["p_value"] is None and out["flat"]["trend"] is None
+    assert out["null"]["trend"] == "no trend"
+
+
 def test_cliffs_delta_matches_pure_python_and_mw(spark, sf_dir):
     """q_cliffs_delta vs (a) the explicit pairwise sign loop and (b)
     the identity δ = 2U_A/(n_a·n_b) − 1 against q_mann_whitney's U."""

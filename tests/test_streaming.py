@@ -1421,3 +1421,61 @@ def test_streaming_tracker_throughput_and_state_bounded(spark):
         f"streaming tracker throughput flat: {thr_small:.0f} -> "
         f"{thr_big:.0f} tracks/s"
     )
+
+
+def test_streaming_mann_kendall_equals_batch(spark, sf_dir, tmp_path):
+    """The incrementally-maintained MK cell grid equals the batch
+    q_mann_kendall EXACTLY — fifth consumer of the generic
+    additive-fold factory (after MW, KW, Spearman, Kendall; the trend
+    statistic, its two-margin tie-corrected variance, z and p are all
+    recomputed from the maintained cells, so the pairwise fan never
+    touches raw rows in either mode). Split on user_id parity so
+    cells appear in both halves, exercising old+delta merges. Replay
+    is a no-op."""
+    from iceberg_tracking_spark.operators.stats import (
+        MK_CELL_COLS,
+        mann_kendall_from_cells,
+        mk_cells,
+    )
+    from iceberg_tracking_spark.plans import QUERIES
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+    from iceberg_tracking_spark.streaming.materialized import (
+        make_aggregate_merge_fn,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.filter(F.col("user_id") % 2 == 0).write.mode("overwrite").parquet(src)
+    table = VersionedTable(str(tmp_path / "mk_cells"))
+    merge = make_aggregate_merge_fn(
+        table, mk_cells, ["seg", "x", "y"], MK_CELL_COLS,
+        app_id="mk-test",
+    )
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(src).writeStream
+        .foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    q = stream.start()
+    q.awaitTermination(120)
+    ev.filter(F.col("user_id") % 2 != 0).write.mode("append").parquet(src)
+    q2 = stream.start()
+    q2.awaitTermination(120)
+
+    got = {
+        r["seg"]: (r["n"], r["s_stat"], r["z"], r["p_value"], r["trend"])
+        for r in mann_kendall_from_cells(table.read(spark)).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["s_stat"], r["z"], r["p_value"], r["trend"])
+        for r in QUERIES["q_mann_kendall"].fn(spark, sf_dir).collect()
+    }
+    assert got == want  # bit-identical, not approximately equal
+    assert len(got) == 5
+
+    v = table.current_version()
+    merge(spark.read.parquet(src), 0)
+    assert table.current_version() == v
