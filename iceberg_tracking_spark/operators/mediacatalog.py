@@ -12,11 +12,12 @@ and routing decisions run without decoding a single pixel.
 
 `parse_media_header` is that parser: a GENERAL container walk (RIFF
 chunk list for WebP — including VP8X-wrapped files; ISOBMFF box tree
-for AVIF/HEIF; marker walk for JPEG; block walk for GIF; fixed
-header reads for PNG/PGM), pure stdlib, a few hundred bytes of input
-per blob. It never raises on malformed input — unknown/truncated
-blobs catalog as format='unknown' with NULL dims (the S2
-malformed-row-tolerance convention).
+for AVIF/HEIF; marker walk for JPEG; block walk for GIF; IFD walk
+for TIFF, both byte orders; fixed header reads for PNG/PGM/BMP; SVG
+sniffing), pure stdlib, a few hundred bytes of input per blob. It
+never raises on malformed input — unknown/truncated blobs catalog as
+format='unknown' with NULL dims (the S2 malformed-row-tolerance
+convention).
 
 Scale: header parsing reads O(1) bytes per blob inside Arrow-batched
 mapInPandas over a `binaryFile` scan (one task per file split — the
@@ -285,6 +286,56 @@ def _parse_pgm(data: bytes) -> dict[str, Any]:
     return out
 
 
+def _parse_tiff(data: bytes) -> dict[str, Any]:
+    """Baseline TIFF IFD walk (both byte orders): dims from tags
+    256/257, alpha from an ExtraSamples (338) entry, multi-page
+    (a non-zero next-IFD pointer) marks is_animated. Inline SHORT/
+    LONG values only — offset-stored dimension values don't occur
+    for these tags in practice (count is 1)."""
+    out = dict(_NULL_ROW, format="tiff", codec="tiff")
+    bo = "little" if data[:2] == b"II" else "big"
+
+    def u(s: int, e: int) -> int:
+        return int.from_bytes(data[s:e], bo)
+
+    if u(2, 4) != 42 or len(data) < 8:
+        return out
+    ifd = u(4, 8)
+    if ifd + 2 > len(data):
+        return out
+    n_entries = u(ifd, ifd + 2)
+    for i in range(n_entries):
+        e = ifd + 2 + 12 * i
+        if e + 12 > len(data):
+            break
+        tag, typ, cnt = u(e, e + 2), u(e + 2, e + 4), u(e + 4, e + 8)
+        if cnt == 1 and typ in (3, 4):  # SHORT / LONG, inline
+            val = u(e + 8, e + 10) if typ == 3 else u(e + 8, e + 12)
+            if tag == 256:
+                out["width"] = val
+            elif tag == 257:
+                out["height"] = val
+        if tag == 338:
+            out["has_alpha"] = True
+    nxt = ifd + 2 + 12 * n_entries
+    if nxt + 4 <= len(data) and u(nxt, nxt + 4) != 0:
+        out["is_animated"] = True  # multi-page
+    return out
+
+
+def _parse_bmp(data: bytes) -> dict[str, Any]:
+    """BITMAPINFOHEADER dims at 18/22 (height negative = top-down);
+    32-bpp marks has_alpha."""
+    out = dict(_NULL_ROW, format="bmp", codec="bmp")
+    if len(data) >= 30:
+        out["width"] = int.from_bytes(data[18:22], "little", signed=True)
+        out["height"] = abs(
+            int.from_bytes(data[22:26], "little", signed=True)
+        )
+        out["has_alpha"] = int.from_bytes(data[28:30], "little") == 32
+    return out
+
+
 def parse_media_header(data: bytes) -> dict[str, Any]:
     """One blob → {format, codec, width, height, has_alpha,
     is_animated, decodable} from HEADERS ONLY (no pixel decode).
@@ -308,6 +359,15 @@ def parse_media_header(data: bytes) -> dict[str, Any]:
         if data[:9] == b"YUV4MPEG2":
             return dict(_NULL_ROW, format="y4m", codec="rawvideo",
                         decodable=True, is_animated=True)
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            return _parse_tiff(data)
+        if data[:2] == b"BM":
+            return _parse_bmp(data)
+        head = data[:256].lstrip()
+        if head.startswith(b"<svg") or (
+            head.startswith(b"<?xml") and b"<svg" in data[:256]
+        ):
+            return dict(_NULL_ROW, format="svg", codec="xml")
     except (IndexError, struct.error):
         pass
     return dict(_NULL_ROW)

@@ -1441,7 +1441,7 @@ def q_media_catalog(spark, sf_dir):
     animated with ANMF subchunk sniffing), ISOBMFF box-tree walk for
     AVIF (ftyp brands, meta/iprp/ipco recursion to ispe + av1C,
     auxC alpha, avis image-sequence brand), plus PNG/GIF/JPEG/PGM/
-    WAV/Y4M for complete corpus coverage — malformed blobs catalog
+    TIFF/BMP/SVG/WAV/Y4M for complete corpus coverage — malformed blobs catalog
     as 'unknown' instead of raising (the S2 tolerance convention).
     The DuckDB oracle re-derives every field arithmetically from the
     same bytes under the fixture's layouts.

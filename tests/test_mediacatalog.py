@@ -174,6 +174,51 @@ def test_apng_actl_marks_animated_not_decodable():
     assert i["is_animated"] and not i["decodable"]
 
 
+def test_tiff_both_byte_orders_and_multipage():
+    def ifd(bo, entries, nxt=0):
+        out = len(entries).to_bytes(2, bo)
+        for tag, typ, cnt, val in entries:
+            v = val.to_bytes(2, bo) + b"\x00\x00" if typ == 3 else val.to_bytes(4, bo)
+            out += tag.to_bytes(2, bo) + typ.to_bytes(2, bo) + cnt.to_bytes(4, bo) + v
+        return out + nxt.to_bytes(4, bo)
+
+    for bo, magic in (("little", b"II*\x00"), ("big", b"MM\x00*")):
+        hdr = magic + (8).to_bytes(4, bo)
+        body = ifd(bo, [(256, 3, 1, 640), (257, 4, 1, 480)])
+        i = _info(hdr + body)
+        assert (i["format"], i["width"], i["height"]) == ("tiff", 640, 480)
+        assert not i["is_animated"] and not i["decodable"]
+    # multi-page + ExtraSamples alpha
+    bo = "little"
+    hdr = b"II*\x00" + (8).to_bytes(4, bo)
+    body = ifd(bo, [(256, 3, 1, 10), (257, 3, 1, 20), (338, 3, 1, 2)], nxt=200)
+    j = _info(hdr + body)
+    assert j["is_animated"] and j["has_alpha"]
+    assert (j["width"], j["height"]) == (10, 20)
+
+
+def test_bmp_top_down_and_alpha():
+    hdr = (
+        b"BM" + (122).to_bytes(4, "little") + b"\x00" * 4
+        + (122).to_bytes(4, "little")
+        + (108).to_bytes(4, "little")
+        + (7).to_bytes(4, "little")
+        + (-5).to_bytes(4, "little", signed=True)  # top-down
+        + (1).to_bytes(2, "little")
+        + (32).to_bytes(2, "little")
+    )
+    i = _info(hdr)
+    assert (i["format"], i["width"], i["height"]) == ("bmp", 7, 5)
+    assert i["has_alpha"] and not i["decodable"]
+
+
+def test_svg_sniffing():
+    assert _info(b'<svg xmlns="http://www.w3.org/2000/svg"/>')["format"] == "svg"
+    assert _info(b'<?xml version="1.0"?>\n<svg width="3"/>')["format"] == "svg"
+    assert _info(b'  \n<svg/>')["format"] == "svg"
+    assert _info(b'<?xml version="1.0"?><html/>')["format"] == "unknown"
+
+
 # --------------------------------------------------------- tolerance
 
 
@@ -190,6 +235,9 @@ def test_apng_actl_marks_animated_not_decodable():
         b"GIF89a\x05",
         b"\xff\xd8\xff",
         b"not media at all" * 3,
+        b"II*\x00",
+        b"MM\x00*\x00\x00\x00\x08",
+        b"BM\x01",
     ],
 )
 def test_malformed_inputs_never_raise(junk):
