@@ -62,6 +62,7 @@ def _parse_webp(data: bytes) -> dict[str, Any]:
     out = dict(_NULL_ROW, format="webp")
     pos = 12
     vp8x = False
+    vp8l_ok = False  # the 0x2F-signature header actually parsed
     w = h = None
     while pos + 8 <= len(data):
         fourcc = data[pos : pos + 4]
@@ -77,6 +78,7 @@ def _parse_webp(data: bytes) -> dict[str, Any]:
         elif fourcc == b"VP8L" and out["codec"] is None:
             out["codec"] = "vp8l"
             if len(body) >= 5 and body[0] == 0x2F:
+                vp8l_ok = True
                 bits = _u32le(body[1:5])
                 if w is None:
                     w = (bits & 0x3FFF) + 1
@@ -99,7 +101,10 @@ def _parse_webp(data: bytes) -> dict[str, Any]:
             out["has_alpha"] = True
         pos += 8 + size + (size & 1)
     out["width"], out["height"] = w, h
-    out["decodable"] = out["codec"] == "vp8l" and not out["is_animated"]
+    # decodable mirrors decode_media: a still VP8L whose bitstream
+    # header PARSED — a truncated/garbage VP8L chunk must not route
+    # to the native decoder on fourcc alone
+    out["decodable"] = vp8l_ok and not out["is_animated"]
     return out
 
 
@@ -178,12 +183,15 @@ def _parse_png(data: bytes) -> dict[str, Any]:
     """IHDR is spec-required first: dims at bytes 16-23 (BE), bit
     depth / color type at 24-25. Alpha = color type 4/6 or a tRNS
     chunk; animation = an acTL chunk (APNG)."""
-    out = dict(_NULL_ROW, format="png", codec="png", decodable=True)
+    out = dict(_NULL_ROW, format="png", codec="png")
     if len(data) >= 26 and data[12:16] == b"IHDR":
         out["width"] = int.from_bytes(data[16:20], "big")
         out["height"] = int.from_bytes(data[20:24], "big")
         color_type = data[25]
         out["has_alpha"] = color_type in (4, 6)
+        # decodable mirrors decode_png: grey/RGB/palette only —
+        # the alpha color types (4/6) are rejected by the codec
+        out["decodable"] = color_type in (0, 2, 3)
     pos = 8
     while pos + 8 <= len(data):
         size = int.from_bytes(data[pos : pos + 4], "big")
@@ -269,6 +277,19 @@ def _parse_jpeg(data: bytes) -> dict[str, Any]:
             out["height"] = int.from_bytes(data[pos + 5 : pos + 7], "big")
             out["width"] = int.from_bytes(data[pos + 7 : pos + 9], "big")
             out["decodable"] = marker in _DECODABLE_SOF
+            if marker == 0xC3 and pos + 10 <= len(data):
+                # decode_jpeg rejects SUBSAMPLED lossless frames —
+                # mirror it: every component's sampling byte must be
+                # 1:1 (0x11) for the native path to accept the file
+                ncomp = data[pos + 9]
+                samp = [
+                    data[pos + 10 + 3 * i + 1]
+                    for i in range(ncomp)
+                    if pos + 10 + 3 * i + 1 < len(data)
+                ]
+                out["decodable"] = (
+                    len(samp) == ncomp and all(b == 0x11 for b in samp)
+                )
             return out
         if marker == 0xDA:  # SOS without SOF seen: malformed
             break
@@ -327,7 +348,13 @@ def _parse_bmp(data: bytes) -> dict[str, Any]:
     """BITMAPINFOHEADER dims at 18/22 (height negative = top-down);
     32-bpp marks has_alpha."""
     out = dict(_NULL_ROW, format="bmp", codec="bmp")
-    if len(data) >= 30:
+    # the fixed offsets below are BITMAPINFOHEADER-family layouts; an
+    # OS/2 BITMAPCOREHEADER (size 12, 16-bit dims) would fuse its
+    # fields into garbage 32-bit reads — catalog those with NULL dims
+    # (the unknown-layout convention) instead of plausible nonsense
+    if len(data) >= 30 and int.from_bytes(data[14:18], "little") in (
+        40, 52, 56, 64, 108, 124,
+    ):
         out["width"] = int.from_bytes(data[18:22], "little", signed=True)
         out["height"] = abs(
             int.from_bytes(data[22:26], "little", signed=True)

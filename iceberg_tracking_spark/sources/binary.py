@@ -541,6 +541,15 @@ def ensure_catalog_fixture(
             hx = data.hex()
             assert data.count(b"ispe") == 1 and hx.count("69737065") == 1
             assert hx.find("69737065") % 2 == 0  # byte-aligned
+            # the oracle's has_alpha probe is strpos(hx, 'auxC'): pin
+            # that the fourcc appears (byte-aligned) EXACTLY when this
+            # is the alpha kind, so md5-filler aliasing in any future
+            # fixture edit fails generation loudly instead of silently
+            # flipping the oracle's has_alpha
+            want_auxc = 1 if kind == 8 else 0
+            assert hx.count("61757843") == want_auxc, (i, kind)
+            if want_auxc:
+                assert hx.find("61757843") % 2 == 0
         fp = os.path.join(path, f"{i:04d}.{ext}")
         if not (os.path.exists(fp) and os.path.getsize(fp) == len(data)):
             with open(fp, "wb") as f:

@@ -45,6 +45,8 @@ def test_png_header_grey_and_rgba():
     )
     j = _info(rgba)
     assert j["has_alpha"] and (j["width"], j["height"]) == (5, 3)
+    # decodable mirrors decode_png, which rejects alpha color types
+    assert not j["decodable"]
 
 
 def test_gif_single_vs_animated():
@@ -210,6 +212,55 @@ def test_bmp_top_down_and_alpha():
     i = _info(hdr)
     assert (i["format"], i["width"], i["height"]) == ("bmp", 7, 5)
     assert i["has_alpha"] and not i["decodable"]
+
+
+def test_truncated_vp8l_not_decodable():
+    """A WebP whose VP8L chunk has no parseable 0x2F header must not
+    catalog as natively decodable (review finding: fourcc alone used
+    to set decodable=True on garbage decode_webp rejects)."""
+    i = _info(b"RIFF\xff\xff\xff\xffWEBPVP8L\xff\xff\xff\xff\x00")
+    assert i["format"] == "webp" and i["codec"] == "vp8l"
+    assert not i["decodable"] and i["width"] is None
+
+
+def test_os2_core_header_bmp_yields_null_dims():
+    """An OS/2 BITMAPCOREHEADER (DIB size 12, 16-bit dims) must NOT be
+    read through the BITMAPINFOHEADER offsets — that would fuse width
+    and height into plausible garbage; NULL dims is the contract."""
+    hdr = (
+        b"BM" + (40).to_bytes(4, "little") + b"\x00" * 4
+        + (26).to_bytes(4, "little")
+        + (12).to_bytes(4, "little")      # BITMAPCOREHEADER
+        + (100).to_bytes(2, "little")     # 16-bit width
+        + (50).to_bytes(2, "little")      # 16-bit height
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + b"\x00" * 8
+    )
+    i = _info(hdr)
+    assert i["format"] == "bmp"
+    assert i["width"] is None and i["height"] is None
+
+
+def test_subsampled_lossless_jpeg_not_decodable():
+    """decode_jpeg rejects SOF3 frames with non-1:1 sampling — the
+    catalog must mirror that instead of overstating decodability."""
+    def sof3(sampling):
+        comps = b"".join(
+            bytes([cid, sampling, 0]) for cid in (1, 2, 3)
+        )
+        seg = b"\x08" + (10).to_bytes(2, "big") + (20).to_bytes(2, "big") \
+            + bytes([3]) + comps
+        return (
+            b"\xff\xd8" + b"\xff\xc3"
+            + (2 + len(seg)).to_bytes(2, "big") + seg
+        )
+
+    ok = _info(sof3(0x11))
+    assert ok["codec"] == "jpeg-lossless" and ok["decodable"]
+    assert (ok["width"], ok["height"]) == (20, 10)
+    bad = _info(sof3(0x21))
+    assert bad["codec"] == "jpeg-lossless" and not bad["decodable"]
 
 
 def test_svg_sniffing():
