@@ -363,7 +363,11 @@ EXTENDED_FLOOR_SEC = {
     # bases are near-idle quality). kendall_exact's basis is the
     # two-phase-cap plan (threshold prefilter + cap-bounded window).
     "q_media_catalog": 0.348,
-    "q_kendall_exact": 2.564,
+    # tightened end-of-round from a warm canary-verified solo run
+    # (min-of-3 2.366s, bracketing canaries 0.537/0.456s); the round's
+    # full-sweep run recorded 1.321s but at canary 0.592s — 1.25x the
+    # canary floor, outside the lineage rule's tightening bound
+    "q_kendall_exact": 2.366,
     # q_mann_kendall landed later the same round: solo min-of-3 at
     # sf0.1, basis canaries 0.523/0.488s bracketing the run (the cost
     # is the bounded 22M-row cell-pair join: |days|x|value grid|
