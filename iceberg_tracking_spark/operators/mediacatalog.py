@@ -211,17 +211,21 @@ def _parse_gif(data: bytes) -> dict[str, Any]:
     """Logical-screen dims at bytes 6-9 (LE); animation by a block
     walk counting image descriptors (0x2C) — headers only, the LZW
     payload is SKIPPED via sub-block lengths, never decoded."""
-    out = dict(_NULL_ROW, format="gif", codec="lzw", decodable=True)
+    out = dict(_NULL_ROW, format="gif", codec="lzw")
     if len(data) < 13:
+        # decode_gif raises "truncated GIF header" here — a magic-only
+        # stump must not catalog as decodable (same rigor as vp8l_ok)
         return out
     out["width"] = _u32le(data[6:8])
     out["height"] = _u32le(data[8:10])
     packed = data[10]
     pos = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
     frames = 0
+    clean = False  # walk reached the 0x3B trailer without a bad block
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:  # trailer
+            clean = True
             break
         if b == 0x21 and pos + 1 < len(data):  # extension
             if data[pos + 1] == 0xF9 and pos + 4 < len(data):
@@ -240,8 +244,14 @@ def _parse_gif(data: bytes) -> dict[str, Any]:
                 pos += 1 + data[pos]
             pos += 1
         else:
-            break
+            break  # unknown block: decode_gif raises here too
     out["is_animated"] = frames > 1
+    # decodable mirrors decode_gif: ≥1 image descriptor AND the block
+    # walk terminated at the trailer (decode_gif raises on "no image
+    # data", truncated descriptors/sub-block chains, and unknown
+    # blocks — a garbage stream after a valid screen descriptor must
+    # not route to the native decoder on magic alone)
+    out["decodable"] = frames >= 1 and clean
     return out
 
 
@@ -276,12 +286,16 @@ def _parse_jpeg(data: bytes) -> dict[str, Any]:
             out["codec"] = _SOF_NAMES[marker]
             out["height"] = int.from_bytes(data[pos + 5 : pos + 7], "big")
             out["width"] = int.from_bytes(data[pos + 7 : pos + 9], "big")
-            out["decodable"] = marker in _DECODABLE_SOF
-            if marker == 0xC3 and pos + 10 <= len(data):
-                # decode_jpeg rejects SUBSAMPLED lossless frames —
-                # mirror it: every component's sampling byte must be
-                # 1:1 (0x11) for the native path to accept the file
-                ncomp = data[pos + 9]
+            # decode_jpeg raises on component counts other than grey
+            # (1) / YCbCr (3) — 4-component Adobe CMYK/YCCK headers
+            # parse fine but must catalog as non-decodable; ncomp is
+            # header-visible at pos+9 (jpegcodec.py:378)
+            ncomp = data[pos + 9] if pos + 10 <= len(data) else 0
+            out["decodable"] = marker in _DECODABLE_SOF and ncomp in (1, 3)
+            if marker == 0xC3 and out["decodable"]:
+                # decode_jpeg additionally rejects SUBSAMPLED lossless
+                # frames — mirror it: every component's sampling byte
+                # must be 1:1 (0x11) for the native path to accept
                 samp = [
                     data[pos + 10 + 3 * i + 1]
                     for i in range(ncomp)
@@ -298,12 +312,33 @@ def _parse_jpeg(data: bytes) -> dict[str, Any]:
 
 
 def _parse_pgm(data: bytes) -> dict[str, Any]:
-    out = dict(_NULL_ROW, format="pgm", codec="pgm", decodable=True)
+    """Netpbm tokenizer over the first 256 bytes: `#` comment lines
+    between header tokens are spec-legal (and emitted by many tools)
+    — decode_pgm (imagecodec.py:36) strips them, so the catalog must
+    too or such files get garbage/NULL dims. decodable mirrors
+    decode_pgm: the three header ints parse AND maxval ≤ 255 (16-bit
+    PGM raises in the codec)."""
+    out = dict(_NULL_ROW, format="pgm", codec="pgm")
+    head = data[:256]
+    idx = 2
+    tokens: list[int] = []
     try:
-        head = data[:64].split()
-        out["width"], out["height"] = int(head[1]), int(head[2])
-    except (IndexError, ValueError):
-        out["width"] = out["height"] = None
+        while len(tokens) < 3 and idx < len(head):
+            while idx < len(head) and head[idx : idx + 1].isspace():
+                idx += 1
+            if head[idx : idx + 1] == b"#":
+                while idx < len(head) and head[idx] != 0x0A:
+                    idx += 1
+                continue
+            start = idx
+            while idx < len(head) and not head[idx : idx + 1].isspace():
+                idx += 1
+            tokens.append(int(head[start:idx]))
+    except ValueError:
+        tokens = []
+    if len(tokens) == 3:
+        out["width"], out["height"] = tokens[0], tokens[1]
+        out["decodable"] = tokens[2] <= 255
     return out
 
 

@@ -349,3 +349,76 @@ def test_vp8x_wrapped_fixture_still_decodes():
     i = _info(data)
     mat = decode_media(data, i["width"], i["height"], decode_stub=False)
     assert mat.shape == (i["height"], i["width"])
+
+
+# ------------------------------- r11 ADVICE decodable-contract gates
+
+
+def test_truncated_gif_not_decodable():
+    """decode_gif raises 'truncated GIF header' below 13 bytes — a
+    magic-only stump must not catalog as decodable (r11 ADVICE #1)."""
+    i = _info(b"GIF89a\x05\x00")
+    assert i["format"] == "gif" and not i["decodable"]
+    assert i["width"] is None and i["height"] is None
+
+
+def test_garbage_block_gif_not_decodable():
+    """A valid logical screen descriptor followed by a junk block
+    stream: decode_gif raises on the unknown block, so the catalog
+    must not claim decodable (r11 ADVICE #1)."""
+    lsd = b"GIF89a" + struct.pack("<HH", 4, 3) + bytes([0x00, 0, 0])
+    i = _info(lsd + b"\x7f\xff\xff")
+    assert i["format"] == "gif" and (i["width"], i["height"]) == (4, 3)
+    assert not i["decodable"]
+    # same screen descriptor but no blocks at all (no image data, no
+    # trailer): decode_gif raises "GIF contains no image data"
+    j = _info(lsd)
+    assert not j["decodable"]
+    # and with only a trailer (still zero frames): not decodable
+    k = _info(lsd + b"\x3b")
+    assert not k["decodable"]
+
+
+def test_cmyk_jpeg_not_decodable():
+    """4-component (Adobe CMYK) SOF0: header parses, dims catalog,
+    but decode_jpeg raises on ncomp not in (1, 3) — decodable must
+    mirror that (r11 ADVICE #2)."""
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(4))
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 4, 8, 7, 9, 4) + comps
+    data = b"\xff\xd8" + sof + b"\xff\xd9"
+    i = _info(data)
+    assert i["codec"] == "jpeg-baseline"
+    assert (i["width"], i["height"]) == (9, 7)
+    assert not i["decodable"]
+    # the identical frame with 3 components IS decodable
+    comps3 = b"".join(bytes([i + 1, 0x11, 0]) for i in range(3))
+    sof3 = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8, 7, 9, 3) + comps3
+    assert _info(b"\xff\xd8" + sof3 + b"\xff\xd9")["decodable"]
+
+
+def test_pgm_comment_lines_parse():
+    """'#...' comment lines between header tokens are netpbm-legal and
+    decode_pgm strips them — the catalog tokenizer must too, instead
+    of cataloging NULL dims on a decodable file (r11 ADVICE #4)."""
+    from iceberg_tracking_spark.operators.imagecodec import decode_pgm
+
+    data = b"P5\n# made by a tool\n7 # width\n5\n# about maxval\n255\n" + bytes(35)
+    i = _info(data)
+    assert (i["width"], i["height"]) == (7, 5) and i["decodable"]
+    # the mirror is real: decode_pgm accepts the same bytes
+    assert decode_pgm(data).shape == (5, 7)
+
+
+def test_pgm_16bit_not_decodable():
+    """maxval > 255 raises in decode_pgm — catalog dims still parse
+    but decodable must be False (codec-mirror contract)."""
+    data = b"P5\n7 5\n65535\n" + bytes(70)
+    i = _info(data)
+    assert (i["width"], i["height"]) == (7, 5)
+    assert not i["decodable"]
+
+
+def test_pgm_unparseable_header_not_decodable():
+    i = _info(b"P5\nxx yy\n")
+    assert i["format"] == "pgm" and not i["decodable"]
+    assert i["width"] is None
