@@ -202,14 +202,23 @@ HEADLINE_FLOOR_SEC = {
 # round-9 idle sweep of 32 and the round-7 quiet window that
 # re-floored 43 of 61 entries).
 #
-# FLOOR LINEAGE RULE (r10 verdict task #5, formalized r11): a floor
-# may only be SET or TIGHTENED from a run whose recorded canary is
-# <= ~1.2x CANARY_FLOOR_SEC, and every floor group's comment must
-# name its basis canary. Bases recorded before the canary era (the
+# FLOOR LINEAGE RULE (r10 verdict task #5, formalized r11; refined
+# r12 per the r11 ADVICE + verdict task #3): a floor may be RAISED or
+# REBASED upward only from a run whose recorded canary is <= ~1.2x
+# CANARY_FLOOR_SEC, and every floor group's comment must name its
+# basis canary. LOWERING is different: co-tenant load can only
+# inflate a timing, so ANY observed run is a valid upper bound on
+# the true floor — a floor may be lowered from any recorded
+# observation regardless of its canary (keeping a stale-high floor
+# just moves the 2x bar out of detection range). Basis REGIMEN must
+# match the measurement regimen: floors come from FULL-SWEEP runs
+# (the warm, fixture-cached state the driver measures in); a solo
+# landing-commit recording is PROVISIONAL until the first sweep
+# observation replaces it. Bases recorded before the canary era (the
 # r6-r9 groups above/below without a canary note) carry the weaker
 # "solo run, load observed via control queries" provenance — they are
-# kept as-is and only ever replaced by canary-verified runs; do NOT
-# tighten from an unverified window. A query running
+# kept as-is and only ever replaced upward by canary-verified runs;
+# do NOT raise from an unverified window. A query running
 # >2x its floor at
 # sf0.1 is flagged loudly in the JSON ("regressions") and on stderr —
 # the 2x budget absorbs the measured 1.5-2x co-tenant load swings, so
@@ -363,16 +372,18 @@ EXTENDED_FLOOR_SEC = {
     # bases are near-idle quality). kendall_exact's basis is the
     # two-phase-cap plan (threshold prefilter + cap-bounded window).
     "q_media_catalog": 0.348,
-    # tightened end-of-round from a warm canary-verified solo run
-    # (min-of-3 2.366s, bracketing canaries 0.537/0.456s); the round's
-    # full-sweep run recorded 1.321s but at canary 0.592s — 1.25x the
-    # canary floor, outside the lineage rule's tightening bound
-    "q_kendall_exact": 2.366,
-    # q_mann_kendall landed later the same round: solo min-of-3 at
-    # sf0.1, basis canaries 0.523/0.488s bracketing the run (the cost
-    # is the bounded 22M-row cell-pair join: |days|x|value grid|
-    # squared per segment, fixed by window and range, not volume)
-    "q_mann_kendall": 2.731,
+    # RE-FLOORED r12 from the SWEEP regimen (r11 verdict task #3 +
+    # ADVICE #3): the r11 solo-landing bases (2.366s / 2.731s) sat
+    # 1.8-3.7x above every full-sweep observation — driver BENCH_r11
+    # 1.337s / 0.747s, judge sweep 1.229s / 0.734s — leaving the 2x
+    # bars toothless. Load only inflates timings, so the sweep
+    # observations are valid upper bounds on the true floors and the
+    # refined lineage rule lowers from them regardless of canary; the
+    # judge-sweep minima are the basis. (mann_kendall's cost is the
+    # bounded cell-pair join: |days|x|value grid| squared per
+    # segment, fixed by window and range, not volume.)
+    "q_kendall_exact": 1.229,
+    "q_mann_kendall": 0.734,
 }
 
 

@@ -313,7 +313,23 @@ def media_from_webp_files(spark: SparkSession, path: str | None = None) -> DataF
     VP8X-wrapped lossless file would otherwise yield garbage dims
     while its pixels still decode). VP8X/VP8-lossy blobs are the
     media_catalog operator's job (parse_media_header walks the RIFF
-    chunk list generically), not this plain-profile scan's."""
+    chunk list generically), not this plain-profile scan's.
+
+    WHY TWO PARSERS (r11 verdict task #4, the deliberate decision):
+    this scan and parse_media_header are kept SEPARATE on purpose.
+    This one is a zero-Python Catalyst expression over 25 header
+    bytes — it rides whole-stage codegen, costs no Arrow transfer,
+    and its guard restricts it to exactly the one fixed layout
+    (plain VP8L-first) where a fixed-offset read is provably correct;
+    Catalyst cannot express a variable-length RIFF chunk walk without
+    a UDF, so 'unifying' would mean routing this hot scan through
+    mapInPandas and paying Python+Arrow per blob for fields the
+    expression already computes JVM-side. parse_media_header is the
+    general walker for everything OUTSIDE that profile. The two are
+    kept honest against each other by a parity test
+    (tests/test_mediacatalog.py::test_webp_scan_parity_with_catalog):
+    on every blob the scan accepts, its dims must equal the general
+    parser's."""
     from ..sources.binary import ensure_webp_fixture, read_binary_files
 
     raw = read_binary_files(spark, path or ensure_webp_fixture(), glob="*.webp")

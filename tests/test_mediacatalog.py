@@ -422,3 +422,22 @@ def test_pgm_unparseable_header_not_decodable():
     i = _info(b"P5\nxx yy\n")
     assert i["format"] == "pgm" and not i["decodable"]
     assert i["width"] is None
+
+
+def test_webp_scan_parity_with_catalog(spark):
+    """The two WebP header readers — media_from_webp_files' zero-
+    Python Catalyst fixed-offset parse (guarded to plain VP8L-first
+    files) and parse_media_header's general RIFF walk — must agree on
+    every blob the scan accepts (r11 verdict task #4: the parsers are
+    kept separate deliberately; this pins them consistent)."""
+    from iceberg_tracking_spark.operators.multimodal import media_from_webp_files
+
+    rows = media_from_webp_files(spark).select(
+        "media_id", "content", "width", "height"
+    ).collect()
+    assert rows, "webp fixture scan returned nothing"
+    for r in rows:
+        i = _info(bytes(r.content))
+        assert i["format"] == "webp" and i["codec"] == "vp8l"
+        assert (i["width"], i["height"]) == (r.width, r.height), r.media_id
+        assert i["decodable"]
