@@ -19,10 +19,17 @@ never raises on malformed input — unknown/truncated blobs catalog as
 format='unknown' with NULL dims (the S2 malformed-row-tolerance
 convention).
 
-Scale: header parsing reads O(1) bytes per blob inside Arrow-batched
-mapInPandas over a `binaryFile` scan (one task per file split — the
-S8 story); the catalog is embarrassingly parallel and the output is
-one tiny row per blob.
+Scale: header parsing reads O(#chunks/#boxes) bytes per blob, and —
+since r12 — the SCAN is bounded too: `catalog_media_paths` (the
+head-bytes path, r11 verdict task #2) maps over the file LISTING and
+reads only the first `head_bytes` of each file, falling back to a
+full read only when a container genuinely directs the walk past the
+head (`_NeedMore`: TIFF's tail-IFD pointer, ISOBMFF moov-at-tail,
+a GIF/animated-WebP block stream longer than the head). Every parser
+threads a logical `end` (the true file size) distinct from the bytes
+fetched, so a head parse either produces EXACTLY the full-file row or
+raises `_NeedMore` — never a silently different row. The binaryFile
+path (`q_media_catalog`'s original scan) remains for small corpora.
 
 Decode stays exactly as documented: `decode_media` handles
 PGM/PNG/JPEG/GIF/lossless-WebP natively and REJECTS lossy VP8 / AVIF
@@ -47,11 +54,25 @@ _NULL_ROW: dict[str, Any] = {
 }
 
 
+class _NeedMore(Exception):
+    """A header walk needs bytes past the fetched head (but within the
+    file) — the head-bytes scan catches this and re-reads in full."""
+
+
+def _ensure(avail: int, end: int, upto: int) -> None:
+    """Guard a read of bytes [0, upto): raise _NeedMore when the FILE
+    has those bytes (upto <= end) but the fetched head doesn't
+    (upto > avail). A request past the file end is NOT an error here —
+    the caller's normal truncation handling applies."""
+    if upto > avail and upto <= end:
+        raise _NeedMore
+
+
 def _u32le(b: bytes) -> int:
     return int.from_bytes(b, "little")
 
 
-def _parse_webp(data: bytes) -> dict[str, Any]:
+def _parse_webp(data: bytes, end: int) -> dict[str, Any]:
     """RIFF chunk walk (general: VP8L-first, VP8X-wrapped, animated).
 
     Dims come from the VP8X canvas when present (the container's
@@ -60,13 +81,18 @@ def _parse_webp(data: bytes) -> dict[str, Any]:
     the first ANMF's embedded subchunk. `decodable` mirrors
     decode_media: still lossless (VP8L) only."""
     out = dict(_NULL_ROW, format="webp")
+    avail = len(data)
     pos = 12
     vp8x = False
     vp8l_ok = False  # the 0x2F-signature header actually parsed
     w = h = None
-    while pos + 8 <= len(data):
+    while pos + 8 <= end:
+        _ensure(avail, end, pos + 8)
         fourcc = data[pos : pos + 4]
         size = _u32le(data[pos + 4 : pos + 8])
+        # the walk reads at most a 24-byte body prefix (VP8X 10,
+        # VP8L 5, VP8 10, ANMF 20) — guard exactly that much
+        _ensure(avail, end, pos + 8 + min(size, 24))
         body = data[pos + 8 : pos + 8 + size]
         if fourcc == b"VP8X" and len(body) >= 10:
             vp8x = True
@@ -111,13 +137,18 @@ def _parse_webp(data: bytes) -> dict[str, Any]:
 def _boxes(data: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
     """ISOBMFF box iterator: yields (type, body_start, box_end).
     Handles 64-bit largesize and size-0 (to-end) boxes; stops on any
-    malformed length instead of raising."""
+    malformed length instead of raising. `end` is the LOGICAL extent
+    (true file size for the top level) — box headers the file has but
+    the fetched head doesn't raise _NeedMore (moov-at-tail case)."""
+    avail = len(data)
     pos = start
     while pos + 8 <= end:
+        _ensure(avail, end, pos + 8)
         size = int.from_bytes(data[pos : pos + 4], "big")
         btype = data[pos + 4 : pos + 8]
         hdr = 8
         if size == 1 and pos + 16 <= end:
+            _ensure(avail, end, pos + 16)
             size = int.from_bytes(data[pos + 8 : pos + 16], "big")
             hdr = 16
         elif size == 0:
@@ -133,12 +164,13 @@ _BMFF_CONTAINERS = {b"iprp", b"ipco", b"moov", b"trak", b"mdia", b"minf"}
 _BMFF_FULL_CONTAINERS = {b"meta"}
 
 
-def _parse_isobmff(data: bytes) -> dict[str, Any]:
+def _parse_isobmff(data: bytes, end: int) -> dict[str, Any]:
     """ISOBMFF box walk for AVIF/HEIF: brand from ftyp, dims from the
     first ispe (ImageSpatialExtents) property, codec from av1C/hvcC,
     alpha from an auxC auxiliary-type property, animation from the
     avis brand (image sequence) or a moov box."""
     out = dict(_NULL_ROW)
+    avail = len(data)
     brands: list[bytes] = []
 
     def rec(s: int, e: int, depth: int) -> None:
@@ -146,10 +178,12 @@ def _parse_isobmff(data: bytes) -> dict[str, Any]:
             return
         for btype, bs, be in _boxes(data, s, e):
             if btype == b"ftyp":
+                _ensure(avail, end, be)
                 brands.append(data[bs : bs + 4])
                 for p in range(bs + 8, be - 3, 4):
                     brands.append(data[p : p + 4])
             elif btype == b"ispe" and be - bs >= 12 and out["width"] is None:
+                _ensure(avail, end, bs + 12)
                 out["width"] = int.from_bytes(data[bs + 4 : bs + 8], "big")
                 out["height"] = int.from_bytes(data[bs + 8 : bs + 12], "big")
             elif btype == b"av1C":
@@ -166,7 +200,7 @@ def _parse_isobmff(data: bytes) -> dict[str, Any]:
             elif btype in _BMFF_FULL_CONTAINERS:
                 rec(bs + 4, be, depth + 1)
 
-    rec(0, len(data), 0)
+    rec(0, end, 0)
     if b"avif" in brands or b"avis" in brands:
         out["format"] = "avif"
         out["codec"] = out["codec"] or "av01"
@@ -179,11 +213,15 @@ def _parse_isobmff(data: bytes) -> dict[str, Any]:
     return out
 
 
-def _parse_png(data: bytes) -> dict[str, Any]:
+def _parse_png(data: bytes, end: int) -> dict[str, Any]:
     """IHDR is spec-required first: dims at bytes 16-23 (BE), bit
     depth / color type at 24-25. Alpha = color type 4/6 or a tRNS
-    chunk; animation = an acTL chunk (APNG)."""
+    chunk; animation = an acTL chunk (APNG). The walk stops at IDAT —
+    tRNS and acTL are spec-required to precede it, so a head parse
+    that reaches IDAT is complete."""
     out = dict(_NULL_ROW, format="png", codec="png")
+    avail = len(data)
+    _ensure(avail, end, 26)
     if len(data) >= 26 and data[12:16] == b"IHDR":
         out["width"] = int.from_bytes(data[16:20], "big")
         out["height"] = int.from_bytes(data[20:24], "big")
@@ -193,7 +231,8 @@ def _parse_png(data: bytes) -> dict[str, Any]:
         # the alpha color types (4/6) are rejected by the codec
         out["decodable"] = color_type in (0, 2, 3)
     pos = 8
-    while pos + 8 <= len(data):
+    while pos + 8 <= end:
+        _ensure(avail, end, pos + 8)
         size = int.from_bytes(data[pos : pos + 4], "big")
         ctype = data[pos + 4 : pos + 8]
         if ctype == b"tRNS":
@@ -207,12 +246,16 @@ def _parse_png(data: bytes) -> dict[str, Any]:
     return out
 
 
-def _parse_gif(data: bytes) -> dict[str, Any]:
+def _parse_gif(data: bytes, end: int) -> dict[str, Any]:
     """Logical-screen dims at bytes 6-9 (LE); animation by a block
     walk counting image descriptors (0x2C) — headers only, the LZW
-    payload is SKIPPED via sub-block lengths, never decoded."""
+    payload is SKIPPED via sub-block lengths, never decoded. The walk
+    touches a length byte per 255-byte sub-block, so a GIF longer
+    than the fetched head raises _NeedMore (full-read fallback)."""
     out = dict(_NULL_ROW, format="gif", codec="lzw")
-    if len(data) < 13:
+    avail = len(data)
+    _ensure(avail, end, 13)
+    if end < 13:
         # decode_gif raises "truncated GIF header" here — a magic-only
         # stump must not catalog as decodable (same rigor as vp8l_ok)
         return out
@@ -222,27 +265,36 @@ def _parse_gif(data: bytes) -> dict[str, Any]:
     pos = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
     frames = 0
     clean = False  # walk reached the 0x3B trailer without a bad block
-    while pos < len(data):
+
+    def _skip_subblocks(pos: int) -> int:
+        while pos < end:
+            _ensure(avail, end, pos + 1)
+            n = data[pos]
+            if not n:
+                break
+            pos += 1 + n
+        return pos + 1
+
+    while pos < end:
+        _ensure(avail, end, pos + 1)
         b = data[pos]
         if b == 0x3B:  # trailer
             clean = True
             break
-        if b == 0x21 and pos + 1 < len(data):  # extension
-            if data[pos + 1] == 0xF9 and pos + 4 < len(data):
+        if b == 0x21 and pos + 1 < end:  # extension
+            _ensure(avail, end, pos + 2)
+            if data[pos + 1] == 0xF9 and pos + 4 < end:
                 # GCE transparency flag
+                _ensure(avail, end, pos + 4)
                 out["has_alpha"] = out["has_alpha"] or bool(data[pos + 3] & 1)
-            pos += 2
-            while pos < len(data) and data[pos]:
-                pos += 1 + data[pos]
-            pos += 1
-        elif b == 0x2C and pos + 10 <= len(data):  # image descriptor
+            pos = _skip_subblocks(pos + 2)
+        elif b == 0x2C and pos + 10 <= end:  # image descriptor
+            _ensure(avail, end, pos + 10)
             frames += 1
             packed_l = data[pos + 9]
             pos += 10 + (3 * (2 << (packed_l & 7)) if packed_l & 0x80 else 0)
             pos += 1  # LZW minimum code size
-            while pos < len(data) and data[pos]:
-                pos += 1 + data[pos]
-            pos += 1
+            pos = _skip_subblocks(pos)
         else:
             break  # unknown block: decode_gif raises here too
     out["is_animated"] = frames > 1
@@ -267,13 +319,17 @@ _SOF_NAMES = {
 _DECODABLE_SOF = {0xC0, 0xC1, 0xC2, 0xC3}
 
 
-def _parse_jpeg(data: bytes) -> dict[str, Any]:
+def _parse_jpeg(data: bytes, end: int) -> dict[str, Any]:
     """Marker walk to the first SOFn: dims are BE at +5/+7 past the
     segment length; the SOF code names the coding process (arithmetic
-    variants catalog as non-decodable — the documented rejection)."""
+    variants catalog as non-decodable — the documented rejection).
+    A file whose SOF sits past the fetched head (oversized leading
+    EXIF/thumbnail segments) raises _NeedMore."""
     out = dict(_NULL_ROW, format="jpeg")
+    avail = len(data)
     pos = 2
-    while pos + 4 <= len(data):
+    while pos + 4 <= end:
+        _ensure(avail, end, pos + 4)
         if data[pos] != 0xFF:
             pos += 1
             continue
@@ -282,7 +338,8 @@ def _parse_jpeg(data: bytes) -> dict[str, Any]:
             pos += 2
             continue
         seg = int.from_bytes(data[pos + 2 : pos + 4], "big")
-        if marker in _SOF_NAMES and pos + 9 <= len(data):
+        if marker in _SOF_NAMES and pos + 9 <= end:
+            _ensure(avail, end, pos + 10)
             out["codec"] = _SOF_NAMES[marker]
             out["height"] = int.from_bytes(data[pos + 5 : pos + 7], "big")
             out["width"] = int.from_bytes(data[pos + 7 : pos + 9], "big")
@@ -296,6 +353,7 @@ def _parse_jpeg(data: bytes) -> dict[str, Any]:
                 # decode_jpeg additionally rejects SUBSAMPLED lossless
                 # frames — mirror it: every component's sampling byte
                 # must be 1:1 (0x11) for the native path to accept
+                _ensure(avail, end, pos + 10 + 3 * ncomp)
                 samp = [
                     data[pos + 10 + 3 * i + 1]
                     for i in range(ncomp)
@@ -311,7 +369,7 @@ def _parse_jpeg(data: bytes) -> dict[str, Any]:
     return out
 
 
-def _parse_pgm(data: bytes) -> dict[str, Any]:
+def _parse_pgm(data: bytes, end: int) -> dict[str, Any]:
     """Netpbm tokenizer over the first 256 bytes: `#` comment lines
     between header tokens are spec-legal (and emitted by many tools)
     — decode_pgm (imagecodec.py:36) strips them, so the catalog must
@@ -319,6 +377,7 @@ def _parse_pgm(data: bytes) -> dict[str, Any]:
     decode_pgm: the three header ints parse AND maxval ≤ 255 (16-bit
     PGM raises in the codec)."""
     out = dict(_NULL_ROW, format="pgm", codec="pgm")
+    _ensure(len(data), end, min(end, 256))
     head = data[:256]
     idx = 2
     tokens: list[int] = []
@@ -342,28 +401,33 @@ def _parse_pgm(data: bytes) -> dict[str, Any]:
     return out
 
 
-def _parse_tiff(data: bytes) -> dict[str, Any]:
+def _parse_tiff(data: bytes, end: int) -> dict[str, Any]:
     """Baseline TIFF IFD walk (both byte orders): dims from tags
     256/257, alpha from an ExtraSamples (338) entry, multi-page
     (a non-zero next-IFD pointer) marks is_animated. Inline SHORT/
     LONG values only — offset-stored dimension values don't occur
-    for these tags in practice (count is 1)."""
+    for these tags in practice (count is 1). The IFD pointer at byte
+    4 may direct PAST the fetched head (TIFF writers commonly append
+    the IFD at the file TAIL) — the documented _NeedMore case."""
     out = dict(_NULL_ROW, format="tiff", codec="tiff")
+    avail = len(data)
     bo = "little" if data[:2] == b"II" else "big"
 
     def u(s: int, e: int) -> int:
+        _ensure(avail, end, e)
         return int.from_bytes(data[s:e], bo)
 
-    if u(2, 4) != 42 or len(data) < 8:
+    if u(2, 4) != 42 or end < 8:
         return out
     ifd = u(4, 8)
-    if ifd + 2 > len(data):
+    if ifd + 2 > end:
         return out
     n_entries = u(ifd, ifd + 2)
     for i in range(n_entries):
         e = ifd + 2 + 12 * i
-        if e + 12 > len(data):
+        if e + 12 > end:
             break
+        _ensure(avail, end, e + 12)
         tag, typ, cnt = u(e, e + 2), u(e + 2, e + 4), u(e + 4, e + 8)
         if cnt == 1 and typ in (3, 4):  # SHORT / LONG, inline
             val = u(e + 8, e + 10) if typ == 3 else u(e + 8, e + 12)
@@ -374,12 +438,12 @@ def _parse_tiff(data: bytes) -> dict[str, Any]:
         if tag == 338:
             out["has_alpha"] = True
     nxt = ifd + 2 + 12 * n_entries
-    if nxt + 4 <= len(data) and u(nxt, nxt + 4) != 0:
+    if nxt + 4 <= end and u(nxt, nxt + 4) != 0:
         out["is_animated"] = True  # multi-page
     return out
 
 
-def _parse_bmp(data: bytes) -> dict[str, Any]:
+def _parse_bmp(data: bytes, end: int) -> dict[str, Any]:
     """BITMAPINFOHEADER dims at 18/22 (height negative = top-down);
     32-bpp marks has_alpha."""
     out = dict(_NULL_ROW, format="bmp", codec="bmp")
@@ -398,33 +462,31 @@ def _parse_bmp(data: bytes) -> dict[str, Any]:
     return out
 
 
-def parse_media_header(data: bytes) -> dict[str, Any]:
-    """One blob → {format, codec, width, height, has_alpha,
-    is_animated, decodable} from HEADERS ONLY (no pixel decode).
-    Never raises: anything unrecognized or truncated catalogs as
-    format='unknown' / NULL dims."""
+def _dispatch(data: bytes, end: int) -> dict[str, Any]:
     try:
         if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
-            return _parse_webp(data)
+            return _parse_webp(data, end)
         if data[4:8] == b"ftyp" or data[4:8] == b"moov":
-            return _parse_isobmff(data)
+            return _parse_isobmff(data, end)
         if data[:8] == b"\x89PNG\r\n\x1a\n":
-            return _parse_png(data)
+            return _parse_png(data, end)
         if data[:6] in (b"GIF87a", b"GIF89a"):
-            return _parse_gif(data)
+            return _parse_gif(data, end)
         if data[:2] == b"\xff\xd8":
-            return _parse_jpeg(data)
+            return _parse_jpeg(data, end)
         if data[:2] == b"P5":
-            return _parse_pgm(data)
+            return _parse_pgm(data, end)
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return dict(_NULL_ROW, format="wav", codec="pcm", decodable=True)
         if data[:9] == b"YUV4MPEG2":
             return dict(_NULL_ROW, format="y4m", codec="rawvideo",
                         decodable=True, is_animated=True)
         if data[:4] in (b"II*\x00", b"MM\x00*"):
-            return _parse_tiff(data)
+            return _parse_tiff(data, end)
         if data[:2] == b"BM":
-            return _parse_bmp(data)
+            _ensure(len(data), end, min(end, 30))
+            return _parse_bmp(data, end)
+        _ensure(len(data), end, min(end, 256))
         head = data[:256].lstrip()
         if head.startswith(b"<svg") or (
             head.startswith(b"<?xml") and b"<svg" in data[:256]
@@ -433,3 +495,92 @@ def parse_media_header(data: bytes) -> dict[str, Any]:
     except (IndexError, struct.error):
         pass
     return dict(_NULL_ROW)
+
+
+def parse_media_header(data: bytes) -> dict[str, Any]:
+    """One blob → {format, codec, width, height, has_alpha,
+    is_animated, decodable} from HEADERS ONLY (no pixel decode).
+    Never raises: anything unrecognized or truncated catalogs as
+    format='unknown' / NULL dims."""
+    return _dispatch(data, len(data))
+
+
+# Fixed-offset parsers (PGM/BMP/SVG sniff, PNG IHDR, and every magic
+# check) live entirely inside the first 4 KiB — the minimum head the
+# bounded scan may fetch.
+MIN_HEAD_BYTES = 4096
+
+
+def parse_media_head(head: bytes, file_size: int) -> dict[str, Any] | None:
+    """Parse from a HEAD PREFIX of a `file_size`-byte file. Returns
+    the exact row a full-file parse would return, or None when the
+    walk needs bytes the head doesn't have (TIFF tail-IFD, tail moov,
+    block/chunk streams longer than the head) — the caller then
+    re-reads the file in full. `len(head) == file_size` never returns
+    None."""
+    try:
+        return _dispatch(head, file_size)
+    except _NeedMore:
+        return None
+
+
+_CATALOG_COLS = [
+    "path", "file_size", "format", "codec", "width", "height",
+    "has_alpha", "is_animated", "decodable", "bytes_read",
+]
+CATALOG_SCHEMA = (
+    "path string, file_size long, format string, codec string, "
+    "width int, height int, has_alpha boolean, is_animated boolean, "
+    "decodable boolean, bytes_read long"
+)
+
+
+def catalog_from_listing(
+    listing, head_bytes: int = 65536
+):
+    """Bounded-IO media catalog (r11 verdict task #2): mapInPandas
+    over a (path, file_size) LISTING — `sources.binary.list_files` —
+    reading only the first `head_bytes` of each file, with a
+    full-read fallback ONLY when the container directs the walk past
+    the head (`parse_media_head` returns None: TIFF's tail-IFD
+    pointer is the canonical case; tail-moov ISOBMFF and block/chunk
+    streams longer than the head are the others). At 100 TB this
+    turns a corpus-sized scan into a head_bytes-per-file one — the
+    binaryFile path's honest caveat, closed.
+
+    Emits the catalog row plus `bytes_read` (actual IO per file, for
+    accounting and the boundedness test); q_media_catalog drops it.
+    """
+    head_bytes = max(int(head_bytes), MIN_HEAD_BYTES)
+
+    def _scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                size = int(r.file_size)
+                try:
+                    with open(r.path, "rb") as f:
+                        head = f.read(min(head_bytes, size))
+                        info = parse_media_head(head, size)
+                        read = len(head)
+                        if info is None:
+                            f.seek(0)
+                            data = f.read()
+                            read = len(data)
+                            info = parse_media_header(data)
+                except OSError:
+                    # listed-then-vanished file: the S2 tolerance
+                    # convention (catalog as unknown, never raise)
+                    info, read = dict(_NULL_ROW), 0
+                rows.append(
+                    (
+                        r.path, size, info["format"], info["codec"],
+                        info["width"], info["height"], info["has_alpha"],
+                        info["is_animated"], info["decodable"], read,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=_CATALOG_COLS)
+
+    return listing.mapInPandas(_scan, schema=CATALOG_SCHEMA)

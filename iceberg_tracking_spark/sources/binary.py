@@ -65,6 +65,39 @@ def read_binary_files(
     )
 
 
+def list_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """File LISTING as a DataFrame (path, file_size) — the metadata-
+    only half of a binaryFile scan, for operators that must NOT pay
+    corpus-sized content IO (the bounded media-catalog scan, r11
+    verdict task #2).
+
+    Locally the listing is a driver-side directory walk — exactly the
+    metadata operation Spark's own InMemoryFileIndex performs when
+    planning a binaryFile scan, so this adds no driver work binaryFile
+    wouldn't do. At cluster scale the same two columns come from the
+    object-store inventory/manifest instead of os.listdir; everything
+    downstream (the executor-side ranged reads) is unchanged. The
+    result is repartitioned by file count so head reads fan out."""
+    import fnmatch
+
+    names = sorted(
+        n
+        for n in os.listdir(path)
+        if fnmatch.fnmatch(n, glob)
+        and os.path.isfile(os.path.join(path, n))
+    )
+    rows = [
+        (os.path.join(path, n), os.path.getsize(os.path.join(path, n)))
+        for n in names
+    ]
+    n_parts = max(
+        1, min(len(rows), spark.sparkContext.defaultParallelism)
+    )
+    return spark.createDataFrame(
+        rows, "path string, file_size long"
+    ).repartition(n_parts)
+
+
 IMAGE_FIXTURE_DIR = os.path.join(_REPO_ROOT, ".image_fixture")
 IMAGE_FIXTURE_N = 24
 

@@ -5,6 +5,7 @@ generic parser must also survive — real encoder outputs for every
 natively-decodable format, hand-built containers for the rest, and
 malformed input tolerance)."""
 
+import os
 import struct
 
 import numpy as np
@@ -441,3 +442,131 @@ def test_webp_scan_parity_with_catalog(spark):
         assert i["format"] == "webp" and i["codec"] == "vp8l"
         assert (i["width"], i["height"]) == (r.width, r.height), r.media_id
         assert i["decodable"]
+
+
+# ------------------------------ r12: bounded-IO head-bytes scan path
+
+
+def _head_invariant(data: bytes) -> None:
+    """parse_media_head must NEVER differ from the full parse — it
+    either returns the identical row or None (needs more bytes)."""
+    from iceberg_tracking_spark.operators.mediacatalog import parse_media_head
+
+    full = parse_media_header(data)
+    assert parse_media_head(data, len(data)) == full
+    for cut in range(16, len(data), 13):
+        got = parse_media_head(data[:cut], len(data))
+        assert got is None or got == full, (cut, got, full)
+
+
+def test_head_parse_never_differs_from_full():
+    """Every-format sweep of the head-parse invariant: a prefix parse
+    is either exactly the full-file row or an explicit _NeedMore."""
+    from iceberg_tracking_spark.operators.gifcodec import encode_gif
+    from iceberg_tracking_spark.operators.imagecodec import encode_pgm, encode_png
+    from iceberg_tracking_spark.operators.jpegcodec import encode_jpeg
+    from iceberg_tracking_spark.operators.webpcodec import encode_webp_lossless
+
+    g = (np.arange(24 * 17, dtype=np.int32) % 256).astype(np.uint8).reshape(24, 17)
+    pal = np.stack([np.arange(16)] * 3, axis=1).astype(np.uint8)
+    anim = (np.arange(3 * 6 * 7) % 16).astype(np.uint8).reshape(3, 6, 7)
+    blobs = [
+        encode_pgm(g),
+        encode_png(g),
+        encode_jpeg(g),
+        encode_gif(anim, pal, delays_ms=[40, 50, 60]),
+        encode_webp_lossless(g, plain=True),
+        encode_webp_lossless(g, plain=False),
+    ]
+    for data in blobs:
+        _head_invariant(data)
+
+
+def _tail_ifd_tiff(total: int = 200_000) -> bytes:
+    """Little-endian TIFF whose IFD sits at the file TAIL — the
+    documented container-directs-past-head case."""
+    ifd_off = total - 2 - 12 * 2 - 4
+    entries = (
+        struct.pack("<HHIHH", 256, 3, 1, 321, 0)
+        + struct.pack("<HHIHH", 257, 3, 1, 123, 0)
+    )
+    ifd = struct.pack("<H", 2) + entries + struct.pack("<I", 0)
+    return (
+        b"II*\x00" + struct.pack("<I", ifd_off)
+        + bytes(ifd_off - 8) + ifd
+    )
+
+
+def test_head_parse_tail_ifd_tiff_needs_more():
+    from iceberg_tracking_spark.operators.mediacatalog import parse_media_head
+
+    data = _tail_ifd_tiff()
+    assert parse_media_head(data[:65536], len(data)) is None
+    full = parse_media_header(data)
+    assert (full["width"], full["height"]) == (321, 123)
+
+
+def test_head_scan_bytes_read_bounded(spark, tmp_path):
+    """The catalog scan's IO bound, measured: a 300 KB WebP whose
+    image chunk is followed by a large skippable chunk must read
+    EXACTLY head_bytes; a tail-IFD TIFF must fall back to a full read
+    and still produce the full-parse row (test style:
+    test_generate_embeddings_frame_cache_locality — assert on the
+    measured quantity, not the mechanism)."""
+    from iceberg_tracking_spark.operators.mediacatalog import catalog_from_listing
+    from iceberg_tracking_spark.operators.webpcodec import encode_webp_lossless
+    from iceberg_tracking_spark.sources.binary import list_files
+
+    g = (np.arange(11 * 13, dtype=np.int32) % 256).astype(np.uint8).reshape(11, 13)
+    webp = bytearray(encode_webp_lossless(g, plain=True))
+    junk = b"JUNK" + struct.pack("<I", 300_000) + bytes(300_000)
+    webp[4:8] = struct.pack("<I", len(webp) - 8 + len(junk))
+    webp = bytes(webp) + junk
+    (tmp_path / "0001.webp").write_bytes(webp)
+    tiff = _tail_ifd_tiff()
+    (tmp_path / "0002.tiff").write_bytes(tiff)
+
+    rows = {
+        os.path.basename(r.path): r
+        for r in catalog_from_listing(
+            list_files(spark, str(tmp_path)), head_bytes=65536
+        ).collect()
+    }
+    w = rows["0001.webp"]
+    assert w.bytes_read == 65536 < w.file_size == len(webp)
+    assert (w.format, w.codec, w.width, w.height) == ("webp", "vp8l", 13, 11)
+    assert w.decodable
+    t = rows["0002.tiff"]
+    assert t.bytes_read == t.file_size == len(tiff)  # fallback: full
+    assert (t.format, t.width, t.height) == ("tiff", 321, 123)
+
+
+def test_head_scan_row_parity_with_binaryfile_path(spark):
+    """Same fixture, both scan paths (bounded listing+heads vs full
+    binaryFile content), identical catalog rows."""
+    from iceberg_tracking_spark.operators.mediacatalog import (
+        catalog_from_listing,
+        parse_media_header,
+    )
+    from iceberg_tracking_spark.sources.binary import (
+        ensure_catalog_fixture,
+        list_files,
+        read_binary_files,
+    )
+
+    p = ensure_catalog_fixture()
+    head_rows = {
+        os.path.basename(r.path): r
+        for r in catalog_from_listing(list_files(spark, p)).collect()
+    }
+    full_rows = read_binary_files(spark, p, glob="*").collect()
+    assert len(head_rows) == len(full_rows) > 0
+    for r in full_rows:
+        info = parse_media_header(bytes(r.content))
+        h = head_rows[os.path.basename(r.path)]
+        got = (h.format, h.codec, h.width, h.height, h.has_alpha,
+               h.is_animated, h.decodable)
+        want = (info["format"], info["codec"], info["width"],
+                info["height"], info["has_alpha"], info["is_animated"],
+                info["decodable"])
+        assert got == want, r.path

@@ -1479,3 +1479,60 @@ def test_streaming_mann_kendall_equals_batch(spark, sf_dir, tmp_path):
     v = table.current_version()
     merge(spark.read.parquet(src), 0)
     assert table.current_version() == v
+
+
+def test_streaming_media_catalog_equals_batch(spark, tmp_path):
+    """Ingest-time catalog maintenance (r11 verdict task #6): stream
+    the catalog fixture's file-arrival notifications in two
+    micro-batches through streaming/media_catalog.py; the maintained
+    VersionedTable must equal q_media_catalog's batch result
+    row-for-row (each file's catalog row depends only on its own
+    bytes, so batch chopping cannot change anything). Also proves a
+    redelivered batch is a txn-gated no-op."""
+    from iceberg_tracking_spark.plans.queries_ml import q_media_catalog
+    from iceberg_tracking_spark.sources.binary import (
+        ensure_catalog_fixture,
+        list_files,
+    )
+    from iceberg_tracking_spark.sources.catalog import VersionedTable
+    from iceberg_tracking_spark.streaming.media_catalog import (
+        make_media_catalog_fn,
+    )
+
+    listing = list_files(spark, ensure_catalog_fixture())
+    n_files = listing.count()
+    cut = n_files // 2
+    first = listing.orderBy("path").limit(cut)
+    src = str(tmp_path / "arrivals")
+    first.write.mode("overwrite").parquet(src)
+
+    catalog = VersionedTable(str(tmp_path / "media_catalog"))
+    ingest = make_media_catalog_fn(catalog, app_id="cat-test")
+    stream = (
+        spark.readStream.schema("path string, file_size long")
+        .parquet(src).writeStream
+        .foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+    )
+    q = stream.start()
+    q.awaitTermination(120)
+    listing.orderBy("path").subtract(first).write.mode("append").parquet(src)
+    q2 = stream.start()
+    q2.awaitTermination(120)
+
+    cols = [
+        "media_id", "n_bytes", "format", "codec", "width", "height",
+        "has_alpha", "is_animated", "decodable",
+    ]
+    got = {tuple(r) for r in catalog.read(spark).select(*cols).collect()}
+    want = {
+        tuple(r)
+        for r in q_media_catalog(spark, "unused-sf-dir").select(*cols).collect()
+    }
+    assert got == want and len(got) == n_files
+
+    # replaying a committed batch is a no-op
+    v = catalog.current_version()
+    ingest(spark.read.parquet(src), 1)
+    assert catalog.current_version() == v
