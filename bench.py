@@ -162,6 +162,11 @@ EXTENDED = [
     "q_media_catalog",
     "q_kendall_exact",
     "q_mann_kendall",
+    # r12: catalog rollup + the paired-rater agreement family
+    "q_media_accounting",
+    "q_mcnemar",
+    "q_cohens_kappa",
+    "q_cochran_q",
 ]
 
 # Regression floors for the HEADLINE set (r6 verdict task: the

@@ -2891,3 +2891,315 @@ def q_permutation_test(spark, sf_dir):
         .agg(F.sum("cents").alias("sc"), F.count(F.lit(1)).alias("nr"))
     )
     return permutation_mean_diff(ua, _PERM_N)
+
+
+# --------------------------------- paired-rater agreement statistics
+
+# Two deterministic "annotators" over documents — integer-exact rules
+# both engines state identically: A = char-length gate, B = word-count
+# gate (text is single-space tokenized, so words = spaces + 1). The
+# pair (A, B) per doc_id is the paired-binary shape McNemar and kappa
+# are defined on.
+_RATER_A_SQL = "(n_chars >= 200)"
+_RATER_B_SQL = "((length(text) - length(replace(text, ' ', '')) + 1) >= 30)"
+
+
+@query(
+    "q_mcnemar",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT lang,
+               CASE WHEN {_RATER_A_SQL} THEN 1 ELSE 0 END AS a,
+               CASE WHEN {_RATER_B_SQL} THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    cnt AS (
+        SELECT lang,
+               CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b_only,
+               CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_only,
+               count(*) AS n_docs
+        FROM pairs GROUP BY lang
+    ),
+    z AS (
+        SELECT lang, n_docs, b_only, c_only,
+               CASE WHEN b_only + c_only > 0 THEN
+                   round(CAST(abs(b_only - c_only) - 1 AS DOUBLE)
+                         / sqrt(CAST(b_only + c_only AS DOUBLE)), 6)
+               END AS z_score
+        FROM cnt
+    ),
+    p AS (
+        SELECT *,
+               1.0 / (1.0 + 0.2316419 * abs(z_score)) AS tt,
+               {_BH_INV_SQRT_2PI}
+                   * exp(-(abs(z_score) * abs(z_score)) / 2.0) AS pdf
+        FROM z
+    )
+    SELECT lang, n_docs, b_only, c_only, z_score,
+           round(2.0 * pdf * (tt * ({_BH_B[0]} + tt * ({_BH_B[1]}
+                 + tt * ({_BH_B[2]} + tt * ({_BH_B[3]}
+                 + tt * {_BH_B[4]}))))), 6) AS p_value
+    FROM p
+    """,
+)
+def q_mcnemar(spark, sf_dir):
+    """McNemar's test for PAIRED binary raters — the question neither
+    q_chi2_independence (unpaired independence) nor q_ab_test
+    (unpaired means) answers: do two judgments of the SAME documents
+    disagree symmetrically? The curation use: a new quality filter
+    replaces an old one; McNemar on the discordant pairs (b = A-only
+    passes, c = B-only passes) says whether the swap systematically
+    admits more/fewer docs, per language segment. Continuity-corrected
+    z = (|b−c|−1)/sqrt(b+c) (χ²₁ = z², so the χ² p IS the two-sided
+    normal tail); b+c = 0 → NULL z/p (no discordance, no test).
+
+    Scale shape: one hash aggregate of integer conditional counts per
+    lang — the q_cond_agg plan; the test arithmetic runs on the
+    |langs|-row result. The concordant cells never need counting, so
+    the aggregate carries two CASE sums, not a 2×2 materialization.
+    Cross-engine: b, c exact BIGINT; z rounded 6dp before the house
+    A&S 26.2.17 polynomial (operators/stats.py coefficients
+    interpolated into the oracle), p rounded 6dp."""
+    from ..operators.stats import normal_two_sided_p
+
+    docs = _t(spark, sf_dir, "documents")
+    a = (F.col("n_chars") >= 200).cast("int")
+    b = (
+        F.length("text") - F.length(F.translate("text", " ", "")) + 1 >= 30
+    ).cast("int")
+    cnt = (
+        docs.select("lang", a.alias("a"), b.alias("b"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("b_only"),
+            F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("c_only"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    disc = F.col("b_only") + F.col("c_only")
+    z = F.when(
+        disc > 0,
+        F.round(
+            (F.abs(F.col("b_only") - F.col("c_only")) - 1).cast("double")
+            / F.sqrt(disc.cast("double")),
+            6,
+        ),
+    )
+    return cnt.select(
+        "lang", "n_docs", "b_only", "c_only", z.alias("z_score")
+    ).withColumn("p_value", normal_two_sided_p(F.col("z_score")))
+
+
+@query(
+    "q_cohens_kappa",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT source,
+               CASE WHEN {_RATER_A_SQL} THEN 1 ELSE 0 END AS a,
+               CASE WHEN {_RATER_B_SQL} THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    cnt AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n11,
+               CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n10,
+               CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n01,
+               CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n00
+        FROM pairs GROUP BY source
+    )
+    SELECT source, n_docs, n11, n10, n01, n00,
+           round(CAST((n11 + n00) AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+               AS p_observed,
+           round(CAST(CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                      + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS DOUBLE)
+                 / CAST(CAST(n_docs AS HUGEINT) * n_docs AS DOUBLE), 6)
+               AS p_expected,
+           CASE WHEN CAST(n_docs AS HUGEINT) * n_docs
+                     - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                        + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) <> 0
+                THEN
+           round(CAST(CAST(n11 + n00 AS HUGEINT) * n_docs
+                      - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                         + CAST(n01 + n00 AS HUGEINT) * (n10 + n00))
+                      AS DOUBLE)
+                 / CAST(CAST(n_docs AS HUGEINT) * n_docs
+                        - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+                           + CAST(n01 + n00 AS HUGEINT) * (n10 + n00))
+                        AS DOUBLE), 6)
+           END AS kappa
+    FROM cnt
+    """,
+)
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa — chance-corrected agreement between the same two
+    paired raters, per source: κ = (p_o − p_e)/(1 − p_e). The curation
+    use: how much does a cheap heuristic filter actually AGREE with
+    the filter it approximates, beyond what marginal pass rates force?
+    (McNemar asks about asymmetric disagreement; kappa scores the
+    agreement itself — the two complete the paired-rater toolkit.)
+
+    Algebra cleared to exact integers before the one division:
+    κ = (p_o·n² − p_e·n²)/(n² − p_e·n²) with p_o·n² = (n11+n00)·n and
+    p_e·n² = (n11+n10)(n11+n01) + (n01+n00)(n10+n00) — every term an
+    exact product of BIGINT counts (decimal(38,0) / HUGEINT), so both
+    engines divide the identical integers; result rounded 6dp.
+    Degenerate p_e = 1 (both raters constant) → NULL kappa.
+
+    Scale shape: one hash aggregate of four conditional counts per
+    source — nothing downstream ever exceeds |sources| rows."""
+    dec = "decimal(38,0)"
+    docs = _t(spark, sf_dir, "documents")
+    a = (F.col("n_chars") >= 200).cast("int")
+    b = (
+        F.length("text") - F.length(F.translate("text", " ", "")) + 1 >= 30
+    ).cast("int")
+    cnt = (
+        docs.select("source", a.alias("a"), b.alias("b"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.sum(
+                    F.when((F.col("a") == ai) & (F.col("b") == bi), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"n{ai}{bi}")
+                for ai, bi in ((1, 1), (1, 0), (0, 1), (0, 0))
+            ],
+        )
+    )
+    n = F.col("n_docs").cast(dec)
+    pe_num = (F.col("n11") + F.col("n10")).cast(dec) * (
+        F.col("n11") + F.col("n01")
+    ).cast(dec) + (F.col("n01") + F.col("n00")).cast(dec) * (
+        F.col("n10") + F.col("n00")
+    ).cast(dec)
+    po_num = (F.col("n11") + F.col("n00")).cast(dec) * n
+    denom = n * n - pe_num
+    return cnt.select(
+        "source", "n_docs", "n11", "n10", "n01", "n00",
+        F.round(
+            (F.col("n11") + F.col("n00")).cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("p_observed"),
+        F.round(pe_num.cast("double") / (n * n).cast("double"), 6).alias(
+            "p_expected"
+        ),
+        F.when(
+            denom != F.lit(0).cast(dec),
+            F.round((po_num - pe_num).cast("double") / denom.cast("double"), 6),
+        ).alias("kappa"),
+    )
+
+
+# Third deterministic rater for the k=3 Cochran family: mean word
+# length >= 5, stated integer-exactly as chars-without-spaces >= 5 *
+# words (no division ever happens).
+_RATER_C_SQL = (
+    "(length(replace(text, ' ', '')) >= "
+    "5 * (length(text) - length(replace(text, ' ', '')) + 1))"
+)
+
+
+@query(
+    "q_cochran_q",
+    oracle=f"""
+    WITH flags AS (
+        SELECT lang,
+               CASE WHEN {_RATER_A_SQL} THEN 1 ELSE 0 END AS a,
+               CASE WHEN {_RATER_B_SQL} THEN 1 ELSE 0 END AS b,
+               CASE WHEN {_RATER_C_SQL} THEN 1 ELSE 0 END AS c
+        FROM documents
+    ),
+    agg AS (
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(a) AS BIGINT) AS c1,
+               CAST(sum(b) AS BIGINT) AS c2,
+               CAST(sum(c) AS BIGINT) AS c3,
+               CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS sum_r2
+        FROM flags GROUP BY lang
+    ),
+    q AS (
+        SELECT lang, n_docs, c1, c2, c3,
+               CASE WHEN 3 * (c1 + c2 + c3) - sum_r2 > 0 THEN
+                   round(CAST(2 * (3 * (CAST(c1 AS HUGEINT) * c1
+                                        + CAST(c2 AS HUGEINT) * c2
+                                        + CAST(c3 AS HUGEINT) * c3)
+                              - CAST(c1 + c2 + c3 AS HUGEINT)
+                                * (c1 + c2 + c3)) AS DOUBLE)
+                         / CAST(3 * (c1 + c2 + c3) - sum_r2 AS DOUBLE), 6)
+               END AS q_stat
+        FROM agg
+    )
+    SELECT lang, n_docs, c1, c2, c3, q_stat,
+           round(exp(-q_stat / 2.0), 6) AS p_value
+    FROM q
+    """,
+)
+def q_cochran_q(spark, sf_dir):
+    """Cochran's Q — the k-rater generalization of q_mcnemar: do k=3
+    paired binary judgments of the SAME documents pass at equal rates?
+    The curation use: three candidate quality gates (char-length,
+    word-count, mean-word-length) scored on one corpus; Q rejects
+    "the gates are interchangeable" before any pairwise McNemar
+    drill-down. Q = (k−1)·(k·Σc_j² − S²)/(k·S − ΣR_i²) with S = Σc_j —
+    EVERY term an exact integer (c_j = per-rule pass counts, R_i =
+    per-doc pass count, so ΣR_i = S and ΣR_i² is one conditional sum);
+    k·S = ΣR_i² iff every doc passes 0 or all 3 rules (no
+    discrimination) → NULL. dof = k−1 = 2, where the χ² survival
+    function is EXACTLY exp(−Q/2) — one transcendental from a
+    6dp-rounded Q, rounded 6dp (the house exp() discipline).
+
+    Scale shape: identical to q_mcnemar — one hash aggregate of five
+    integer conditional sums per lang; nothing downstream exceeds
+    |langs| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.length("text") - F.length(F.translate("text", " ", "")) + 1
+    a = (F.col("n_chars") >= 200).cast("int")
+    b = (words >= 30).cast("int")
+    c = (F.length(F.translate("text", " ", "")) >= 5 * words).cast("int")
+    r = F.col("a") + F.col("b") + F.col("c")
+    agg = (
+        docs.select("lang", a.alias("a"), b.alias("b"), c.alias("c"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("a").cast("long").alias("c1"),
+            F.sum("b").cast("long").alias("c2"),
+            F.sum("c").cast("long").alias("c3"),
+            F.sum(r * r).cast("long").alias("sum_r2"),
+        )
+    )
+    dec = "decimal(38,0)"
+    s = (F.col("c1") + F.col("c2") + F.col("c3")).cast(dec)
+    sum_sq = (
+        F.col("c1").cast(dec) * F.col("c1").cast(dec)
+        + F.col("c2").cast(dec) * F.col("c2").cast(dec)
+        + F.col("c3").cast(dec) * F.col("c3").cast(dec)
+    )
+    denom = F.lit(3).cast(dec) * s - F.col("sum_r2").cast(dec)
+    q_stat = F.when(
+        denom > F.lit(0).cast(dec),
+        F.round(
+            (F.lit(2).cast(dec) * (F.lit(3).cast(dec) * sum_sq - s * s))
+            .cast("double")
+            / denom.cast("double"),
+            6,
+        ),
+    )
+    return agg.select(
+        "lang", "n_docs", "c1", "c2", "c3", q_stat.alias("q_stat")
+    ).withColumn("p_value", F.round(F.exp(-F.col("q_stat") / F.lit(2.0)), 6))

@@ -1473,3 +1473,59 @@ def q_media_catalog(spark, sf_dir):
         "format", "codec", "width", "height",
         "has_alpha", "is_animated", "decodable",
     )
+
+
+@query(
+    "q_media_accounting",
+    oracle=f"""
+    SELECT format, codec,
+           count(*) AS n_files,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(CASE WHEN decodable THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_decodable,
+           CAST(sum(CASE WHEN is_animated THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_animated,
+           CAST(sum(CASE WHEN has_alpha THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alpha,
+           min(width) AS min_width, max(width) AS max_width,
+           min(height) AS min_height, max(height) AS max_height
+    FROM ({_media_catalog_oracle()})
+    GROUP BY format, codec
+    """,
+)
+def q_media_accounting(spark, sf_dir):
+    """Corpus accounting over the media catalog — the question a
+    100-TB curation run asks FIRST: how many blobs / how many bytes
+    per (format, codec), how many the engine decodes natively, how
+    many are animated or carry alpha, and the dimension envelope.
+    This is the catalog's purpose made into a one-line answer: route
+    the decodable share to the native codecs, size the PIL-plugin
+    budget for the rest (the documented extension path,
+    operators/webpcodec.py:31), all without touching a pixel.
+
+    Scale shape: the bounded head-bytes scan (64 KiB/file, no content
+    materialization) followed by a hash aggregate on a handful of
+    (format, codec) keys — partial aggregation map-side, final state
+    is format-cardinality-sized. Every output is an exact integer
+    (counts, byte sums, dimension min/max), so the cross-engine hash
+    cannot wobble. The oracle aggregates over the SAME byte-level
+    arithmetic re-parse the q_media_catalog oracle pins."""
+    return (
+        q_media_catalog(spark, sf_dir)
+        .groupBy("format", "codec")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum(F.when(F.col("decodable"), 1).otherwise(0)).alias(
+                "n_decodable"
+            ),
+            F.sum(F.when(F.col("is_animated"), 1).otherwise(0)).alias(
+                "n_animated"
+            ),
+            F.sum(F.when(F.col("has_alpha"), 1).otherwise(0)).alias("n_alpha"),
+            F.min("width").alias("min_width"),
+            F.max("width").alias("max_width"),
+            F.min("height").alias("min_height"),
+            F.max("height").alias("max_height"),
+        )
+    )

@@ -35,87 +35,82 @@ QUERIES: dict[str, QueryDef] = {}
 # positions 1-50). Every §2 operator's primary evidence query must sit
 # inside that window, so ordering is explicit: names listed here come
 # first (in this order), everything else follows in registration order.
-# Round 11 rotation — the r10 verdict's task #1 prescription: (a)
-# first driver rows for the 3 queries NEW this round (q_media_catalog
-# — the r10 verdict's task #2 / missing #1, header-level cataloging
-# of lossy-WebP/VP8X/AVIF blobs; q_kendall_exact — its task #4,
-# exact unbinned tau-b on a hash-capped sample; q_mann_kendall —
-# the trend-test companion riding the kendall cell machinery), (b) queries whose
-# CODE or a shared dependency changed this round: q_kendall_tau
-# (kendall_from_cells now emits degenerate segments via a left join,
-# r10 ADVICE #1), q_js_divergence (decimal-lifted products, ADVICE
-# #3), q_webp_decode (the scan's VP8L-first guard, ADVICE #2),
-# q_pagerank (forced |V|-row broadcast dropped for AQE, verdict task
-# #3 — q_shortest_path made the same change but already sits in the
-# r6 cohort below), (c) the three decode_media siblings the r10
-# rotation comment deferred to r11 (q_png_decode, q_media_features,
-# q_image_resize), (d) the first 40 names of the 46-name r6-stale
-# cohort in registration order. 3 + 4 + 3 + 40 = 50; the 6-name
-# overflow (q_linear_fit, q_mutual_information, q_quantile_binning,
-# q_gini_skew, q_conformal, q_rfm) rides r12, after which no query's
-# latest driver row is older than round 7. Window = 50.
+# Round 12 rotation — the r11 verdict's task #1 prescription: (a) the
+# 6-name r6-stale overflow the r11 comment promised would lead this
+# window (after these, no query's latest driver row is older than
+# round 7), (b) first driver rows for the 4 queries NEW this round
+# (q_media_accounting — the catalog rollup over the bounded scan;
+# q_mcnemar / q_cohens_kappa / q_cochran_q — the paired-rater
+# agreement family),
+# (c) the one query whose CODE/shared dependency changed this round:
+# q_media_catalog (decodable-gate mirrors for GIF/JPEG/PGM + the
+# bounded head-bytes scan path — r11 ADVICE #1/#2/#4 + verdict task
+# #2), (d) the first 40 names of the 44-name r7 cohort in
+# registration order. 6 + 4 + 1 + 39 = 50; the 5-name r7 overflow
+# (q_length_buckets, q_dup_span_removal, q_item_cooccurrence,
+# q_item_similarity, q_als_step — registration order) leads the r13
+# window. Window = 50.
 DRIVER_PRIORITY: list[str] = [
-    # (a) first driver rows: new this round
+    # (a) the r6-stale overflow (latest driver row = round 6)
+    "q_linear_fit",
+    "q_mutual_information",
+    "q_quantile_binning",
+    "q_gini_skew",
+    "q_conformal",
+    "q_rfm",
+    # (b) first driver rows: new this round
+    "q_media_accounting",
+    "q_mcnemar",
+    "q_cohens_kappa",
+    "q_cochran_q",
+    # (c) code changed this round (fresh row per the house rule)
     "q_media_catalog",
-    "q_kendall_exact",
-    "q_mann_kendall",
-    # (b) code changed this round (fresh row per the house rule)
-    "q_kendall_tau",
-    "q_js_divergence",
-    "q_webp_decode",
-    "q_pagerank",
-    # (c) the deferred decode_media siblings (r10 comment's promise)
-    "q_png_decode",
-    "q_media_features",
-    "q_image_resize",
-    # (d) the r6-stale cohort (latest driver row = round 6), first 40
-    # names in registration order
-    "q_antijoin_sample",
-    "q_corr_covar",
-    "q_array_funcs",
-    "q_big_orders",
-    "q_dedup_rank",
-    "q_ks_test",
-    "q_psi",
-    "q_markov_transitions",
-    "q_attribution",
-    "q_cuped",
-    "q_poisson_bootstrap",
-    "q_anova",
-    "q_chi2_independence",
-    "q_doc_fingerprint",
-    "q_dedup_exact",
-    "q_cosine_topk",
-    "q_auc",
-    "q_average_precision",
-    "q_heavy_hitters",
-    "q_bloom_pruned_join",
-    "q_retrieval_metrics",
-    "q_ann_ivf_recall",
-    "q_pack_sequences",
-    "q_eval_identity",
-    "q_eval_combined",
-    "q_curriculum",
-    "q_classifier_score",
-    "q_chunk_documents",
-    "q_l_diversity",
-    "q_bpe_encode",
-    "q_dsir_weights",
-    "q_type_correlation",
-    "q_seasonal_decompose",
-    "q_kaplan_meier",
-    "q_shortest_path",
-    "q_target_encoding",
-    "q_feature_hashing",
-    "q_lag_features",
-    "q_reliability_ece",
-    "q_merge_upsert",
+    # (d) the r7 cohort (latest driver row = round 7), first 39 names
+    # in registration order
+    "q_weighted_avg",
+    "q_two_level_agg",
+    "q_rollup",
+    "q_equijoin",
+    "q_semi_anti",
+    "q_having_semijoin",
+    "q_union",
+    "q_intersect",
+    "q_group_percentiles",
+    "q_string_funcs",
+    "q_star_join",
+    "q_ship_priority",
+    "q_theta_argmax",
+    "q_islands",
+    "q_mutual_argmax",
+    "q_grid_join",
+    "q_tumbling_window",
+    "q_text_stats",
+    "q_lang_id",
+    "q_ngram_jaccard",
+    "q_embedding_neardup",
+    "q_dedup_clusters",
+    "q_dedup_keep_one",
+    "q_ann_lsh",
+    "q_kfold",
+    "q_token_count",
+    "q_quality_score",
+    "q_asof_join",
+    "q_cumsum_window",
+    "q_orderby",
+    "q_binary_scan",
+    "q_frame_sample",
+    "q_skew_join",
+    "q_kmeans_step",
+    "q_zorder",
+    "q_gram_matrix",
+    "q_int8_quantize",
+    "q_tiling",
+    "q_multimodal_meta",
 ]
-# Oldest after this window: the r6 cohort's 6-name overflow
-# (q_linear_fit, q_mutual_information, q_quantile_binning,
-# q_gini_skew, q_conformal, q_rfm — still round-6 rows), to lead the
-# r12 window; then the 40 r7-row names become the next-oldest cohort
-# for r12(+r13).
+# Oldest after this window: the r7 cohort's 5-name overflow
+# (q_length_buckets, q_dup_span_removal, q_item_cooccurrence,
+# q_item_similarity, q_als_step — still round-7 rows), to lead the
+# r13 window; then the 44 r8-row names become the next-oldest cohort.
 
 
 def query(name: str, oracle: str | None = None):

