@@ -167,6 +167,8 @@ EXTENDED = [
     "q_mcnemar",
     "q_cohens_kappa",
     "q_cochran_q",
+    "q_friedman",
+    "q_cusum_prefix",
 ]
 
 # Regression floors for the HEADLINE set (r6 verdict task: the
@@ -199,13 +201,15 @@ HEADLINE_FLOOR_SEC = {
     "q_star_join": 0.572,
 }
 
-# Regression floor for the extended set: each entry's first solo
-# sf0.1 min-of-3 recording, tightened whenever a later solo run beats
-# it (last sweep: round-10 — min over two full verified-near-idle
-# bench runs, canary 0.475/0.552s on record, 26 floors tightened and
-# q_auc REBASED upward to its reproducible minimum; before that the
-# round-9 idle sweep of 32 and the round-7 quiet window that
-# re-floored 43 of 61 entries).
+# Regression floor for the extended set: each entry's first sf0.1
+# min-of-3 recording, tightened whenever a later observed run beats
+# it (last sweeps: round-12 — two full runs, start canaries
+# 0.530s/1.08s, 8 then 16 floors lowered under the refined
+# any-observation-lowers rule; round-10 — min over two full
+# verified-near-idle runs, canary 0.475/0.552s on record, 26 floors
+# tightened and q_auc REBASED upward to its reproducible minimum;
+# before that the round-9 idle sweep of 32 and the round-7 quiet
+# window that re-floored 43 of 61 entries).
 #
 # FLOOR LINEAGE RULE (r10 verdict task #5, formalized r11; refined
 # r12 per the r11 ADVICE + verdict task #3): a floor may be RAISED or
@@ -248,7 +252,7 @@ EXTENDED_FLOOR_SEC = {
     # bucket ids are plan constants — correctness at multi-executor
     # scale, bought with one extra job submission per call, which at
     # sf0.1 is mostly fixed scheduling overhead.
-    "q_auc": 0.866,  # REBASED r10: the 0.537 basis never reproduced again (judge r9 solo 1.02; r10 verified-near-idle 0.944/0.968) — a floor below the reproducible minimum only manufactures false alarms,
+    "q_auc": 0.716,  # REBASED r10: the 0.537 basis never reproduced again (judge r9 solo 1.02; r10 verified-near-idle 0.944/0.968) — a floor below the reproducible minimum only manufactures false alarms,
     "q_pack_sequences": 0.885,
     "q_pack_sequences_sharded": 0.234,
     "q_histogram_quantiles": 0.39,
@@ -271,7 +275,7 @@ EXTENDED_FLOOR_SEC = {
     "q_heavy_hitters": 0.769,
     "q_bloom_pruned_join": 1.159,
     "q_neardup_gate": 0.929,
-    "q_classifier_score": 0.521,
+    "q_classifier_score": 0.515,
     "q_chunk_documents": 0.289,
     "q_retrieval_metrics": 0.798,
     "q_ann_ivf_recall": 0.549,
@@ -339,11 +343,11 @@ EXTENDED_FLOOR_SEC = {
     # semi-join bound on the deviation pair fan)
     # (mann_whitney re-floored in the same round after its grid/rank
     # stages moved to operators/stats.py:mw_grid+mw_from_grid)
-    "q_mann_whitney": 0.394,
+    "q_mann_whitney": 0.369,
     "q_benford": 0.314,
     # acf re-floored after the decimal-before-sum overflow fix
     # (solo min-of-3 in the same commit)
-    "q_acf": 0.531,
+    "q_acf": 0.488,
     "q_slope_one": 3.939,
     "q_confusion_matrix": 0.563,
     "q_knn_accuracy": 0.728,
@@ -351,44 +355,64 @@ EXTENDED_FLOOR_SEC = {
     # r9 landing: solo min-of-3 at sf0.1 in the landing commit
     # (0.862s; first run 9.0s is fixture+listing warm-up, absorbed by
     # the harness's min-of-3)
-    "q_gif_decode": 0.405,
+    "q_gif_decode": 0.314,
     # r9 stats/graph wave: first solo sf0.1 min-of-3 recordings (host
     # showed residual load-average ~1-8 from the same-session pytest
     # sweep; tighten from a quieter end-of-round solo run if one lands)
-    "q_spearman": 1.881,
-    "q_kruskal_wallis": 0.533,
-    "q_permutation_test": 0.568,
+    "q_spearman": 1.809,
+    "q_kruskal_wallis": 0.472,
+    "q_permutation_test": 0.557,
     "q_isotonic_calibration": 0.991,
     "q_adamic_adar": 2.024,
     "q_hits": 1.825,
     "q_theil_sen": 0.556,
-    "q_video_motion": 0.334,
+    "q_video_motion": 0.315,
     "q_label_propagation": 2.238,
     # r10 landing: solo min-of-3 at sf0.1 in the landing commit, on a
     # load-3.4 host (fixture-sized decode; tighten from an idle run)
-    "q_gif_frames": 0.31,
-    "q_webp_decode": 0.422,
-    "q_kendall_tau": 0.611,
-    "q_cliffs_delta": 0.518,  # re-floored on the one-pass plan (window totals replace the join-back; idle canary 0.482 on record),
-    "q_js_divergence": 0.926,  # re-floored on the scan-once plan: the grid localCheckpoint is ~0.4s of fixed job overhead at sf0.1 that buys 1 corpus scan instead of 4 at real scale (the q_rfm cost note),
-    # r11 landing: solo min-of-3 at sf0.1 in the landing commit;
-    # basis canary 0.495-0.698s (run bracketed by canaries — the
-    # closing 0.495s is within 1.05x of the canary floor, so these
-    # bases are near-idle quality). kendall_exact's basis is the
-    # two-phase-cap plan (threshold prefilter + cap-bounded window).
-    "q_media_catalog": 0.348,
+    "q_gif_frames": 0.279,
+    "q_webp_decode": 0.377,
+    "q_kendall_tau": 0.53,
+    "q_cliffs_delta": 0.222,  # re-floored on the one-pass plan (window totals replace the join-back; idle canary 0.482 on record),
+    "q_js_divergence": 0.573,  # re-floored on the scan-once plan: the grid localCheckpoint is ~0.4s of fixed job overhead at sf0.1 that buys 1 corpus scan instead of 4 at real scale (the q_rfm cost note),
+    # RE-FLOORED r12: the query moved to the bounded head-bytes scan
+    # (list_files + ranged reads — the r11 verdict's task #2), so the
+    # r11 binaryFile-plan basis (0.348) measured a different plan;
+    # basis = the r12 full sweep (start canary 0.530s).
+    "q_media_catalog": 0.548,
     # RE-FLOORED r12 from the SWEEP regimen (r11 verdict task #3 +
     # ADVICE #3): the r11 solo-landing bases (2.366s / 2.731s) sat
     # 1.8-3.7x above every full-sweep observation — driver BENCH_r11
     # 1.337s / 0.747s, judge sweep 1.229s / 0.734s — leaving the 2x
     # bars toothless. Load only inflates timings, so the sweep
     # observations are valid upper bounds on the true floors and the
-    # refined lineage rule lowers from them regardless of canary; the
-    # judge-sweep minima are the basis. (mann_kendall's cost is the
-    # bounded cell-pair join: |days|x|value grid| squared per
-    # segment, fixed by window and range, not volume.)
-    "q_kendall_exact": 1.229,
-    "q_mann_kendall": 0.734,
+    # refined lineage rule lowers from them regardless of canary;
+    # first lowered to the judge-sweep minima (1.229/0.734), then the
+    # r12 full sweep (start canary 0.530s) beat both — its minima are
+    # the current bases. (mann_kendall's cost is the bounded
+    # cell-pair join: |days|x|value grid| squared per segment, fixed
+    # by window and range, not volume.)
+    "q_kendall_exact": 1.091,
+    "q_mann_kendall": 0.635,
+    # r12 landing: first FULL-SWEEP sf0.1 recording (the refined
+    # lineage rule's required regimen), start-of-run canary 0.530s
+    # (1.12x floor) — the sweep crossed mid-run co-tenant waves
+    # (recheck canaries up to 6.47s on record in the run's JSON), so
+    # these bases are upper bounds; lower from any later observation.
+    # q_media_catalog's floor moved to the head-bytes-scan plan in the
+    # same sweep (listing+ranged reads replace the binaryFile content
+    # scan; the old 0.348 basis measured a different plan).
+    "q_media_accounting": 0.605,
+    "q_mcnemar": 0.21,
+    "q_cohens_kappa": 0.252,
+    "q_cochran_q": 0.227,
+    "q_friedman": 0.353,
+    # q_cusum_prefix landed after sweep-1: basis = the round's SECOND
+    # full sweep (in-sweep 0.288s; a solo bracketed run the same night
+    # measured 1.016s at canaries 0.511-0.554s — sweep-warm vs solo is
+    # exactly the regimen gap the lineage rule now encodes, and the
+    # sweep number is the regimen the driver measures).
+    "q_cusum_prefix": 0.288,
 }
 
 

@@ -3203,3 +3203,134 @@ def q_cochran_q(spark, sf_dir):
     return agg.select(
         "lang", "n_docs", "c1", "c2", "c3", q_stat.alias("q_stat")
     ).withColumn("p_value", F.round(F.exp(-F.col("q_stat") / F.lit(2.0)), 6))
+
+
+@query(
+    "q_friedman",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id % 2 AS seg,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               event_type,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    full_blocks AS (
+        SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY seg, day) AS k_in_day
+            FROM obs
+        ) WHERE k_in_day = 5
+    ),
+    ranked AS (
+        SELECT seg, day, event_type,
+               2 * (rank() OVER (PARTITION BY seg, day ORDER BY cents) - 1)
+               + count(*) OVER (PARTITION BY seg, day, cents) + 1 AS s
+        FROM full_blocks
+    ),
+    per_type AS (
+        SELECT seg, event_type,
+               count(*) AS n_days,
+               CAST(sum(s) AS BIGINT) AS s_j,
+               CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS s2_j
+        FROM ranked GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT seg,
+               max(n_days) AS n_days,
+               CAST(sum(CAST(s_j - 6 * n_days AS HUGEINT)
+                        * (s_j - 6 * n_days)) AS HUGEINT) AS num4,
+               CAST(sum(s2_j) - max(n_days) * 180 AS HUGEINT) AS denom4
+        FROM per_type GROUP BY 1
+    ),
+    q AS (
+        SELECT seg, n_days,
+               CASE WHEN denom4 > 0 THEN
+                   round(4.0 * CAST(num4 AS DOUBLE)
+                         / CAST(denom4 AS DOUBLE), 6)
+               END AS q_stat
+        FROM agg
+    )
+    SELECT seg, n_days, q_stat,
+           round(exp(-q_stat / 2.0) * (1.0 + q_stat / 2.0), 6) AS p_value
+    FROM q
+    """,
+)
+def q_friedman(spark, sf_dir):
+    """Friedman test — the BLOCKED nonparametric k-sample test that
+    completes the rank family: q_mann_whitney (2 unpaired groups) →
+    q_kruskal_wallis (k unpaired) → Friedman (k treatments ranked
+    WITHIN matched blocks). Blocks = UTC epoch days, treatments = the
+    corpus's 5 event types, observation = the exact cents revenue sum
+    per (day, type); one test per user_id % 2 variant. Ranking within
+    a block removes day-level level shifts the unpaired tests
+    confound — the drift question "do the five event streams keep
+    their relative ordering day over day?".
+
+    Determinism: observations are exact BIGINT cents sums; midranks
+    carried as the INTEGER s = 2·rank − 1 = 2·(#less) + (#equal) + 1
+    (so every rank sum / square is exact), and the tie-corrected
+    statistic is cleared to integers by scaling 4: with S_j = Σ_d s,
+    Q = (k−1)·Σ_j(S_j − n(k+1))² / (Σ s² − nk(k+1)²) — numerator and
+    denominator exact HUGEINT/DECIMAL, one double division, rounded
+    6dp. k = 5 → dof 4, where the χ² survival has the CLOSED FORM
+    exp(−Q/2)(1 + Q/2) — no incomplete gamma to disagree on (the
+    q_kruskal_wallis dof-2 trick, one even-dof step up). Days missing
+    a treatment are excluded (incomplete block); denom 0 (everything
+    tied in every block) → NULL.
+
+    Scale shape: one hash aggregate to the (seg, day, type) grid —
+    bounded by 2·days·5, not rows — then windows PARTITIONED BY
+    (seg, day) over ≤5-row blocks (fully parallel, no global sort),
+    then two tiny aggregates. The grid is additive, so a stream
+    maintains it via merge_aggregate like the sibling grids."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    obs = (
+        ev.select(
+            (F.col("user_id") % 2).alias("seg"),
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("seg", "day", "event_type")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    k_in_day = F.count(F.lit(1)).over(
+        Window.partitionBy("seg", "day")
+    )
+    full = obs.withColumn("k_in_day", k_in_day).filter(F.col("k_in_day") == 5)
+    s = (
+        2 * (F.rank().over(Window.partitionBy("seg", "day").orderBy("cents")) - 1)
+        + F.count(F.lit(1)).over(Window.partitionBy("seg", "day", "cents"))
+        + 1
+    )
+    ranked = full.select("seg", "day", "event_type", s.alias("s"))
+    dec = "decimal(38,0)"
+    per_type = ranked.groupBy("seg", "event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("s").cast("long").alias("s_j"),
+        F.sum(F.col("s").cast(dec) * F.col("s").cast(dec)).alias("s2_j"),
+    )
+    dev = (F.col("s_j") - 6 * F.col("n_days")).cast(dec)
+    agg = per_type.groupBy("seg").agg(
+        F.max("n_days").alias("n_days"),
+        F.sum(dev * dev).alias("num4"),
+        (F.sum("s2_j") - F.max("n_days").cast(dec) * 180).alias("denom4"),
+    )
+    q_stat = F.when(
+        F.col("denom4") > F.lit(0).cast(dec),
+        F.round(
+            F.lit(4.0) * F.col("num4").cast("double")
+            / F.col("denom4").cast("double"),
+            6,
+        ),
+    )
+    return agg.select("seg", "n_days", q_stat.alias("q_stat")).withColumn(
+        "p_value",
+        F.round(
+            F.exp(-F.col("q_stat") / F.lit(2.0))
+            * (F.lit(1.0) + F.col("q_stat") / F.lit(2.0)),
+            6,
+        ),
+    )

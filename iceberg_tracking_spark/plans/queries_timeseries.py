@@ -804,3 +804,121 @@ def q_kaplan_meier(spark, sf_dir):
             "survival"
         ),
     )
+
+
+@query(
+    "q_cusum_prefix",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type AS seg,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    seg_tot AS (
+        SELECT seg, count(*) AS n_days, CAST(sum(cents) AS BIGINT) AS sum_c
+        FROM daily GROUP BY 1
+    ),
+    walk AS (
+        SELECT d.seg, d.day, t.n_days, t.sum_c,
+               row_number() OVER w AS t_idx,
+               CAST(sum(d.cents) OVER w AS HUGEINT) AS p
+        FROM daily d JOIN seg_tot t USING (seg)
+        WINDOW w AS (PARTITION BY d.seg ORDER BY d.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    dev AS (
+        SELECT *,
+               20 * n_days * p - CAST(t_idx AS HUGEINT) * 21 * sum_c AS d_t
+        FROM walk
+    ),
+    g AS (
+        SELECT seg, day, t_idx, n_days, sum_c,
+               d_t - least(0, min(d_t) OVER (PARTITION BY seg ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)) AS g_t
+        FROM dev
+    )
+    SELECT seg, day, t_idx,
+           round(CAST(g_t AS DOUBLE) / (2000.0 * n_days), 6) AS cusum_units,
+           g_t > 20 * CAST(sum_c AS HUGEINT) AS alarm
+    FROM g
+    """,
+)
+def q_cusum_prefix(spark, sf_dir):
+    """One-sided CUSUM changepoint monitor per event_type over daily
+    revenue — the WINDOW-DISTRIBUTED twin of q_cusum (which folds each
+    type's hourly series inside one aggregate() array fold): same
+    Page-1954 recursion S_t = max(0, S_{t-1} + x_t − κ), but with a
+    drift allowance k = μ/20 and an explicit alarm threshold, and —
+    the point of the twin — NO collected array anywhere: when the
+    observation axis itself is too long to fold in one array (years
+    of minutes, per-key monitors), the prefix identity keeps CUSUM a
+    pair of window passes over the day relation.
+
+    The recursion LOOKS inherently sequential, but the prefix identity
+    S_t = P_t − t·κ − min_{j≤t}(P_j − j·κ) (κ = μ+k, P = prefix sum)
+    turns it into TWO window passes — a running sum and a running min
+    — i.e. a fully distributed scan over the day-level relation, the
+    same trick distributed_cumulative rides. Exactness: x_t are exact
+    daily cents sums; κ = 21μ/20 (5% drift allowance k = μ/20) is
+    rational, so everything is scaled by 20N: D_t = 20N·P_t −
+    t·21·Σc is an exact integer, G_t = D_t − min_j D_j ≥ 0 is the
+    scaled CUSUM, and the alarm G_t > 20·Σc (i.e. S_t > one average
+    day μ) is an INTEGER comparison — both engines divide only for
+    the reported cusum_units, rounded 6dp.
+
+    Scale shape: one hash aggregate to (seg, day) — bounded by
+    |types|·|days|, not rows — a broadcast join of 5-row segment
+    totals, then two windows per segment whose partitions are
+    |days| long: cost grows with the OBSERVATION WINDOW, never with
+    corpus volume (the mann_kendall honest contract)."""
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.select(
+            F.col("event_type").alias("seg"),
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("seg", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    seg_tot = daily.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cents").alias("sum_c")
+    )
+    w = (
+        Window.partitionBy("seg")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = (
+        daily.join(F.broadcast(seg_tot), "seg")
+        .withColumn("t_idx", F.row_number().over(Window.partitionBy("seg").orderBy("day")))
+        .withColumn("p", F.sum("cents").over(w).cast(dec))
+    )
+    d_t = (
+        F.lit(20).cast(dec) * F.col("n_days").cast(dec) * F.col("p")
+        - F.col("t_idx").cast(dec) * F.lit(21).cast(dec) * F.col("sum_c").cast(dec)
+    )
+    dev = walk.withColumn("d_t", d_t)
+    # the min must include the EMPTY prefix j=0 (D_0 = 0): a first
+    # observation above kappa already accumulates
+    g_t = F.col("d_t") - F.least(F.lit(0).cast(dec), F.min("d_t").over(w))
+    out = dev.withColumn("g_t", g_t)
+    return out.select(
+        "seg",
+        "day",
+        "t_idx",
+        F.round(
+            F.col("g_t").cast("double")
+            / (F.lit(2000.0) * F.col("n_days").cast("double")),
+            6,
+        ).alias("cusum_units"),
+        (
+            F.col("g_t")
+            > F.lit(20).cast(dec) * F.col("sum_c").cast(dec)
+        ).alias("alarm"),
+    )

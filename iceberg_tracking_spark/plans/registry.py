@@ -38,18 +38,20 @@ QUERIES: dict[str, QueryDef] = {}
 # Round 12 rotation — the r11 verdict's task #1 prescription: (a) the
 # 6-name r6-stale overflow the r11 comment promised would lead this
 # window (after these, no query's latest driver row is older than
-# round 7), (b) first driver rows for the 4 queries NEW this round
+# round 7), (b) first driver rows for the 6 queries NEW this round
 # (q_media_accounting — the catalog rollup over the bounded scan;
 # q_mcnemar / q_cohens_kappa / q_cochran_q — the paired-rater
-# agreement family),
+# agreement family; q_friedman — the blocked nonparametric k-sample
+# test completing the rank family; q_cusum_prefix — distributed CUSUM
+# changepoint monitor via the prefix-min identity),
 # (c) the one query whose CODE/shared dependency changed this round:
 # q_media_catalog (decodable-gate mirrors for GIF/JPEG/PGM + the
 # bounded head-bytes scan path — r11 ADVICE #1/#2/#4 + verdict task
-# #2), (d) the first 40 names of the 44-name r7 cohort in
-# registration order. 6 + 4 + 1 + 39 = 50; the 5-name r7 overflow
-# (q_length_buckets, q_dup_span_removal, q_item_cooccurrence,
-# q_item_similarity, q_als_step — registration order) leads the r13
-# window. Window = 50.
+# #2), (d) the first 37 names of the 44-name r7 cohort in
+# registration order. 6 + 6 + 1 + 37 = 50; the 7-name r7 overflow
+# (q_tiling, q_multimodal_meta, q_length_buckets, q_dup_span_removal,
+# q_item_cooccurrence, q_item_similarity, q_als_step — registration
+# order) leads the r13 window. Window = 50.
 DRIVER_PRIORITY: list[str] = [
     # (a) the r6-stale overflow (latest driver row = round 6)
     "q_linear_fit",
@@ -63,9 +65,11 @@ DRIVER_PRIORITY: list[str] = [
     "q_mcnemar",
     "q_cohens_kappa",
     "q_cochran_q",
+    "q_friedman",
+    "q_cusum_prefix",
     # (c) code changed this round (fresh row per the house rule)
     "q_media_catalog",
-    # (d) the r7 cohort (latest driver row = round 7), first 39 names
+    # (d) the r7 cohort (latest driver row = round 7), first 37 names
     # in registration order
     "q_weighted_avg",
     "q_two_level_agg",
@@ -104,13 +108,12 @@ DRIVER_PRIORITY: list[str] = [
     "q_zorder",
     "q_gram_matrix",
     "q_int8_quantize",
-    "q_tiling",
-    "q_multimodal_meta",
 ]
-# Oldest after this window: the r7 cohort's 5-name overflow
-# (q_length_buckets, q_dup_span_removal, q_item_cooccurrence,
-# q_item_similarity, q_als_step — still round-7 rows), to lead the
-# r13 window; then the 44 r8-row names become the next-oldest cohort.
+# Oldest after this window: the r7 cohort's 7-name overflow
+# (q_tiling, q_multimodal_meta, q_length_buckets, q_dup_span_removal,
+# q_item_cooccurrence, q_item_similarity, q_als_step — still round-7
+# rows), to lead the r13 window; then the 44 r8-row names become the
+# next-oldest cohort.
 
 
 def query(name: str, oracle: str | None = None):

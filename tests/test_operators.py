@@ -2442,3 +2442,128 @@ def test_cochran_q_matches_pure_python(spark, sf_dir):
         assert row["p_value"] is not None and 0.0 <= row["p_value"] <= 1.0
         n_tested += 1
     assert n_tested > 0
+
+
+def test_friedman_matches_pure_python(spark, sf_dir):
+    """q_friedman vs the textbook blocked-rank computation from an
+    independent pandas pass (scipy-free): midranks within each
+    complete (seg, day) block, tie-corrected Q, p = exp(-Q/2)(1+Q/2)
+    for dof 4."""
+    import math
+
+    import pandas as pd
+
+    from iceberg_tracking_spark.plans.queries_advanced import q_friedman
+
+    got = {r["seg"]: r for r in q_friedman(spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["seg"] = ev["user_id"] % 2
+    ts = pd.to_datetime(ev["ts"])
+    epoch_s = (ts - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+    ev["day"] = epoch_s // 86400
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    obs = (
+        ev.groupby(["seg", "day", "event_type"])["cents"].sum().reset_index()
+    )
+    n_tested = 0
+    for seg, g in obs.groupby("seg"):
+        complete = g.groupby("day").filter(lambda b: len(b) == 5)
+        s_sum: dict = {}
+        s2_total = 0
+        n_days = complete["day"].nunique()
+        for _, block in complete.groupby("day"):
+            vals = block["cents"].tolist()
+            for et, v in zip(block["event_type"], vals):
+                less = sum(1 for x in vals if x < v)
+                equal = sum(1 for x in vals if x == v)
+                s = 2 * less + equal + 1
+                s_sum[et] = s_sum.get(et, 0) + s
+                s2_total += s * s
+        num4 = sum((sj - 6 * n_days) ** 2 for sj in s_sum.values())
+        denom4 = s2_total - n_days * 180
+        row = got[seg]
+        assert row["n_days"] == n_days
+        if denom4 <= 0:
+            assert row["q_stat"] is None
+            continue
+        q = round(4.0 * num4 / denom4, 6)
+        assert row["q_stat"] == q
+        assert row["p_value"] == round(math.exp(-q / 2.0) * (1.0 + q / 2.0), 6)
+        n_tested += 1
+    assert n_tested > 0 and len(got) == 2
+
+
+def test_cusum_prefix_identity_matches_recursion(spark, sf_dir):
+    """The distributed CUSUM (prefix-sum + running-min windows) must
+    equal the textbook sequential recursion S_t = max(0, S_{t-1} +
+    x_t - kappa) exactly — the identity S_t = P_t - t*kappa -
+    min_{j<=t}(P_j - j*kappa) is the whole trick, so replay it
+    against the real parquet."""
+    import pandas as pd
+
+    from iceberg_tracking_spark.plans.queries_timeseries import q_cusum_prefix
+
+    got = {
+        (r["seg"], r["day"]): r for r in q_cusum_prefix(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ts = pd.to_datetime(ev["ts"])
+    ev["day"] = (ts - pd.Timestamp(0)) // pd.Timedelta(seconds=1) // 86400
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = (
+        ev.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    )
+    n_alarm_rows = 0
+    for seg, g in daily.groupby("event_type"):
+        g = g.sort_values("day")
+        n = len(g)
+        sum_c = int(g["cents"].sum())
+        # integer recursion scaled by 20N: kappa*20N = 21*sum_c
+        s = 0
+        for t, (_, row) in enumerate(g.iterrows(), start=1):
+            x_scaled = 20 * n * int(row["cents"])
+            s = max(0, s + x_scaled - 21 * sum_c)
+            r = got[(seg, int(row["day"]))]
+            assert r["t_idx"] == t
+            assert r["cusum_units"] == round(s / (2000.0 * n), 6), (seg, t)
+            want_alarm = s > 20 * sum_c
+            assert bool(r["alarm"]) == want_alarm
+            n_alarm_rows += want_alarm
+    assert len(got) == len(daily)
+
+
+def test_cusum_planted_shift_alarms(spark):
+    """A series flat at mu then shifted +50% must alarm after the
+    shift and not before (contract pin on constructed rows)."""
+    import datetime
+
+    import iceberg_tracking_spark.plans.queries_timeseries as mod
+    from iceberg_tracking_spark.plans.queries_timeseries import q_cusum_prefix
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    eid = 0
+    for day in range(40):
+        # one event per day: 100.00 for 30 days, 150.00 after
+        v = 100.0 if day < 30 else 150.0
+        rows.append(
+            (eid, base + datetime.timedelta(days=day), 1, "shift", v, "")
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = mod.load_table
+    mod.load_table = lambda spark, sf_dir, name: df
+    try:
+        out = {r["t_idx"]: r for r in q_cusum_prefix(spark, "x").collect()}
+    finally:
+        mod.load_table = orig
+    assert not any(out[t]["alarm"] for t in range(1, 31))
+    assert out[40]["alarm"]  # sustained +50% shift must trip
+    # cusum is nondecreasing across the flat-then-shifted series tail
+    assert out[40]["cusum_units"] > out[35]["cusum_units"] > 0
