@@ -5,13 +5,23 @@ The scale pattern (same as Spark MLlib's RowMatrix.computeGramianMatrix
 sums — and ONLY that d x d matrix reaches the driver, never the data.
 For d = 64 that is 2080 doubles from a 100 TB table.
 
-The Gram reduction here is fully relational and join-free: posexplode
-each row's vector to (i, x_i), build the per-row upper-triangle products
-with slice+transform (map-side array work), posexplode again, and hash-
-aggregate on (i, j) — partial aggregation means the shuffle carries at
-most 2080 rows per map partition regardless of input size. No UDF, no
-self-join of the exploded relation (which would shuffle the whole
-dataset x d).
+The Gram reduction is an Arrow-batched numpy partial aggregation
+(optimization guide §4.2: hand whole batches to vectorized native
+code): each task accumulates X^T X over its batches with one BLAS
+`x.T @ x` per batch and emits a single d(d+1)/2-row partial, so the
+shuffle carries at most 2080 rows per task regardless of input size,
+and the final hash aggregate sums the partials. No self-join of an
+exploded relation (which would shuffle the whole dataset x d).
+
+(History: through r11 this was a pure-Catalyst double-posexplode with
+a slice+transform product fan. Higher-order functions are
+CodegenFallback — every one of the n·d(d+1)/2 products paid
+interpreted-expression overhead, measured r12 at ~2.0 s for 2000
+64-dim rows at sf0.1 (~5 µs per product) vs ~0.3 s for the numpy
+partial path computing the same sums; the shuffle shape is identical.
+Summation grouping differs (per-batch BLAS partials vs per-row
+products), which the 4-decimal display rounding absorbs exactly as it
+already absorbed hash-aggregate arrival order.)
 
 Eigen-decomposition of the 64 x 64 result runs in numpy on the driver
 (O(d^3), microseconds); projections go back as broadcast literal
@@ -30,29 +40,41 @@ from .similarity import seq_dot
 def gram_upper(vectors: DataFrame, dim: int, vec_col: str = "e") -> DataFrame:
     """Upper-triangle Gram sums: (gi, gj, g) with gi <= gj, 0-based.
 
-    g[i][j] = sum over rows of x_i * x_j. Map-side explode work plus
-    one tiny (i, j)-keyed aggregate; see module docstring.
+    g[i][j] = sum over rows of x_i * x_j. One numpy X^T X partial per
+    task (NULL vectors contribute nothing, matching the previous
+    explode semantics; vectors must be exactly `dim` wide — the
+    operator's documented contract) plus one tiny (i, j)-keyed
+    aggregate; see module docstring.
     """
-    ex = vectors.select(
-        vec_col, F.posexplode(F.col(vec_col)).alias("i", "xi")
-    )
-    prods = ex.select(
-        "i",
-        F.posexplode(
-            F.transform(
-                F.slice(
-                    F.col(vec_col),
-                    F.col("i") + 1,
-                    F.lit(dim) - F.col("i"),
-                ),
-                lambda y: F.col("xi") * y,
+    import numpy as np
+
+    gi_idx, gj_idx = (a.astype("int64") for a in np.triu_indices(dim))
+
+    def _partials(batches):
+        import pandas as pd
+
+        acc = np.zeros((dim, dim), dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            rows = [v for v in pdf[vec_col] if v is not None]
+            if not rows:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in rows])
+            if x.shape[1] != dim:
+                raise ValueError(
+                    f"gram_upper: vector width {x.shape[1]} != dim {dim}"
+                )
+            acc += x.T @ x
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {"gi": gi_idx, "gj": gj_idx, "g": acc[gi_idx, gj_idx]}
             )
-        ).alias("dj", "p"),
+
+    partials = vectors.select(vec_col).mapInPandas(
+        _partials, "gi bigint, gj bigint, g double"
     )
-    return prods.groupBy(
-        F.col("i").cast("long").alias("gi"),
-        (F.col("i") + F.col("dj")).cast("long").alias("gj"),
-    ).agg(F.sum("p").alias("g"))
+    return partials.groupBy("gi", "gj").agg(F.sum("g").alias("g"))
 
 
 def pca_components(vectors: DataFrame, dim: int, k: int, vec_col: str = "e"):

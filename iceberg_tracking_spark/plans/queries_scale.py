@@ -1714,10 +1714,10 @@ def q_gram_matrix(spark, sf_dir):
     """Distributed Gram matrix (X^T X upper triangle) — the reduction
     behind PCA/covariance/linear solvers at scale
     (operators/decomposition.py): only d(d+1)/2 = 2080 sums leave the
-    cluster, never the data. Join-free: per-row products come from
-    slice+transform on the already-exploded (i, x_i) rows, so the only
-    shuffle is the (i, j)-keyed hash agg with map-side combine — the
-    oracle's self-join formulation is the spec, not the plan."""
+    cluster, never the data. Join-free: each task folds its Arrow
+    batches into one numpy X^T X partial (2080 rows per task on the
+    wire), so the only shuffle is the (i, j)-keyed sum of partials —
+    the oracle's self-join formulation is the spec, not the plan."""
     from ..operators.decomposition import gram_upper
 
     v = _t(spark, sf_dir, "embeddings").select(

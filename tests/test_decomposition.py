@@ -36,6 +36,25 @@ def test_gram_matches_numpy(spark, vectors):
     assert np.allclose(got, want, atol=1e-6)
 
 
+def test_gram_partials_multi_partition_and_null_skip(spark):
+    """r12 internals change: gram_upper folds numpy X^T X partials per
+    task instead of the Catalyst explode fan. Pin (a) partial sums
+    across MANY partitions combine to the full-matrix numpy result and
+    (b) NULL vectors contribute nothing (the posexplode-era semantics)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(64, EMB_DIM))
+    rows = [(i, [float(v) for v in x[i]]) for i in range(64)]
+    rows.append((999, None))  # NULL vector: must be skipped, not crash
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>").repartition(16)
+    got = np.zeros((EMB_DIM, EMB_DIM))
+    for r in gram_upper(df, EMB_DIM).collect():
+        got[r["gi"], r["gj"]] = r["g"]
+        got[r["gj"], r["gi"]] = r["g"]
+    assert np.allclose(got, x.T @ x, atol=1e-9)
+
+
 def test_pca_components_orthonormal_and_sorted(vectors):
     comps, ev = pca_components(vectors, EMB_DIM, k=5)
     assert comps.shape == (5, EMB_DIM)
