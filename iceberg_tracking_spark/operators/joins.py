@@ -98,19 +98,28 @@ def grid_cell_join(
     right_y: str,
     cell_size: float,
     extra_on=None,
+    cell_size_y: float | None = None,
 ) -> DataFrame:
     """Lossless grid prefilter for bounded-reach theta joins (IoU,
     containment): all (left, right) pairs whose 2-D anchor points fall
     within one grid cell of each other (3x3 neighborhood), no distance
     filter — the caller applies the exact predicate.
 
-    LOSSLESS when the predicate implies |Δx| < cell AND |Δy| < cell at
-    the anchors: |Δ| < cell ⇒ cell indices differ by ≤ 1, so every
+    LOSSLESS when the predicate implies |Δx| < cell_x AND |Δy| < cell_y
+    at the anchors: |Δ| < cell ⇒ cell indices differ by ≤ 1, so every
     qualifying pair survives the equi-join. For box IoU with centers as
     anchors, overlap implies |Δcx| < (w_a + w_b)/2, so any cell ≥ the
     maximum box extent qualifies. Replaces a per-frame O(n²) pair
     explosion with Σ|cell|·9-bounded candidates — the difference
     between quadratic and data-linear at dense frames.
+
+    `cell_size_y` (default: `cell_size`) sets the y-axis cell
+    independently: candidate volume scales with cell_x · cell_y, so
+    when the y-reach bound is tighter than the x-reach bound (flat
+    boxes), an anisotropic grid cuts candidates for free — the same
+    3x3 explode, smaller cells (guide §2.3: fewer pairs through the
+    join; r12, measured on q_iou_argmax's 64→(49,40) tightening:
+    3.35M → 2.24M candidate rows at sf0.1, identical survivors).
 
     Column-collision handling matches grid_radius_join (right side
     prefixed `r_` on collision).
@@ -131,9 +140,10 @@ def grid_cell_join(
         extra_on = [(lc, renames.get(rc, rc)) for lc, rc in extra_on]
 
     cell = float(cell_size)
+    cell_y = float(cell_size_y if cell_size_y is not None else cell_size)
     l = (
         left.withColumn("_lcx", F.floor(F.col(left_x) / cell).cast("long"))
-        .withColumn("_lcy", F.floor(F.col(left_y) / cell).cast("long"))
+        .withColumn("_lcy", F.floor(F.col(left_y) / cell_y).cast("long"))
         .withColumn("_ox", F.explode(offsets))
         .withColumn("_oy", F.explode(offsets))
         .withColumn("_cx", F.col("_lcx") + F.col("_ox"))
@@ -142,7 +152,7 @@ def grid_cell_join(
     )
     r = right.withColumn(
         "_cx", F.floor(F.col(right_x) / cell).cast("long")
-    ).withColumn("_cy", F.floor(F.col(right_y) / cell).cast("long"))
+    ).withColumn("_cy", F.floor(F.col(right_y) / cell_y).cast("long"))
     on = [l["_cx"] == r["_cx"], l["_cy"] == r["_cy"]]
     if extra_on:
         for lc, rc in extra_on:

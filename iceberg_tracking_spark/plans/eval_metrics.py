@@ -25,7 +25,7 @@ def matched_pairs(
     gt: DataFrame,
     tracks: DataFrame,
     iou_threshold: float = 0.5,
-    prefilter_cell: float | None = None,
+    prefilter_cell: float | tuple[float, float] | None = None,
 ) -> DataFrame:
     """The greedy per-GT matching shared by every metric job
     (reference eval.py:221-254): IoU theta-join, threshold, per
@@ -54,9 +54,15 @@ def matched_pairs(
         t2 = tr.withColumn("_tcx", F.col("t_l") + F.col("t_w") / 2).withColumn(
             "_tcy", F.col("t_t") + F.col("t_h") / 2
         )
+        cx, cy = (
+            prefilter_cell
+            if isinstance(prefilter_cell, tuple)
+            else (prefilter_cell, prefilter_cell)
+        )
         paired = grid_cell_join(
             g2, t2, "_gcx", "_gcy", "_tcx", "_tcy",
-            cell_size=float(prefilter_cell),
+            cell_size=float(cx),
+            cell_size_y=float(cy),
             extra_on=[("sequence", "sequence"), ("frame", "frame")],
         )
     else:

@@ -91,12 +91,12 @@ def q_iou_argmax(spark, sf_dir):
     (reference eval.py:221-254): pair GT×DET per frame, compute IoU as
     a native column expression, keep the best det per GT with IoU ≥
     0.3. Pairing goes through the lossless grid prefilter
-    (operators/joins.grid_cell_join): box extents are ≤ 49 px by
-    derivation, so with 64 px cells every overlapping pair shares a
-    3×3 cell neighborhood — the per-frame O(n²) explosion (quadratic in
-    frame density at scale) becomes cell-bounded candidates with the
-    identical surviving pair set. The oracle states the naive all-pairs
-    spec."""
+    (operators/joins.grid_cell_join): box widths are ≤ 49 px and
+    heights ≤ 41 px by derivation, so with (49, 40) px cells every
+    overlapping pair shares a 3×3 cell neighborhood — the per-frame
+    O(n²) explosion (quadratic in frame density at scale) becomes
+    cell-bounded candidates with the identical surviving pair set. The
+    oracle states the naive all-pairs spec."""
     from ..operators.joins import grid_cell_join
 
     b = _boxes(spark, sf_dir)
@@ -114,9 +114,15 @@ def q_iou_argmax(spark, sf_dir):
     ).withColumn("_dcx", F.col("d_l") + F.col("d_w") / 2).withColumn(
         "_dcy", F.col("d_t") + F.col("d_h") / 2
     )
+    # Tightest lossless cells (r12, guide §2.3 — candidate volume
+    # scales with cell_x·cell_y): by derivation w ∈ [20,49] on both
+    # sides and h ∈ [20,39] (GT) / [18,41] (DET), so overlap ⇒
+    # |Δcx| < (49+49)/2 = 49 and |Δcy| < (39+41)/2 = 40. The previous
+    # square 64 px grid carried 3.35M candidate pairs at sf0.1; (49,40)
+    # carries 2.24M with the identical surviving pair set.
     pairs = grid_cell_join(
         gt, det, "_gcx", "_gcy", "_dcx", "_dcy",
-        cell_size=64.0, extra_on=[("frame", "frame")],
+        cell_size=49.0, cell_size_y=40.0, extra_on=[("frame", "frame")],
     ).withColumn(
         "iou",
         iou(
@@ -428,9 +434,13 @@ def q_eval_metrics(spark, sf_dir):
         F.col("dl").alias("l"), F.col("dt_").alias("t"),
         F.col("dw").alias("w"), F.col("dh").alias("h"),
     )
-    # Box extents are ≤ 49 px by derivation → 64 px cells make the
-    # grid prefilter lossless (see clear_identity_metrics docstring).
-    return clear_identity_metrics(gt, tr, iou_threshold=0.5, prefilter_cell=64.0)
+    # Tightest lossless cells (r12): widths ≤ 49, heights ≤ 39/41 by
+    # derivation, so overlap ⇒ |Δcx| < 49, |Δcy| < 40 (see the
+    # q_iou_argmax note; clear_identity_metrics docstring has the
+    # general losslessness argument).
+    return clear_identity_metrics(
+        gt, tr, iou_threshold=0.5, prefilter_cell=(49.0, 40.0)
+    )
 
 
 @query(
@@ -872,8 +882,9 @@ def q_eval_identity(spark, sf_dir):
     # re-derive the pair join otherwise — materialize it once, same
     # rationale as q_eval_metrics's `picked` checkpoint
     matches = matched_pairs(
-        gt, tr, iou_threshold=0.5, prefilter_cell=64.0
-    ).localCheckpoint()  # extents <= 49 px -> 64 px grid is lossless
+        gt, tr, iou_threshold=0.5, prefilter_cell=(49.0, 40.0)
+    ).localCheckpoint()  # widths <= 49, heights <= 41 -> (49,40) grid
+    # is the tightest lossless prefilter (r12; q_iou_argmax note)
     return identity_metrics(gt, tr, matches=matches)
 
 
@@ -1023,8 +1034,9 @@ def q_eval_combined(spark, sf_dir):
         F.col("dw").alias("w"), F.col("dh").alias("h"),
     )
     matches = matched_pairs(
-        gt, tr, iou_threshold=0.5, prefilter_cell=64.0
-    ).localCheckpoint()  # extents <= 49 px -> 64 px grid is lossless
+        gt, tr, iou_threshold=0.5, prefilter_cell=(49.0, 40.0)
+    ).localCheckpoint()  # widths <= 49, heights <= 41 -> (49,40) grid
+    # is the tightest lossless prefilter (r12; q_iou_argmax note)
     clear = clear_identity_metrics(gt, tr, matches=matches).select(
         "sequence", "n_gt", "n_det", "tp", "fn",
         "idsw", "frag", "mt", "pt", "ml", "loca",

@@ -775,6 +775,50 @@ def test_grid_cell_join_lossless_for_bounded_boxes(spark):
     assert key(naive) == key(pre)
     # And no pair is emitted twice by the 3x3 explode.
     assert len(pre) == len(key(pre))
+    # r12 anisotropic cells: flat boxes (h bounded well below w) admit
+    # a tighter y-cell — the prefilter must stay lossless and
+    # duplicate-free while emitting FEWER candidates than the square
+    # grid (the candidate-volume win is the point of the parameter).
+    flat = pdf.assign(h=pdf["h"] / 2)  # h in (2.5, 30) -> y-cell 30
+    fdf = spark.createDataFrame(flat)
+    fa = fdf.select(
+        F.col("id").alias("a_id"), "frame",
+        F.col("l").alias("a_l"), F.col("t").alias("a_t"),
+        F.col("w").alias("a_w"), F.col("h").alias("a_h"),
+    ).withColumn("_acx", F.col("a_l") + F.col("a_w") / 2).withColumn(
+        "_acy", F.col("a_t") + F.col("a_h") / 2
+    )
+    fb = fdf.select(
+        F.col("id").alias("b_id"), "frame",
+        F.col("l").alias("b_l"), F.col("t").alias("b_t"),
+        F.col("w").alias("b_w"), F.col("h").alias("b_h"),
+    ).withColumn("_bcx", F.col("b_l") + F.col("b_w") / 2).withColumn(
+        "_bcy", F.col("b_t") + F.col("b_h") / 2
+    )
+    naive_flat = (
+        fa.join(fb, "frame")
+        .withColumn("iou", the_iou)
+        .filter(F.col("iou") > 0)
+        .select("a_id", "b_id")
+        .toPandas()
+    )
+    square_df = grid_cell_join(
+        fa, fb, "_acx", "_acy", "_bcx", "_bcy",
+        cell_size=60.0, extra_on=[("frame", "frame")],
+    )
+    tight_df = grid_cell_join(
+        fa, fb, "_acx", "_acy", "_bcx", "_bcy",
+        cell_size=60.0, cell_size_y=30.0, extra_on=[("frame", "frame")],
+    )
+    assert tight_df.count() < square_df.count()
+    tight = (
+        tight_df.withColumn("iou", the_iou)
+        .filter(F.col("iou") > 0)
+        .select("a_id", "b_id")
+        .toPandas()
+    )
+    assert key(naive_flat) == key(tight)
+    assert len(tight) == len(key(tight))
 
 
 def test_interval_join_parity_with_naive_between(spark):
