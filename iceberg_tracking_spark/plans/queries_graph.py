@@ -13,9 +13,13 @@ Reference tie-in: the reference's track-graph post-processing
 (pairwise scores within a frame group) before its greedy 1:1 pass.
 
 Scale design (100 TB):
-* Edge generation is a within-order self-join — bounded by order size
-  (TPC-H orders have ≤7 lineitems), so the pair explosion is linear in
-  input, never quadratic in the table.
+* Edge generation collects each order's supplier set (one scan, one
+  order-keyed shuffle, groups bounded by order size — TPC-H orders
+  have ≤7 lineitems) and explodes the pair fan map-side, so the pair
+  explosion is linear in input, never quadratic in the table, and no
+  self-join (with its twice-scanned, twice-shuffled input) runs at
+  all (r12; the oracle SQL keeps the self-join formulation as the
+  semantic spec).
 * Each PageRank iteration is ONE shuffle (edge ⋈ rank join keyed on the
   node id + hash re-aggregate). Contributions use map-side partial
   aggregation; no window, no sort.
@@ -49,22 +53,27 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returned symmetrized (both directions), so a single groupBy over
     `src` computes degrees and neighbor sums without a second union.
 
-    Symmetrize BEFORE distinct: the within-order self-join on `!=`
-    already yields both edge directions, so one distinct over the
-    doubled pair stream produces the symmetric relation in a single
-    pass. (The previous shape — distinct on `<` pairs, then union with
-    the swap — read the whole join+distinct lineage twice per
-    materialization; r4 verdict item 7.)
+    Built join-free (r12, guide §2.4 "remove shuffles outright"):
+    collect each order's distinct supplier SET (one scan, one
+    order-keyed shuffle whose groups are bounded by order size, ≤7
+    lineitems in TPC-H shape), then explode the set against itself
+    map-side — exactly the pair multiset the within-order self-join
+    on `!=` produced, without scanning lineitem twice or building a
+    join at all. (History: r4 moved distinct-after-union to a single
+    pass over the join's doubled pair stream; r12 removes the join —
+    the self-join's two identical scan+Exchange subtrees got NO
+    ReusedExchange at runtime because one side sat under a
+    BroadcastExchange, re-proven in the executed plan this round.
+    Measured at sf0.1, warm min: 2.74 s self-join → 1.16 s set-explode
+    for the symmetric distinct relation; pair multiset verified
+    identical with exceptAll in both directions.)
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("ss"))
     return (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-        )
+        sets.select(F.explode("ss").alias("src"), "ss")
+        .select("src", F.explode("ss").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
         .distinct()
     )
 
@@ -234,19 +243,21 @@ def _backbone_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIRECTED top-K picks (s → d: s keeps d among its 8 strongest
     partners) — the endorsement relation behind the backbone;
     out-degree ≤ _TOPK by construction. localCheckpoint-ed."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    # Join-free co-occurrence counts (r12 — the _supplier_edges
+    # set-explode move): collect_set per order IS the distinct
+    # (l_orderkey, l_suppkey) relation the old shape materialized
+    # twice on the two self-join sides; the ordered pair fan explodes
+    # map-side, bounded by order size. Measured at sf0.1, warm min:
+    # 3.15 s → 1.96 s for the cooc aggregate, identical multiset.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
     )
-    a = li.alias("a")
-    b = li.alias("b")
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("ss"))
     cooc = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
-        .groupBy(
-            F.col("a.l_suppkey").alias("s"), F.col("b.l_suppkey").alias("d")
-        )
+        sets.select(F.explode("ss").alias("s"), "ss")
+        .select("s", F.explode("ss").alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .groupBy("s", "d")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     w = Window.partitionBy("s").orderBy(F.col("n").desc(), F.col("d").asc())
@@ -483,6 +494,13 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey"
     )
+    # NOTE (r12): the _supplier_edges set-explode move does NOT port
+    # here as a sorted-adjacent pairing — the synthetic lineitem has
+    # duplicate (l_orderkey, l_linenumber) rows (11,785 duplicate
+    # groups at sf0.01), and sort-adjacency loses the cross-duplicate
+    # pairs the ln+1 join predicate produces (caught by the 3-SF
+    # oracle check; the set-explode rewrite was reverted for this one
+    # builder). The self-join stays as the correct general shape.
     a, b = li.alias("a"), li.alias("b")
     directed = (
         a.join(
