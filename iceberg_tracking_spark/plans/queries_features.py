@@ -257,6 +257,38 @@ _CO_TOPK = 100
 _BASKET_CAP = 64
 
 
+def _basket_pairs(li: DataFrame, min_pair: int) -> DataFrame:
+    """(pa < pb, pair_n) within-order support counts, join-free (r12).
+
+    Collect each order's basket as the cap-truncated ascending list
+    (slice(sort_array(collect_list)) ≡ cap_group_size's first-cap-rows-
+    by-value multiset, duplicates included — the oracles' row_number
+    cap row-for-row) and explode the ordered pair fan map-side. The
+    previous capped self-join on l_orderkey scanned and shuffled the
+    capped relation twice (window shuffle + both join sides) and its
+    identical subtrees got no runtime ReusedExchange under the
+    broadcast (the queries_graph._supplier_edges finding); this is ONE
+    order-keyed shuffle, with the identical pair multiset — pair
+    counts preserve duplicate-row multiplicity exactly like the join.
+    Fan stays O(cap²) per order map-side; measured at sf0.1 (min-of-3
+    count action, comparable canary windows): q_item_cooccurrence
+    2.91 s → 1.80 s, q_item_similarity 2.94 s → 1.66 s.
+    """
+    baskets = li.groupBy("l_orderkey").agg(
+        F.slice(
+            F.sort_array(F.collect_list("l_partkey")), 1, _BASKET_CAP
+        ).alias("items")
+    )
+    return (
+        baskets.select(F.explode("items").alias("pa"), "items")
+        .select("pa", F.explode("items").alias("pb"))
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair)
+    )
+
+
 @query(
     "q_item_cooccurrence",
     oracle=f"""
@@ -309,20 +341,7 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds candidate GENERATION, not the probability estimates.
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    capped = cap_group_size(
-        li, ["l_orderkey"], [F.col("l_partkey")], _BASKET_CAP
-    )
-    a, b = capped.alias("a"), capped.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).alias("pair_n"))
-        .filter(F.col("pair_n") >= _CO_MIN_PAIR)
-    )
+    pairs = _basket_pairs(li, _CO_MIN_PAIR)
     freq = li.groupBy("l_partkey").agg(
         F.countDistinct("l_orderkey").alias("n_ord")
     )
@@ -625,20 +644,7 @@ def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see the constant's comment) so a hot group stays O(cap²).
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    capped = cap_group_size(
-        li, ["l_orderkey"], [F.col("l_partkey")], _BASKET_CAP
-    )
-    a, b = capped.alias("a"), capped.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).alias("pair_n"))
-        .filter(F.col("pair_n") >= _SIM_MIN_PAIR)
-    )
+    pairs = _basket_pairs(li, _SIM_MIN_PAIR)
     sym = pairs.select(
         F.col("pa").alias("item"),
         F.col("pb").alias("neighbor"),

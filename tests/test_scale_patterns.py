@@ -622,6 +622,49 @@ def test_basket_pair_fan_group_cap(spark):
     print(f"\nhot-basket pair fan: capped to {n_pairs} pairs (cap={cap})")
 
 
+def test_basket_pairs_join_free_parity(spark):
+    """r12 internals change: queries_features._basket_pairs replaces
+    the capped self-join with slice(sort_array(collect_list)) + a
+    map-side ordered pair fan. Pin exact (pa, pb, pair_n) parity with
+    the old shape on data that exercises BOTH edge cases the rewrite
+    must preserve: duplicate (order, item) rows (pair multiplicity)
+    and a basket larger than the cap (truncation multiset)."""
+    from iceberg_tracking_spark.operators.windows import cap_group_size
+    from iceberg_tracking_spark.plans.queries_features import (
+        _BASKET_CAP,
+        _basket_pairs,
+    )
+
+    rows = []
+    # 300 baskets of ≤9 items with deliberate duplicate items
+    for g in range(300):
+        for j in range(g % 9 + 1):
+            rows.append((g, (g * 7 + j * 3) % 40))
+            if j % 3 == 0:
+                rows.append((g, (g * 7 + j * 3) % 40))  # duplicate row
+    # one basket over the cap (cap=64 → truncation fires)
+    rows += [(999, k % 90) for k in range(200)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    capped = cap_group_size(
+        li, ["l_orderkey"], [F.col("l_partkey")], _BASKET_CAP
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    old = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+    )
+    new = _basket_pairs(li, min_pair=2)
+    assert {tuple(r) for r in old.collect()} == {
+        tuple(r) for r in new.collect()
+    }
+
+
 def test_ann_recall_at_1m_vectors(spark):
     """Measured recall@3 at 1M vectors (r6 verdict task #3): the
     q_ann_recall* monitors prove the recall MACHINERY on the 500-row
