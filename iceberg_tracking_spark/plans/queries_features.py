@@ -1406,35 +1406,57 @@ def q_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two consumers: both pair sides (via capped) and targets
         .localCheckpoint()
     )
-    # two consumers (both sides of the deviation self-join) — without
-    # the checkpoint the cap's row_number window recomputes per side
-    capped = cap_group_size(
-        ratings, ["u"], [F.col("i")], _BASKET_CAP
-    ).localCheckpoint()
     # three consumers (dev-join probe, anti-join build, t_items):
     # materialize the 1/_SO_USER_MOD user sample once
     targets = ratings.filter(
         F.col("u") % _SO_USER_MOD == 1
     ).localCheckpoint()
     # deviation rows are only ever consumed joined on ib ∈ the target
-    # users' item sets, so the b-side of the pair fan is left-semi-
-    # bounded to those items BEFORE the explosion (provably identical
-    # output — the q_minhash_fidelity candidate-bounding move). cnt/sd
-    # still aggregate over ALL co-rating users of a retained pair.
+    # users' item sets, so the b-side of the pair fan is bounded to
+    # those items BEFORE the explosion (provably identical output —
+    # the q_minhash_fidelity candidate-bounding move). cnt/sd still
+    # aggregate over ALL co-rating users of a retained pair.
+    #
+    # Pair fan is JOIN-FREE since r12 (the _basket_pairs move): the
+    # basket cap folds into slice(sort_array(collect_list(struct)))
+    # — identical to cap_group_size's first-cap-rows-by-i multiset
+    # because (u, i) is unique in `ratings` — the t_items bound
+    # becomes a broadcast flag join BEFORE the collect, and the a×b
+    # fan explodes map-side from ONE u-keyed shuffle. The previous
+    # shape shuffled the capped relation twice (cap window + both
+    # self-join sides) with no runtime exchange reuse, plus a
+    # checkpoint job. Measured at sf0.1 (min-of-3 count, canary
+    # brackets on record): 6.22 s → 3.99 s.
     t_items = targets.select("i").distinct()
-    a = capped.alias("a")
-    b = capped.join(t_items, "i", "left_semi").alias("b")
-    dev = (
-        a.join(
-            b,
-            (F.col("a.u") == F.col("b.u")) & (F.col("a.i") != F.col("b.i")),
+    flagged = ratings.join(
+        F.broadcast(t_items.withColumn("_t", F.lit(True))), "i", "left"
+    )
+    baskets = flagged.groupBy("u").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct("i", "r", "_t"))
+            ),
+            1,
+            _BASKET_CAP,
+        ).alias("items")
+    )
+    fan = (
+        baskets.select(F.explode("items").alias("a"), "items")
+        .select(
+            "a",
+            F.explode(
+                F.filter("items", lambda x: x["_t"].isNotNull())
+            ).alias("b"),
         )
-        .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+        .where(F.col("a.i") != F.col("b.i"))
+    )
+    dev = (
+        fan.groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum((F.col("a.r") - F.col("b.r")).cast("decimal(38,0)")).alias(
-                "sd"
-            ),
+            F.sum(
+                (F.col("a.r") - F.col("b.r")).cast("decimal(38,0)")
+            ).alias("sd"),
         )
         .filter(F.col("cnt") >= _SO_MIN_SUPPORT)
     )

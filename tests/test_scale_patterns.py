@@ -665,6 +665,62 @@ def test_basket_pairs_join_free_parity(spark):
     }
 
 
+def test_slope_one_dev_fan_join_free_parity(spark):
+    """r12: q_slope_one's deviation fan folds the cap into the basket
+    collect and the t_items semi-bound into a pre-collect flag join.
+    Pin exact (ia, ib, cnt, sd) parity with the old capped-self-join +
+    left-semi shape on ratings with a firing cap."""
+    from iceberg_tracking_spark.operators.windows import cap_group_size
+
+    cap, min_support = 8, 2
+    rows = []
+    for u in range(120):
+        for j in range(u % 14 + 2):  # some baskets exceed cap=8
+            rows.append((u, (u * 5 + j * 3) % 30, (u + j) % 7 + 1))
+    ratings = spark.createDataFrame(rows, "u long, i long, r long").groupBy(
+        "u", "i"
+    ).agg(F.sum("r").alias("r"))
+    t_items = ratings.filter(F.col("u") % 10 == 1).select("i").distinct()
+
+    capped = cap_group_size(ratings, ["u"], [F.col("i")], cap)
+    a = capped.alias("a")
+    b = capped.join(t_items, "i", "left_semi").alias("b")
+    old = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.i") != F.col("b.i")))
+        .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum((F.col("a.r") - F.col("b.r")).cast("decimal(38,0)")).alias("sd"),
+        )
+        .filter(F.col("cnt") >= min_support)
+    )
+    flagged = ratings.join(
+        F.broadcast(t_items.withColumn("_t", F.lit(True))), "i", "left"
+    )
+    baskets = flagged.groupBy("u").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("i", "r", "_t"))), 1, cap
+        ).alias("items")
+    )
+    new = (
+        baskets.select(F.explode("items").alias("a"), "items")
+        .select(
+            "a",
+            F.explode(F.filter("items", lambda x: x["_t"].isNotNull())).alias("b"),
+        )
+        .where(F.col("a.i") != F.col("b.i"))
+        .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum((F.col("a.r") - F.col("b.r")).cast("decimal(38,0)")).alias("sd"),
+        )
+        .filter(F.col("cnt") >= min_support)
+    )
+    assert {tuple(r) for r in old.collect()} == {
+        tuple(r) for r in new.collect()
+    }
+
+
 def test_ann_recall_at_1m_vectors(spark):
     """Measured recall@3 at 1M vectors (r6 verdict task #3): the
     q_ann_recall* monitors prove the recall MACHINERY on the 500-row
