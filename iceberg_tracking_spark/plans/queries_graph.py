@@ -157,7 +157,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.py).
     """
     sym = _supplier_edges(spark, sf_dir).localCheckpoint()
-    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    # deg is |V| rows and feeds EVERY unrolled round through a
+    # broadcast — without materialization each round recomputes the
+    # |E|-row degree aggregate (the r12 plan dump shows the deg
+    # subtree three times; runtime exchange reuse does not fire under
+    # a BroadcastExchange). The checkpoint job replaces the former
+    # bare deg.count() job (same aggregate, now materialized), so the
+    # fn() job count is unchanged and the count() below reads the
+    # cached |V|-row RDD. This is NOT the r6-rejected edges
+    # checkpoint (that one materialized the |E|-row annotated edge
+    # relation; deg is supplier-count-sized).
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     edges = sym.join(deg, "src").select("src", "dst", "deg")
     n = deg.count()  # node count: k-row metadata scalar, not data-sized
 
