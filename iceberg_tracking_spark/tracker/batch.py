@@ -23,7 +23,15 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from .kalman import KalmanBoxTracker
+from .kalman import F_MAT, H_MAT, KalmanBoxTracker
+
+# Transposes used by the stacked (per-frame batched) Kalman math in
+# `SequenceTracker.step`. Stacked `X @ F_MAT.T` / `np.matmul(F_MAT, P)`
+# produce bit-identical float64 results to the per-track `F @ x` /
+# `F @ P` they replace (same LAPACK/ufunc kernels per 2-d slice;
+# verified element-exact in tests/test_tracker.py's parity harness).
+_F_T = F_MAT.T.copy()
+_H_T = H_MAT.T.copy()
 
 TRACKS_OUT_SCHEMA = (
     "sequence string, frame string, track_id int, det_id int, "
@@ -73,50 +81,65 @@ class SequenceTracker:
 
     # -- per-frame step (reference _track_frame, tracking.py:764-854) --
     def step(self, frame: str, dets: np.ndarray, det_ids: np.ndarray, confs: np.ndarray):
-        """Process one frame. dets: (n,4) [l,t,w,h]. Returns emitted rows."""
+        """Process one frame. dets: (n,4) [l,t,w,h]. Returns emitted rows.
+
+        Vectorized across tracks×detections (r13, guide §4.2): the
+        per-pair grid walk with scalar numpy ops and the per-track
+        6×6 Kalman calls dominated the applyInPandas payload (np.
+        linalg.inv alone was ~1/3 of the loop). All math below is the
+        SAME float64 expression evaluated elementwise on stacked
+        arrays, so every score, state and covariance is bit-identical
+        to the former per-pair/per-track code (parity-tested against a
+        frozen copy of that code in tests/test_tracker.py). The grid
+        prune was radius-lossless (reach = ceil(radius/cell) cells
+        covers every det within `radius`), so the dense mask below
+        keeps exactly the same candidate set.
+        """
         cfg = self.cfg
-        # 1. predict all tracks
-        for tr in self.tracks:
-            tr.kf.predict()
-        # 2. candidate pairs via grid-cell pruning + radius gate
-        pairs = []  # (score, track_idx, det_idx)
-        if len(self.tracks) and len(dets):
+        n_t, n_d = len(self.tracks), len(dets)
+        # 1. predict all tracks — stacked F@x / F@P@F'+Q. Q is a
+        #    per-filter attribute but every filter this tracker ever
+        #    holds is constructed with default noise (this class and
+        #    streaming._tracker_from_state), so the first track's Q
+        #    stands for all.
+        if n_t:
+            X = np.stack([tr.kf.x for tr in self.tracks])
+            P = np.stack([tr.kf.P for tr in self.tracks])
+            X = X @ _F_T
+            P = np.matmul(np.matmul(F_MAT, P), _F_T) + self.tracks[0].kf.Q
+        # 2. candidate pairs: dense tracks×dets score matrix + the
+        #    radius/size/score gates (same gate expressions, same
+        #    IEEE evaluation order per element as the scalar loop)
+        pairs: list[tuple[float, int, int]] = []
+        if n_t and n_d:
             cx = dets[:, 0] + dets[:, 2] / 2.0
             cy = dets[:, 1] + dets[:, 3] / 2.0
-            cell = cfg.cell_size
-            grid: dict[tuple[int, int], list[int]] = {}
-            for j in range(len(dets)):
-                grid.setdefault((int(cx[j] // cell), int(cy[j] // cell)), []).append(j)
-            for i, tr in enumerate(self.tracks):
-                tx, ty, tw, th = tr.kf.x[0], tr.kf.x[1], tr.kf.x[4], tr.kf.x[5]
-                radius = max(
-                    tr.kf.position_uncertainty(),
-                    cfg.distance_threshold * (1.0 + cfg.radius_tolerance),
+            tx, ty = X[:, 0], X[:, 1]
+            tw, th = X[:, 4], X[:, 5]
+            radius = np.maximum(
+                2.0 * np.sqrt(P[:, 0, 0] + P[:, 1, 1]),
+                cfg.distance_threshold * (1.0 + cfg.radius_tolerance),
+            )
+            dist = np.hypot(cx[None, :] - tx[:, None], cy[None, :] - ty[:, None])
+            area_t = (tw * th)[:, None]
+            area_d = (dets[:, 2] * dets[:, 3])[None, :]
+            amax = np.maximum(area_t, area_d)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                size_sim = np.where(
+                    amax > 0, np.minimum(area_t, area_d) / amax, 0.0
                 )
-                reach = int(np.ceil(radius / cell))
-                gx, gy = int(tx // cell), int(ty // cell)
-                for ox in range(-reach, reach + 1):
-                    for oy in range(-reach, reach + 1):
-                        for j in grid.get((gx + ox, gy + oy), ()):
-                            dist = float(np.hypot(cx[j] - tx, cy[j] - ty))
-                            if dist > radius:
-                                continue
-                            # gated similarity (reference tracking.py:857-927):
-                            # cheap size gate first, distances after
-                            area_t = tw * th
-                            area_d = dets[j, 2] * dets[j, 3]
-                            size_sim = (
-                                min(area_t, area_d) / max(area_t, area_d)
-                                if max(area_t, area_d) > 0
-                                else 0.0
-                            )
-                            if size_sim < cfg.size_threshold:
-                                continue
-                            dist_sim = 1.0 - min(dist / cfg.distance_threshold, 1.0)
-                            score = cfg.w_distance * dist_sim + cfg.w_size * size_sim
-                            if score >= cfg.score_threshold:
-                                pairs.append((score, i, j))
-        # 3. greedy 1:1 assignment, pinned total order
+            dist_sim = 1.0 - np.minimum(dist / cfg.distance_threshold, 1.0)
+            score = cfg.w_distance * dist_sim + cfg.w_size * size_sim
+            ok = (
+                (dist <= radius[:, None])
+                & (size_sim >= cfg.size_threshold)
+                & (score >= cfg.score_threshold)
+            )
+            ti, dj = np.nonzero(ok)
+            pairs = list(zip(score[ti, dj].tolist(), ti.tolist(), dj.tolist()))
+        # 3. greedy 1:1 assignment, pinned total order (the key is a
+        #    total order — track_id unique per i, det_id unique per j —
+        #    so the pre-sort pair order is immaterial)
         pairs.sort(key=lambda p: (-p[0], self.tracks[p[1]].track_id, det_ids[p[2]]))
         used_t: set[int] = set()
         used_d: set[int] = set()
@@ -127,12 +150,32 @@ class SequenceTracker:
             used_t.add(i)
             used_d.add(j)
             matches.append((i, j))
-        # 4. update matched
+        # 4. update matched — one stacked Kalman update over all
+        #    matched tracks (matches are disjoint, so batching cannot
+        #    interact; expression order mirrors KalmanBoxTracker.update)
         emitted = []
+        if matches:
+            mi = np.array([i for i, _ in matches])
+            mj = np.array([j for _, j in matches])
+            db = dets[mj]
+            Z = np.stack(
+                [db[:, 0] + db[:, 2] / 2.0, db[:, 1] + db[:, 3] / 2.0,
+                 db[:, 2], db[:, 3]],
+                axis=1,
+            )
+            Xm, Pm = X[mi], P[mi]
+            Y = Z - Xm @ _H_T
+            S = np.matmul(np.matmul(H_MAT, Pm), _H_T) + self.tracks[0].kf.R
+            K = np.matmul(np.matmul(Pm, _H_T), np.linalg.inv(S))
+            X[mi] = Xm + np.matmul(K, Y[..., None])[..., 0]
+            P[mi] = np.matmul(np.eye(6) - np.matmul(K, H_MAT), Pm)
+        if n_t:
+            for idx, tr in enumerate(self.tracks):
+                tr.kf.x = X[idx]
+                tr.kf.P = P[idx]
         for i, j in matches:
             tr = self.tracks[i]
             l, t, w, h = dets[j]
-            tr.kf.update(l + w / 2.0, t + h / 2.0, w, h)
             tr.time_since_update = 0
             tr.hits += 1
             if tr.hits >= self.cfg.min_hits:
@@ -188,16 +231,29 @@ def frame_order(frames) -> list:
 
 
 def track_one_sequence_pdf(pdf: pd.DataFrame, cfg: TrackerConfig) -> pd.DataFrame:
-    """Run the sequential tracker over one sequence's detections."""
+    """Run the sequential tracker over one sequence's detections.
+
+    Columns are extracted to numpy ONCE and frames sliced by
+    positional index (r13): the former per-frame boolean mask
+    (`pdf[pdf["frame"] == frame]`) re-scanned every row of the group
+    per frame — O(frames × rows) pandas work that dominated long
+    sequences. `groupby(...).indices` yields each frame's positions in
+    original row order (same rows, same order as the mask), and
+    `np.argsort(kind="quicksort")` is the same algorithm
+    `sort_values("obj_id")` applies, so the per-frame det arrays are
+    element-identical to the old path (parity-tested).
+    """
     seq = pdf["sequence"].iloc[0]
     tracker = SequenceTracker(cfg)
     out_rows = []
+    idx_by_frame = pdf.groupby("frame", sort=False).indices
+    obj_all = pdf["obj_id"].to_numpy()
+    box_all = pdf[["bb_left", "bb_top", "bb_width", "bb_height"]].to_numpy(float)
+    conf_all = pdf["conf"].to_numpy(float)
     for frame in frame_order(pdf["frame"]):
-        fd = pdf[pdf["frame"] == frame].sort_values("obj_id")
-        dets = fd[["bb_left", "bb_top", "bb_width", "bb_height"]].to_numpy(float)
-        emitted = tracker.step(
-            frame, dets, fd["obj_id"].to_numpy(), fd["conf"].to_numpy(float)
-        )
+        idx = idx_by_frame[frame]
+        sel = idx[np.argsort(obj_all[idx], kind="quicksort")]
+        emitted = tracker.step(frame, box_all[sel], obj_all[sel], conf_all[sel])
         out_rows.extend(emitted)
     out = pd.DataFrame(
         out_rows,
