@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The FINAL
+stdout line is the compact contract JSON: {"metric": ..., "value":
+total_sec, "unit": "sec", "queries": {name: sec}, "sf": ..., "cpus":
+...} (≈0.6 KB so the driver's output-tail capture can never truncate
+it again — see the note at the end of main()); the line before it is
+the full document with the extended per-query map and noise forensics.
 
 Headline set: one representative per operator family — scan-agg, join,
 window/argmax, islands, spatial join, sessionization, dedup (minhash),
@@ -640,6 +643,7 @@ def main() -> None:
         "queries": timings,
         "extended": extended,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0),
         "runs_per_query": RUNS,
         "canary_sec": canary,
         "canary_floor_sec": CANARY_FLOOR_SEC,
@@ -674,7 +678,33 @@ def main() -> None:
         doc["delta_queries_sec"] = deltas
         for name, d in sorted(deltas.items(), key=lambda kv: kv[1]):
             print(f"# delta vs {tag} {name}: {d:+.3f}s", file=sys.stderr)
+    # Two-line output (r13, the r12 verdict's task #2): the one-line
+    # JSON grew past the driver's output-tail capture in r09-r11
+    # (BENCH_r{09,10,11}.json: parsed=null — the head of the line was
+    # truncated away and round-over-round comparison silently died for
+    # three rounds). The FULL document (extended per-query map, noise
+    # suspects, canary rechecks, deltas) goes out first on its own
+    # stdout line for the record; the FINAL line — the one the driver
+    # parses — is the compact contract doc (headline total + 15-query
+    # map + sf/cpus/canary, ~0.6 KB) plus any regressions/errors,
+    # which must never be silently dropped. Nothing is removed from
+    # `queries`; the extended map simply moves to the earlier line.
     print(json.dumps(doc))
+    compact = {
+        k: doc[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf", "cpus",
+            "runs_per_query", "canary_sec", "canary_floor_sec",
+            "host_factor",
+        )
+    }
+    compact["extended_total_sec"] = round(sum(extended.values()), 3)
+    compact["n_extended"] = len(extended)
+    if regressions:
+        compact["regressions"] = regressions
+    if errors:
+        compact["errors"] = errors
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -998,7 +998,13 @@ def q_psi(spark, sf_dir):
     )
     ref = ev.filter(F.col("event_id") % 2 == 0)
     cur = ev.filter(F.col("event_id") % 2 == 1)
-    edges = reference_edges(ref, "cents", "event_id", n_bins=10)
+    # materialize the ≤9-row edge relation ONCE (r13): it is consumed
+    # by BOTH bucket-assignment joins, and each consumer re-derived
+    # the whole two-pass ranked-reference pipeline behind it (executed
+    # plan before: 46 parquet scans, ReusedExchange only 6 — the
+    # broadcast sides never dedup). Same "checkpoint the small derived
+    # relation, not the big input" pattern as operators/graph.py.
+    edges = reference_edges(ref, "cents", "event_id", n_bins=10).localCheckpoint()
     cr = bin_counts_by_edges(ref, edges, "cents", "event_id", out="n_ref")
     cc = bin_counts_by_edges(cur, edges, "cents", "event_id", out="n_cur")
     # ONE shared implementation with the streaming monitor — the

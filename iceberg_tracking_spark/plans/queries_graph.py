@@ -504,21 +504,29 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey"
     )
-    # NOTE (r12): the _supplier_edges set-explode move does NOT port
-    # here as a sorted-adjacent pairing — the synthetic lineitem has
-    # duplicate (l_orderkey, l_linenumber) rows (11,785 duplicate
-    # groups at sf0.01), and sort-adjacency loses the cross-duplicate
-    # pairs the ln+1 join predicate produces (caught by the 3-SF
-    # oracle check; the set-explode rewrite was reverted for this one
-    # builder). The self-join stays as the correct general shape.
-    a, b = li.alias("a"), li.alias("b")
+    # Join-free adjacency, multiplicity-aware (r13, guide §2.4 — the
+    # r12 revert done right): collect each order's FULL (linenumber,
+    # partkey) row multiset in one order-keyed shuffle and explode the
+    # ln/ln+1 pairs map-side. The r12 attempt paired SORT-ADJACENT
+    # rows and lost cross-duplicate pairs (the synthetic lineitem has
+    # duplicate (l_orderkey, l_linenumber) rows — 11,785 groups at
+    # sf0.01); the a×b explode below pairs EVERY row at linenumber k
+    # with EVERY row at k+1, which is exactly the self-join's pair
+    # multiset (the downstream `distinct` only needs the pair SET, and
+    # even the multiset matches). Order groups are ≤7 rows in TPC-H
+    # shape, so the map-side fan is k² of a small constant — linear in
+    # input, while the old self-join scanned and shuffled lineitem
+    # twice with no runtime ReusedExchange.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_linenumber", "l_partkey")).alias("rows")
+    )
     directed = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_linenumber") + 1 == F.col("b.l_linenumber")),
+        per_order.select(F.explode("rows").alias("a"), "rows")
+        .select("a", F.explode("rows").alias("b"))
+        .where(
+            (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1)
+            & (F.col("a.l_partkey") != F.col("b.l_partkey"))
         )
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
         .select(
             F.col("a.l_partkey").alias("s"),
             F.col("b.l_partkey").alias("d"),

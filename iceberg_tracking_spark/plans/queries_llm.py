@@ -1282,47 +1282,72 @@ def q_bm25(spark, sf_dir):
     before any exchange. Per-term scores are combined in a fixed
     expression order so float addition matches the oracle bit-for-bit
     (ln() ulp differences absorbed by the 4dp round)."""
+    # ONE corpus scan (r13, guide §2.4/§8 — decide with small rows):
+    # the former shape re-derived the scan+tokenize subtree in FOUR
+    # consumers (dl, stats-via-dl, tf, df-via-tf) with zero runtime
+    # ReusedExchange (verified in the executed q_rrf_fusion plan: 18
+    # parquet scans, ReusedExchange=0 — scans are not exchanges, so
+    # nothing dedups them). Per-doc term counts need no explode and no
+    # shuffle at all: tf_t = size(filter(toks, = t)) per fixed query
+    # term, dl = size(toks), computed in one narrow projection that is
+    # checkpointed (docs × ~5 ints) so the two scalar aggregates and
+    # the scoring pass re-read the tiny relation, not the corpus.
+    def _eq(term):
+        return lambda x: x == F.lit(term)
+
     d = _t(spark, sf_dir, "documents").withColumn(
         "toks", _spark_tokens(F.col("text"))
     )
-    toks = d.select("doc_id", "toks")
-    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    per_doc = d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.size(F.filter("toks", _eq(t))).cast("long").alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    ).localCheckpoint()
+    # corpus stats + per-term document frequencies: two 1-row aggs
+    # over the checkpointed per-doc relation. Values are identical to
+    # the former explode pipeline's: tf_t is the same multiplicity
+    # count, df_t = #docs with tf_t > 0 = the old tf-row count per
+    # term, and dl/n_docs/avgdl aggregate the same long column over
+    # the same rows (integer sums — no float-order freedom).
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
     )
-    tf = (
-        toks.select("doc_id", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "s",
-            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-            * (F.col("tf") * (_BM25_K1 + 1.0))
+    hit = per_doc.filter(
+        F.greatest(*[F.col(f"tf_{t}") for t in _BM25_TERMS]) > 0
+    ).crossJoin(F.broadcast(stats))
+    # identical per-term score expression; a term absent from a doc
+    # (tf_t = 0) contributes NULL exactly like the old pivot's
+    # max(when(term == t, s)) over no rows, then the same fixed-order
+    # coalesce sum.
+    def _s(t):
+        return F.when(
+            F.col(f"tf_{t}") > 0,
+            F.log(
+                (F.col("n_docs") - F.col(f"df_{t}") + 0.5)
+                / (F.col(f"df_{t}") + 0.5)
+                + 1.0
+            )
+            * (F.col(f"tf_{t}") * (_BM25_K1 + 1.0))
             / (
-                F.col("tf")
+                F.col(f"tf_{t}")
                 + _BM25_K1
                 * (1.0 - _BM25_B + _BM25_B * (F.col("dl") / F.col("avgdl")))
             ),
         )
-    )
-    per_doc = scored.groupBy("doc_id").agg(
-        *[
-            F.max(F.when(F.col("term") == t, F.col("s"))).alias(f"s_{t}")
-            for t in _BM25_TERMS
-        ]
-    )
+
     total = None
     for t in _BM25_TERMS:
-        c = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
+        c = F.coalesce(_s(t), F.lit(0.0))
         total = c if total is None else total + c
-    ranked = per_doc.select(
+    ranked = hit.select(
         "doc_id", F.round(total, 4).alias("score")
     ).withColumn(
         "rn",

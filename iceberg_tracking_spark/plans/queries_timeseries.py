@@ -794,6 +794,14 @@ def q_kaplan_meier(spark, sf_dir):
         .cast("long")
         .alias("fm"),
     )
+    # the second ranking pass consumes `f` in THREE subtrees (its
+    # boundary job, local window, per-bucket totals), and each one
+    # re-derived the ENTIRE first distributed_cumulative pipeline
+    # behind it (executed plan before: 60 exchanges). `f` is bounded
+    # by the distinct-duration calendar, so materializing it once
+    # trades one tiny checkpoint job for two re-evaluations of the
+    # deep at-risk pipeline (r13; the q_rfm/q_js_divergence cost note).
+    f = f.localCheckpoint()
     return distributed_cumulative(
         f, ["t"], agg_col="fm", out_col="cum_fm"
     ).select(

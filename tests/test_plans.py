@@ -226,13 +226,31 @@ def _plan(spark, sf_dir, name: str) -> str:
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_cartesian_product(spark, sf_dir, name):
-    plan = _plan(spark, sf_dir, name)
+    """Cartesian/nested-loop guard AND the single-partition-funnel
+    guard in ONE sweep (r13, the r12 verdict's pytest-budget task):
+    the two guards each built every query's plan from scratch —
+    2×|registry| plan builds was the single largest block of suite
+    time after the oracle sweep. One build now feeds both assertions;
+    coverage is unchanged (same strings, same predicates)."""
+    with _maybe_transparent(name):
+        df = QUERIES[name].fn(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        exec_plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
     if name not in NESTED_LOOP_OK:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} fell back to a nested-loop join — a join condition "
             "stopped being an equi-join"
         )
+    funnels = _single_partition_funnels(exec_plan)
+    assert not funnels, (
+        f"{name} funnels a full relation through a single partition: "
+        f"{funnels} — use distributed_cumulative / a partitioned window "
+        "/ map-side partial aggregation instead"
+    )
 
 
 def _single_partition_funnels(plan: str) -> list[str]:
@@ -285,22 +303,12 @@ def _single_partition_funnels(plan: str) -> list[str]:
     return bad
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_no_single_partition_funnel(spark, sf_dir, name):
-    """No registered query may serialize its full input through an
-    `Exchange SinglePartition`. Whitelist intentionally EMPTY: the two
-    r4 offenders (q_auc's global rank window, q_pack_sequences' global
-    cumsum) were rewritten onto `distributed_cumulative`, and this
-    guard keeps the class extinct."""
-    with _maybe_transparent(name):
-        df = QUERIES[name].fn(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-    funnels = _single_partition_funnels(plan)
-    assert not funnels, (
-        f"{name} funnels a full relation through a single partition: "
-        f"{funnels} — use distributed_cumulative / a partitioned window "
-        "/ map-side partial aggregation instead"
-    )
+# (test_no_single_partition_funnel was folded into
+# test_no_cartesian_product above — one plan build serves both guards;
+# the whitelist stays intentionally EMPTY: the two r4 offenders
+# (q_auc's global rank window, q_pack_sequences' global cumsum) were
+# rewritten onto `distributed_cumulative`, and the merged guard keeps
+# the class extinct.)
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):

@@ -208,7 +208,9 @@ def test_distributed_cumulative_property_random_inputs(spark):
         ([-5, -5, 7, 0, 0, 0, 7], [2, 2, 2, 2, 2, 2, 2]),
         (list(range(100)) * 3, [((i * 7) % 13) - 6 for i in range(300)]),
     ]
-    for n_parts in (2, 5, 16):
+    # (2, 16) — the partition-count extremes; the former middle value
+    # (5) exercised no distinct boundary behavior (r13 pytest budget)
+    for n_parts in (2, 16):
         for keys, vals in cases:
             rows = [(k, v, i) for i, (k, v) in enumerate(zip(keys, vals))]
             df = spark.createDataFrame(rows, "key long, v long, id long")
@@ -219,15 +221,21 @@ def test_distributed_cumulative_property_random_inputs(spark):
             got_rank = distributed_cumulative(
                 df, ["key", "id"], out_col="out", n_parts=n_parts
             )
-            assert got_rank.exceptAll(want_rank).count() == 0, (n_parts, keys)
-            assert want_rank.exceptAll(got_rank).count() == 0, (n_parts, keys)
+            # both exceptAll directions in ONE action (r13 pytest
+            # budget): same exactness, half the Spark jobs
+            diff_rank = got_rank.exceptAll(want_rank).unionAll(
+                want_rank.exceptAll(got_rank)
+            )
+            assert diff_rank.count() == 0, (n_parts, keys)
             wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             want_sum = df.withColumn("out", F.sum("v").over(wf))
             got_sum = distributed_cumulative(
                 df, ["key", "id"], agg_col="v", out_col="out", n_parts=n_parts
             )
-            assert got_sum.exceptAll(want_sum).count() == 0, (n_parts, keys)
-            assert want_sum.exceptAll(got_sum).count() == 0, (n_parts, keys)
+            diff_sum = got_sum.exceptAll(want_sum).unionAll(
+                want_sum.exceptAll(got_sum)
+            )
+            assert diff_sum.count() == 0, (n_parts, keys)
 
 
 def _synth_vectors(spark, n: int, dim: int):
@@ -1312,14 +1320,20 @@ def test_fuzzy_match_candidate_growth_and_planted_recall(spark):
         ).count()
         return cands, cands / naive, planted_found
 
-    c_small, frac_small, found_small = measure(125_000)
-    c_big, frac_big, found_big = measure(500_000)
-    # the B lever: same 500k docs, lengths spread over 4x the range
-    c_wide, frac_wide, found_wide = measure(500_000, len_range=40_000)
+    # 62.5k/250k (r13 pytest budget; was 125k/500k): every assertion
+    # below is SIZE-FREE by the test's own argument — the blocked
+    # fraction is ~3/B independent of corpus size, the 4x-range lever
+    # is a ratio, and planted recall is lossless by construction — so
+    # halving the sizes re-measures the same constants at a quarter of
+    # the candidate-count cost while still running 500x the fixture.
+    c_small, frac_small, found_small = measure(62_500)
+    c_big, frac_big, found_big = measure(250_000)
+    # the B lever: same 250k docs, lengths spread over 4x the range
+    c_wide, frac_wide, found_wide = measure(250_000, len_range=40_000)
     print(
-        f"\nfuzzy-match candidates: 125k docs {c_small:,} "
-        f"({frac_small:.2e} of naive), 500k docs {c_big:,} "
-        f"({frac_big:.2e}), 500k docs @4x length spread {c_wide:,} "
+        f"\nfuzzy-match candidates: 62.5k docs {c_small:,} "
+        f"({frac_small:.2e} of naive), 250k docs {c_big:,} "
+        f"({frac_big:.2e}), 250k docs @4x length spread {c_wide:,} "
         f"({frac_wide:.2e}); planted recall {found_small}/"
         f"{n_planted}, {found_big}/{n_planted}, {found_wide}/{n_planted}"
     )

@@ -11,7 +11,6 @@ encoding drifts again.
 
 from __future__ import annotations
 
-import pytest
 
 from iceberg_tracking_spark.plans.registry import DRIVER_PRIORITY, QUERIES
 from iceberg_tracking_spark.schemas import SYNTHETIC_TABLES
@@ -35,14 +34,12 @@ def test_all_tables_load(spark, sf_dir):
         assert load_table(spark, sf_dir, t).columns, t
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_analyzes_on_real_testdata(spark, sf_dir, name):
-    """Every registered query must at least pass Catalyst analysis
-    against the real driver parquet. `.schema` forces analysis without
-    executing, so this sweep is cheap but catches any type drift at
-    every call site (r3 had ~18 queries failing exactly here)."""
-    df = QUERIES[name].fn(spark, sf_dir)
-    assert len(df.schema.fields) > 0
+# (The per-query "analyzes on real testdata" sweep was removed in r13:
+# tests/test_queries_vs_oracle.py EXECUTES every registered query on
+# the same real parquet — execution strictly subsumes analysis, so the
+# 239-parameter sweep was pure duplicate coverage inside a pytest
+# budget the driver's VERIFY window no longer afforded. The encoding
+# canaries below keep the original r3 failure mode covered directly.)
 
 
 def test_driver_priority_names_resolve():
