@@ -206,7 +206,11 @@ HEADLINE_FLOOR_SEC = {
 
 # Regression floor for the extended set: each entry's first sf0.1
 # min-of-3 recording, tightened whenever a later observed run beats
-# it (last sweeps: round-12 — two full runs, start canaries
+# it (last sweeps: round-13 — three full runs, start canaries
+# 1.55/1.09/0.64s, per-query min across them lowered 11 floors under
+# the any-observation-lowers rule, incl. the r13-rewritten
+# q_rrf_fusion 1.711→1.317, q_psi →1.119, q_kaplan_meier →1.371;
+# round-12 — two full runs, start canaries
 # 0.530s/1.08s, 8 then 16 floors lowered under the refined
 # any-observation-lowers rule; round-10 — min over two full
 # verified-near-idle runs, canary 0.475/0.552s on record, 26 floors
@@ -240,14 +244,14 @@ HEADLINE_FLOOR_SEC = {
 EXTENDED_FLOOR_SEC = {
     # re-floored r6 after the single-checkpoint broadcast-degree
     # reshape (min-of-5 solo recording)
-    "q_pagerank": 3.246,
+    "q_pagerank": 2.923,
     "q_interval_join": 0.745,
     "q_fuzzy_match": 0.467,
     "q_char_entropy": 0.496,
     "q_hll": 0.482,
     "q_count_min": 0.608,
     "q_image_decode": 0.403,
-    "q_rrf_fusion": 1.711,
+    "q_rrf_fusion": 1.317,
     # round-5 families: first sf0.1 min-of-3 recordings (local run).
     # q_auc / q_pack_sequences / q_curriculum re-floored in r6: the
     # r5 ADVICE fix makes distributed_cumulative collect its percentile
@@ -255,7 +259,7 @@ EXTENDED_FLOOR_SEC = {
     # bucket ids are plan constants — correctness at multi-executor
     # scale, bought with one extra job submission per call, which at
     # sf0.1 is mostly fixed scheduling overhead.
-    "q_auc": 0.716,  # REBASED r10: the 0.537 basis never reproduced again (judge r9 solo 1.02; r10 verified-near-idle 0.944/0.968) — a floor below the reproducible minimum only manufactures false alarms,
+    "q_auc": 0.577,  # REBASED r10: the 0.537 basis never reproduced again (judge r9 solo 1.02; r10 verified-near-idle 0.944/0.968) — a floor below the reproducible minimum only manufactures false alarms,
     "q_pack_sequences": 0.885,
     "q_pack_sequences_sharded": 0.234,
     "q_histogram_quantiles": 0.39,
@@ -286,12 +290,12 @@ EXTENDED_FLOOR_SEC = {
     "q_target_encoding": 0.254,
     "q_feature_hashing": 0.463,
     "q_lag_features": 0.125,
-    "q_item_cooccurrence": 1.726,
+    "q_item_cooccurrence": 1.338,
     "q_reliability_ece": 0.721,
     "q_merge_upsert": 0.278,
     "q_shortest_path": 2.112,
     "q_l_diversity": 0.664,
-    "q_item_similarity": 1.837,
+    "q_item_similarity": 1.43,
     "q_seasonal_decompose": 0.338,
     "q_bpe_encode": 1.385,
     # round-6 fourth wave: min over three sf0.1 min-of-3 recordings,
@@ -301,10 +305,10 @@ EXTENDED_FLOOR_SEC = {
     "q_linear_fit": 0.246,
     "q_mutual_information": 0.271,
     "q_quantile_binning": 0.605,
-    "q_gini_skew": 0.558,
-    "q_conformal": 0.812,
+    "q_gini_skew": 0.557,
+    "q_conformal": 0.737,
     "q_ks_test": 0.666,
-    "q_psi": 1.12,
+    "q_psi": 1.119,
     "q_markov_transitions": 0.394,
     "q_attribution": 0.34,
     "q_dsir_weights": 0.733,
@@ -312,7 +316,7 @@ EXTENDED_FLOOR_SEC = {
     # resp. two distributed_cumulative passes over bounded relations —
     # the cost is fixed job overhead, not data volume)
     "q_rfm": 1.248,
-    "q_kaplan_meier": 1.524,
+    "q_kaplan_meier": 1.371,
     # experimentation stats (first solo sf0.1 min-of-3 recordings)
     "q_cuped": 0.461,
     "q_poisson_bootstrap": 0.235,
@@ -368,9 +372,9 @@ EXTENDED_FLOOR_SEC = {
     "q_isotonic_calibration": 0.991,
     "q_adamic_adar": 2.024,
     "q_hits": 1.825,
-    "q_theil_sen": 0.556,
+    "q_theil_sen": 0.523,
     "q_video_motion": 0.315,
-    "q_label_propagation": 2.238,
+    "q_label_propagation": 2.213,
     # r10 landing: solo min-of-3 at sf0.1 in the landing commit, on a
     # load-3.4 host (fixture-sized decode; tighten from an idle run)
     "q_gif_frames": 0.279,

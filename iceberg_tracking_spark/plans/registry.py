@@ -35,85 +35,82 @@ QUERIES: dict[str, QueryDef] = {}
 # positions 1-50). Every §2 operator's primary evidence query must sit
 # inside that window, so ordering is explicit: names listed here come
 # first (in this order), everything else follows in registration order.
-# Round 12 rotation — the r11 verdict's task #1 prescription: (a) the
-# 6-name r6-stale overflow the r11 comment promised would lead this
-# window (after these, no query's latest driver row is older than
-# round 7), (b) first driver rows for the 6 queries NEW this round
-# (q_media_accounting — the catalog rollup over the bounded scan;
-# q_mcnemar / q_cohens_kappa / q_cochran_q — the paired-rater
-# agreement family; q_friedman — the blocked nonparametric k-sample
-# test completing the rank family; q_cusum_prefix — distributed CUSUM
-# changepoint monitor via the prefix-min identity),
-# (c) the one query whose CODE/shared dependency changed this round:
-# q_media_catalog (decodable-gate mirrors for GIF/JPEG/PGM + the
-# bounded head-bytes scan path — r11 ADVICE #1/#2/#4 + verdict task
-# #2), (d) the first 37 names of the 44-name r7 cohort in
-# registration order. 6 + 6 + 1 + 37 = 50; the 7-name r7 overflow
-# (q_tiling, q_multimodal_meta, q_length_buckets, q_dup_span_removal,
-# q_item_cooccurrence, q_item_similarity, q_als_step — registration
-# order) leads the r13 window. Window = 50.
+# STANDING RULE (r12 verdict task #1): the rotation is refreshed at
+# OPTIMIZER END, never frozen at round start — (a) every query whose
+# code or shared dependency changed this round leads the window,
+# (b) then the previous round's changed-but-unverified set, (c) then
+# the oldest-driver-row cohort in registration order fills to 50.
+# Round 13 rotation: (a) the 6 queries this round's optimizer touched
+# (tracker vectorization → q_track; join-free adjacency →
+# q_shortest_path; the one-scan BM25 stats rewrite → q_bm25 +
+# q_rrf_fusion; edge/hazard materialization → q_psi, q_kaplan_meier);
+# (b) the 16 r12-rewritten queries the r12 window never re-rowed
+# (the r12 verdict's task #1 list verbatim, incl. re-rowing
+# q_gram_matrix); (c) the promised 7-name r7 overflow (its remaining
+# 5 — q_item_cooccurrence/q_item_similarity already sit in (b));
+# (d) the first 23 names of the 44-name r8 cohort in registration
+# order. 6 + 16 + 5 + 23 = 50; the r8 cohort's remaining 21 names
+# lead the next window.
 DRIVER_PRIORITY: list[str] = [
-    # (a) the r6-stale overflow (latest driver row = round 6)
-    "q_linear_fit",
-    "q_mutual_information",
-    "q_quantile_binning",
-    "q_gini_skew",
-    "q_conformal",
-    "q_rfm",
-    # (b) first driver rows: new this round
-    "q_media_accounting",
-    "q_mcnemar",
-    "q_cohens_kappa",
-    "q_cochran_q",
-    "q_friedman",
-    "q_cusum_prefix",
-    # (c) code changed this round (fresh row per the house rule)
-    "q_media_catalog",
-    # (d) the r7 cohort (latest driver row = round 7), first 37 names
-    # in registration order
-    "q_weighted_avg",
-    "q_two_level_agg",
-    "q_rollup",
-    "q_equijoin",
-    "q_semi_anti",
-    "q_having_semijoin",
-    "q_union",
-    "q_intersect",
-    "q_group_percentiles",
-    "q_string_funcs",
-    "q_star_join",
-    "q_ship_priority",
-    "q_theta_argmax",
-    "q_islands",
-    "q_mutual_argmax",
-    "q_grid_join",
-    "q_tumbling_window",
-    "q_text_stats",
-    "q_lang_id",
-    "q_ngram_jaccard",
-    "q_embedding_neardup",
-    "q_dedup_clusters",
-    "q_dedup_keep_one",
-    "q_ann_lsh",
-    "q_kfold",
-    "q_token_count",
-    "q_quality_score",
-    "q_asof_join",
-    "q_cumsum_window",
-    "q_orderby",
-    "q_binary_scan",
-    "q_frame_sample",
-    "q_skew_join",
-    "q_kmeans_step",
-    "q_zorder",
+    # (a) code changed in r13 (fresh row per the house rule)
+    "q_track",
+    "q_shortest_path",
+    "q_bm25",
+    "q_rrf_fusion",
+    "q_psi",
+    "q_kaplan_meier",
+    # (b) the 16 r12-rewritten queries (r12 verdict task #1)
+    "q_iou_argmax",
+    "q_eval_metrics",
+    "q_eval_identity",
+    "q_eval_combined",
+    "q_pagerank",
+    "q_degree_centrality",
+    "q_hits",
+    "q_adamic_adar",
+    "q_triangle_count",
+    "q_clustering_coeff",
+    "q_label_propagation",
+    "q_item_cooccurrence",
+    "q_item_similarity",
+    "q_slope_one",
+    "q_theil_sen",
     "q_gram_matrix",
-    "q_int8_quantize",
+    # (c) the r7 overflow (latest driver row = round 7)
+    "q_tiling",
+    "q_multimodal_meta",
+    "q_length_buckets",
+    "q_dup_span_removal",
+    "q_als_step",
+    # (d) the r8 cohort (latest driver row = round 8), first 23 names
+    # in registration order
+    "q_corr_scalar_subquery",
+    "q_not_exists",
+    "q_minmax_by",
+    "q_unpivot",
+    "q_selfjoin_lead",
+    "q_containment_antijoin",
+    "q_session_window",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_scd2",
+    "q_event_pattern",
+    "q_ab_test",
+    "q_drift_chi2",
+    "q_interval_join",
+    "q_benjamini_hochberg",
+    "q_msprt",
+    "q_mann_whitney",
+    "q_benford",
+    "q_acf",
+    "q_minhash_lsh",
+    "q_neardup_gate",
+    "q_stratified_sample",
+    "q_vocab_topk",
 ]
-# Oldest after this window: the r7 cohort's 7-name overflow
-# (q_tiling, q_multimodal_meta, q_length_buckets, q_dup_span_removal,
-# q_item_cooccurrence, q_item_similarity, q_als_step — still round-7
-# rows), to lead the r13 window; then the 44 r8-row names become the
-# next-oldest cohort.
+# Oldest after this window: the r8 cohort's remaining 21 names (still
+# round-8 rows), to lead the next window; then the 43 r9-row names
+# become the next-oldest cohort.
 
 
 def query(name: str, oracle: str | None = None):
